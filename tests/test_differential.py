@@ -1,0 +1,38 @@
+"""Oracle-differential tests (SURVEY.md §5.1): every registered query with
+an oracle is compared Spark-vs-DuckDB at sf0.001 (fast) — the driver redoes
+this at sf0.01. Queries without an oracle are smoke-run (rows ≥ 0).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tfm_taxitrips_spark.queries.registry import all_queries
+from tests.oracle import compare
+
+_ALL = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(_ALL))
+def test_query_matches_oracle(spark, sf_smoke, name):
+    spec = _ALL[name]
+    df = spec.fn(spark, sf_smoke)
+    if spec.oracle is None:
+        assert df.count() >= 0
+    else:
+        compare(df, spec.oracle, sf_smoke, name=name)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+
+
+def test_registry_contract():
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 20  # coverage floor, grows with SURVEY §2

@@ -1,0 +1,583 @@
+"""Core relational query registry (SURVEY.md §2 rows S4, P1-P7, F1, F3,
+J1-J3, A1-A4, §2.7 top-k, §2.8 scalars).
+
+Star-schema mapping of the taxi domain (FIXTURES.md §B): ``lineitem+orders``
+play the trips fact, ``customer→nation`` the pickup area (role-playing dim),
+``supplier→nation`` the dropoff area, ``c_mktsegment`` the company.
+
+Determinism conventions (required by the driver's order-insensitive
+value-hash vs DuckDB):
+- money/quantity SUMs go through DECIMAL (see functions.aggregates.dsum);
+- every computed column is aliased identically in Spark and SQL;
+- double→int casts are avoided (Spark truncates, DuckDB rounds) — we use
+  explicit FLOOR where integers are derived from doubles;
+- all top-k orderings carry a unique tie-breaker key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
+from tfm_taxitrips_spark.operators.dedup import dedup_exact
+from tfm_taxitrips_spark.operators.enrich import role_play
+from tfm_taxitrips_spark.operators.topk import top_k_by_group, top_k_global
+from tfm_taxitrips_spark.operators.views import agg_view, rollup_views
+from tfm_taxitrips_spark.queries.registry import QuerySpec
+from tfm_taxitrips_spark.sources.readers import table
+
+
+# --------------------------------------------------------------------------
+# role-playing dimensions (J3 analog: dim build via join)
+# --------------------------------------------------------------------------
+
+def _pickup_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer→nation as the 'pickup area' role (P2 + J3)."""
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+    return role_play(
+        joined,
+        {"c_custkey": "c_custkey", "c_mktsegment": "c_mktsegment", "n_name": "pickup_nation"},
+    )
+
+
+def _dropoff_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    joined = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    )
+    return role_play(joined, {"s_suppkey": "s_suppkey", "n_name": "dropoff_nation"})
+
+
+def _enriched_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.1 enrichment pipeline: dedup fact → join header → double
+    role-playing broadcast join (A1 + J1)."""
+    li = dedup_exact(table(spark, sf_dir, "lineitem"))  # A1, whole-row
+    orders = table(spark, sf_dir, "orders")
+    enriched = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(_pickup_dim(spark, sf_dir)), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .join(F.broadcast(_dropoff_dim(spark, sf_dir)), F.col("l_suppkey") == F.col("s_suppkey"), "left")
+    )
+    return enriched
+
+
+_ENRICHED_SQL = """
+WITH li AS (SELECT DISTINCT * FROM lineitem),
+pickup AS (
+  SELECT c_custkey, c_mktsegment, n_name AS pickup_nation
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+dropoff AS (
+  SELECT s_suppkey, n_name AS dropoff_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+enriched AS (
+  SELECT l.*, o.*, p.pickup_nation, p.c_mktsegment, d.dropoff_nation
+  FROM li l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  LEFT JOIN pickup p ON o.o_custkey = p.c_custkey
+  LEFT JOIN dropoff d ON l.l_suppkey = d.s_suppkey
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# flagship (§3.1): dedup → enrich → multi-key agg with sum/count/countDistinct
+# --------------------------------------------------------------------------
+
+def q_flagship_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — the companies_pickup_area_view analog
+    (/root/reference/TransformTaxiTrips.py:98-113): group by (month,
+    pickup, dropoff) with money sums, trip count, distinct-entity count."""
+    enriched = _enriched_trips(spark, sf_dir).withColumn(
+        "order_month", F.date_trunc("month", F.col("o_orderdate"))
+    )
+    return agg_view(
+        enriched,
+        keys=["order_month", "pickup_nation", "dropoff_nation"],
+        sum_cols=[("l_extendedprice", "revenue"), ("l_quantity", "total_qty")],
+        count_col=("l_orderkey", "n_trips"),
+        distinct_col=("l_suppkey", "n_suppliers"),
+    )
+
+
+_FLAGSHIP_SQL = _ENRICHED_SQL + f"""
+SELECT date_trunc('month', o_orderdate) AS order_month,
+       pickup_nation, dropoff_nation,
+       {dsum_sql('l_extendedprice')} AS revenue,
+       {dsum_sql('l_quantity')} AS total_qty,
+       COUNT(l_orderkey) AS n_trips,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM enriched
+GROUP BY 1, 2, 3
+"""
+
+
+def q_rollup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4 — both view levels in ONE rollup pass (lvl=0 with segment,
+    lvl=1 without), with TRUE distinct counts at each level — the
+    documented fix for the reference's re-aggregation bug
+    (/root/reference/TransformTaxiTrips.py:123-136; SURVEY.md §2.6 A4)."""
+    enriched = _enriched_trips(spark, sf_dir).withColumn(
+        "order_year", F.year(F.col("o_orderdate"))
+    )
+    return rollup_views(
+        enriched,
+        rollup_key="c_mktsegment",
+        keys=["order_year", "pickup_nation"],
+        sum_cols=[("l_extendedprice", "revenue"), ("l_quantity", "total_qty")],
+        count_col=("l_orderkey", "n_trips"),
+        distinct_col=("l_suppkey", "n_suppliers"),
+    )
+
+
+_ROLLUP_FAMILY_SQL = _ENRICHED_SQL + f"""
+SELECT order_year, pickup_nation, c_mktsegment,
+       CAST(GROUPING(c_mktsegment) AS INT) AS lvl,
+       {dsum_sql('l_extendedprice')} AS revenue,
+       {dsum_sql('l_quantity')} AS total_qty,
+       COUNT(l_orderkey) AS n_trips,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM (SELECT e.*, CAST(year(o_orderdate) AS INT) AS order_year FROM enriched e)
+GROUP BY GROUPING SETS ((order_year, pickup_nation, c_mktsegment),
+                        (order_year, pickup_nation))
+"""
+
+
+# --------------------------------------------------------------------------
+# joins (J1, J2)
+# --------------------------------------------------------------------------
+
+def q_left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — left broadcast enrich: every order survives, unknown dims null
+    (batch semantics, /root/reference/TransformTaxiTrips.py:93-94)."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.join(
+        F.broadcast(_pickup_dim(spark, sf_dir)),
+        orders.o_custkey == F.col("c_custkey"),
+        "left",
+    ).select("o_orderkey", "o_custkey", "pickup_nation")
+
+
+_LEFT_JOIN_SQL = """
+SELECT o_orderkey, o_custkey, n_name AS pickup_nation
+FROM orders
+LEFT JOIN (SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey) p
+  ON o_custkey = p.c_custkey
+"""
+
+
+def q_inner_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — inner stream-style enrich: rows without a dim match are dropped
+    (streaming semantics, /root/reference/StreamingTaxiTrips.py:140-141)."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.join(
+        F.broadcast(_pickup_dim(spark, sf_dir)),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select("o_orderkey", "o_custkey", "pickup_nation")
+
+
+_INNER_JOIN_SQL = """
+SELECT o_orderkey, o_custkey, n_name AS pickup_nation
+FROM orders
+JOIN (SELECT c_custkey, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey) p
+  ON o_custkey = p.c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# projections & scalar ops (P3-P7)
+# --------------------------------------------------------------------------
+
+def q_currency_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — '$1,234.56' → double (/root/reference/IngestHistoricTrips.py:82-86).
+
+    The star testdata has no dirty money strings, so the query synthesizes
+    them from integer cents (FLOOR keeps both engines identical), then runs
+    the engine's parse_money on the result.
+    """
+    from tfm_taxitrips_spark.operators.cleaning import parse_money
+
+    orders = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    dollars = (cents / 100).cast("long")  # truncation-safe: cents >= 0
+    rem = (cents % 100).cast("long")
+    money = F.concat(
+        F.lit("$"),
+        F.format_number(dollars, 0),
+        F.lit("."),
+        F.lpad(rem.cast("string"), 2, "0"),
+    )
+    return orders.select(
+        "o_orderkey",
+        money.alias("money_str"),
+        parse_money(money).alias("amount"),
+    )
+
+
+_CURRENCY_SQL = """
+WITH c AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+s AS (
+  SELECT o_orderkey,
+         '$' || format('{:,}', cents // 100) || '.' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS money_str
+  FROM c
+)
+SELECT o_orderkey, money_str,
+       CAST(regexp_replace(money_str, '[\\$,)]', '', 'g') AS DOUBLE) AS amount
+FROM s
+"""
+
+
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — year/month derivation (the reference's partition columns,
+    /root/reference/IngestHistoricTrips.py:95-96) + count per part."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .withColumn("order_month", F.month("o_orderdate"))
+        .groupBy("order_year", "order_month")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             dsum("o_totalprice").alias("total_price"))
+    )
+
+
+_DATE_PARTS_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       COUNT(o_orderkey) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_date_trunc_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — day truncation (/root/reference/TransformTaxiTrips.py:47 does a
+    string round-trip; date_trunc is the numeric equivalent)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("ship_day", F.date_trunc("day", F.col("l_shipdate")))
+        .groupBy("ship_day")
+        .agg(F.count("l_orderkey").alias("n_items"),
+             dsum("l_extendedprice").alias("revenue"))
+    )
+
+
+_DATE_TRUNC_SQL = f"""
+SELECT date_trunc('day', l_shipdate) AS ship_day,
+       COUNT(l_orderkey) AS n_items,
+       {dsum_sql('l_extendedprice')} AS revenue
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_cast_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — type casts (int-safe: l_quantity is integral so trunc==round;
+    /root/reference/IngestHistoricTrips.py:76-81)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").cast("string").alias("orderkey_str"),
+        F.col("l_linenumber").cast("long").alias("linenumber_long"),
+        F.col("l_quantity").cast("int").alias("quantity_int"),
+        F.col("l_returnflag").alias("returnflag"),
+    )
+
+
+_CAST_SQL = """
+SELECT CAST(l_orderkey AS VARCHAR) AS orderkey_str,
+       CAST(l_linenumber AS BIGINT) AS linenumber_long,
+       CAST(l_quantity AS INT) AS quantity_int,
+       l_returnflag AS returnflag
+FROM lineitem
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — from_json payload parse (/root/reference/StreamingTaxiTrips.py:89-91),
+    on the events.props JSON column."""
+    events = table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_id",
+        F.from_json(F.col("props"), "k INT").alias("p"),
+    )
+    return parsed.select("event_id", F.col("p.k").alias("k"))
+
+
+_JSON_EXTRACT_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+"""
+
+
+def q_to_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — struct pack → JSON (the Kafka-sink payload shape,
+    /root/reference/StreamingTaxiTrips.py:146)."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.to_json(F.struct("o_orderkey", "o_orderstatus")).alias("payload"),
+    )
+
+
+_TO_JSON_SQL = """
+SELECT o_orderkey,
+       '{"o_orderkey":' || o_orderkey || ',"o_orderstatus":"' || o_orderstatus || '"}' AS payload
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# filters (F1, F3)
+# --------------------------------------------------------------------------
+
+def q_null_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — null-predicate conjunction (/root/reference/AreasLoc.py:51-52).
+    NULLIF manufactures the nulls the star data lacks."""
+    events = table(spark, sf_dir, "events")
+    flagged = events.withColumn(
+        "err_marker", F.expr("NULLIF(event_type, 'error')")
+    )
+    return (
+        flagged.filter(
+            F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("err_marker").isNull()
+        )
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+_NULL_PRED_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM (SELECT e.*, NULLIF(event_type, 'error') AS err_marker FROM events e)
+WHERE user_id IS NOT NULL AND value IS NOT NULL AND err_marker IS NULL
+"""
+
+
+def q_partition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — year-predicate pruning: declarative `.where(year==…)` instead of
+    the reference's path-munging (/root/reference/TransformTaxiTrips.py:39-41)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.where(F.year("o_orderdate") == 1997)
+        .groupBy("o_orderpriority")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             dsum("o_totalprice").alias("total_price"))
+    )
+
+
+_PARTITION_FILTER_SQL = f"""
+SELECT o_orderpriority, COUNT(o_orderkey) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders WHERE year(o_orderdate) = 1997
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup (A1, A2)
+# --------------------------------------------------------------------------
+
+def q_dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — projected dedup (/root/reference/AreasLoc.py:57): distinct
+    (user, event_type) pairs. Key-only output keeps it deterministic."""
+    events = table(spark, sf_dir, "events")
+    return dedup_exact(events.select("user_id", "event_type"))
+
+
+_DEDUP_PAIRS_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def q_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — whole-row distinct then count (the reference's post-scan
+    .distinct(), /root/reference/TransformTaxiTrips.py:42)."""
+    li = dedup_exact(table(spark, sf_dir, "lineitem"))
+    return li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+_DEDUP_COUNT_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_rows
+FROM (SELECT DISTINCT * FROM lineitem) GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# top-k (§2.7)
+# --------------------------------------------------------------------------
+
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 orders by value — planned as TakeOrderedAndProject
+    (per-partition heaps, no global sort)."""
+    orders = table(spark, sf_dir, "orders")
+    return top_k_global(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        100,
+    )
+
+
+_TOPK_GLOBAL_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+def q_topk_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority via row_number window (the 'zonas con más
+    viajes' analytics goal, /root/reference/README.md:10-11)."""
+    orders = table(spark, sf_dir, "orders")
+    return top_k_by_group(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        partition_by=["o_orderpriority"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+
+
+_TOPK_GROUP_SQL = """
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_top_segments_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Empresas con mayor volumen' analog (/root/reference/README.md:11):
+    market segments ranked by enriched-trip revenue."""
+    enriched = _enriched_trips(spark, sf_dir)
+    agg = enriched.groupBy("c_mktsegment").agg(
+        dsum("l_extendedprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_trips"),
+    )
+    return top_k_global(agg, [F.col("revenue").desc(), F.col("c_mktsegment").asc()], 10)
+
+
+_TOP_SEGMENTS_SQL = _ENRICHED_SQL + f"""
+SELECT c_mktsegment, {dsum_sql('l_extendedprice')} AS revenue, COUNT(*) AS n_trips
+FROM enriched GROUP BY 1
+ORDER BY revenue DESC, c_mktsegment ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# set ops (§2.7 — engine-added)
+# --------------------------------------------------------------------------
+
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION of customer and supplier nation keys."""
+    customer = table(spark, sf_dir, "customer")
+    supplier = table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .union(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+_UNION_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders (engine-added; the reference has
+    no semi/anti joins — SURVEY.md §2.5)."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: parts that appear in lineitem."""
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+_SEMI_SQL = """
+SELECT p_partkey, p_brand FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+"""
+
+
+# --------------------------------------------------------------------------
+# windowed event-time aggregate (A5, batch form; streaming form in streamq)
+# --------------------------------------------------------------------------
+
+def q_windowed_agg_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — the Druid 15-minute rollup cube, batch form
+    (/root/reference/druid/kafkaIngestionTaxiTrips.json:42-87): tumbling
+    event-time window × dimension, count + sums."""
+    events = table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "15 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_WINDOWED_SQL = f"""
+SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+       event_type, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "flagship_view": QuerySpec(q_flagship_view, _FLAGSHIP_SQL, bench=True,
+                               tags=("A3", "J1", "A1", "P5")),
+    "rollup_family": QuerySpec(q_rollup_family, _ROLLUP_FAMILY_SQL, bench=True,
+                               tags=("A3", "A4")),
+    "left_join_enrich": QuerySpec(q_left_join_enrich, _LEFT_JOIN_SQL, tags=("J1",)),
+    "inner_join_enrich": QuerySpec(q_inner_join_enrich, _INNER_JOIN_SQL, tags=("J2",)),
+    "currency_normalize": QuerySpec(q_currency_normalize, _CURRENCY_SQL, tags=("P4",)),
+    "date_parts": QuerySpec(q_date_parts, _DATE_PARTS_SQL, tags=("P6",)),
+    "date_trunc_day": QuerySpec(q_date_trunc_day, _DATE_TRUNC_SQL, bench=True, tags=("P5",)),
+    "cast_project": QuerySpec(q_cast_project, _CAST_SQL, tags=("P3",)),
+    "json_extract": QuerySpec(q_json_extract, _JSON_EXTRACT_SQL, tags=("S6",)),
+    "to_json_struct": QuerySpec(q_to_json_struct, _TO_JSON_SQL, tags=("P7", "K3")),
+    "null_predicates": QuerySpec(q_null_predicates, _NULL_PRED_SQL, tags=("F1",)),
+    "partition_filter": QuerySpec(q_partition_filter, _PARTITION_FILTER_SQL, tags=("F3", "S4")),
+    "dedup_distinct_pairs": QuerySpec(q_dedup_distinct_pairs, _DEDUP_PAIRS_SQL, tags=("A2",)),
+    "dedup_count": QuerySpec(q_dedup_count, _DEDUP_COUNT_SQL, tags=("A1",)),
+    "topk_global": QuerySpec(q_topk_global, _TOPK_GLOBAL_SQL, tags=("topk",)),
+    "topk_by_group": QuerySpec(q_topk_by_group, _TOPK_GROUP_SQL, tags=("topk",)),
+    "top_segments_by_revenue": QuerySpec(q_top_segments_by_revenue, _TOP_SEGMENTS_SQL,
+                                         bench=True, tags=("topk", "A3")),
+    "union_distinct": QuerySpec(q_union_distinct, _UNION_SQL, tags=("setop",)),
+    "anti_join": QuerySpec(q_anti_join, _ANTI_SQL, tags=("join",)),
+    "semi_join": QuerySpec(q_semi_join, _SEMI_SQL, tags=("join",)),
+    "windowed_agg_batch": QuerySpec(q_windowed_agg_batch, _WINDOWED_SQL, bench=True,
+                                    tags=("A5",)),
+}

@@ -1,0 +1,111 @@
+"""Sinks (SURVEY.md §2.2: K1-K5).
+
+``write_view`` is the single seam the view pipeline writes through: parquet
+locally/in tests, JDBC when a URL is configured — the reference hard-codes
+``df.write.jdbc`` to PostgreSQL per view
+(/root/reference/TransformTaxiTrips.py:115-119).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from tfm_taxitrips_spark.config import EngineConfig
+
+
+def write_parquet_partitioned(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ("year", "month"),
+    mode: str = "append",
+) -> None:
+    """K1 — partitioned parquet append (/root/reference/IngestHistoricTrips.py:100-102).
+
+    year/month partitioning keeps per-partition file counts sane at 100 TB
+    (~12 top-level dirs per year) and gives static+dynamic partition pruning
+    on the dominant query predicate (per-year rollups).
+    """
+    df.write.parquet(path, mode=mode, partitionBy=list(partition_by))
+
+
+def write_jdbc_view(df: DataFrame, cfg: EngineConfig, table: str, mode: str = "overwrite") -> None:
+    """K4 — JDBC batch write (/root/reference/TransformTaxiTrips.py:115-119).
+
+    Executors write partition-parallel; for very wide rollups coalesce first
+    so the target DB is not hit by hundreds of concurrent connections.
+    """
+    df.write.jdbc(
+        url=cfg.jdbc_url,
+        table=table,
+        mode=mode,
+        properties={
+            "user": cfg.jdbc_user,
+            "password": cfg.jdbc_password,
+            "driver": cfg.jdbc_driver,
+        },
+    )
+
+
+def write_view(df: DataFrame, cfg: EngineConfig, name: str) -> None:
+    """Materialize a named rollup view: JDBC when configured, parquet otherwise."""
+    if cfg.jdbc_url:
+        write_jdbc_view(df, cfg, name)
+    else:
+        df.write.parquet(f"{cfg.views_path}/{name}", mode="overwrite")
+
+
+def write_single_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K5 — single-file CSV (dimension outputs; /root/reference/AreasLoc.py:79-80)."""
+    df.coalesce(1).write.csv(path, mode=mode, header=True)
+
+
+def write_parquet_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger: str | None = "15 minutes",
+    partition_by: tuple[str, ...] = ("year", "month"),
+    available_now: bool = False,
+) -> StreamingQuery:
+    """K2 — streaming parquet sink (/root/reference/StreamingTaxiTrips.py:156-163).
+
+    The 15-minute trigger is the reference's small-files fix (BASELINE.md);
+    ``available_now`` drains the source and stops — used by tests and backfill.
+    """
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()
+
+
+def write_kafka_stream(
+    df: DataFrame,
+    brokers: str,
+    topic: str,
+    checkpoint: str,
+    key_col: str = "taxi_id",
+) -> StreamingQuery:
+    """K3 — streaming Kafka sink: key=<key_col>, value=to_json(struct(*))
+    (/root/reference/StreamingTaxiTrips.py:144-153)."""
+    from pyspark.sql import functions as F
+
+    payload = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct("*")).alias("value"),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

@@ -1,0 +1,88 @@
+"""Batch sources (SURVEY.md §2.1: S1-S4).
+
+Every reader takes an explicit schema (never inferred — §1.4) and returns a
+plain DataFrame; Catalyst handles predicate pushdown / column pruning /
+partition pruning, so callers filter with ``.where`` instead of path-munging
+(the reference bakes ``year=<y>/`` into read paths at
+``/root/reference/TransformTaxiTrips.py:39-41`` — strictly worse: it defeats
+schema merging and multi-year queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from tfm_taxitrips_spark import schemas
+
+
+def read_trips_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1 — historic trips CSV scan with explicit schema, AM/PM timestamp
+    format and malformed-row drop (/root/reference/IngestHistoricTrips.py:66-69)."""
+    return (
+        spark.read.csv(
+            path,
+            header=True,
+            schema=schemas.TRIPS_RAW_CSV,
+            timestampFormat=schemas.TRIPS_TIMESTAMP_FORMAT,
+            mode="DROPMALFORMED",
+        )
+    )
+
+
+def read_dimension_csv(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """S2 — areas dimension CSV (/root/reference/TransformTaxiTrips.py:71-74)."""
+    return spark.read.csv(
+        path,
+        header=True,
+        schema=schema or schemas.AREAS,
+        mode="DROPMALFORMED",
+    )
+
+
+def read_comm_areas_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S3 — headerless ';'-separated CommAreas scan (/root/reference/AreasLoc.py:73-74)."""
+    return spark.read.csv(
+        path,
+        sep=";",
+        header=False,
+        schema=schemas.COMM_AREAS_RAW,
+        mode="DROPMALFORMED",
+    )
+
+
+def read_trips_parquet(
+    spark: SparkSession, path: str, year: int | None = None, month: int | None = None
+) -> DataFrame:
+    """S4 — partitioned parquet scan with *declarative* partition pruning.
+
+    The reference embeds the year in the path string
+    (/root/reference/TransformTaxiTrips.py:39-41); here the predicate is a
+    Catalyst filter so static/dynamic partition pruning applies and the same
+    reader serves single- and multi-year queries.
+    """
+    df = spark.read.parquet(path)
+    if year is not None:
+        df = df.where(F.col("year") == int(year))
+    if month is not None:
+        df = df.where(F.col("month") == int(month))
+    return df
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver star-schema table (TESTDATA.md).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; it is read as raw nanos and truncated to
+    Spark's microsecond timestamp. Queries only consume ``ts`` through
+    coarse (15-minute) event-time buckets, so the truncation is
+    semantics-preserving.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
