@@ -1,0 +1,89 @@
+"""Vector-similarity primitives (SURVEY.md §2.10: similarity search).
+
+Dot products are sequential left-folds over array<double>
+(``F.aggregate(zip_with(...))``) — verified bit-identical to DuckDB's
+``list_dot_product`` on the same doubles, so cosine scores hash-match the
+oracle exactly (no rounding needed).
+
+LSH hyperplanes are *derived arithmetically* from (plane, dim) indices —
+no stored model, both engines recompute the identical planes. Bucketing
+reduces ANN from all-pairs O(n²) to per-bucket joins: the scale path for
+100 TB embedding stores (brute force stays as the exact baseline / rerank
+step within a bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: LCG-style plane coefficients (shared with the SQL oracle)
+_PLANE_MUL = 1103515245
+_PLANE_ADD = 12345
+_PLANE_MOD = 2001
+
+LSH_PLANES = 8
+EMBEDDING_DIM = 64
+
+
+def as_double(vec: Column | str) -> Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic, order-stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _plane(j: int, dim: int = EMBEDDING_DIM) -> Column:
+    """Pseudo-random hyperplane j as array<double> in [-1, 1], derived from
+    integer arithmetic only (LCG over plane*dim+d). BIGINT math on both
+    engines — Spark int*int would silently wrap."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            (F.lit(_PLANE_MUL).cast("long") * (F.lit(j * dim).cast("long") + d) + _PLANE_ADD)
+            % _PLANE_MOD
+        ).cast("double")
+        / 1000.0
+        - 1.0,
+    )
+
+
+def plane_sql(j: int, dim: int = EMBEDDING_DIM) -> str:
+    return (
+        f"list_transform(range(0, {dim}), d -> "
+        f"CAST(({_PLANE_MUL}::BIGINT * ({j * dim}::BIGINT + d) + {_PLANE_ADD}) % {_PLANE_MOD} AS DOUBLE)"
+        f" / 1000.0 - 1.0)"
+    )
+
+
+def lsh_bucket(vec: Column, n_planes: int = LSH_PLANES, dim: int = EMBEDDING_DIM) -> Column:
+    """Sign-of-projection LSH: bucket id packs one bit per hyperplane."""
+    e = as_double(vec) if not isinstance(vec, Column) else vec
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        bit = F.when(dot(e, _plane(j, dim)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket.cast("int")
+
+
+def lsh_bucket_sql(vec_expr: str, n_planes: int = LSH_PLANES, dim: int = EMBEDDING_DIM) -> str:
+    bits = " + ".join(
+        f"CASE WHEN list_dot_product({vec_expr}, {plane_sql(j, dim)}) > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(n_planes)
+    )
+    return f"CAST({bits} AS INT)"

@@ -494,10 +494,11 @@ SELECT s_nationkey AS nationkey FROM supplier
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti: customers with no orders (engine-added; the reference has
-    no semi/anti joins — SURVEY.md §2.5)."""
+    """Left-anti: customers with no 1995 orders (engine-added; the reference
+    has no semi/anti joins — SURVEY.md §2.5). The year filter makes the
+    anti-set non-empty."""
     customer = table(spark, sf_dir, "customer")
-    orders = table(spark, sf_dir, "orders")
+    orders = table(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1995)
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -505,7 +506,10 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANTI_SQL = """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_custkey IS NOT NULL AND year(o_orderdate) = 1995
+)
 """
 
 

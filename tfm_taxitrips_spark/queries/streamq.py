@@ -1,4 +1,89 @@
-"""Placeholder — populated in a later milestone."""
-from tfm_taxitrips_spark.queries.registry import QuerySpec
+"""Streaming queries (SURVEY.md §2.9, A5, S5-S6, J2-streaming).
 
-QUERIES: dict[str, QuerySpec] = {}
+Each runs a REAL Structured-Streaming query (file source standing in for
+Kafka, ``availableNow`` trigger, memory sink) and returns the drained
+result as a batch DataFrame — so the driver's DuckDB oracle can check the
+streaming path against plain SQL (batch-stream parity, SURVEY.md §5.4).
+Complete output mode is used for the drained aggregations: over a finite
+replay it must equal the batch answer exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
+from tfm_taxitrips_spark.queries.registry import QuerySpec
+from tfm_taxitrips_spark.sources.readers import table
+from tfm_taxitrips_spark.streaming.pipeline import (
+    read_events_stream,
+    run_to_memory,
+    windowed_rollup,
+)
+
+
+def q_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — the Druid 15-minute rollup, owned natively as a watermarked
+    windowed streaming aggregation."""
+    stream = read_events_stream(spark, sf_dir)
+    rolled = windowed_rollup(stream)
+    return run_to_memory(rolled, spark)
+
+
+_STREAM_ROLLUP_SQL = f"""
+SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+       event_type, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates: the source is replayed twice (union) so the
+    stateful dedup has real work; counts must equal the single-copy batch."""
+    stream = read_events_stream(spark, sf_dir)
+    doubled = stream.union(read_events_stream(spark, sf_dir))
+    deduped = doubled.dropDuplicates(["event_id"])
+    counts = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value")
+    )
+    return run_to_memory(counts, spark)
+
+
+_STREAM_DEDUP_SQL = f"""
+SELECT event_type, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+FROM events GROUP BY 1
+"""
+
+
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (streaming) — stream-static inner join
+    (/root/reference/StreamingTaxiTrips.py:140-141): events stream enriched
+    against the static customer dimension, rolled up by segment. Inner join
+    semantics: unmatched user_ids drop out (the reference's Druid feed
+    behavior)."""
+    stream = read_events_stream(spark, sf_dir)
+    customer = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = stream.join(F.broadcast(customer), stream.user_id == customer.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value")
+    )
+    return run_to_memory(agg, spark)
+
+
+_STREAM_JOIN_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "stream_window_rollup": QuerySpec(q_stream_window_rollup, _STREAM_ROLLUP_SQL,
+                                      bench=True, tags=("A5", "S5", "streaming")),
+    "stream_dedup": QuerySpec(q_stream_dedup, _STREAM_DEDUP_SQL, tags=("streaming", "dedup")),
+    "stream_static_join": QuerySpec(q_stream_static_join, _STREAM_JOIN_SQL,
+                                    tags=("streaming", "J2")),
+}

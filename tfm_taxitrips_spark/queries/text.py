@@ -1,4 +1,377 @@
-"""Placeholder — populated in a later milestone."""
-from tfm_taxitrips_spark.queries.registry import QuerySpec
+"""Text-analysis & deduplication queries over ``documents`` (SURVEY.md §2.10).
 
-QUERIES: dict[str, QuerySpec] = {}
+Each query has a bit-exact DuckDB oracle built from the SAME constants
+(MinHash coefficients, stopword list) via the helpers in
+:mod:`tfm_taxitrips_spark.functions.text`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_taxitrips_spark.functions.text import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_BANDS,
+    MINHASH_PERMS,
+    MINHASH_PRIME,
+    SIMHASH_BITS,
+    hash60,
+    hash60_sql,
+    shingles,
+    shingles_sql,
+    stopword_count,
+    stopword_count_sql,
+    token_count,
+    tokens,
+)
+from tfm_taxitrips_spark.queries.registry import QuerySpec
+from tfm_taxitrips_spark.sources.readers import table
+
+_P = MINHASH_PRIME
+
+
+# --------------------------------------------------------------------------
+# token counting / quality / language-id / fingerprint
+# --------------------------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts + char length per document."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("text_len"),
+    )
+
+
+_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: distinct-token ratio + stopword ratio → score.
+    All ratios are single IEEE divisions of exact ints (cross-engine stable)."""
+    docs = table(spark, sf_dir, "documents")
+    w = tokens("text")
+    n_tok = F.size(w).cast("double")
+    n_distinct = F.size(F.array_distinct(w)).cast("double")
+    n_stop = stopword_count("text").cast("double")
+    distinct_ratio = n_distinct / n_tok
+    stopword_ratio = n_stop / n_tok
+    return docs.select(
+        "doc_id",
+        distinct_ratio.alias("distinct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        (distinct_ratio * 0.5 + (F.lit(1.0) - stopword_ratio) * 0.5).alias("quality_score"),
+    )
+
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+         CAST({stopword_count_sql('text')} AS DOUBLE) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       n_distinct / n_tok AS distinct_ratio,
+       n_stop / n_tok AS stopword_ratio,
+       (n_distinct / n_tok) * 0.5 + (1.0 - n_stop / n_tok) * 0.5 AS quality_score
+FROM t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic (n-gram-free lang-ID baseline):
+    ratio ≥ 0.03 → 'en', else 'und'. Compared against the dataset label."""
+    docs = table(spark, sf_dir, "documents")
+    ratio = stopword_count("text").cast("double") / F.size(tokens("text")).cast("double")
+    pred = F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("und"))
+    return docs.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        F.col("lang").alias("lang_label"),
+        (pred == F.col("lang")).alias("lang_match"),
+    )
+
+
+_LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST({stopword_count_sql('text')} AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ratio
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN ratio >= 0.03 THEN 'en' ELSE 'und' END AS lang_pred,
+       lang AS lang_label,
+       (CASE WHEN ratio >= 0.03 THEN 'en' ELSE 'und' END) = lang AS lang_match
+FROM t
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of normalized text + min-shingle-hash
+    (winnowing-style content fingerprint, robust to local edits)."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.lower(F.col("text"))
+    sh = shingles(norm, 3)
+    min_sh = F.array_min(F.transform(sh, lambda s: hash60(s)))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        min_sh.alias("fp_minshingle"),
+    )
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5(lower(text)) AS fp_md5,
+       list_min(list_transform({shingles_sql('lower(text)')}, s -> {hash60_sql('s')})) AS fp_minshingle
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one group per distinct text;
+    keeps the min doc_id as the canonical representative. At scale the
+    shuffle key is the 32-char hash, never the document body."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise verification step)
+# --------------------------------------------------------------------------
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for candidate pairs: explode distinct shingles,
+    self-join on shingle, |∩| / |∪|. This is the verification stage of the
+    near-dup pipeline; at 100 TB you run it only on LSH candidates
+    (minhash_lsh_candidates), never all-pairs."""
+    docs = table(spark, sf_dir, "documents")
+    sets = docs.select(
+        "doc_id", F.explode(shingles(F.lower(F.col("text")), 3)).alias("s")
+    ).distinct()
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= 0.2).select("doc_a", "doc_b", "n_inter", "jaccard")
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH sets AS (
+  SELECT DISTINCT doc_id, unnest({shingles_sql('lower(text)')}) AS s
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sets a JOIN sets b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.2
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=16 MinHash signature per doc: explode distinct shingles once,
+    16 universal-hash mins in a single groupBy (one shuffle)."""
+    docs = table(spark, sf_dir, "documents")
+    sets = docs.select(
+        "doc_id", F.explode(shingles(F.lower(F.col("text")), 3)).alias("s")
+    ).distinct()
+    x = hash60(F.col("s")) % _P
+    mins = [
+        F.min((F.lit(MINHASH_A[j]) * x + F.lit(MINHASH_B[j])) % _P).alias(f"h{j}")
+        for j in range(MINHASH_PERMS)
+    ]
+    return sets.groupBy("doc_id").agg(*mins)
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_signature(spark, sf_dir)
+
+
+def _minhash_sig_sql() -> str:
+    x = f"({hash60_sql('s')} % {_P})"
+    mins = ",\n       ".join(
+        f"MIN(({MINHASH_A[j]} * {x} + {MINHASH_B[j]}) % {_P}) AS h{j}"
+        for j in range(MINHASH_PERMS)
+    )
+    return f"""
+WITH sets AS (
+  SELECT DISTINCT doc_id, unnest({shingles_sql('lower(text)')}) AS s
+  FROM documents
+)
+SELECT doc_id,
+       {mins}
+FROM sets GROUP BY doc_id
+"""
+
+
+_MINHASH_SIG_SQL = _minhash_sig_sql()
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands × 4 rows): docs sharing any band hash become
+    candidate pairs. The self-join key is (band_id, band_hash) — at 100 TB
+    the shuffle moves 16 ints per doc, and only same-bucket docs ever meet."""
+    sig = _minhash_signature(spark, sf_dir)
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    band_cols = []
+    for b in range(MINHASH_BANDS):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws(",", *cols)).alias("bh"))
+        )
+    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
+        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.bh").alias("bh")
+    )
+    a, b_ = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _minhash_lsh_sql() -> str:
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        cols = ", ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5(concat_ws(',', {cols})) AS bh FROM sig"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH sig AS ({_MINHASH_SIG_SQL}),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+
+_MINHASH_LSH_SQL = _minhash_lsh_sql()
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per-token 60-bit hash votes ±1 on each bit position
+    (frequency-weighted — tokens explode non-distinct); sign → bit."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+    x = hash60(F.col("t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    bits = [
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        for b in range(SIMHASH_BITS)
+    ]
+    simhash = bits[0]
+    for bit in bits[1:]:
+        simhash = simhash + bit
+    return agg.select("doc_id", simhash.cast("bigint").alias("simhash16"))
+
+
+def _simhash_sql() -> str:
+    x = hash60_sql("t")
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN ({x} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    recompose = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+agg AS (
+  SELECT doc_id,
+         {votes}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash16 FROM agg
+"""
+
+
+_SIMHASH_SQL = _simhash_sql()
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_token_count": QuerySpec(q_token_count, _TOKEN_COUNT_SQL, tags=("text",)),
+    "text_quality_score": QuerySpec(q_quality_score, _QUALITY_SQL, tags=("text",)),
+    "text_lang_id": QuerySpec(q_lang_id, _LANG_ID_SQL, tags=("text",)),
+    "text_fingerprint": QuerySpec(q_fingerprint, _FINGERPRINT_SQL, tags=("text",)),
+    "dedup_exact_docs": QuerySpec(q_dedup_exact_docs, _DEDUP_EXACT_SQL, bench=True,
+                                  tags=("dedup",)),
+    "ngram_jaccard_pairs": QuerySpec(q_ngram_jaccard_pairs, _NGRAM_JACCARD_SQL,
+                                     tags=("dedup",)),
+    "minhash_signature": QuerySpec(q_minhash_signature, _MINHASH_SIG_SQL, bench=True,
+                                   tags=("dedup",)),
+    "minhash_lsh_candidates": QuerySpec(q_minhash_lsh_candidates, _MINHASH_LSH_SQL,
+                                        bench=True, tags=("dedup",)),
+    "simhash": QuerySpec(q_simhash, _SIMHASH_SQL, tags=("dedup",)),
+}

@@ -1,4 +1,195 @@
-"""Placeholder — populated in a later milestone."""
-from tfm_taxitrips_spark.queries.registry import QuerySpec
+"""Similarity-search queries over ``embeddings`` (SURVEY.md §2.10).
 
-QUERIES: dict[str, QuerySpec] = {}
+Pattern: brute-force cosine top-k is the exact baseline; hyperplane-LSH
+bucketing is the scale path (bucket join instead of all-pairs). Query
+vectors are broadcast — the 100 TB plan is a broadcast-hash join against
+the full store, never a shuffle of the embedding table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tfm_taxitrips_spark.functions.similarity import (
+    LSH_PLANES,
+    as_double,
+    cosine,
+    dot,
+    l2_norm,
+    lsh_bucket,
+    lsh_bucket_sql,
+)
+from tfm_taxitrips_spark.queries.registry import QuerySpec
+from tfm_taxitrips_spark.sources.readers import table
+
+N_QUERY_VECS = 5  # vec_id < 5 are the probe queries
+TOP_K = 10
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms — the array-fold primitive in isolation."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = as_double("embedding")
+    return emb.select("vec_id", "label", l2_norm(e).alias("l2_norm"))
+
+
+_NORMS_SQL = """
+SELECT vec_id, label,
+       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm
+FROM embeddings
+"""
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, rank candidates per
+    query. At scale this is one pass over the store per query batch."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+    )
+    cands = emb.select(F.col("vec_id"), F.col("label"), F.col("embedding"))
+    joined = cands.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
+    scored = joined.select(
+        "qid",
+        "vec_id",
+        "label",
+        cosine(as_double("q_embedding"), as_double("embedding")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= TOP_K)
+
+
+_ANN_BRUTE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+),
+scored AS (
+  SELECT q.qid, e.vec_id, e.label,
+         list_dot_product(q.q_embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.q_embedding::DOUBLE[], q.q_embedding::DOUBLE[]))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cosine_sim
+  FROM embeddings e JOIN q ON e.vec_id <> q.qid
+)
+SELECT * FROM (
+  SELECT qid, vec_id, label, cosine_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, vec_id ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket assignment (the partitioning key of the ANN
+    scale path)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", lsh_bucket(as_double("embedding")).alias("bucket")
+    )
+
+
+_LSH_BUCKETS_SQL = f"""
+SELECT vec_id, label, {lsh_bucket_sql('embedding::DOUBLE[]')} AS bucket
+FROM embeddings
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: candidates meet queries only inside their LSH bucket,
+    then exact cosine reranks. Recall < 1 by design ({LSH_PLANES} planes);
+    the join key (bucket) is what shards a 100 TB store."""
+    emb = table(spark, sf_dir, "embeddings")
+    with_bucket = emb.select(
+        "vec_id", "label", "embedding", lsh_bucket(as_double("embedding")).alias("bucket")
+    )
+    queries = with_bucket.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    joined = with_bucket.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("qid")),
+    )
+    scored = joined.select(
+        "qid",
+        "vec_id",
+        "bucket",
+        cosine(as_double("q_embedding"), as_double("embedding")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= TOP_K)
+
+
+_ANN_LSH_SQL = f"""
+WITH wb AS (
+  SELECT vec_id, label, embedding,
+         {lsh_bucket_sql('embedding::DOUBLE[]')} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS q_embedding, bucket AS q_bucket
+  FROM wb WHERE vec_id < {N_QUERY_VECS}
+),
+scored AS (
+  SELECT q.qid, e.vec_id, e.bucket,
+         list_dot_product(q.q_embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.q_embedding::DOUBLE[], q.q_embedding::DOUBLE[]))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cosine_sim
+  FROM wb e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.qid
+)
+SELECT * FROM (
+  SELECT qid, vec_id, bucket, cosine_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, vec_id ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""
+
+
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection *within LSH buckets*: the
+    full near-dup pipeline (bucket → pairwise cosine → threshold) in one
+    query. All-pairs never happens — only same-bucket pairs are scored."""
+    emb = table(spark, sf_dir, "embeddings")
+    wb = emb.select(
+        "vec_id", "embedding", lsh_bucket(as_double("embedding")).alias("bucket")
+    )
+    a, b = wb.alias("a"), wb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    scored = pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cosine(
+            as_double(F.col("a.embedding")), as_double(F.col("b.embedding"))
+        ).alias("cosine_sim"),
+    )
+    return scored.where(F.col("cosine_sim") >= 0.35)
+
+
+_DUP_PAIRS_SQL = f"""
+WITH wb AS (
+  SELECT vec_id, embedding, {lsh_bucket_sql('embedding::DOUBLE[]')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cosine_sim
+FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "embedding_norms": QuerySpec(q_embedding_norms, _NORMS_SQL, tags=("vector",)),
+    "ann_bruteforce": QuerySpec(q_ann_bruteforce, _ANN_BRUTE_SQL, bench=True, tags=("vector",)),
+    "lsh_buckets": QuerySpec(q_lsh_buckets, _LSH_BUCKETS_SQL, tags=("vector",)),
+    "ann_lsh": QuerySpec(q_ann_lsh, _ANN_LSH_SQL, bench=True, tags=("vector",)),
+    "embedding_dup_pairs": QuerySpec(q_embedding_dup_pairs, _DUP_PAIRS_SQL, tags=("vector", "dedup")),
+}

@@ -1,0 +1,78 @@
+"""Structured-Streaming pipelines (SURVEY.md §2.9, §2.6 A5).
+
+The reference delegates its real-time rollup to Druid
+(/root/reference/druid/kafkaIngestionTaxiTrips.json:42-87); here the engine
+owns it natively: watermarked event-time windows over a streaming source.
+
+``run_to_memory`` drains a streaming DataFrame with ``availableNow`` into a
+memory sink and returns the result as a batch DataFrame — the test/backfill
+path (production uses the kafka/parquet sinks in ``sinks.writers``).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_taxitrips_spark.functions.aggregates import dsum
+
+#: events wire schema with ts as raw nanos (parquet TIMESTAMP(NANOS) —
+#: see sources.readers.table)
+EVENTS_NANOS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table (file source stands in for Kafka,
+    SURVEY.md §2.1 S5). ``ts`` converted nanos → microsecond timestamp."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        # the file source requires a directory; glob-filter to the one table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return src.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def windowed_rollup(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    dims: tuple[str, ...] = ("event_type",),
+    window_duration: str = "15 minutes",
+    watermark_delay: str = "15 minutes",
+    value_col: str = "value",
+) -> DataFrame:
+    """A5 — the Druid rollup owned natively: watermarked tumbling window ×
+    dims with count + sum metrics. Partial (map-side) aggregation applies;
+    state is bounded by the watermark."""
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), *dims)
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(value_col).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), *dims, "n_events", "total_value")
+    )
+
+
+def run_to_memory(
+    df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a streaming DataFrame (availableNow) into a memory sink; return
+    the materialized result as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    chk = tempfile.mkdtemp(prefix="tfm_chk_")
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
