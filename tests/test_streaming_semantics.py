@@ -1,0 +1,102 @@
+"""Streaming semantics tests (SURVEY.md §2.9): watermark late-data handling
+in append mode, and incremental file-drop micro-batches — the behaviors the
+drained complete-mode queries can't show."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tfm_taxitrips_spark.streaming.pipeline import windowed_rollup
+
+
+def _drop(path: str, rows: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+
+def _event(eid: int, ts: str, etype: str = "click", value: float = 1.0) -> dict:
+    return {"event_id": eid, "ts": ts, "event_type": etype, "value": value}
+
+
+EVENTS_SCHEMA = "event_id bigint, ts timestamp, event_type string, value double"
+
+
+def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
+    """Append mode + 15-min watermark: a row arriving after its window's
+    watermark has passed is dropped; windows emit only when finalized."""
+    src_dir = str(tmp_path / "src")
+    chk = str(tmp_path / "chk")
+    out = str(tmp_path / "out")
+
+    # batch 1: window [10:00,10:15) plus a row at 11:00 that pushes the
+    # watermark (max ts 11:00 - 15 min = 10:45 > 10:15 → window 1 finalizes)
+    _drop(
+        f"{src_dir}/b1.json",
+        [
+            _event(1, "2024-01-01 10:01:00"),
+            _event(2, "2024-01-01 10:07:00"),
+            _event(3, "2024-01-01 11:00:00"),
+        ],
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src_dir)
+    rolled = windowed_rollup(stream, ts_col="ts", dims=("event_type",))
+
+    def run():
+        q = (
+            rolled.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.window_start.strftime("%H:%M"), r.n_events)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    first = run()
+    assert ("10:00", 2) in first  # finalized window emitted
+    assert not any(w == "11:00" for w, _ in first)  # open window withheld
+
+    # batch 2: a LATE row for the already-finalized 10:00 window → dropped
+    # (same checkpoint: watermark state resumes at 10:45)
+    _drop(f"{src_dir}/b2.json", [_event(4, "2024-01-01 10:03:00")])
+    second = run()
+    assert second == first, "late row must not re-emit or alter the finalized window"
+
+
+def test_incremental_file_drops_accumulate(spark, tmp_path):
+    """File-source micro-batches: two drops processed by consecutive
+    availableNow runs accumulate counts exactly once each (checkpointed
+    offsets — the reference's restart-safety concern, SURVEY.md §2.9)."""
+    src_dir = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+
+    _drop(f"{src_dir}/b1.json", [_event(i, f"2024-01-01 10:{i:02d}:00") for i in range(5)])
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(src_dir)
+    sink = lambda: (  # noqa: E731
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q = sink()
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == 5
+
+    _drop(f"{src_dir}/b2.json", [_event(10 + i, f"2024-01-01 11:{i:02d}:00") for i in range(3)])
+    q = sink()
+    q.awaitTermination()
+    # 5 + 3, batch 1 not reprocessed
+    assert spark.read.parquet(out).count() == 8

@@ -1,0 +1,110 @@
+"""End-to-end pipeline tests (SURVEY.md §3): historic ingest → partitioned
+parquet (K1), areas-dimension build (AreasLoc analog), and the streaming
+job (S5-S6 → clean → J2 → K2) with batch-stream parity."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.taxi_fixtures import (
+    make_trips,
+    trip_json_row,
+    write_areas_csv,
+    write_comm_areas_csv,
+    write_trips_csv,
+)
+from tfm_taxitrips_spark.config import EngineConfig
+from tfm_taxitrips_spark.operators.cleaning import clean_trips
+from tfm_taxitrips_spark.operators.enrich import enrich_trips_with_areas
+from tfm_taxitrips_spark.pipelines import build_areas, ingest_historic, streaming_job
+from tfm_taxitrips_spark.sources.readers import read_trips_csv, read_trips_parquet
+from tfm_taxitrips_spark.sources.simulator import replay_rows_as_json
+
+
+@pytest.fixture(scope="module")
+def trips():
+    return make_trips(300, seed=11)
+
+
+def test_ingest_historic_partitioned(spark, trips, tmp_path_factory):
+    """K1: CSV → clean → parquet partitioned by year/month; partition dirs
+    exist; reading back with a year predicate prunes correctly."""
+    d = tmp_path_factory.mktemp("ingest")
+    csv_path = str(d / "trips.csv")
+    write_trips_csv(trips, csv_path, malformed=2)
+    cfg = EngineConfig(csv_input_path=csv_path, trips_path=str(d / "pq"))
+    ingest_historic(spark, cfg)
+
+    assert any(p.startswith("year=") for p in os.listdir(cfg.trips_path))
+    back = read_trips_parquet(spark, cfg.trips_path, year=2017)
+    assert back.count() == len(trips)
+    months = {r.month for r in back.select("month").distinct().collect()}
+    expected_months = {t.start.month for t in trips}
+    assert months == expected_months
+
+
+def test_build_areas_dimension(spark, trips, tmp_path_factory):
+    """AreasLoc analog (J3+F1+A2+K5): distinct mappable centroids joined to
+    CommAreas names, one row per area present in the trips."""
+    d = tmp_path_factory.mktemp("areas")
+    csv_path, comm_path = str(d / "trips.csv"), str(d / "comm.csv")
+    write_trips_csv(trips, csv_path, malformed=0)
+    write_comm_areas_csv(comm_path)
+    cfg = EngineConfig(csv_input_path=csv_path, trips_path=str(d / "pq"))
+    cfg.extra["comm_areas_path"] = comm_path
+    cfg.extra["areas_out_path"] = str(d / "areas_out")
+    ingest_historic(spark, cfg)
+
+    areas = build_areas(spark, cfg, trips_year=2017)
+    rows = areas.collect()
+    mappable = {
+        t.pickup_area
+        for t in trips
+        if t.company is not None and t.pickup_area is not None
+    }
+    assert {r.area_number for r in rows} == mappable
+    one = next(r for r in rows if r.area_number == min(mappable))
+    assert one.community == f"COMMUNITY_{one.area_number}"
+    assert os.path.isdir(cfg.extra["areas_out_path"])  # K5 single-file CSV
+
+
+def test_streaming_job_parity(spark, trips, tmp_path_factory):
+    """The full streaming path (JSON drop → from_json → clean → inner join →
+    partitioned parquet sink, availableNow) must equal the batch pipeline on
+    the same rows (SURVEY.md §5.4)."""
+    d = tmp_path_factory.mktemp("stream")
+    drop_dir, out_dir = str(d / "drop"), str(d / "out")
+    write_areas_csv(str(d / "areas.csv"))
+
+    replay_rows_as_json((trip_json_row(t) for t in trips), drop_dir, batch_size=64)
+
+    cfg = EngineConfig(
+        csv_input_path=drop_dir,
+        trips_path=out_dir,
+        area_path=str(d / "areas.csv"),
+        checkpoint_hdfs_path=str(d / "chk"),
+    )
+    queries = streaming_job(spark, cfg, available_now=True)
+    for q in queries:
+        q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+
+    # batch reference on the same rows: clean CSV path + inner join
+    csv_path = str(d / "trips.csv")
+    write_trips_csv(trips, csv_path, malformed=0)
+    from tfm_taxitrips_spark.sources.readers import read_dimension_csv
+
+    batch = enrich_trips_with_areas(
+        clean_trips(read_trips_csv(spark, csv_path)),
+        read_dimension_csv(spark, str(d / "areas.csv")),
+        how="inner",
+    )
+    assert got.count() == batch.count()
+    g = got.agg(F.sum("fare"), F.sum("trip_seconds")).first()
+    b = batch.agg(F.sum("fare"), F.sum("trip_seconds")).first()
+    assert g[0] == pytest.approx(b[0], abs=1e-6)
+    assert g[1] == b[1]

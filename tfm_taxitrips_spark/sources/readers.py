@@ -19,7 +19,13 @@ from tfm_taxitrips_spark import schemas
 
 def read_trips_csv(spark: SparkSession, path: str) -> DataFrame:
     """S1 — historic trips CSV scan with explicit schema, AM/PM timestamp
-    format and malformed-row drop (/root/reference/IngestHistoricTrips.py:66-69)."""
+    format and malformed-row drop (/root/reference/IngestHistoricTrips.py:66-69).
+
+    Note: with Spark's CSV column pruning (default on), DROPMALFORMED only
+    rejects rows whose *parsed* columns are malformed — a bare ``count()``
+    parses nothing and sees every line. Any real pipeline (clean → write)
+    parses all columns and gets the documented drop semantics.
+    """
     return (
         spark.read.csv(
             path,
