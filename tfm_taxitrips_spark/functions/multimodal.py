@@ -1,0 +1,114 @@
+"""Multimodal-column operators (SURVEY.md §2.10).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata; the
+heavy steps (decode, feature-extract, resize, frame-sample) run as
+Arrow-batched Pandas UDFs via ``mapInPandas`` — the Spark-side plumbing
+(schema, batch shape, partitioning) is real and tested.
+
+The actual media decode is STUBBED: the container has no image/audio
+libraries. ``decode_image`` raises ``NotImplementedError`` unless PIL is
+importable; ``byte_features`` / ``sample_frames`` below are deterministic
+byte-level stand-ins whose outputs an SQL oracle can reproduce, so the
+whole distributed path (binary column → Arrow batch → pandas → typed
+output schema) is verified even without media libs.
+
+Scale notes: mapInPandas streams Arrow record batches — one Python worker
+per core, no per-row pickling. Batch size is governed by
+``spark.sql.execution.arrow.maxRecordsPerBatch``; for ~MB-sized blobs set
+it low (e.g. 64) to bound worker memory at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: output schema of featurize_blobs
+FEATURES_SCHEMA = "doc_id bigint, n_bytes bigint, n_spaces bigint, byte_sum bigint"
+#: output schema of sample_blob_frames
+FRAMES_SCHEMA = "doc_id bigint, n_frames int, n_sampled int, first_frame_md5 string"
+
+FRAME_BYTES = 256
+FRAME_STRIDE = 4
+
+
+def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Manufacture the multimodal shape from the documents table: an opaque
+    binary payload + typed metadata struct (what a real pipeline carries
+    alongside decoded-at-read media)."""
+    blob = F.encode(F.col(text_col), "utf-8")
+    meta = F.struct(
+        F.lit("application/octet-stream").alias("content_type"),
+        F.octet_length(blob).alias("n_bytes"),
+    )
+    return df.withColumn("blob", blob).withColumn("media_meta", meta)
+
+
+def decode_image(blob: bytes):  # pragma: no cover - stub
+    """Decode an image blob. STUB: requires PIL, absent in this container.
+
+    Swap-in point for the real pipeline: ``Image.open(io.BytesIO(blob))``
+    inside the same mapInPandas workers that run :func:`featurize_blobs`.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires PIL; use byte-level features in this environment"
+        ) from exc
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(blob))
+
+
+def featurize_blobs(df: DataFrame) -> DataFrame:
+    """Deterministic byte-level feature extraction over the binary column
+    via mapInPandas (the decode/fingerprint slot of a media pipeline)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf["blob"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": blobs.map(len),
+                    "n_spaces": blobs.map(lambda b: b.count(b" ")),
+                    "byte_sum": blobs.map(lambda b: sum(b)),
+                }
+            )
+
+    return df.select("doc_id", "blob").mapInPandas(extract, schema=FEATURES_SCHEMA)
+
+
+def sample_blob_frames(df: DataFrame) -> DataFrame:
+    """Frame sampling over an opaque payload: split into FRAME_BYTES chunks,
+    keep every FRAME_STRIDE-th (video keyframe-sampling analog)."""
+    import hashlib
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                frames = [
+                    blob[i : i + FRAME_BYTES] for i in range(0, len(blob), FRAME_BYTES)
+                ]
+                sampled = frames[::FRAME_STRIDE]
+                rows.append(
+                    (
+                        doc_id,
+                        len(frames),
+                        len(sampled),
+                        hashlib.md5(frames[0]).hexdigest() if frames else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "n_sampled", "first_frame_md5"]
+            )
+
+    return df.select("doc_id", "blob").mapInPandas(sample, schema=FRAMES_SCHEMA)

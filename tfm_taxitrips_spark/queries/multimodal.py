@@ -1,0 +1,78 @@
+"""Multimodal-column queries (SURVEY.md §2.10): binary payloads + typed
+metadata, with the heavy steps as Arrow-batched Pandas UDFs. The oracles
+recompute the deterministic byte-level features in SQL (documents are
+ASCII, so char ops = byte ops), proving the mapInPandas path end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_taxitrips_spark.functions.multimodal import (
+    FRAME_BYTES,
+    FRAME_STRIDE,
+    attach_blob,
+    featurize_blobs,
+    sample_blob_frames,
+)
+from tfm_taxitrips_spark.queries.registry import QuerySpec
+from tfm_taxitrips_spark.sources.readers import table
+
+
+def q_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary column + typed metadata struct (JVM-side only, no Python)."""
+    docs = attach_blob(table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.col("media_meta.content_type").alias("content_type"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.md5("blob").alias("blob_md5"),
+    )
+
+
+_BLOB_META_SQL = """
+SELECT doc_id,
+       'application/octet-stream' AS content_type,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       md5(text) AS blob_md5  -- ASCII: varchar md5 == blob md5
+FROM documents
+"""
+
+
+def q_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction (the decode slot). Oracle recomputes
+    the byte stats in SQL via codepoint arithmetic (ASCII ⇒ bytes==chars)."""
+    docs = attach_blob(table(spark, sf_dir, "documents"))
+    return featurize_blobs(docs)
+
+
+_BLOB_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+       CAST(list_sum(list_transform(string_split_regex(text, ''), c -> unicode(c))) AS BIGINT) AS byte_sum
+FROM documents
+"""
+
+
+def q_blob_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video keyframe analog) via mapInPandas."""
+    docs = attach_blob(table(spark, sf_dir, "documents"))
+    return sample_blob_frames(docs)
+
+
+_FRAME_SAMPLE_SQL = f"""
+SELECT doc_id,
+       CAST(CEIL(length(text) / {FRAME_BYTES}.0) AS INT) AS n_frames,
+       CAST(CEIL(CEIL(length(text) / {FRAME_BYTES}.0) / {FRAME_STRIDE}.0) AS INT) AS n_sampled,
+       md5(substr(text, 1, {FRAME_BYTES})) AS first_frame_md5
+FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "blob_metadata": QuerySpec(q_blob_metadata, _BLOB_META_SQL, tags=("multimodal",)),
+    "blob_features": QuerySpec(q_blob_features, _BLOB_FEATURES_SQL, tags=("multimodal",)),
+    "blob_frame_sample": QuerySpec(q_blob_frame_sample, _FRAME_SAMPLE_SQL, tags=("multimodal",)),
+}

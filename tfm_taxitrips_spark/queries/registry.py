@@ -26,10 +26,16 @@ class QuerySpec:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from tfm_taxitrips_spark.queries import relational, streamq, text, vectors
+    from tfm_taxitrips_spark.queries import (
+        multimodal,
+        relational,
+        streamq,
+        text,
+        vectors,
+    )
 
     merged: dict[str, QuerySpec] = {}
-    for module in (relational, text, vectors, streamq):
+    for module in (relational, text, vectors, streamq, multimodal):
         for name, spec in module.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
