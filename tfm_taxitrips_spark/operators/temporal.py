@@ -1,0 +1,100 @@
+"""Temporal operators: sessionization and as-of join (engine extensions;
+the reference has no window functions at all — SURVEY.md §2.7).
+
+Both are implemented as window functions over a single shuffle on the
+entity key — the only scalable shape: a naive as-of via range join is
+O(probes × candidates) per key, while the union+last() trick below is
+O(n log n) within each key partition and streams through one sort.
+Timestamps are compared as integer epoch-micros so results are exact and
+engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Assign gap-based session ids per user: a new session starts when the
+    time since the previous event exceeds ``gap``.
+
+    Adds ``us`` (epoch micros), ``session_id`` (1-based per user).
+    One shuffle on ``user_col``; in-partition sort by (us, id).
+    """
+    gap_us = _duration_us(gap)
+    w = Window.partitionBy(user_col).orderBy("us", id_col)
+    with_us = df.withColumn("us", F.unix_micros(F.col(ts_col)))
+    prev = F.lag("us").over(w)
+    new_session = F.when(
+        prev.isNull() | ((F.col("us") - prev) > gap_us), 1
+    ).otherwise(0)
+    cum = Window.partitionBy(user_col).orderBy("us", id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return with_us.withColumn("_new_s", new_session).withColumn(
+        "session_id", F.sum("_new_s").over(cum)
+    ).drop("_new_s")
+
+
+def _duration_us(duration: str) -> int:
+    qty, unit = duration.split()
+    mult = {
+        "seconds": 1_000_000,
+        "second": 1_000_000,
+        "minutes": 60_000_000,
+        "minute": 60_000_000,
+        "hours": 3_600_000_000,
+        "hour": 3_600_000_000,
+    }[unit]
+    return int(qty) * mult
+
+
+def asof_join(
+    probes: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    payload: Column | str,
+    payload_name: str = "asof_value",
+) -> DataFrame:
+    """For each probe row, the most recent candidate with ``ts <= probe.ts``
+    (ties: candidate first, then larger id wins), per key.
+
+    Implementation: tag and union both sides, one window sort per key,
+    ``last(payload, ignorenulls=True)`` carries the latest candidate payload
+    forward onto each probe row. No range join, no per-probe scan.
+    """
+    p = probes.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.lit(1).alias("_is_probe"),
+        F.lit(None).cast("bigint").alias("_payload"),
+    )
+    c = candidates.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.lit(0).alias("_is_probe"),
+        (F.col(payload) if isinstance(payload, str) else payload)
+        .cast("bigint")
+        .alias("_payload"),
+    )
+    unioned = p.unionByName(c)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("us", "_is_probe", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        payload_name, F.last("_payload", ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("_is_probe") == 1).drop("_is_probe", "_payload")

@@ -30,12 +30,13 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         streamq,
+        temporal,
         text,
         vectors,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for module in (relational, text, vectors, streamq, multimodal):
+    for module in (relational, text, vectors, streamq, multimodal, temporal):
         for name, spec in module.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")

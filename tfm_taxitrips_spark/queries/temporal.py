@@ -1,0 +1,103 @@
+"""Temporal queries over events: sessionization, as-of join (engine
+extensions beyond the reference — SURVEY.md §2.7 notes it has no window
+functions; these are the first-class equivalents a serving layer needs).
+
+All timestamp math happens on integer epoch-micros (``unix_micros`` /
+``epoch_us``) so Spark (µs) and the DuckDB oracle (ns source data) agree
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_taxitrips_spark.operators.temporal import asof_join, sessionize
+from tfm_taxitrips_spark.queries.registry import QuerySpec
+from tfm_taxitrips_spark.sources.readers import table
+
+GAP = "30 minutes"
+GAP_US = 30 * 60 * 1_000_000
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user: one shuffle on user_id, windowed scan."""
+    events = table(spark, sf_dir, "events")
+    s = sessionize(events, gap=GAP)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("session_end_us"),
+    )
+
+
+_SESSION_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+x AS (
+  SELECT *,
+         CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > {GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM x
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(us) AS session_start_us, MAX(us) AS session_end_us
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    at-or-before click (union + carry-forward window — no range join)."""
+    events = table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase")
+    clicks = events.where(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases,
+        clicks,
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        payload="event_id",
+        payload_name="prior_click_id",
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"), "user_id", "us", "prior_click_id"
+    )
+
+
+_ASOF_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+u AS (
+  SELECT user_id, event_id, us, 1 AS is_probe, NULL::BIGINT AS payload
+  FROM e WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, event_id, us, 0, event_id FROM e WHERE event_type = 'click'
+),
+m AS (
+  SELECT *,
+         LAST_VALUE(payload IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, is_probe, event_id
+           ROWS UNBOUNDED PRECEDING) AS prior_click_id
+  FROM u
+)
+SELECT event_id AS purchase_id, user_id, us, prior_click_id
+FROM m WHERE is_probe = 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "event_sessionization": QuerySpec(q_sessionization, _SESSION_SQL, bench=True,
+                                      tags=("temporal",)),
+    "event_asof_join": QuerySpec(q_asof_join, _ASOF_SQL, tags=("temporal",)),
+}

@@ -368,8 +368,31 @@ SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash16 FROM agg
 _SIMHASH_SQL = _simhash_sql()
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization (regex word/digit/punct classes): the token
+    counting a data pipeline runs before a real tokenizer."""
+    from tfm_taxitrips_spark.functions.text import bpe_ish_tokens
+
+    docs = table(spark, sf_dir, "documents")
+    toks = bpe_ish_tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
+    )
+
+
+_BPE_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS INT) AS n_distinct_bpe_tokens
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_count": QuerySpec(q_token_count, _TOKEN_COUNT_SQL, tags=("text",)),
+    "text_bpe_tokens": QuerySpec(q_bpe_tokens, _BPE_SQL, tags=("text",)),
     "text_quality_score": QuerySpec(q_quality_score, _QUALITY_SQL, tags=("text",)),
     "text_lang_id": QuerySpec(q_lang_id, _LANG_ID_SQL, tags=("text",)),
     "text_fingerprint": QuerySpec(q_fingerprint, _FINGERPRINT_SQL, tags=("text",)),

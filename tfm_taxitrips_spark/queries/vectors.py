@@ -186,8 +186,33 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification: majority label among the exact top-10 neighbors
+    (ties → smaller label). Composes the brute-force ANN with a vote."""
+    topk = q_ann_bruteforce(spark, sf_dir)
+    votes = topk.groupBy("qid", "label").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("qid").orderBy(F.col("n").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("qid", F.col("label").alias("predicted_label"), F.col("n").alias("n_votes"))
+    )
+
+
+_KNN_VOTE_SQL = f"""
+WITH topk AS ({_ANN_BRUTE_SQL}),
+votes AS (SELECT qid, label, COUNT(*) AS n FROM topk GROUP BY 1, 2)
+SELECT qid, label AS predicted_label, n AS n_votes
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY n DESC, label ASC) AS r
+  FROM votes
+) WHERE r = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "embedding_norms": QuerySpec(q_embedding_norms, _NORMS_SQL, tags=("vector",)),
+    "knn_label_vote": QuerySpec(q_knn_label_vote, _KNN_VOTE_SQL, tags=("vector",)),
     "ann_bruteforce": QuerySpec(q_ann_bruteforce, _ANN_BRUTE_SQL, bench=True, tags=("vector",)),
     "lsh_buckets": QuerySpec(q_lsh_buckets, _LSH_BUCKETS_SQL, tags=("vector",)),
     "ann_lsh": QuerySpec(q_ann_lsh, _ANN_LSH_SQL, bench=True, tags=("vector",)),
