@@ -1,0 +1,54 @@
+"""Skew mitigation (SURVEY.md §4 'shuffle tuning / skew').
+
+AQE's skew-join splitting handles skewed JOINS automatically
+(``spark.sql.adaptive.skewJoin.enabled``, on in the session factory), but a
+skewed AGGREGATION key still funnels one reducer. ``salted_agg`` is the
+classic fix: phase 1 aggregates on (keys, salt) spreading each hot key over
+``salt_buckets`` reducers; phase 2 combines the partials on the true keys.
+Results are identical to the direct aggregation (sums in DECIMAL are
+associative) — asserted by the differential oracle.
+
+Worth it only when a key's row share ≫ 1/parallelism; for uniform keys the
+extra shuffle is pure overhead. At 100 TB you enable it per-pipeline from
+key-frequency stats, not globally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[tuple[str, str]],
+    count_alias: str = "n_rows",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe groupBy: decimal SUMs + COUNT.
+
+    The salt is derived from a hash of the sum columns — any spread works;
+    the final result is salt-invariant.
+    """
+    salt = F.pmod(F.abs(F.hash(*[F.col(c) for c, _ in sum_cols])), F.lit(salt_buckets))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(
+            *[
+                F.sum(F.col(src).cast("decimal(18,2)")).alias(f"_p_{alias}")
+                for src, alias in sum_cols
+            ],
+            F.count(F.lit(1)).alias("_p_count"),
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            F.sum(F.col(f"_p_{alias}")).cast("double").alias(alias)
+            for _, alias in sum_cols
+        ],
+        F.sum("_p_count").alias(count_alias),
+    )

@@ -29,6 +29,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from tfm_taxitrips_spark.queries import (
         multimodal,
         relational,
+        sqlsuite,
         streamq,
         temporal,
         text,
@@ -36,7 +37,7 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for module in (relational, text, vectors, streamq, multimodal, temporal):
+    for module in (relational, text, vectors, streamq, multimodal, temporal, sqlsuite):
         for name, spec in module.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")

@@ -558,9 +558,34 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation on a genuinely hot key (l_returnflag: 3 values
+    across all of lineitem) — salted two-phase, identical results to the
+    direct groupBy (operators/skew.py)."""
+    from tfm_taxitrips_spark.operators.skew import salted_agg
+
+    li = table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        keys=["l_returnflag"],
+        sum_cols=[("l_quantity", "total_qty"), ("l_extendedprice", "revenue")],
+        count_alias="n_rows",
+    )
+
+
+_SALTED_SQL = f"""
+SELECT l_returnflag,
+       {dsum_sql('l_quantity')} AS total_qty,
+       {dsum_sql('l_extendedprice')} AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "flagship_view": QuerySpec(q_flagship_view, _FLAGSHIP_SQL, bench=True,
                                tags=("A3", "J1", "A1", "P5")),
+    "salted_skew_agg": QuerySpec(q_salted_skew_agg, _SALTED_SQL, tags=("A3", "skew")),
     "rollup_family": QuerySpec(q_rollup_family, _ROLLUP_FAMILY_SQL, bench=True,
                                tags=("A3", "A4")),
     "left_join_enrich": QuerySpec(q_left_join_enrich, _LEFT_JOIN_SQL, tags=("J1",)),
