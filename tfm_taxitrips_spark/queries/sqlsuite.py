@@ -97,9 +97,121 @@ LIMIT 20
 """
 
 
+# TPC-H Q4 (order priority) — correlated EXISTS → left-semi join
+SQL_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+# TPC-H Q6 (forecast revenue) — pure scan+filter+agg; the pushdown showcase
+SQL_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+# TPC-H Q14 (promo revenue share) — conditional aggregation; exact decimal
+# sums, one final double division
+SQL_Q14 = f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV}
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM({_REV}) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+"""
+
+# TPC-H Q15 (top supplier) — CTE reused twice + scalar MAX subquery;
+# decimal revenue keeps the MAX-equality comparison exact
+SQL_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, SUM({_REV}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+# TPC-H Q18 (large-volume orders) — IN-subquery with HAVING
+SQL_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+# TPC-H Q19 (discounted revenue) — disjunction of conjunctive ranges; tests
+# OR-predicate pushdown through a join
+SQL_Q19 = f"""
+SELECT CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+# TPC-H Q22-style (idle high-balance customers) — scalar AVG subquery
+# (exact decimal sum / count → identical double in both engines) + NOT
+# EXISTS anti-join. Adapted: the testdata gives every customer at least one
+# order, so "idle" means no order since 2000-01-01.
+SQL_Q22 = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                          / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sql_q1_pricing_summary": QuerySpec(_sql_query(SQL_Q1), SQL_Q1, bench=True,
                                         tags=("sql", "A3")),
+    "sql_q4_order_priority": QuerySpec(_sql_query(SQL_Q4), SQL_Q4,
+                                       tags=("sql", "semi_join")),
+    "sql_q6_forecast_revenue": QuerySpec(_sql_query(SQL_Q6), SQL_Q6, bench=True,
+                                         tags=("sql", "pushdown")),
+    "sql_q14_promo_share": QuerySpec(_sql_query(SQL_Q14), SQL_Q14,
+                                     tags=("sql", "conditional_agg")),
+    "sql_q15_top_supplier": QuerySpec(_sql_query(SQL_Q15), SQL_Q15,
+                                      tags=("sql", "cte", "scalar_subquery")),
+    "sql_q18_large_volume": QuerySpec(_sql_query(SQL_Q18), SQL_Q18,
+                                      tags=("sql", "in_subquery", "topk")),
+    "sql_q19_disjunctive": QuerySpec(_sql_query(SQL_Q19), SQL_Q19,
+                                     tags=("sql", "pushdown")),
+    "sql_q22_idle_customers": QuerySpec(_sql_query(SQL_Q22), SQL_Q22,
+                                        tags=("sql", "anti_join",
+                                              "scalar_subquery")),
     "sql_q3_shipping_priority": QuerySpec(_sql_query(SQL_Q3), SQL_Q3, bench=True,
                                           tags=("sql", "topk")),
     "sql_q5_local_supplier": QuerySpec(_sql_query(SQL_Q5), SQL_Q5, bench=True,
