@@ -49,6 +49,38 @@ def test_windowed_agg_partial_aggregation(spark, sf_smoke):
     ) or "HashAggregate" in plan  # codegen ids only appear in formatted tree
 
 
+def test_sql_q5_broadcasts_dims(spark, sf_smoke):
+    """The 5-way SQL join must broadcast every dimension side — the only
+    acceptable shuffles are for the final aggregation."""
+    from tfm_taxitrips_spark.queries.sqlsuite import SQL_Q5, _sql_query
+
+    plan = explain_formatted(_sql_query(SQL_Q5)(spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_sql_q6_pushes_filters_to_scan(spark, sf_smoke):
+    """Q6 is scan+filter+agg; the range predicates must reach the parquet
+    reader so row groups outside the shipdate window are skipped."""
+    from tfm_taxitrips_spark.queries.sqlsuite import SQL_Q6, _sql_query
+
+    plan = explain_formatted(_sql_query(SQL_Q6)(spark, sf_smoke))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan
+    # only the 4 referenced columns are read
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_salted_agg_two_phase(spark, sf_smoke):
+    """Salting must produce two aggregation exchanges (salted partial, then
+    final on true keys) and keep map-side partial aggregation."""
+    from tfm_taxitrips_spark.queries.relational import q_salted_skew_agg
+
+    plan = explain_formatted(q_salted_skew_agg(spark, sf_smoke))
+    assert plan.count("Exchange") >= 2
+    assert plan.count("HashAggregate") >= 4
+
+
 def test_ann_broadcasts_queries(spark, sf_smoke):
     """The probe set must broadcast; the store is never shuffled."""
     plan = explain_formatted(q_ann_bruteforce(spark, sf_smoke))

@@ -29,6 +29,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from tfm_taxitrips_spark.queries import (
         multimodal,
         relational,
+        sketches,
         sqlsuite,
         streamq,
         temporal,
@@ -37,7 +38,8 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     merged: dict[str, QuerySpec] = {}
-    for module in (relational, text, vectors, streamq, multimodal, temporal, sqlsuite):
+    for module in (relational, text, vectors, streamq, multimodal, temporal,
+                   sqlsuite, sketches):
         for name, spec in module.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")

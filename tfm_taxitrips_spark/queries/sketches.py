@@ -1,0 +1,96 @@
+"""Sketch / approximate aggregates — the 100 TB scale path.
+
+At cluster scale, exact COUNT(DISTINCT) is an expand + two-phase shuffle on
+every distinct value, and exact percentiles need a full sort; both are
+routinely the most expensive operators in a pipeline. Spark ships
+mergeable, one-pass, bounded-memory sketches for these (HyperLogLog++ via
+``approx_count_distinct``, Greenwald-Khanna via ``percentile_approx``) whose
+partial states combine associatively — a single map-side-combined shuffle of
+kilobyte-sized state regardless of cardinality. The reference never needs
+them (its data is one city-year of taxi trips), but its data-model doc
+claims "número de taxis activos" per area — exactly the distinct-count that
+stops being exactly computable cheaply at 100 TB (SURVEY.md §2.6 A4).
+
+Oracle strategy: sketch estimates are engine-specific, so instead of
+comparing the estimate itself we emit the *accuracy contract* — a boolean
+"estimate within the documented error bound of the exact answer", computed
+Spark-side against Spark's own exact aggregate — alongside exact,
+oracle-checkable columns. The DuckDB oracle asserts the boolean is TRUE and
+recomputes the exact columns, so a hash match proves both the exact values
+AND that the sketch met its bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_taxitrips_spark.queries.registry import QuerySpec
+from tfm_taxitrips_spark.sources.readers import table
+
+
+def q_hll_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event_type, checked against exact.
+
+    ``approx_count_distinct(rsd=0.02)`` keeps ~`1.04/rsd`² registers
+    (~2.7 k) per group — constant memory however many distinct users exist.
+    The 5% assertion bound is looser than the 2% rsd (rsd is a standard
+    deviation, not a hard cap).
+    """
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_hll"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users",
+        (F.abs(F.col("_hll") - F.col("n_users"))
+         <= 0.05 * F.col("n_users")).alias("hll_within_5pct"),
+    )
+
+
+_HLL_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+       TRUE AS hll_within_5pct
+FROM events GROUP BY event_type
+"""
+
+
+def q_quantile_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate p50/p95 of l_extendedprice, checked
+    against Spark's exact ``percentile``.
+
+    accuracy=1000 bounds the *rank* error at N/1000; we assert the looser
+    *value* bound of 2% relative error, which holds for this data because
+    the price distribution has no heavy point masses.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 1000).alias("_gk"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.5D, 0.95D))"
+        ).alias("_exact"),
+    )
+    within = [
+        (F.abs(F.col("_gk")[i] - F.col("_exact")[i])
+         <= 0.02 * F.col("_exact")[i]).alias(alias)
+        for i, alias in ((0, "p50_within_2pct"), (1, "p95_within_2pct"))
+    ]
+    return agg.select("l_returnflag", "n_rows", *within)
+
+
+_QUANTILE_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       TRUE AS p50_within_2pct, TRUE AS p95_within_2pct
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "hll_distinct_bounds": QuerySpec(
+        q_hll_distinct_bounds, _HLL_SQL, tags=("sketch", "A4")),
+    "quantile_sketch_bounds": QuerySpec(
+        q_quantile_sketch_bounds, _QUANTILE_SQL, tags=("sketch",)),
+}
