@@ -282,15 +282,29 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
         "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.bh").alias("bh")
     )
-    a, b_ = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Bucket-group instead of self-join: a self-join would execute the whole
+    # signature pipeline once per side (no exchange reuse across join inputs),
+    # and at corpus scale would shuffle the bands table twice. Grouping on the
+    # bucket key shuffles it once, and pair generation happens inside each
+    # bucket's (small, by LSH design) doc_id array.
+    buckets = (
+        bands.groupBy("band_id", "bh")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
 
