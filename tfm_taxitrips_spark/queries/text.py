@@ -26,6 +26,7 @@ from tfm_taxitrips_spark.functions.text import (
     token_count,
     tokens,
 )
+from tfm_taxitrips_spark.operators.partitioning import fan_out
 from tfm_taxitrips_spark.queries.registry import QuerySpec
 from tfm_taxitrips_spark.sources.readers import table
 
@@ -172,7 +173,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join on shingle, |∩| / |∪|. This is the verification stage of the
     near-dup pipeline; at 100 TB you run it only on LSH candidates
     (minhash_lsh_candidates), never all-pairs."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     sets = docs.select(
         "doc_id", F.explode(shingles(F.lower(F.col("text")), 3)).alias("s")
     ).distinct()
@@ -229,7 +230,7 @@ def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~40+ bytes per shingle. Collapsing distinct x (not distinct shingle) is
     semantics-preserving: MinHash operates on the hashed universe anyway.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     exploded = docs.select(
         "doc_id", F.explode(shingles(F.lower(F.col("text")), 3)).alias("s")
     )
@@ -337,7 +338,7 @@ _MINHASH_LSH_SQL = _minhash_lsh_sql()
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash: per-token 60-bit hash votes ±1 on each bit position
     (frequency-weighted — tokens explode non-distinct); sign → bit."""
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("t"))
     x = hash60(F.col("t"))
     votes = [
