@@ -146,6 +146,104 @@ SELECT * FROM (
 """
 
 
+IVF_NLIST = 16  # coarse-quantizer lists (cells)
+IVF_NPROBE = 4  # lists probed per query
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantize the store into {IVF_NLIST} inverted lists,
+    probe the {IVF_NPROBE} lists nearest each query, exact-rerank inside.
+
+    Centroids are {IVF_NLIST} deterministic seed vectors (vec_id right after
+    the probe range) rather than k-means output, so the DuckDB oracle is
+    exact; at scale you'd fit them with MLlib k-means|| and the list
+    assignment becomes the store's partitioning/clustering key — a query
+    then touches nprobe/nlist of the data instead of all of it.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.where(
+        (F.col("vec_id") >= N_QUERY_VECS)
+        & (F.col("vec_id") < N_QUERY_VECS + IVF_NLIST)
+    ).select(
+        (F.col("vec_id") - N_QUERY_VECS).alias("cid"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cid",
+        cosine(as_double("embedding"), as_double("c_embedding")).alias("c_sim"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("c_sim").desc(), F.col("cid").asc())
+    ranked = scored.withColumn("crn", F.row_number().over(wv))
+    assign = ranked.where(F.col("crn") == 1).select("vec_id", "label", "embedding", "cid")
+    probes = (
+        ranked.where((F.col("vec_id") < N_QUERY_VECS) & (F.col("crn") <= IVF_NPROBE))
+        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("p_cid"))
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+    )
+    probe_q = probes.join(F.broadcast(queries), "qid")
+    cands = assign.join(
+        F.broadcast(probe_q),
+        (F.col("cid") == F.col("p_cid")) & (F.col("vec_id") != F.col("qid")),
+    )
+    rescored = cands.select(
+        "qid",
+        "vec_id",
+        "label",
+        cosine(as_double("q_embedding"), as_double("embedding")).alias("cosine_sim"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+    return rescored.withColumn("rnk", F.row_number().over(wq)).where(F.col("rnk") <= TOP_K)
+
+
+_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+_ANN_IVF_SQL = f"""
+WITH cents AS (
+  SELECT vec_id - {N_QUERY_VECS} AS cid, embedding AS c_embedding
+  FROM embeddings
+  WHERE vec_id >= {N_QUERY_VECS} AND vec_id < {N_QUERY_VECS + IVF_NLIST}
+),
+scored AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cid,
+         {_COS.format(a='e.embedding', b='c.c_embedding')} AS c_sim,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_COS.format(a='e.embedding', b='c.c_embedding')} DESC,
+                                     c.cid ASC) AS crn
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (SELECT vec_id, label, embedding, cid FROM scored WHERE crn = 1),
+probes AS (
+  SELECT vec_id AS qid, cid FROM scored
+  WHERE vec_id < {N_QUERY_VECS} AND crn <= {IVF_NPROBE}
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS q_embedding FROM embeddings
+  WHERE vec_id < {N_QUERY_VECS}
+),
+rescored AS (
+  SELECT p.qid, a.vec_id, a.label,
+         {_COS.format(a='q.q_embedding', b='a.embedding')} AS cosine_sim
+  FROM assign a
+  JOIN probes p ON a.cid = p.cid AND a.vec_id <> p.qid
+  JOIN q ON q.qid = p.qid
+)
+SELECT * FROM (
+  SELECT qid, vec_id, label, cosine_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, vec_id ASC) AS INT) AS rnk
+  FROM rescored
+) WHERE rnk <= {TOP_K}
+"""
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection *within LSH buckets*: the
     full near-dup pipeline (bucket → pairwise cosine → threshold) in one
@@ -216,5 +314,6 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_bruteforce": QuerySpec(q_ann_bruteforce, _ANN_BRUTE_SQL, bench=True, tags=("vector",)),
     "lsh_buckets": QuerySpec(q_lsh_buckets, _LSH_BUCKETS_SQL, tags=("vector",)),
     "ann_lsh": QuerySpec(q_ann_lsh, _ANN_LSH_SQL, bench=True, tags=("vector",)),
+    "ann_ivf": QuerySpec(q_ann_ivf, _ANN_IVF_SQL, tags=("vector",)),
     "embedding_dup_pairs": QuerySpec(q_embedding_dup_pairs, _DUP_PAIRS_SQL, tags=("vector", "dedup")),
 }
