@@ -73,6 +73,93 @@ def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
     assert second == first, "late row must not re-emit or alter the finalized window"
 
 
+def test_stateful_sessionize_carries_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState sessionization: per-user (last_us, counter)
+    state must survive the micro-batch boundary — a second batch within the
+    gap continues session 1; beyond the gap it opens session 2."""
+    from tfm_taxitrips_spark.streaming.stateful import streaming_sessionize
+
+    src_dir = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+
+    schema = "event_id bigint, ts timestamp, user_id bigint"
+
+    def run():
+        stream = spark.readStream.schema(schema).json(src_dir)
+        q = (
+            streaming_sessionize(stream, gap="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.user_id, r.event_id): r.session_id
+            for r in spark.read.parquet(out).collect()
+        }
+
+    _drop(
+        f"{src_dir}/b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7},
+            {"event_id": 2, "ts": "2024-01-01 10:10:00", "user_id": 7},
+            {"event_id": 3, "ts": "2024-01-01 10:00:00", "user_id": 8},
+        ],
+    )
+    first = run()
+    assert first == {(7, 1): 1, (7, 2): 1, (8, 3): 1}
+
+    # batch 2: user 7 continues within the gap (session 1); user 8 exceeds
+    # it (session 2). Only possible if state crossed the batch boundary.
+    _drop(
+        f"{src_dir}/b2.json",
+        [
+            {"event_id": 4, "ts": "2024-01-01 10:25:00", "user_id": 7},
+            {"event_id": 5, "ts": "2024-01-01 11:30:00", "user_id": 8},
+        ],
+    )
+    second = run()
+    assert second[(7, 4)] == 1
+    assert second[(8, 5)] == 2
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_smoke, tmp_path):
+    """Batch-stream parity: streaming sessionization over the events table
+    (availableNow) equals operators.temporal.sessionize."""
+    from tfm_taxitrips_spark.operators.temporal import sessionize
+    from tfm_taxitrips_spark.sources.readers import table
+    from tfm_taxitrips_spark.streaming.pipeline import read_events_stream
+    from tfm_taxitrips_spark.streaming.stateful import streaming_sessionize
+
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    q = (
+        streaming_sessionize(read_events_stream(spark, sf_smoke), gap="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.event_id): r.session_id
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        (r.user_id, r.event_id): r.session_id
+        for r in sessionize(table(spark, sf_smoke, "events"), gap="30 minutes")
+        .select("user_id", "event_id", "session_id")
+        .collect()
+    }
+    assert got == expected
+
+
 def test_incremental_file_drops_accumulate(spark, tmp_path):
     """File-source micro-batches: two drops processed by consecutive
     availableNow runs accumulate counts exactly once each (checkpointed

@@ -80,9 +80,47 @@ GROUP BY 1
 """
 
 
+def q_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization over the stream
+    via ``applyInPandasWithState`` (streaming/stateful.py). Over a finite
+    ordered replay it must equal the batch window-function sessionizer —
+    the oracle is that batch SQL."""
+    from tfm_taxitrips_spark.streaming.stateful import streaming_sessionize
+
+    stream = read_events_stream(spark, sf_dir)
+    sess = streaming_sessionize(stream, gap="30 minutes")
+    return run_to_memory(sess, spark, output_mode="append")
+
+
+def _stream_session_sql() -> str:
+    from tfm_taxitrips_spark.queries.temporal import GAP_US
+
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+x AS (
+  SELECT *,
+         CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > {GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT user_id, event_id, us,
+       CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM x
+"""
+
+
+_STREAM_SESSION_SQL = _stream_session_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_window_rollup": QuerySpec(q_stream_window_rollup, _STREAM_ROLLUP_SQL,
                                       bench=True, tags=("A5", "S5", "streaming")),
+    "stream_sessionization": QuerySpec(q_stream_sessionization, _STREAM_SESSION_SQL,
+                                       tags=("streaming", "stateful", "temporal")),
     "stream_dedup": QuerySpec(q_stream_dedup, _STREAM_DEDUP_SQL, tags=("streaming", "dedup")),
     "stream_static_join": QuerySpec(q_stream_static_join, _STREAM_JOIN_SQL,
                                     tags=("streaming", "J2")),
