@@ -7,7 +7,7 @@ Each query has a bit-exact DuckDB oracle built from the SAME constants
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.text import (
@@ -405,7 +405,61 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Training-data prep composite
+# --------------------------------------------------------------------------
+
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical LLM-corpus prep pipeline as ONE declarative plan:
+    quality filter → exact dedup (keep lowest doc_id per content hash) →
+    deterministic 50% sample → hash-sharding → per-shard token accounting.
+
+    Every stage is reproducible across runs and engines (md5-derived
+    hashes, no rand()): re-running on an updated corpus keeps sample
+    membership stable — the property that matters when a 100 TB corpus is
+    re-mixed incrementally. Plan shape: one narrow scan+filter, one
+    dedup shuffle on the content hash, one final agg shuffle.
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    n_tok = token_count("text")
+    filtered = docs.where((n_tok >= 20) & (F.length("text") >= 100))
+    keyed = filtered.withColumn("k", F.md5(F.lower(F.col("text"))))
+    w = Window.partitionBy("k").orderBy("doc_id")
+    deduped = keyed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    sample_h = hash60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    shard_h = hash60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    sampled = deduped.where(F.pmod(sample_h, F.lit(100)) < 50)
+    sharded = sampled.withColumn("shard", F.pmod(shard_h, F.lit(8)))
+    return sharded.groupBy("shard", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text").cast("bigint")).alias("total_tokens"),
+    )
+
+
+_TRAINING_MIX_SQL = f"""
+WITH f AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE len(string_split(text, ' ')) >= 20 AND length(text) >= 100
+),
+d AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+  FROM f
+),
+s AS (
+  SELECT * FROM d
+  WHERE rn = 1
+    AND {hash60_sql("concat('sample:', CAST(doc_id AS VARCHAR))")} % 100 < 50
+)
+SELECT CAST({hash60_sql("concat('shard:', CAST(doc_id AS VARCHAR))")} % 8 AS BIGINT) AS shard,
+       lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM s GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "training_data_mix": QuerySpec(q_training_mix, _TRAINING_MIX_SQL, bench=True,
+                                   tags=("text", "dedup", "sample", "pipeline")),
     "text_token_count": QuerySpec(q_token_count, _TOKEN_COUNT_SQL, tags=("text",)),
     "text_bpe_tokens": QuerySpec(q_bpe_tokens, _BPE_SQL, tags=("text",)),
     "text_quality_score": QuerySpec(q_quality_score, _QUALITY_SQL, tags=("text",)),
