@@ -194,6 +194,96 @@ GROUP BY c_mktsegment
 """
 
 
+# TPC-H Q7 (volume between two trading nations) — 6-way join with a
+# disjunctive cross-nation predicate + year extraction
+SQL_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       CAST(SUM({_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+# TPC-H Q8 (market share) — conditional-sum ratio per year; exact decimal
+# sums, one double division per group
+SQL_Q8 = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN n1.n_name = 'NATION_3' THEN {_REV}
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+     / CAST(SUM({_REV}) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY year(o_orderdate)
+"""
+
+# TPC-H Q11-style (high-revenue parts) — HAVING against a scalar subquery
+# over the whole fact (global-total fraction)
+SQL_Q11 = f"""
+SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue
+FROM (SELECT l_partkey, SUM({_REV}) AS rev FROM lineitem GROUP BY l_partkey)
+WHERE rev > (SELECT SUM({_REV}) * 0.0005 FROM lineitem)
+"""
+
+# TPC-H Q13 (customer order-count distribution) — left join with an ON-side
+# filter, then a distribution over the per-customer counts
+SQL_Q13 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+# TPC-H Q17 (small-quantity revenue) — correlated scalar AVG subquery per
+# part. l_quantity values are integral doubles, so the AVG is an exact
+# sum/count and the comparison is engine-stable.
+SQL_Q17 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+# TPC-H Q21-style (sole returning supplier in shared orders) — EXISTS +
+# NOT EXISTS over the same fact (semi- and anti-join against lineitem)
+SQL_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sql_q1_pricing_summary": QuerySpec(_sql_query(SQL_Q1), SQL_Q1, bench=True,
                                         tags=("sql", "A3")),
@@ -218,4 +308,15 @@ QUERIES: dict[str, QuerySpec] = {
                                        tags=("sql", "J1")),
     "sql_q10_returned_items": QuerySpec(_sql_query(SQL_Q10), SQL_Q10,
                                         tags=("sql", "topk")),
+    "sql_q7_nation_volume": QuerySpec(_sql_query(SQL_Q7), SQL_Q7, tags=("sql",)),
+    "sql_q8_market_share": QuerySpec(_sql_query(SQL_Q8), SQL_Q8,
+                                     tags=("sql", "conditional_agg")),
+    "sql_q11_important_parts": QuerySpec(_sql_query(SQL_Q11), SQL_Q11,
+                                         tags=("sql", "scalar_subquery")),
+    "sql_q13_order_distribution": QuerySpec(_sql_query(SQL_Q13), SQL_Q13,
+                                            tags=("sql", "left_join")),
+    "sql_q17_small_quantity": QuerySpec(_sql_query(SQL_Q17), SQL_Q17,
+                                        tags=("sql", "correlated_subquery")),
+    "sql_q21_sole_returner": QuerySpec(_sql_query(SQL_Q21), SQL_Q21,
+                                       tags=("sql", "anti_join", "semi_join")),
 }
