@@ -1,0 +1,124 @@
+"""Property-based tests (SURVEY.md §5.5): randomized frames checked against
+naive Python models. These pin the operator *semantics* — the differential
+oracle pins them on fixed data, hypothesis pins them on adversarial shapes
+(dup timestamps, singleton groups, all-rows-one-key skew)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tfm_taxitrips_spark.operators.skew import salted_agg
+from tfm_taxitrips_spark.operators.temporal import asof_join, sessionize
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_EPOCH = dt.datetime(2024, 1, 1)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-10**6, 10**6)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_salted_agg_equals_direct_groupby(spark, rows):
+    """Salting is result-invariant: decimal sums are associative, so the
+    two-phase aggregation equals the direct one on any distribution —
+    including everything-on-one-key skew."""
+    df = spark.createDataFrame(
+        [(f"k{k}", v / 100.0) for k, v in rows], "k string, v double"
+    )
+    got = {
+        r.k: (r.sv, r.n_rows)
+        for r in salted_agg(df, keys=["k"], sum_cols=[("v", "sv")], salt_buckets=4).collect()
+    }
+    direct = {
+        r.k: (r.sv, r.n_rows)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("sv"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    assert got == direct
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 500)),  # (user, minute)
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_sessionize_matches_python_model(spark, events):
+    """Gap-based session ids equal the obvious sequential model, including
+    duplicate timestamps (tie-broken by event id)."""
+    rows = [
+        (uid, i, _EPOCH + dt.timedelta(minutes=minute))
+        for i, (uid, minute) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    got = {
+        (r.user_id, r.event_id): r.session_id
+        for r in sessionize(df, gap="30 minutes").collect()
+    }
+
+    expected = {}
+    by_user: dict[int, list[tuple[int, dt.datetime]]] = {}
+    for uid, eid, ts in rows:
+        by_user.setdefault(uid, []).append((eid, ts))
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda e: (e[1], e[0]))
+        sid, last = 0, None
+        for eid, ts in evs:
+            if last is None or (ts - last) > dt.timedelta(minutes=30):
+                sid += 1
+            last = ts
+            expected[(uid, eid)] = sid
+    assert got == expected
+
+
+@given(
+    probes=st.lists(st.integers(0, 200), min_size=1, max_size=15, unique=True),
+    cands=st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 100)),  # (minute, payload)
+        min_size=1,
+        max_size=15,
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_python_model(spark, probes, cands):
+    """asof payload = candidate with the greatest ts <= probe ts (ties:
+    larger id wins), or null when no candidate precedes the probe."""
+    p_rows = [(1, 1000 + i, _EPOCH + dt.timedelta(minutes=m)) for i, m in enumerate(probes)]
+    c_rows = [
+        (1, i, _EPOCH + dt.timedelta(minutes=m), p) for i, (m, p) in enumerate(cands)
+    ]
+    p_df = spark.createDataFrame(p_rows, "k int, id bigint, ts timestamp")
+    c_df = spark.createDataFrame(c_rows, "k int, id bigint, ts timestamp, payload bigint")
+    got = {
+        r.id: r.asof_value
+        for r in asof_join(p_df, c_df, "k", "ts", "id", "payload").collect()
+    }
+
+    expected = {}
+    for _, pid, pts in p_rows:
+        best = None  # (ts, id, payload)
+        for _, cid, cts, pay in c_rows:
+            if cts <= pts and (best is None or (cts, cid) > (best[0], best[1])):
+                best = (cts, cid, pay)
+        expected[pid] = best[2] if best else None
+    assert got == expected
