@@ -108,3 +108,29 @@ def test_streaming_job_parity(spark, trips, tmp_path_factory):
     b = batch.agg(F.sum("fare"), F.sum("trip_seconds")).first()
     assert g[0] == pytest.approx(b[0], abs=1e-6)
     assert g[1] == b[1]
+
+
+def test_overwrite_partitions_touches_only_changed(spark, tmp_path):
+    """Dynamic partition overwrite: a daily re-run replaces only the
+    partitions it produced; sibling partitions survive byte-for-byte."""
+    from tfm_taxitrips_spark.sinks.writers import overwrite_partitions
+
+    path = str(tmp_path / "views")
+    base = spark.createDataFrame(
+        [(2017, 1, 10.0), (2017, 1, 20.0), (2017, 2, 30.0)],
+        "year int, month int, v double",
+    )
+    base.write.parquet(path, partitionBy=["year", "month"])
+
+    # re-run for month 2 only, with corrected numbers
+    fixed = spark.createDataFrame([(2017, 2, 99.0)], "year int, month int, v double")
+    overwrite_partitions(fixed, path)
+
+    got = {
+        (r.year, r.month, r.v) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(2017, 1, 10.0), (2017, 1, 20.0), (2017, 2, 99.0)}
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+    )

@@ -27,6 +27,27 @@ def write_parquet_partitioned(
     df.write.parquet(path, mode=mode, partitionBy=list(partition_by))
 
 
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ("year", "month")
+) -> None:
+    """Incremental refresh: overwrite ONLY the partitions present in ``df``.
+
+    The reference's daily transform recomputes and overwrites whole view
+    tables per year (/root/reference/TransformTaxiTrips.py:115-119) — at
+    100 TB a daily job must touch only the partitions it changed. Spark's
+    dynamic partition-overwrite does exactly that: untouched year/month
+    directories survive, the ones in ``df`` are atomically replaced (the
+    idempotent-reprocessing property a restarted daily job needs).
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def write_jdbc_view(df: DataFrame, cfg: EngineConfig, table: str, mode: str = "overwrite") -> None:
     """K4 — JDBC batch write (/root/reference/TransformTaxiTrips.py:115-119).
 
