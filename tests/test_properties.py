@@ -11,7 +11,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from tfm_taxitrips_spark.operators.skew import salted_agg
+from tfm_taxitrips_spark.operators.skew import null_split_join, salted_agg
 from tfm_taxitrips_spark.operators.temporal import asof_join, sessionize
 
 _SETTINGS = dict(
@@ -51,6 +51,29 @@ def test_salted_agg_equals_direct_groupby(spark, rows):
         )
         .collect()
     }
+    assert got == direct
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 4)), st.integers(0, 99)),
+        min_size=1,
+        max_size=25,
+    ),
+    right=st.lists(st.tuples(st.integers(0, 4), st.text("ab", max_size=2)),
+                   min_size=0, max_size=8),
+)
+@settings(**_SETTINGS)
+def test_null_split_join_equals_direct_left_join(spark, left, right):
+    """Routing null keys around the shuffle must not change the result —
+    including duplicate right-side keys (row multiplication)."""
+    l_df = spark.createDataFrame(left, "k int, lv int")
+    r_df = spark.createDataFrame(right, "k int, rv string")
+    got = sorted(
+        map(tuple, null_split_join(l_df, r_df, "k").collect()),
+        key=str,
+    )
+    direct = sorted(map(tuple, l_df.join(r_df, "k", "left").collect()), key=str)
     assert got == direct
 
 

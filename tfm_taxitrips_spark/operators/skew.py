@@ -21,6 +21,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def null_split_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Left join that keeps null-key rows OUT of the shuffle.
+
+    Null keys can never match, but a shuffled join still hashes them all to
+    one partition — on a fact table where e.g. 30% of rows have an unknown
+    dimension key (the reference's dirty taxi data: null community areas,
+    /root/reference/AreasLoc.py:51-52), that single reducer IS the job's
+    critical path. Splitting them out turns the straggler partition into a
+    free union: matched rows shuffle, null rows pass through with
+    null-padded right columns. Result is row-identical to the direct left
+    join (asserted in tests).
+    """
+    if how != "left":
+        raise ValueError("null_split_join supports only how='left'")
+    matched = left.where(F.col(key).isNotNull()).join(right, key, "left")
+    nulls = left.where(F.col(key).isNull())
+    for field in right.schema.fields:
+        if field.name != key:
+            nulls = nulls.withColumn(field.name, F.lit(None).cast(field.dataType))
+    return matched.unionByName(nulls.select(*matched.columns))
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],

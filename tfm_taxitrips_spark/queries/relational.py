@@ -493,6 +493,22 @@ SELECT s_nationkey AS nationkey FROM supplier
 """
 
 
+def q_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both 1996 and 2000 (completes the
+    set-op family alongside union/anti/semi; SURVEY.md §2.7)."""
+    orders = table(spark, sf_dir, "orders")
+    y96 = orders.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    y00 = orders.where(F.year("o_orderdate") == 2000).select("o_custkey")
+    return y96.intersect(y00)
+
+
+_INTERSECT_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+"""
+
+
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti: customers with no 1995 orders (engine-added; the reference
     has no semi/anti joins — SURVEY.md §2.5). The year filter makes the
@@ -605,6 +621,8 @@ QUERIES: dict[str, QuerySpec] = {
     "top_segments_by_revenue": QuerySpec(q_top_segments_by_revenue, _TOP_SEGMENTS_SQL,
                                          bench=True, tags=("topk", "A3")),
     "union_distinct": QuerySpec(q_union_distinct, _UNION_SQL, tags=("setop",)),
+    "intersect_custkeys": QuerySpec(q_intersect_custkeys, _INTERSECT_SQL,
+                                    tags=("setop",)),
     "anti_join": QuerySpec(q_anti_join, _ANTI_SQL, tags=("join",)),
     "semi_join": QuerySpec(q_semi_join, _SEMI_SQL, tags=("join",)),
     "windowed_agg_batch": QuerySpec(q_windowed_agg_batch, _WINDOWED_SQL, bench=True,
