@@ -16,7 +16,7 @@ value-hash vs DuckDB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
@@ -493,6 +493,73 @@ SELECT s_nationkey AS nationkey FROM supplier
 """
 
 
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderpriority, orderstatus): all four grouping levels in
+    one pass with grouping_id — the generalization of the A4 rollup family
+    (every marginal computed from one shuffle, not one job per view)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+            F.grouping_id("o_orderpriority", "o_orderstatus").cast("int").alias("lvl"),
+        )
+    )
+
+
+_CUBE_SQL = f"""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INT) AS lvl
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative revenue per market segment over order months —
+    the frame-based window-function family (§2.7): one shuffle on the
+    partition key, an in-partition sort, no self-join."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        )
+        .agg(dsum("o_totalprice").alias("month_revenue"))
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("order_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # running sum over already-exact month sums: decimal again for
+    # order-independence of the partial sums
+    return monthly.withColumn(
+        "cum_revenue",
+        F.sum(F.col("month_revenue").cast("decimal(18,2)")).over(w).cast("double"),
+    )
+
+
+_RUNNING_SQL = f"""
+WITH monthly AS (
+  SELECT c_mktsegment, date_trunc('month', o_orderdate) AS order_month,
+         {dsum_sql('o_totalprice')} AS month_revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment, order_month, month_revenue,
+       CAST(SUM(CAST(month_revenue AS DECIMAL(18,2)))
+            OVER (PARTITION BY c_mktsegment ORDER BY order_month
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+FROM monthly
+"""
+
+
 def q_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT: customers active in both 1996 and 2000 (completes the
     set-op family alongside union/anti/semi; SURVEY.md §2.7)."""
@@ -623,6 +690,9 @@ QUERIES: dict[str, QuerySpec] = {
     "union_distinct": QuerySpec(q_union_distinct, _UNION_SQL, tags=("setop",)),
     "intersect_custkeys": QuerySpec(q_intersect_custkeys, _INTERSECT_SQL,
                                     tags=("setop",)),
+    "cube_orders": QuerySpec(q_cube_orders, _CUBE_SQL, tags=("A4", "cube")),
+    "running_revenue": QuerySpec(q_running_revenue, _RUNNING_SQL,
+                                 tags=("window", "frame")),
     "anti_join": QuerySpec(q_anti_join, _ANTI_SQL, tags=("join",)),
     "semi_join": QuerySpec(q_semi_join, _SEMI_SQL, tags=("join",)),
     "windowed_agg_batch": QuerySpec(q_windowed_agg_batch, _WINDOWED_SQL, bench=True,
