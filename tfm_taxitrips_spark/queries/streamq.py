@@ -116,9 +116,63 @@ FROM x
 _STREAM_SESSION_SQL = _stream_session_sql()
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a same-user click
+    within the following 30 minutes. Both sides carry a 1-hour watermark and
+    the join condition carries the time range — that pair is what lets Spark
+    bound the join state (clicks older than watermark+range are evicted)
+    instead of buffering both streams forever. Output columns are epoch
+    micros (engine-portable comparison)."""
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+    return run_to_memory(out, spark, output_mode="append")
+
+
+_STREAM_STREAM_SQL = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+FROM events c
+JOIN events p ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_window_rollup": QuerySpec(q_stream_window_rollup, _STREAM_ROLLUP_SQL,
                                       bench=True, tags=("A5", "S5", "streaming")),
+    "stream_stream_join": QuerySpec(q_stream_stream_join, _STREAM_STREAM_SQL,
+                                    tags=("streaming", "join")),
     "stream_sessionization": QuerySpec(q_stream_sessionization, _STREAM_SESSION_SQL,
                                        tags=("streaming", "stateful", "temporal")),
     "stream_dedup": QuerySpec(q_stream_dedup, _STREAM_DEDUP_SQL, tags=("streaming", "dedup")),
