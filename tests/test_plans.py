@@ -81,6 +81,16 @@ def test_salted_agg_two_phase(spark, sf_smoke):
     assert plan.count("HashAggregate") >= 4
 
 
+def test_range_join_avoids_nested_loop(spark, sf_smoke):
+    """The bucketed rewrite must plan an equi join on the bucket id — a
+    BroadcastNestedLoopJoin/cartesian here means the rewrite regressed."""
+    from tfm_taxitrips_spark.queries.temporal import q_range_join
+
+    plan = explain_formatted(q_range_join(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ann_broadcasts_queries(spark, sf_smoke):
     """The probe set must broadcast; the store is never shuffled."""
     plan = explain_formatted(q_ann_bruteforce(spark, sf_smoke))

@@ -56,6 +56,44 @@ def _duration_us(duration: str) -> int:
     return int(qty) * mult
 
 
+def time_range_join(
+    probes: DataFrame,
+    candidates: DataFrame,
+    probe_ts: str,
+    cand_ts: str,
+    range_us: int,
+) -> DataFrame:
+    """All (probe, candidate) pairs with ``cand_ts ∈ [probe_ts, probe_ts +
+    range_us]`` — WITHOUT a nested-loop join.
+
+    A naive range join has no equi key, so Spark plans
+    BroadcastNestedLoopJoin / cartesian — O(|P|·|C|), dead at scale. The
+    scalable shape: quantize time into buckets of exactly ``range_us``; a
+    candidate can only match probes in its own or the previous bucket, so
+    replicating each candidate row to those two buckets turns the range
+    join into an equi shuffle join on the bucket id + an exact residual
+    filter. Cost: 2× the candidate rows through one hash shuffle — linear,
+    partitionable, AQE-skew-splittable.
+
+    Expects both inputs to carry integer epoch-micro columns (``probe_ts``,
+    ``cand_ts``). Column names must be disjoint.
+    """
+    # integer division (not fp /) so bucket edges are exact at any magnitude
+    bucket = F.expr(f"{cand_ts} DIV {range_us}")
+    c2 = candidates.withColumn(
+        "_b", F.explode(F.array(bucket, bucket - 1))
+    )
+    p2 = probes.withColumn("_b", F.expr(f"{probe_ts} DIV {range_us}"))
+    return (
+        p2.join(c2, "_b")
+        .where(
+            (F.col(cand_ts) >= F.col(probe_ts))
+            & (F.col(cand_ts) <= F.col(probe_ts) + range_us)
+        )
+        .drop("_b")
+    )
+
+
 def asof_join(
     probes: DataFrame,
     candidates: DataFrame,

@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tfm_taxitrips_spark.operators.temporal import asof_join, sessionize
+from tfm_taxitrips_spark.operators.temporal import (
+    asof_join,
+    sessionize,
+    time_range_join,
+)
 from tfm_taxitrips_spark.queries.registry import QuerySpec
 from tfm_taxitrips_spark.sources.readers import table
 
@@ -96,7 +100,42 @@ FROM m WHERE is_probe = 1
 """
 
 
+RANGE_US = 5 * 60 * 1_000_000  # 5 minutes
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join without a nested loop: errors paired with ALL events in
+    the following 5 minutes (any user) via the bucketed equi-join rewrite
+    (operators/temporal.time_range_join), then counted per error."""
+    events = table(spark, sf_dir, "events")
+    errors = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        F.unix_micros("ts").alias("err_us"),
+    )
+    others = events.select(
+        F.col("event_id").alias("other_id"),
+        F.unix_micros("ts").alias("ev_us"),
+    )
+    pairs = time_range_join(errors, others, "err_us", "ev_us", RANGE_US)
+    return pairs.where(F.col("other_id") != F.col("error_id")).groupBy(
+        "error_id", "err_us"
+    ).agg(F.count(F.lit(1)).alias("n_following"))
+
+
+_RANGE_SQL = f"""
+SELECT e.event_id AS error_id, epoch_us(e.ts) AS err_us,
+       COUNT(*) AS n_following
+FROM events e
+JOIN events o ON epoch_us(o.ts) >= epoch_us(e.ts)
+            AND epoch_us(o.ts) <= epoch_us(e.ts) + {RANGE_US}
+            AND o.event_id <> e.event_id
+WHERE e.event_type = 'error'
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "event_range_join": QuerySpec(q_range_join, _RANGE_SQL, tags=("temporal", "range_join")),
     "event_sessionization": QuerySpec(q_sessionization, _SESSION_SQL, bench=True,
                                       tags=("temporal",)),
     "event_asof_join": QuerySpec(q_asof_join, _ASOF_SQL, tags=("temporal",)),
