@@ -284,6 +284,80 @@ LIMIT 10
 """
 
 
+# TPC-H Q2-style (min-cost supplier) — correlated scalar MIN subquery;
+# doubles compare exactly (same stored values both engines)
+SQL_Q2 = """
+SELECT DISTINCT p_partkey, s_suppkey, s_name,
+       l_extendedprice AS min_price
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size = 15
+  AND l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+                         WHERE l2.l_partkey = p_partkey)
+"""
+
+# TPC-H Q9-style (net revenue by supplier nation × year) — LIKE filter +
+# triple decimal product. Precisions chosen so the product (22,6) stays
+# inside DECIMAL(38) in both engines — no precision-loss rounding.
+_NETREV = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+    " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_tax AS DECIMAL(4,2)))"
+)
+SQL_Q9 = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(SUM({_NETREV}) AS DOUBLE) AS net_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%a%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+# TPC-H Q12-style (priority quality by return flag) — conditional integer
+# counts over a join
+SQL_Q12 = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+GROUP BY l_returnflag
+"""
+
+# TPC-H Q16-style (supplier diversity per part class) — NOT IN subquery +
+# COUNT(DISTINCT) over 3 group keys
+SQL_Q16 = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 10, 15, 20)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+# TPC-H Q20-style (heavy promo suppliers) — nested IN subqueries
+# (semi-join into aggregated semi-join)
+SQL_Q20 = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+  GROUP BY l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 500
+)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "sql_q1_pricing_summary": QuerySpec(_sql_query(SQL_Q1), SQL_Q1, bench=True,
                                         tags=("sql", "A3")),
@@ -319,4 +393,13 @@ QUERIES: dict[str, QuerySpec] = {
                                         tags=("sql", "correlated_subquery")),
     "sql_q21_sole_returner": QuerySpec(_sql_query(SQL_Q21), SQL_Q21,
                                        tags=("sql", "anti_join", "semi_join")),
+    "sql_q2_min_cost_supplier": QuerySpec(_sql_query(SQL_Q2), SQL_Q2,
+                                          tags=("sql", "correlated_subquery")),
+    "sql_q9_nation_profit": QuerySpec(_sql_query(SQL_Q9), SQL_Q9, tags=("sql",)),
+    "sql_q12_priority_quality": QuerySpec(_sql_query(SQL_Q12), SQL_Q12,
+                                          tags=("sql", "conditional_agg")),
+    "sql_q16_supplier_diversity": QuerySpec(_sql_query(SQL_Q16), SQL_Q16,
+                                            tags=("sql", "not_in")),
+    "sql_q20_promo_suppliers": QuerySpec(_sql_query(SQL_Q20), SQL_Q20,
+                                         tags=("sql", "semi_join")),
 }
