@@ -405,6 +405,37 @@ FROM documents
 """
 
 
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-200 BPE-ish tokens by term frequency with doc
+    frequency — the counting pass a BPE/vocab trainer runs over the corpus.
+    Plan: explode is map-side; one shuffle on token (partial counts
+    combine map-side), top-k via TakeOrderedAndProject."""
+    from tfm_taxitrips_spark.functions.text import bpe_ish_tokens
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(bpe_ish_tokens(F.col("text"))).alias("token")
+    )
+    agg = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    return agg.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(200)
+
+
+_VOCAB_SQL = r"""
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT 200
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data prep composite
 # --------------------------------------------------------------------------
@@ -462,6 +493,8 @@ QUERIES: dict[str, QuerySpec] = {
                                    tags=("text", "dedup", "sample", "pipeline")),
     "text_token_count": QuerySpec(q_token_count, _TOKEN_COUNT_SQL, tags=("text",)),
     "text_bpe_tokens": QuerySpec(q_bpe_tokens, _BPE_SQL, tags=("text",)),
+    "token_vocab_top200": QuerySpec(q_token_vocab, _VOCAB_SQL,
+                                    tags=("text", "vocab", "topk")),
     "text_quality_score": QuerySpec(q_quality_score, _QUALITY_SQL, tags=("text",)),
     "text_lang_id": QuerySpec(q_lang_id, _LANG_ID_SQL, tags=("text",)),
     "text_fingerprint": QuerySpec(q_fingerprint, _FINGERPRINT_SQL, tags=("text",)),
