@@ -86,6 +86,34 @@ def featurize_blobs(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "blob").mapInPandas(extract, schema=FEATURES_SCHEMA)
 
 
+#: output schema of resize_blobs
+RESIZE_SCHEMA = "doc_id bigint, blob_resized binary, orig_bytes bigint, resized_bytes bigint"
+
+RESIZE_STRIDE = 4
+
+
+def resize_blobs(df: DataFrame, stride: int = RESIZE_STRIDE) -> DataFrame:
+    """Resize analog over an opaque payload: keep every ``stride``-th byte
+    (the downsample slot where a real pipeline calls PIL's ``Image.resize``
+    inside the same worker). Returns the resized payload plus size
+    metadata; content is deterministic (asserted in tests), sizes are
+    SQL-reproducible."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["blob"].map(lambda b: b[::stride])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob_resized": resized,
+                    "orig_bytes": pdf["blob"].map(len),
+                    "resized_bytes": resized.map(len),
+                }
+            )
+
+    return df.select("doc_id", "blob").mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
 def sample_blob_frames(df: DataFrame) -> DataFrame:
     """Frame sampling over an opaque payload: split into FRAME_BYTES chunks,
     keep every FRAME_STRIDE-th (video keyframe-sampling analog)."""

@@ -71,8 +71,32 @@ FROM documents
 """
 
 
+def q_blob_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize (downsample) via mapInPandas: every RESIZE_STRIDE-th byte.
+    The oracle recomputes the downsampled payload char-wise (ASCII) and
+    must reproduce the md5 of the bytes Python actually emitted."""
+    from tfm_taxitrips_spark.functions.multimodal import resize_blobs
+
+    docs = attach_blob(table(spark, sf_dir, "documents"))
+    resized = resize_blobs(docs)
+    return resized.select(
+        "doc_id", "orig_bytes", "resized_bytes", F.md5("blob_resized").alias("resized_md5")
+    )
+
+
+_BLOB_RESIZE_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS orig_bytes,
+       CAST(len(range(1, length(text) + 1, 4)) AS BIGINT) AS resized_bytes,
+       md5(array_to_string(list_transform(range(1, length(text) + 1, 4),
+                                          i -> text[i]), '')) AS resized_md5
+FROM documents
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "blob_metadata": QuerySpec(q_blob_metadata, _BLOB_META_SQL, tags=("multimodal",)),
+    "blob_resize": QuerySpec(q_blob_resize, _BLOB_RESIZE_SQL, tags=("multimodal",)),
     "blob_features": QuerySpec(q_blob_features, _BLOB_FEATURES_SQL, tags=("multimodal",)),
     "blob_frame_sample": QuerySpec(q_blob_frame_sample, _FRAME_SAMPLE_SQL, tags=("multimodal",)),
 }
