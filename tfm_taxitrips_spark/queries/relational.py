@@ -560,6 +560,34 @@ FROM monthly
 """
 
 
+_PIVOT_STATUSES = ("F", "O", "P")
+
+
+def q_pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot(): order counts reshaped to one column per status.
+    The value list is given explicitly — at scale an unlisted pivot forces
+    an extra distinct-scan job just to discover the columns."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(_PIVOT_STATUSES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in _PIVOT_STATUSES],
+        )
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT: customers active in both 1996 and 2000 (completes the
     set-op family alongside union/anti/semi; SURVEY.md §2.7)."""
@@ -691,6 +719,8 @@ QUERIES: dict[str, QuerySpec] = {
     "intersect_custkeys": QuerySpec(q_intersect_custkeys, _INTERSECT_SQL,
                                     tags=("setop",)),
     "cube_orders": QuerySpec(q_cube_orders, _CUBE_SQL, tags=("A4", "cube")),
+    "pivot_status_by_priority": QuerySpec(q_pivot_status_by_priority, _PIVOT_SQL,
+                                          tags=("pivot",)),
     "running_revenue": QuerySpec(q_running_revenue, _RUNNING_SQL,
                                  tags=("window", "frame")),
     "anti_join": QuerySpec(q_anti_join, _ANTI_SQL, tags=("join",)),
