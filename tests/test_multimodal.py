@@ -31,3 +31,31 @@ def test_empty_blob_edges(spark):
     frames = {r.doc_id: r for r in sample_blob_frames(blobs).collect()}
     assert frames[1].n_frames == 1 and frames[1].first_frame_md5 is not None
     assert frames[2].n_frames == 0 and frames[2].first_frame_md5 is None
+
+
+def test_pandas_udf_cosine_agrees_with_fold(spark):
+    """The Arrow pandas_udf cosine and the codegen fold cosine agree to
+    1e-12 relative (different float association order, same math)."""
+    from tfm_taxitrips_spark.functions.similarity import (
+        as_double,
+        cosine,
+        cosine_pandas_udf,
+    )
+    from tfm_taxitrips_spark.sources.readers import table
+    import pyspark.sql.functions as F
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    pairs = emb.select(
+        "vec_id",
+        F.col("embedding").alias("a"),
+        F.reverse("embedding").alias("b"),
+    )
+    udf_cos = cosine_pandas_udf()
+    both = pairs.select(
+        "vec_id",
+        cosine(as_double("a"), as_double("b")).alias("fold"),
+        udf_cos(as_double("a"), as_double("b")).alias("arrow"),
+    ).collect()
+    assert both, "no rows"
+    for r in both:
+        assert abs(r.fold - r.arrow) <= 1e-12 * max(1.0, abs(r.fold)), r

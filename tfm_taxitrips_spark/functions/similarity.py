@@ -87,3 +87,33 @@ def lsh_bucket_sql(vec_expr: str, n_planes: int = LSH_PLANES, dim: int = EMBEDDI
         for j in range(n_planes)
     )
     return f"CAST({bits} AS INT)"
+
+
+def cosine_pandas_udf():
+    """Arrow-vectorized cosine as a ``@pandas_udf`` — the *alternate* path.
+
+    Kept for API completeness and as the measured comparison point for the
+    engine rule "built-ins beat UDFs" (SCALE.md 'Python boundary'): the
+    fold-based :func:`cosine` runs inside whole-stage codegen with zero
+    Python round-trip; this one ships both arrays to a Python worker per
+    batch. numpy sums in a different association order than the sequential
+    fold, so results agree only to ~1e-12 relative — which is exactly why
+    the oracle-checked queries use the fold, not this.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # NB: hints must be real types, not strings — this module has
+    # ``from __future__ import annotations``, so the decorator gets the
+    # explicit SCALAR type instead of signature inference.
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def _cos(a, b):
+        def one(x, y):
+            xv = np.asarray(x, dtype=np.float64)
+            yv = np.asarray(y, dtype=np.float64)
+            return float(xv @ yv / (np.linalg.norm(xv) * np.linalg.norm(yv)))
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)])
+
+    return _cos
