@@ -180,12 +180,13 @@ def write_areas_csv(path: str) -> None:
 
 
 def write_comm_areas_csv(path: str) -> None:
-    """Headerless ';'-separated, 10 cols, area_number at position 7
+    """Headerless ';'-separated, 10 cols, area_number at position 6 and
+    community at 7, matching the reference layout exactly
     (/root/reference/AreasLoc.py:60-74)."""
     lines = []
     for a in range(1, 78):
         lines.append(
-            f"MULTIPOLYGON (({a} {a}));p{a};ar{a};ca{a};id{a};num{a};{a};COMMUNITY_{a};n1_{a};sh{a}"
+            f"MULTIPOLYGON (({a} {a}));p{a};ar{a};ca{a};id{a};{a};COMMUNITY_{a};{a};sa{a};sl{a}"
         )
     with open(path, "w") as f:
         f.write("\n".join(lines))

@@ -71,14 +71,23 @@ def build_areas_dimension(trips_2017: DataFrame, comm_areas: DataFrame) -> DataF
     """
     from tfm_taxitrips_spark.operators.cleaning import filter_unmapped_areas
 
+    # min_by pair keyed on (lat, lon): ONE deterministic centroid per area
+    # regardless of partition order (a bare dropDuplicates(['area_number'])
+    # would keep an arbitrary row when dirty data carries several distinct
+    # centroid strings for an area; the reference's full-row dropDuplicates
+    # instead keeps ALL variants, duplicating the area in the master).
     centroids = (
         filter_unmapped_areas(trips_2017)
         .select(
             F.col("pickup_community_area").alias("area_number"),
-            F.col("pickup_centroid_latitude").alias("area_centroid_latitude"),
-            F.col("pickup_centroid_longitude").alias("area_centroid_longitude"),
+            F.struct(
+                F.col("pickup_centroid_latitude").alias("area_centroid_latitude"),
+                F.col("pickup_centroid_longitude").alias("area_centroid_longitude"),
+            ).alias("_c"),
         )
-        .dropDuplicates(["area_number"])
+        .groupBy("area_number")
+        .agg(F.min("_c").alias("_c"))
+        .select("area_number", "_c.area_centroid_latitude", "_c.area_centroid_longitude")
     )
     names = comm_areas.select(
         F.col("area_number"), F.col("community"), F.col("the_geom")

@@ -40,6 +40,12 @@ def null_split_join(
     """
     if how != "left":
         raise ValueError("null_split_join supports only how='left'")
+    overlap = (set(left.columns) & set(right.columns)) - {key}
+    if overlap:
+        raise ValueError(
+            f"left/right share non-key columns {sorted(overlap)}; rename them "
+            "first — the null-padded union cannot disambiguate duplicates"
+        )
     matched = left.where(F.col(key).isNotNull()).join(right, key, "left")
     nulls = left.where(F.col(key).isNull())
     for field in right.schema.fields:
@@ -57,10 +63,14 @@ def salted_agg(
 ) -> DataFrame:
     """Two-phase skew-safe groupBy: decimal SUMs + COUNT.
 
-    The salt is derived from a hash of the sum columns — any spread works;
-    the final result is salt-invariant.
+    The salt is the input partition id — it spreads a hot key across as
+    many phase-1 reducers as there are input partitions (capped at
+    ``salt_buckets``) regardless of the DATA: a value-derived salt would
+    silently collapse to one bucket when the hot key's measures are
+    constant. The final result is salt-invariant (decimal sums
+    reassociate), so any spread is correct.
     """
-    salt = F.pmod(F.abs(F.hash(*[F.col(c) for c, _ in sum_cols])), F.lit(salt_buckets))
+    salt = F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")

@@ -110,21 +110,23 @@ def asof_join(
     ``last(payload, ignorenulls=True)`` carries the latest candidate payload
     forward onto each probe row. No range join, no per-probe scan.
     """
+    payload_col = F.col(payload) if isinstance(payload, str) else payload
+    # carry the payload in its OWN type: probe the dtype from the candidate
+    # schema so nothing is silently truncated to bigint
+    payload_type = candidates.select(payload_col.alias("_p")).schema["_p"].dataType
     p = probes.select(
         F.col(key_col),
         F.col(id_col),
         F.unix_micros(F.col(ts_col)).alias("us"),
         F.lit(1).alias("_is_probe"),
-        F.lit(None).cast("bigint").alias("_payload"),
+        F.lit(None).cast(payload_type).alias("_payload"),
     )
     c = candidates.select(
         F.col(key_col),
         F.col(id_col),
         F.unix_micros(F.col(ts_col)).alias("us"),
         F.lit(0).alias("_is_probe"),
-        (F.col(payload) if isinstance(payload, str) else payload)
-        .cast("bigint")
-        .alias("_payload"),
+        payload_col.cast(payload_type).alias("_payload"),
     )
     unioned = p.unionByName(c)
     w = (

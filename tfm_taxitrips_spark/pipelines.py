@@ -52,17 +52,26 @@ def ingest_historic(spark: SparkSession, cfg: EngineConfig, year: int | None = N
     write_parquet_partitioned(clean, cfg.trips_path)
 
 
-def trip_views(trips: DataFrame, areas: DataFrame) -> dict[str, DataFrame]:
+def trip_views(
+    trips: DataFrame,
+    areas: DataFrame,
+    caches: list[DataFrame] | None = None,
+) -> dict[str, DataFrame]:
     """The four-view family (/root/reference/TransformTaxiTrips.py:98-192)
     from an enriched trips frame, in two rollup passes (pickup + dropoff)
     instead of four full pipelines.
 
     Returns named DataFrames keyed like the reference's PostgreSQL tables.
+    The intermediate frames are cached (each feeds two outputs); pass
+    ``caches`` to receive them for ``unpersist()`` once the views are
+    materialized — a long-lived session must not accumulate them.
     """
     enriched = enrich_trips_with_areas(trips, areas, how="left").withColumn(
         "trip_start_date", trip_start_date()
     )
     enriched = enriched.cache()
+    if caches is not None:
+        caches.append(enriched)
 
     money = [
         ("fare", "fare"),
@@ -87,6 +96,8 @@ def trip_views(trips: DataFrame, areas: DataFrame) -> dict[str, DataFrame]:
             count_col=("trip_id", "trips"),
             distinct_col=("taxi_id", "taxis"),
         ).cache()
+        if caches is not None:
+            caches.append(rolled)
         out[f"companies_{role}_area_view"] = rolled.where(F.col("lvl") == 0).drop("lvl")
         out[f"{role}_area_view"] = (
             rolled.where(F.col("lvl") == 1).drop("lvl", "company")
@@ -104,9 +115,16 @@ def transform_views(
         ["trip_id"]
     )
     areas = read_dimension_csv(spark, cfg.area_path)
-    views = trip_views(trips, areas)
-    for name, df in views.items():
-        write_view(df, cfg, f"{name}_{year}")
+    caches: list[DataFrame] = []
+    views = trip_views(trips, areas, caches=caches)
+    try:
+        for name, df in views.items():
+            write_view(df, cfg, f"{name}_{year}")
+    finally:
+        # the caches only exist to share work across the four writes; a
+        # long-lived daily-job session must not accumulate them
+        for df in caches:
+            df.unpersist()
     return views
 
 

@@ -66,7 +66,8 @@ _FRAME_SAMPLE_SQL = f"""
 SELECT doc_id,
        CAST(CEIL(length(text) / {FRAME_BYTES}.0) AS INT) AS n_frames,
        CAST(CEIL(CEIL(length(text) / {FRAME_BYTES}.0) / {FRAME_STRIDE}.0) AS INT) AS n_sampled,
-       md5(substr(text, 1, {FRAME_BYTES})) AS first_frame_md5
+       CASE WHEN length(text) = 0 THEN NULL
+            ELSE md5(substr(text, 1, {FRAME_BYTES})) END AS first_frame_md5
 FROM documents
 """
 

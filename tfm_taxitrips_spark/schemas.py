@@ -120,11 +120,11 @@ COMM_AREAS_RAW = StructType(
         StructField("area", StringType(), True),
         StructField("comarea_", StringType(), True),
         StructField("comarea_id", StringType(), True),
-        StructField("area_numbe", StringType(), True),
-        StructField("area_number", IntegerType(), True),
-        StructField("community", StringType(), True),
-        StructField("area_num_1", StringType(), True),
+        StructField("area_number", IntegerType(), False),
+        StructField("community", StringType(), False),
+        StructField("area_num_1", IntegerType(), True),
         StructField("shape_area", StringType(), True),
+        StructField("shape_len", StringType(), True),
     ]
 )
 

@@ -11,6 +11,7 @@ path (production uses the kafka/parquet sinks in ``sinks.writers``).
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -75,4 +76,7 @@ def run_to_memory(
         .start()
     )
     query.awaitTermination()
+    # the drain is complete: the checkpoint (offsets/state WAL) has no
+    # further reader — remove it rather than leaking one dir per call
+    shutil.rmtree(chk, ignore_errors=True)
     return spark.table(name)
