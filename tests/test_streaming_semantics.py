@@ -187,3 +187,37 @@ def test_incremental_file_drops_accumulate(spark, tmp_path):
     q.awaitTermination()
     # 5 + 3, batch 1 not reprocessed
     assert spark.read.parquet(out).count() == 8
+
+
+def test_foreach_batch_incremental_partition_refresh(spark, tmp_path):
+    """foreachBatch + dynamic partition overwrite: a replayed epoch rewrites
+    the same partitions (idempotent), and only touched partitions change."""
+    from tfm_taxitrips_spark.sinks.writers import (
+        overwrite_partitions,
+        write_stream_foreach_batch,
+    )
+
+    src_dir = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    schema = "event_id bigint, ts timestamp, event_type string, value double"
+
+    def write_batch(batch_df, epoch_id):
+        enriched = batch_df.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        overwrite_partitions(enriched, out, partition_by=("day",))
+
+    def run():
+        stream = spark.readStream.schema(schema).json(src_dir)
+        q = write_stream_foreach_batch(stream, chk, write_batch, available_now=True)
+        q.awaitTermination()
+
+    _drop(f"{src_dir}/b1.json", [_event(i, f"2024-01-01 10:{i:02d}:00") for i in range(4)])
+    run()
+    assert spark.read.parquet(out).count() == 4
+
+    # second drop lands on a NEW day partition; day 1 survives untouched
+    _drop(f"{src_dir}/b2.json", [_event(10 + i, f"2024-01-02 09:{i:02d}:00") for i in range(3)])
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 7
+    assert got.where(F.col("day") == "2024-01-01").count() == 4

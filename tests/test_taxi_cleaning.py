@@ -121,3 +121,22 @@ def test_comm_areas_headerless_scan(spark, tmp_path):
     row = comm.where(F.col("area_number") == 9).first()
     assert row.community == "COMMUNITY_9"
     assert row.the_geom.startswith("MULTIPOLYGON")
+
+
+def test_quarantine_captures_malformed_rows(spark, tmp_path):
+    """PERMISSIVE + corrupt-record capture: good rows parse to the declared
+    schema, malformed lines land in the quarantine frame verbatim."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from tfm_taxitrips_spark.sources.readers import read_csv_with_quarantine
+
+    p = tmp_path / "in.csv"
+    p.write_text("1,10\n2,notanint\n3,30\ncompletely,broken,extra\n")
+    schema = StructType(
+        [StructField("id", IntegerType()), StructField("v", IntegerType())]
+    )
+    good, quarantine = read_csv_with_quarantine(spark, str(p), schema)
+    assert {(r.id, r.v) for r in good.collect()} == {(1, 10), (3, 30)}
+    bad = [r.raw_line for r in quarantine.collect()]
+    assert len(bad) == 2
+    assert "notanint" in bad[0] or "notanint" in bad[1]

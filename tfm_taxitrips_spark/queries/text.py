@@ -405,6 +405,81 @@ FROM documents
 """
 
 
+SIMHASH_HAMMING_MAX = 1
+_SIMHASH_BANDS = 4  # 16 bits → 4 nibbles; hamming ≤ 3 ⟹ ≥1 identical nibble
+# (the pigeonhole bound covers up to 3; we filter at 1 because a 16-bit
+# simhash — sized down so the oracle stays integer-exact — saturates a
+# 500-doc corpus at hamming 3. A production simhash is 64-bit.)
+
+
+def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: pigeonhole on 4-bit bands (a pair
+    within hamming ≤ {SIMHASH_HAMMING_MAX} must share a nibble), exact
+    hamming check via bit_count(xor) on candidates only. Same
+    bucket-group shape as the MinHash-LSH pairs — one shuffle, no
+    self-join, no all-pairs."""
+    sig = q_simhash(spark, sf_dir)
+    bands = sig.select(
+        F.struct("doc_id", "simhash16").alias("d"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("simhash16"), 4 * b)
+                        .bitwiseAND(F.lit(15))
+                        .alias("bv"),
+                    )
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("d", F.col("band.band_id").alias("band_id"), F.col("band.bv").alias("bv"))
+    buckets = (
+        bands.groupBy("band_id", "bv")
+        .agg(F.array_sort(F.collect_set("d")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    exploded = buckets.select(F.explode(pairs).alias("p")).select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.bit_count(
+            F.col("p.a.simhash16").bitwiseXOR(F.col("p.b.simhash16"))
+        ).cast("int").alias("hamming"),
+    )
+    return exploded.where(F.col("hamming") <= SIMHASH_HAMMING_MAX).distinct()
+
+
+def _simhash_pairs_sql() -> str:
+    bands = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash16, {b} AS band_id,"
+        f" (simhash16 >> {4 * b}) & 15 AS bv FROM sig"
+        for b in range(_SIMHASH_BANDS)
+    )
+    return f"""
+WITH sig AS ({_SIMHASH_SQL}),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
+FROM bands a
+JOIN bands b ON a.band_id = b.band_id AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash16, b.simhash16)) <= {SIMHASH_HAMMING_MAX}
+"""
+
+
+_SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
+
+
 def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-200 BPE-ish tokens by term frequency with doc
     frequency — the counting pass a BPE/vocab trainer runs over the corpus.
@@ -495,6 +570,8 @@ QUERIES: dict[str, QuerySpec] = {
     "text_bpe_tokens": QuerySpec(q_bpe_tokens, _BPE_SQL, tags=("text",)),
     "token_vocab_top200": QuerySpec(q_token_vocab, _VOCAB_SQL,
                                     tags=("text", "vocab", "topk")),
+    "simhash_dup_pairs": QuerySpec(q_simhash_dup_pairs, _SIMHASH_PAIRS_SQL,
+                                   tags=("text", "dedup", "simhash")),
     "text_quality_score": QuerySpec(q_quality_score, _QUALITY_SQL, tags=("text",)),
     "text_lang_id": QuerySpec(q_lang_id, _LANG_ID_SQL, tags=("text",)),
     "text_fingerprint": QuerySpec(q_fingerprint, _FINGERPRINT_SQL, tags=("text",)),

@@ -107,6 +107,32 @@ def write_parquet_stream(
     return writer.start()
 
 
+def write_stream_foreach_batch(
+    df: DataFrame,
+    checkpoint: str,
+    batch_writer,
+    available_now: bool = False,
+    trigger: str | None = None,
+) -> StreamingQuery:
+    """Streaming → arbitrary batch sink via ``foreachBatch``.
+
+    The modern replacement for sink formats the streaming engine lacks
+    (JDBC, dynamic partition overwrite, MERGE): each micro-batch arrives as
+    a plain batch DataFrame with an epoch id, executed with exactly-once
+    bookkeeping from the checkpoint (re-delivered epochs must be written
+    idempotently — e.g. :func:`overwrite_partitions`, which replaces the
+    same partitions on replay).
+    """
+    writer = df.writeStream.foreachBatch(batch_writer).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger:
+        writer = writer.trigger(processingTime=trigger)
+    return writer.start()
+
+
 def write_kafka_stream(
     df: DataFrame,
     brokers: str,

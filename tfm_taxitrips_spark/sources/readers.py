@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from tfm_taxitrips_spark import schemas
 
@@ -76,6 +76,41 @@ def read_trips_parquet(
     if month is not None:
         df = df.where(F.col("month") == int(month))
     return df
+
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    **csv_options,
+) -> tuple[DataFrame, DataFrame]:
+    """F2 alternative: PERMISSIVE parse that CAPTURES malformed rows.
+
+    ``DROPMALFORMED`` (the reference's policy) silently discards bad input —
+    acceptable for a thesis, not for a 100 TB ingest where you need the
+    reject rate and the reject rows. Returns ``(good, quarantine)``: good
+    rows with the declared schema, malformed raw lines for a dead-letter
+    sink. The frame is cached once — Spark forbids filtering on the corrupt
+    column of an uncached PERMISSIVE scan (it would require re-parsing).
+    """
+    with_corrupt = StructType(
+        schema.fields + [StructField(CORRUPT_COL, StringType(), True)]
+    )
+    df = spark.read.csv(
+        path,
+        schema=with_corrupt,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord=CORRUPT_COL,
+        **csv_options,
+    ).cache()
+    good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    quarantine = df.where(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col(CORRUPT_COL).alias("raw_line")
+    )
+    return good, quarantine
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
