@@ -12,7 +12,11 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.operators.skew import null_split_join, salted_agg
-from tfm_taxitrips_spark.operators.temporal import asof_join, sessionize
+from tfm_taxitrips_spark.operators.temporal import (
+    asof_join,
+    sessionize,
+    time_range_join,
+)
 
 _SETTINGS = dict(
     max_examples=10,
@@ -111,6 +115,33 @@ def test_sessionize_matches_python_model(spark, events):
                 sid += 1
             last = ts
             expected[(uid, eid)] = sid
+    assert got == expected
+
+
+@given(
+    probe_ts=st.lists(st.integers(0, 40), min_size=1, max_size=12, unique=True),
+    cand_ts=st.lists(st.integers(0, 40), min_size=1, max_size=12, unique=True),
+    range_us=st.sampled_from([1, 7, 10]),
+)
+@settings(**_SETTINGS)
+def test_time_range_join_matches_naive(spark, probe_ts, cand_ts, range_us):
+    """The bucketed rewrite returns exactly the pairs with cand ∈
+    [probe, probe+range] — including pairs on bucket boundaries (ts values
+    deliberately near multiples of range_us)."""
+    p_df = spark.createDataFrame([(t, 100 + i) for i, t in enumerate(probe_ts)],
+                                 "p_us bigint, p_id int")
+    c_df = spark.createDataFrame([(t, 200 + i) for i, t in enumerate(cand_ts)],
+                                 "c_us bigint, c_id int")
+    got = {
+        (r.p_id, r.c_id)
+        for r in time_range_join(p_df, c_df, "p_us", "c_us", range_us).collect()
+    }
+    expected = {
+        (100 + i, 200 + j)
+        for i, pt in enumerate(probe_ts)
+        for j, ct in enumerate(cand_ts)
+        if pt <= ct <= pt + range_us
+    }
     assert got == expected
 
 

@@ -36,7 +36,10 @@ def test_ingest_historic_partitioned(spark, trips, tmp_path_factory):
     csv_path = str(d / "trips.csv")
     write_trips_csv(trips, csv_path, malformed=2)
     cfg = EngineConfig(csv_input_path=csv_path, trips_path=str(d / "pq"))
-    ingest_historic(spark, cfg)
+    quality = ingest_historic(spark, cfg)
+    # Observation counters ride the write job (no second input pass)
+    assert quality["rows_written"] == len(trips)
+    assert quality["null_trip_ids"] == 0
 
     assert any(p.startswith("year=") for p in os.listdir(cfg.trips_path))
     back = read_trips_parquet(spark, cfg.trips_path, year=2017)

@@ -42,14 +42,33 @@ from tfm_taxitrips_spark.sources.readers import (
 )
 
 
-def ingest_historic(spark: SparkSession, cfg: EngineConfig, year: int | None = None) -> None:
+def ingest_historic(
+    spark: SparkSession, cfg: EngineConfig, year: int | None = None
+) -> dict[str, int]:
     """Historic CSV → clean → partitioned parquet
-    (/root/reference/IngestHistoricTrips.py:66-102)."""
+    (/root/reference/IngestHistoricTrips.py:66-102).
+
+    Returns data-quality counters (rows written, null keys, unmapped
+    areas) collected via ``Observation`` — piggybacked on the write job
+    itself, NO second pass over the input (at 100 TB a separate count()
+    would double the ingest cost)."""
+    from pyspark.sql import Observation
+
     raw = read_trips_csv(spark, cfg.csv_input_path)
     clean = clean_trips(raw)
     if year is not None:
         clean = clean.where(F.col("year") == int(year))
-    write_parquet_partitioned(clean, cfg.trips_path)
+    obs = Observation("ingest_quality")
+    observed = clean.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_written"),
+        F.sum(F.col("trip_id").isNull().cast("long")).alias("null_trip_ids"),
+        F.sum(
+            F.col("pickup_community_area").isNull().cast("long")
+        ).alias("unmapped_pickup_areas"),
+    )
+    write_parquet_partitioned(observed, cfg.trips_path)
+    return {k: int(v or 0) for k, v in obs.get.items()}
 
 
 def trip_views(
