@@ -44,17 +44,28 @@ FROM embeddings
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast the query set, rank candidates per
     query. At scale this is one pass over the store per query batch."""
+    # norms are computed ONCE per row before the join (store side) / per
+    # query (broadcast side): the per-pair work is a single dot fold, not
+    # three. Same doubles as cosine() — dot/(n_q*n_e) is the identical
+    # expression tree — so the oracle hash is unchanged.
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_embedding"),
+        l2_norm(as_double("embedding")).alias("q_nrm"),
     )
-    cands = emb.select(F.col("vec_id"), F.col("label"), F.col("embedding"))
+    cands = emb.select(
+        "vec_id", "label", "embedding", l2_norm(as_double("embedding")).alias("nrm")
+    )
     joined = cands.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
     scored = joined.select(
         "qid",
         "vec_id",
         "label",
-        cosine(as_double("q_embedding"), as_double("embedding")).alias("cosine_sim"),
+        (
+            dot(as_double("q_embedding"), as_double("embedding"))
+            / (F.col("q_nrm") * F.col("nrm"))
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= TOP_K)
@@ -100,12 +111,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join key (bucket) is what shards a 100 TB store."""
     emb = table(spark, sf_dir, "embeddings")
     with_bucket = emb.select(
-        "vec_id", "label", "embedding", lsh_bucket(as_double("embedding")).alias("bucket")
+        "vec_id",
+        "label",
+        "embedding",
+        lsh_bucket(as_double("embedding")).alias("bucket"),
+        l2_norm(as_double("embedding")).alias("nrm"),
     )
     queries = with_bucket.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("q_embedding"),
         F.col("bucket").alias("q_bucket"),
+        F.col("nrm").alias("q_nrm"),
     )
     joined = with_bucket.join(
         F.broadcast(queries),
@@ -115,7 +131,10 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "vec_id",
         "bucket",
-        cosine(as_double("q_embedding"), as_double("embedding")).alias("cosine_sim"),
+        (
+            dot(as_double("q_embedding"), as_double("embedding"))
+            / (F.col("q_nrm") * F.col("nrm"))
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= TOP_K)
@@ -250,7 +269,10 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     query. All-pairs never happens — only same-bucket pairs are scored."""
     emb = table(spark, sf_dir, "embeddings")
     wb = emb.select(
-        "vec_id", "embedding", lsh_bucket(as_double("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        lsh_bucket(as_double("embedding")).alias("bucket"),
+        l2_norm(as_double("embedding")).alias("nrm"),
     )
     a, b = wb.alias("a"), wb.alias("b")
     pairs = a.join(
@@ -261,8 +283,9 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        cosine(
-            as_double(F.col("a.embedding")), as_double(F.col("b.embedding"))
+        (
+            dot(as_double(F.col("a.embedding")), as_double(F.col("b.embedding")))
+            / (F.col("a.nrm") * F.col("b.nrm"))
         ).alias("cosine_sim"),
     )
     return scored.where(F.col("cosine_sim") >= 0.35)
