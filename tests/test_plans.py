@@ -81,6 +81,21 @@ def test_salted_agg_two_phase(spark, sf_smoke):
     assert plan.count("HashAggregate") >= 4
 
 
+def test_rollup_family_expands_exactly_two_sets(spark, sf_smoke):
+    """groupingSets must Expand each row 2× (the two materialized views),
+    not k+1× like a full rollup — 3.5× shuffle volume at scale."""
+    import re
+
+    from tfm_taxitrips_spark.queries.relational import q_rollup_family
+
+    plan = q_rollup_family(spark, sf_smoke)._jdf.queryExecution().optimizedPlan().toString()
+    m = re.search(r"Expand \[\[(.*?)\]\], \[", plan)
+    assert m, f"no Expand in plan:\n{plan[:500]}"
+    # projection lists are printed as [[...], [...]]: N sets → N-1 '], [' separators
+    n_sets = m.group(1).count("], [") + 1
+    assert n_sets == 2, f"Expand has {n_sets} grouping sets"
+
+
 def test_range_join_avoids_nested_loop(spark, sf_smoke):
     """The bucketed rewrite must plan an equi join on the bucket id — a
     BroadcastNestedLoopJoin/cartesian here means the rewrite regressed."""
