@@ -36,3 +36,20 @@ def test_registry_contract():
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 20  # coverage floor, grows with SURVEY §2
+
+
+def test_date_queries_survive_non_utc_session(spark, sf_smoke):
+    """The grading driver's session inherits the HOST timezone; table()
+    pins UTC at the read seam so year()/date_trunc() stay aligned with
+    DuckDB's naive timestamps even if the host is not UTC."""
+    from tests.oracle import compare
+    from tfm_taxitrips_spark.queries.registry import all_queries
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for name in ("date_parts", "date_trunc_day", "running_revenue"):
+            spec = all_queries()[name]
+            compare(spec.fn(spark, sf_smoke), spec.oracle, sf_smoke, name=name)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
