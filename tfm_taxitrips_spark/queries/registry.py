@@ -27,6 +27,7 @@ class QuerySpec:
 
 def all_queries() -> dict[str, QuerySpec]:
     from tfm_taxitrips_spark.queries import (
+        dataprep,
         multimodal,
         relational,
         sketches,
@@ -39,7 +40,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
     merged: dict[str, QuerySpec] = {}
     for module in (relational, text, vectors, streamq, multimodal, temporal,
-                   sqlsuite, sketches):
+                   sqlsuite, sketches, dataprep):
         for name, spec in module.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
