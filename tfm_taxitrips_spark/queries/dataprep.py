@@ -16,7 +16,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
-from tfm_taxitrips_spark.functions.text import hash60, hash60_sql
+from tfm_taxitrips_spark.functions.text import (
+    hash60,
+    hash60_sql,
+    shingles,
+    shingles_sql,
+    token_count,
+)
 from tfm_taxitrips_spark.operators.clustering import connected_components
 from tfm_taxitrips_spark.queries.registry import QuerySpec
 from tfm_taxitrips_spark.queries.text import (
@@ -222,6 +228,190 @@ GROUP BY o_orderstatus
 """
 
 
+# --------------------------------------------------------------------------
+# train/eval contamination: n-gram overlap between two corpus splits
+# --------------------------------------------------------------------------
+
+#: sources held out as the "eval" split; everything else is "train"
+_EVAL_SOURCES = ("src0", "src1")
+_CONTAM_N = 5  # shingle width for overlap detection
+
+
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for every eval-split document, the
+    fraction of its 5-gram shingles that also occur anywhere in the train
+    split. The exact op behind decontaminating a pretraining corpus
+    against held-out benchmarks.
+
+    Plan shape: both splits shingle map-side into 60-bit ints; the overlap
+    is one equi-join on the shingle hash (semi-join against the distinct
+    train-shingle set) + a per-doc agg. At 100 TB the train set is the big
+    side — the join shuffles hashed ints only, Catalyst inserts a bloom
+    filter on the eval side, and the distinct collapses repeats before the
+    wire (shingle reuse across docs is high in a real corpus).
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh = F.explode(shingles(F.lower(F.col("text")), _CONTAM_N)).alias("s")
+    is_eval = F.col("source").isin(*_EVAL_SOURCES)
+
+    eval_sh = (
+        docs.where(is_eval)
+        .select("doc_id", sh)
+        .select("doc_id", hash60(F.col("s")).alias("h"))
+        .distinct()
+    )
+    train_sh = (
+        docs.where(~is_eval)
+        .select(sh)
+        .select(hash60(F.col("s")).alias("h"))
+        .distinct()
+    )
+    hits = eval_sh.join(train_sh, "h", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    totals = eval_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        (F.coalesce("n_hit", F.lit(0)) * 2 >= F.col("n_shingles"))
+        .cast("int")
+        .alias("contaminated"),
+    )
+
+
+_EVAL_PRED = "source IN ({})".format(", ".join(f"'{s}'" for s in _EVAL_SOURCES))
+
+_CONTAM_SQL = f"""
+WITH eval_sh AS (
+  SELECT DISTINCT doc_id, {hash60_sql('s')} AS h
+  FROM (SELECT doc_id, unnest({shingles_sql('lower(text)', _CONTAM_N)}) AS s
+        FROM documents WHERE {_EVAL_PRED})
+),
+train_sh AS (
+  SELECT DISTINCT {hash60_sql('s')} AS h
+  FROM (SELECT unnest({shingles_sql('lower(text)', _CONTAM_N)}) AS s
+        FROM documents WHERE NOT ({_EVAL_PRED}))
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_hit FROM eval_sh
+  WHERE EXISTS (SELECT 1 FROM train_sh t WHERE t.h = eval_sh.h)
+  GROUP BY doc_id
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM eval_sh GROUP BY doc_id)
+SELECT totals.doc_id, n_shingles,
+       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(n_hit, 0) * 2 >= n_shingles AS INT) AS contaminated
+FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# sequence packing: fixed-token-budget packs per shard
+# --------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs: within each
+    hash shard, docs are laid out in doc_id order and a doc's pack is
+    ``floor(tokens_before_it / budget)`` — streaming greedy packing whose
+    boundary pack may overflow by at most one doc (the standard pack-then-
+    truncate layout). One window per shard partition, no global sort; at
+    100 TB each shard's prefix sum is an independent partition-local scan.
+    """
+    docs = table(spark, sf_dir, "documents")
+    shard = F.pmod(
+        hash60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), F.lit(8)
+    )
+    toks = token_count("text").cast("bigint")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_pack = (
+        docs.select(shard.alias("shard"), F.col("doc_id"), toks.alias("n_tokens"))
+        .withColumn("before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn("pack_id", F.floor(F.col("before") / _PACK_BUDGET))
+    )
+    return with_pack.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )
+
+
+_SHARD_EXPR = (
+    hash60_sql("concat('shard:', CAST(doc_id AS VARCHAR))") + " % 8"
+)
+
+_SEQ_PACK_SQL = f"""
+WITH t AS (
+  SELECT {_SHARD_EXPR} AS shard, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT shard, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM t
+)
+SELECT shard, CAST(FLOOR(before / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM p
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# PII redaction: regex scrub with audit counts
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9.]+@[a-z0-9.]+"
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub with an audit trail: e-mail-shaped spans are
+    replaced by ``[EMAIL]`` and counted per doc. The testdata has no PII,
+    so a deterministic fake address is planted on every 5th doc first —
+    the query then proves the scrub finds exactly those. Pure built-in
+    regexp ops: map-side only, no shuffle except the final hash audit."""
+    docs = table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.col("text"))
+    with_text = docs.select("doc_id", planted.alias("text2"))
+    return with_text.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text2", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.md5(F.regexp_replace("text2", _EMAIL_RE, "[EMAIL]")).alias("redacted_md5"),
+    )
+
+
+_REDACT_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN concat(text, ' contact: user', CAST(doc_id AS VARCHAR), '@example.com')
+              ELSE text END AS text2
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text2, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       md5(regexp_replace(text2, '{_EMAIL_RE}', '[EMAIL]', 'g')) AS redacted_md5
+FROM t
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_cluster_canonical": QuerySpec(
         q_dedup_cluster_canonical, _DEDUP_CLUSTER_SQL,
@@ -235,5 +425,14 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "incremental_merge": QuerySpec(
         q_incremental_merge, _INCR_MERGE_SQL, tags=("merge", "pipeline"),
+    ),
+    "contamination_overlap": QuerySpec(
+        q_contamination_overlap, _CONTAM_SQL, tags=("text", "dedup", "pipeline"),
+    ),
+    "sequence_packing": QuerySpec(
+        q_sequence_packing, _SEQ_PACK_SQL, tags=("text", "pipeline", "window"),
+    ),
+    "text_redact_pii": QuerySpec(
+        q_redact_pii, _REDACT_SQL, tags=("text", "pipeline"),
     ),
 }
