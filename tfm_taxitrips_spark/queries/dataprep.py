@@ -266,15 +266,18 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(hash60(F.col("s")).alias("h"))
         .distinct()
     )
-    hits = eval_sh.join(train_sh, "h", "left_semi").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    totals = eval_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    return totals.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
-        (F.coalesce("n_hit", F.lit(0)) * 2 >= F.col("n_shingles"))
+    # one eval-side pass: mark each distinct (doc, shingle) as hit/miss via
+    # a left join against the distinct train set (train_sh is distinct on h,
+    # so the join never multiplies rows), then a single per-doc aggregate —
+    # vs. the naive totals⋈hits formulation that shingles and distinct-
+    # shuffles the eval split twice.
+    marked = eval_sh.join(train_sh.withColumn("hit", F.lit(1)), "h", "left")
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hit"),
+        (
+            F.sum(F.coalesce("hit", F.lit(0))) * 2 >= F.count(F.lit(1))
+        )
         .cast("int")
         .alias("contaminated"),
     )
@@ -293,16 +296,15 @@ train_sh AS (
   FROM (SELECT unnest({shingles_sql('lower(text)', _CONTAM_N)}) AS s
         FROM documents WHERE NOT ({_EVAL_PRED}))
 ),
-hits AS (
-  SELECT doc_id, COUNT(*) AS n_hit FROM eval_sh
-  WHERE EXISTS (SELECT 1 FROM train_sh t WHERE t.h = eval_sh.h)
-  GROUP BY doc_id
-),
-totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM eval_sh GROUP BY doc_id)
-SELECT totals.doc_id, n_shingles,
-       CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
-       CAST(COALESCE(n_hit, 0) * 2 >= n_shingles AS INT) AS contaminated
-FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
+marked AS (
+  SELECT e.doc_id, CASE WHEN t.h IS NULL THEN 0 ELSE 1 END AS hit
+  FROM eval_sh e LEFT JOIN (SELECT h, 1 AS one FROM train_sh) t ON e.h = t.h
+)
+SELECT doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(hit) AS BIGINT) AS n_hit,
+       CAST(SUM(hit) * 2 >= COUNT(*) AS INT) AS contaminated
+FROM marked
+GROUP BY doc_id
 """
 
 
