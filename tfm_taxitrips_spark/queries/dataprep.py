@@ -74,6 +74,45 @@ GROUP BY u
 """
 
 
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pairs→survivors closure over the *embedding* near-dup pairs
+    (cosine ≥ threshold within LSH buckets): semantic dedup of a vector
+    store, where transitive duplicates (A≈B, B≈C) collapse to one
+    representative even when A and C sit in different buckets."""
+    from tfm_taxitrips_spark.queries.vectors import q_embedding_dup_pairs
+
+    pairs = q_embedding_dup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("node") == F.col("comp")).cast("int").alias("keep"),
+    )
+
+
+def _emb_cluster_sql() -> str:
+    from tfm_taxitrips_spark.queries.vectors import _DUP_PAIRS_SQL
+
+    return f"""
+WITH RECURSIVE pairs AS ({_DUP_PAIRS_SQL}),
+edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM pairs
+  UNION
+  SELECT vec_b AS u, vec_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u AND e.v <> r.u
+)
+SELECT u AS vec_id,
+       LEAST(u, MIN(v)) AS cluster_id,
+       CAST(u = LEAST(u, MIN(v)) AS INT) AS keep
+FROM reach
+GROUP BY u
+"""
+
+
 # --------------------------------------------------------------------------
 # stratified sampling: per-language quota rates, deterministic membership
 # --------------------------------------------------------------------------
@@ -427,6 +466,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "incremental_merge": QuerySpec(
         q_incremental_merge, _INCR_MERGE_SQL, tags=("merge", "pipeline"),
+    ),
+    "embedding_dup_clusters": QuerySpec(
+        q_embedding_dup_clusters, _emb_cluster_sql(),
+        tags=("dedup", "clustering", "vectors"),
     ),
     "contamination_overlap": QuerySpec(
         q_contamination_overlap, _CONTAM_SQL, tags=("text", "dedup", "pipeline"),
