@@ -54,37 +54,71 @@ def _dropoff_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return role_play(joined, {"s_suppkey": "s_suppkey", "n_name": "dropoff_nation"})
 
 
-def _enriched_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The §3.1 enrichment pipeline: dedup fact → join header → double
-    role-playing broadcast join (A1 + J1)."""
+def _enriched_trips(
+    spark: SparkSession, sf_dir: str, roles: tuple[str, ...] = ("pickup", "dropoff")
+) -> DataFrame:
+    """The §3.1 enrichment pipeline: dedup fact → join header → role-playing
+    broadcast joins (A1 + J1).
+
+    ``roles`` prunes unused dimension joins at construction time: Catalyst
+    cannot eliminate a LEFT join whose output is unused, because without
+    uniqueness metadata a duplicate-keyed dim could multiply fact rows. The
+    query layer knows each role dim is key-unique, so a consumer that only
+    reads pickup columns skips the dropoff build+probe entirely — one fewer
+    broadcast and one fewer per-row probe over the whole fact table.
+    """
     li = dedup_exact(table(spark, sf_dir, "lineitem"))  # A1, whole-row
     orders = table(spark, sf_dir, "orders")
-    enriched = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(_pickup_dim(spark, sf_dir)), F.col("o_custkey") == F.col("c_custkey"), "left")
-        .join(F.broadcast(_dropoff_dim(spark, sf_dir)), F.col("l_suppkey") == F.col("s_suppkey"), "left")
-    )
+    enriched = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    if "pickup" in roles:
+        enriched = enriched.join(
+            F.broadcast(_pickup_dim(spark, sf_dir)),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+    if "dropoff" in roles:
+        enriched = enriched.join(
+            F.broadcast(_dropoff_dim(spark, sf_dir)),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left",
+        )
     return enriched
 
 
-_ENRICHED_SQL = """
-WITH li AS (SELECT DISTINCT * FROM lineitem),
-pickup AS (
-  SELECT c_custkey, c_mktsegment, n_name AS pickup_nation
-  FROM customer JOIN nation ON c_nationkey = n_nationkey
-),
-dropoff AS (
-  SELECT s_suppkey, n_name AS dropoff_nation
-  FROM supplier JOIN nation ON s_nationkey = n_nationkey
-),
+def _enriched_sql(roles: tuple[str, ...] = ("pickup", "dropoff")) -> str:
+    """Oracle mirror of :func:`_enriched_trips` with the same role pruning."""
+    sel = ["l.*", "o.*"]
+    ctes, joins = [], []
+    if "pickup" in roles:
+        ctes.append(
+            "pickup AS (\n"
+            "  SELECT c_custkey, c_mktsegment, n_name AS pickup_nation\n"
+            "  FROM customer JOIN nation ON c_nationkey = n_nationkey\n)"
+        )
+        joins.append("LEFT JOIN pickup p ON o.o_custkey = p.c_custkey")
+        sel += ["p.pickup_nation", "p.c_mktsegment"]
+    if "dropoff" in roles:
+        ctes.append(
+            "dropoff AS (\n"
+            "  SELECT s_suppkey, n_name AS dropoff_nation\n"
+            "  FROM supplier JOIN nation ON s_nationkey = n_nationkey\n)"
+        )
+        joins.append("LEFT JOIN dropoff d ON l.l_suppkey = d.s_suppkey")
+        sel.append("d.dropoff_nation")
+    cte_block = ",\n".join(["li AS (SELECT DISTINCT * FROM lineitem)"] + ctes)
+    join_block = "\n  ".join(joins)
+    return f"""
+WITH {cte_block},
 enriched AS (
-  SELECT l.*, o.*, p.pickup_nation, p.c_mktsegment, d.dropoff_nation
+  SELECT {', '.join(sel)}
   FROM li l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
-  LEFT JOIN pickup p ON o.o_custkey = p.c_custkey
-  LEFT JOIN dropoff d ON l.l_suppkey = d.s_suppkey
+  {join_block}
 )
 """
+
+
+_ENRICHED_SQL = _enriched_sql()
 
 
 # --------------------------------------------------------------------------
@@ -124,7 +158,7 @@ def q_rollup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     lvl=1 without), with TRUE distinct counts at each level — the
     documented fix for the reference's re-aggregation bug
     (/root/reference/TransformTaxiTrips.py:123-136; SURVEY.md §2.6 A4)."""
-    enriched = _enriched_trips(spark, sf_dir).withColumn(
+    enriched = _enriched_trips(spark, sf_dir, roles=("pickup",)).withColumn(
         "order_year", F.year(F.col("o_orderdate"))
     )
     return rollup_views(
@@ -137,7 +171,7 @@ def q_rollup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ROLLUP_FAMILY_SQL = _ENRICHED_SQL + f"""
+_ROLLUP_FAMILY_SQL = _enriched_sql(("pickup",)) + f"""
 SELECT order_year, pickup_nation, c_mktsegment,
        CAST(GROUPING(c_mktsegment) AS INT) AS lvl,
        {dsum_sql('l_extendedprice')} AS revenue,
@@ -456,7 +490,7 @@ SELECT * FROM (
 def q_top_segments_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'Empresas con mayor volumen' analog (/root/reference/README.md:11):
     market segments ranked by enriched-trip revenue."""
-    enriched = _enriched_trips(spark, sf_dir)
+    enriched = _enriched_trips(spark, sf_dir, roles=("pickup",))
     agg = enriched.groupBy("c_mktsegment").agg(
         dsum("l_extendedprice").alias("revenue"),
         F.count(F.lit(1)).alias("n_trips"),
@@ -464,7 +498,7 @@ def q_top_segments_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_global(agg, [F.col("revenue").desc(), F.col("c_mktsegment").asc()], 10)
 
 
-_TOP_SEGMENTS_SQL = _ENRICHED_SQL + f"""
+_TOP_SEGMENTS_SQL = _enriched_sql(("pickup",)) + f"""
 SELECT c_mktsegment, {dsum_sql('l_extendedprice')} AS revenue, COUNT(*) AS n_trips
 FROM enriched GROUP BY 1
 ORDER BY revenue DESC, c_mktsegment ASC LIMIT 10
