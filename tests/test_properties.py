@@ -176,3 +176,44 @@ def test_asof_join_matches_python_model(spark, probes, cands):
                 best = (cts, cid, pay)
         expected[pid] = best[2] if best else None
     assert got == expected
+
+
+# --------------------------------------------------------------------------
+# connected components vs a union-find model
+# --------------------------------------------------------------------------
+
+def _uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_equals_union_find(spark, pairs):
+    """Min-label propagation must equal the union-find transitive closure on
+    any graph shape — multi-edges, cycles, long chains, dense blobs."""
+    from tfm_taxitrips_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r["node"]: r["comp"] for r in connected_components(edges).collect()
+    }
+    assert got == _uf_components(pairs)
