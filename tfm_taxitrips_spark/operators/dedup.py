@@ -27,3 +27,23 @@ def dedup_exact(df: DataFrame, keys: Sequence[str] | None = None) -> DataFrame:
     if keys:
         return df.dropDuplicates(list(keys))
     return df.distinct()
+
+
+def dedup_exact_aligned(df: DataFrame, join_key: str) -> DataFrame:
+    """Whole-row distinct whose shuffle is pre-aligned to a downstream
+    join key.
+
+    A plain ``distinct()`` exchanges on ALL columns; a following join on
+    ``join_key`` then exchanges the deduped table AGAIN. Hash-partitioning
+    on ``join_key`` alone already satisfies the distinct's clustering
+    requirement (identical rows share the key, so they land in one
+    partition), and the aggregate's output keeps that partitioning — the
+    join reuses it with no further exchange. Two full-table shuffles
+    become one; at 100 TB that halves the fact table's wire volume for
+    the §3.1 enrichment pipeline. Same result set as ``distinct()``.
+
+    Trade-off: partial (map-side) dedup still applies, but partition
+    balance now follows ``join_key`` — with a heavily skewed key prefer
+    plain ``dedup_exact`` plus AQE skew handling.
+    """
+    return df.repartition(join_key).distinct()

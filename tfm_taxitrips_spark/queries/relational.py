@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
-from tfm_taxitrips_spark.operators.dedup import dedup_exact
+from tfm_taxitrips_spark.operators.dedup import dedup_exact, dedup_exact_aligned
 from tfm_taxitrips_spark.operators.enrich import role_play
 from tfm_taxitrips_spark.operators.topk import top_k_by_group, top_k_global
 from tfm_taxitrips_spark.operators.views import agg_view, rollup_views
@@ -67,7 +67,8 @@ def _enriched_trips(
     reads pickup columns skips the dropoff build+probe entirely — one fewer
     broadcast and one fewer per-row probe over the whole fact table.
     """
-    li = dedup_exact(table(spark, sf_dir, "lineitem"))  # A1, whole-row
+    # A1 whole-row distinct, shuffle-aligned to the l_orderkey join below
+    li = dedup_exact_aligned(table(spark, sf_dir, "lineitem"), "l_orderkey")
     orders = table(spark, sf_dir, "orders")
     enriched = li.join(orders, li.l_orderkey == orders.o_orderkey)
     if "pickup" in roles:
