@@ -111,3 +111,15 @@ def test_ann_broadcasts_queries(spark, sf_smoke):
     plan = explain_formatted(q_ann_bruteforce(spark, sf_smoke))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_flagship_dedup_exchange_is_key_aligned(spark, sf_smoke):
+    """The whole-row distinct's shuffle must be the l_orderkey repartition
+    (reused by the orders join), never an all-16-column exchange — the
+    partitioning-reuse contract of dedup_exact_aligned."""
+    import re
+
+    plan = explain_formatted(q_flagship_view(spark, sf_smoke))
+    for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        cols = [c for c in args.split(",") if "#" in c]
+        assert len(cols) <= 6, f"wide exchange re-appeared: {args}"
