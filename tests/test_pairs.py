@@ -1,0 +1,82 @@
+"""Bounded bucket→pair generation (operators/pairs.bucket_pairs).
+
+The scale guard for the LSH dedup family: a degenerate corpus collapsing
+into one mega-bucket must neither OOM a single task (salting distributes
+the O(width²) expansion) nor change the emitted pair set (salting is an
+execution strategy, not a semantic cap).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from tfm_taxitrips_spark.operators.pairs import bucket_pairs, bucket_width_stats
+
+
+def _bands(spark, widths):
+    """One row per (bucket, item): bucket b gets items b*100000+0..w-1."""
+    rows = [
+        (b, b * 100_000 + i) for b, w in enumerate(widths) for i in range(w)
+    ]
+    return spark.createDataFrame(rows, "bucket int, item long")
+
+
+def _expected(widths):
+    return {
+        (b * 100_000 + i, b * 100_000 + j)
+        for b, w in enumerate(widths)
+        for i, j in combinations(range(w), 2)
+    }
+
+
+def _got(bands, max_width):
+    out = bucket_pairs(bands, ["bucket"], F.col("item"), max_width=max_width)
+    return {
+        (r.a, r.b)
+        for r in out.select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).collect()
+    }
+
+
+def test_adversarial_mega_bucket(spark):
+    """All docs identical → ONE bucket far above the cap. Must complete by
+    salting into sub-buckets and still emit every pair exactly once."""
+    n = 1200  # > 2 × LSH_MAX_BUCKET
+    bands = _bands(spark, [n])
+    out = bucket_pairs(bands, ["bucket"], F.col("item"))
+    pairs = out.select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).collect()
+    assert len(pairs) == n * (n - 1) // 2  # exactly once each — no dup rows
+    assert {(r.a, r.b) for r in pairs} == _expected([n])
+
+
+def test_tiny_cap_exercises_salting_exactly(spark):
+    """cap=3 over mixed widths: heavy salting, same pair set as uncapped."""
+    widths = [1, 2, 3, 10, 40]
+    bands = _bands(spark, widths)
+    assert _got(bands, max_width=3) == _expected(widths)
+
+
+def test_narrow_buckets_unaffected(spark):
+    """Widths under the cap take the nsub=1 path — no fan-out rows, same
+    pairs (the round-1 semantics)."""
+    widths = [2, 5, 17]
+    bands = _bands(spark, widths)
+    assert _got(bands, max_width=256) == _expected(widths)
+
+
+def test_salted_plan_stays_single_lineage(spark):
+    """The salting rewrite must not re-execute the bands lineage per
+    branch (the rejected union design scanned the source 3×)."""
+    bands = _bands(spark, [5, 600])
+    out = bucket_pairs(bands, ["bucket"], F.col("item"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_bucket_width_stats(spark):
+    bands = _bands(spark, [2, 600])
+    row = bucket_width_stats(bands, ["bucket"]).collect()[0]
+    assert row.n_buckets == 2
+    assert row.max_width == 600
+    assert row.n_over_cap == 1

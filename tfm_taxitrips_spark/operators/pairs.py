@@ -1,0 +1,133 @@
+"""Bounded LSH bucket→pair generation (scale guard for the dedup family).
+
+Round-1 shape: ``groupBy(bucket).agg(collect_set(id))`` then expand pairs
+inside each bucket's array. LSH buckets are small *by design*, but a
+degenerate corpus (billions of empty / near-identical docs collapsing into
+one bucket, or a small band space like a 16-bit simhash) turns that into a
+single task materializing a width-sized array and a width²-sized pair
+batch — an OOM at 100 TB.
+
+The fix is dynamic sub-bucket salting, chosen over two rejected designs:
+
+* skip-wide-buckets (filter ``size(ids) <= N``) silently drops pairs and
+  forces every oracle to mirror the cap;
+* a narrow/wide two-branch union consumes the bands table twice more, and
+  Spark does not reuse the exchange across the branches (verified on the
+  physical plan: the whole signature lineage executed 3×).
+
+Salting keeps ONE consumer of the bands table and changes only the
+execution strategy: a bucket of width ``w`` splits into
+``nsub = ceil(w / max_width)`` salt groups; each row fans out to its
+``nsub`` pair-groups ``(min(salt, o), max(salt, o))``. Same-salt pairs are
+emitted only in the diagonal group ``(s, s)``, cross-salt pairs in exactly
+one off-diagonal group — every unordered pair exactly once, so the emitted
+pair set is IDENTICAL to the uncapped version and DuckDB oracles need no
+cap mirroring. Narrow buckets (the LSH design case) get ``nsub = 1``: no
+fan-out, no extra rows, the round-1 fast path. Per-task arrays are bounded
+by ~2·``max_width`` regardless of corpus shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Target sub-bucket width: buckets at or below this expand in-task from one
+# collected array; wider buckets are salted into ceil(w / cap) groups. A
+# memory knob, not a semantic threshold — any setting emits the same pairs.
+# 512 bounds the transient per-group pair batch at ~C(512,2) ≈ 131k structs
+# (~16 MB); salting costs ~25% extra on a corpus wide enough to engage it
+# (measured on the 16-bit simhash band space), so the cap is set where
+# normal LSH corpora never pay it.
+LSH_MAX_BUCKET = 512
+
+_W = "_bucket_width"
+
+
+def bucket_pairs(
+    bands: DataFrame,
+    keys: list[str],
+    item: Column,
+    max_width: int = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """All unordered intra-bucket pairs of ``item``, as column ``p``
+    (struct with fields ``a`` < ``b`` in Spark struct order).
+
+    ``bands`` must hold one row per (bucket, item); ``keys`` name the
+    bucket columns. Two shuffles, both over the compact banded table: the
+    width window hash-partitions on ``keys``; the pair aggregation
+    partially collects map-side (rows of a bucket are co-located after the
+    window) and exchanges one array per (bucket, salt-group). The
+    signature lineage feeding ``bands`` executes once.
+    """
+    sized = bands.withColumn("it", item).withColumn(
+        _W, F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    nsub = F.ceil(F.col(_W) / F.lit(max_width)).cast("int")
+    salt = F.pmod(F.xxhash64("it"), nsub).cast("int")
+    sub = (
+        sized.withColumn("_nsub", nsub)
+        .withColumn("_salt", salt)
+        .select(
+            *keys,
+            "_salt",
+            F.struct(F.col("it"), F.col("_salt").alias("s")).alias("m"),
+            F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1)).alias("_o"),
+        )
+        .select(
+            *keys,
+            F.least("_salt", "_o").alias("_gi"),
+            F.greatest("_salt", "_o").alias("_gj"),
+            "m",
+        )
+    )
+    grouped = (
+        sub.groupBy(*keys, "_gi", "_gj")
+        .agg(F.array_sort(F.collect_set("m")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    # Diagonal groups hold one salt's members → triangular expansion (every
+    # same-salt pair once). Off-diagonal groups emit ONLY cross-salt pairs —
+    # |la|×|lb| generated directly, so no within-salt pair is ever built
+    # just to be filtered (that waste measured ~2× on a wide-bucket corpus).
+    tri = F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda b: F.struct(a.alias("ma"), b.alias("mb")),
+            ),
+        )
+    )
+    la = F.filter(ids, lambda m: m["s"] == F.col("_gi"))
+    lb = F.filter(ids, lambda m: m["s"] == F.col("_gj"))
+    cross = F.flatten(
+        F.transform(
+            la,
+            lambda a: F.transform(
+                lb,
+                lambda b: F.when(
+                    a["it"] < b["it"], F.struct(a.alias("ma"), b.alias("mb"))
+                ).otherwise(F.struct(b.alias("ma"), a.alias("mb"))),
+            ),
+        )
+    )
+    expanded = F.when(F.col("_gi") == F.col("_gj"), tri).otherwise(cross)
+    return grouped.select(F.explode(expanded).alias("q")).select(
+        F.struct(F.col("q.ma.it").alias("a"), F.col("q.mb.it").alias("b")).alias("p")
+    )
+
+
+def bucket_width_stats(bands: DataFrame, keys: list[str]) -> DataFrame:
+    """Ops/audit view of the bucket-width distribution feeding
+    :func:`bucket_pairs` — how much of the corpus salts at the current
+    cap."""
+    widths = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("width"))
+    return widths.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("width").alias("max_width"),
+        F.sum(F.when(F.col("width") > LSH_MAX_BUCKET, 1).otherwise(0)).alias(
+            "n_over_cap"
+        ),
+    )

@@ -26,6 +26,7 @@ from tfm_taxitrips_spark.functions.text import (
     token_count,
     tokens,
 )
+from tfm_taxitrips_spark.operators.pairs import bucket_pairs
 from tfm_taxitrips_spark.operators.partitioning import fan_out
 from tfm_taxitrips_spark.queries.registry import QuerySpec
 from tfm_taxitrips_spark.sources.readers import table
@@ -283,29 +284,13 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
         "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.bh").alias("bh")
     )
-    # Bucket-group instead of self-join: a self-join would execute the whole
-    # signature pipeline once per side (no exchange reuse across join inputs),
-    # and at corpus scale would shuffle the bands table twice. Grouping on the
-    # bucket key shuffles it once, and pair generation happens inside each
-    # bucket's (small, by LSH design) doc_id array.
-    buckets = (
-        bands.groupBy("band_id", "bh")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    ids = F.col("ids")
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda a, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.greatest(F.size(ids) - i - 1, F.lit(0))),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-            ),
-        )
-    )
+    # Bucket-group instead of self-join for narrow buckets (one shuffle, no
+    # double execution of the signature pipeline); buckets wider than
+    # LSH_MAX_BUCKET take a co-partitioned self-join so a degenerate corpus
+    # can't OOM a single task — see operators/pairs.bucket_pairs.
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        bucket_pairs(bands, ["band_id", "bh"], F.col("doc_id"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
 
@@ -415,9 +400,10 @@ _SIMHASH_BANDS = 4  # 16 bits → 4 nibbles; hamming ≤ 3 ⟹ ≥1 identical ni
 def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: pigeonhole on 4-bit bands (a pair
     within hamming ≤ {SIMHASH_HAMMING_MAX} must share a nibble), exact
-    hamming check via bit_count(xor) on candidates only. Same
-    bucket-group shape as the MinHash-LSH pairs — one shuffle, no
-    self-join, no all-pairs."""
+    hamming check via bit_count(xor) on candidates only. Same bounded
+    bucket→pair shape as the MinHash-LSH pairs (operators/pairs): one
+    shuffle, narrow buckets expand in-task, wide buckets (the norm for a
+    16-value band space) distribute via co-partitioned self-join."""
     sig = q_simhash(spark, sf_dir)
     bands = sig.select(
         F.struct("doc_id", "simhash16").alias("d"),
@@ -435,22 +421,11 @@ def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("d", F.col("band.band_id").alias("band_id"), F.col("band.bv").alias("bv"))
-    buckets = (
-        bands.groupBy("band_id", "bv")
-        .agg(F.array_sort(F.collect_set("d")).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    ids = F.col("ids")
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda a, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.greatest(F.size(ids) - i - 1, F.lit(0))),
-                lambda b: F.struct(a.alias("a"), b.alias("b")),
-            ),
-        )
-    )
-    exploded = buckets.select(F.explode(pairs).alias("p")).select(
+    # A 16-bit simhash has only 16 values per nibble band, so wide buckets
+    # are the NORM here, not a degeneracy (sf0.1 already hits width 2081);
+    # bucket_pairs routes them through the distributed self-join branch
+    # instead of collecting one giant array per band value.
+    exploded = bucket_pairs(bands, ["band_id", "bv"], F.col("d")).select(
         F.col("p.a.doc_id").alias("doc_a"),
         F.col("p.b.doc_id").alias("doc_b"),
         F.bit_count(
