@@ -63,6 +63,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "simhash_dup_pairs",        # bucket-width cap added this round
     "embedding_dup_pairs",      # shares the LSH-bucket pair path
     "ann_bruteforce",           # probe-cap guard added this round
+    "taxi_clean_csv",           # NEW this round: dirty-CSV ingest oracle
     "flagship_view",            # headline query — keep a standing row
     "rollup_family",            # heaviest bench query — keep a standing row
 )

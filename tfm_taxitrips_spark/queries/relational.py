@@ -728,7 +728,96 @@ FROM lineitem GROUP BY 1
 """
 
 
+_TAXI_FIXTURE = __file__.rsplit("/", 3)[0] + "/tests/fixtures/taxi_trips_dirty.csv"
+
+_CSV_COLS = (
+    "trip_id", "taxi_id", "trip_start_timestamp", "trip_end_timestamp",
+    "trip_seconds", "trip_miles", "pickup_census_tract", "dropoff_census_tract",
+    "pickup_community_area", "dropoff_community_area", "fare", "tips", "tolls",
+    "extras", "trip_total", "payment_type", "company",
+    "pickup_centroid_latitude", "pickup_centroid_longitude",
+    "pickup_centroid_location", "dropoff_centroid_latitude",
+    "dropoff_centroid_longitude", "dropoff_centroid_location",
+)
+
+
+def q_taxi_clean_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 + F2 + P3-P6 end-to-end on dirty CSV: the reference's front door
+    (/root/reference/IngestHistoricTrips.py:66-97) — $-money with commas,
+    12-hour AM/PM timestamps, empty tracts, malformed rows under
+    DROPMALFORMED — through ``read_trips_csv`` → ``clean_trips``.
+
+    Reads the checked-in fixture ``tests/fixtures/taxi_trips_dirty.csv``
+    (regenerate with ``tests.taxi_fixtures.write_trips_csv(make_trips(400,
+    seed=42), path, malformed=3)``); independent of ``sf_dir`` because the
+    driver's star tables carry no dirty-CSV surface.
+    """
+    from tfm_taxitrips_spark.operators.cleaning import clean_trips
+    from tfm_taxitrips_spark.sources.readers import read_trips_csv
+
+    # same UTC pin as readers.table: the driver's vanilla session inherits
+    # the host timezone; AM/PM parsing + year()/month() must stay aligned
+    # with DuckDB's naive timestamps.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return clean_trips(read_trips_csv(spark, _TAXI_FIXTURE))
+
+
+def _taxi_clean_sql() -> str:
+    money = "try_cast(regexp_replace({c}, '[$,)]', '', 'g') AS DOUBLE) AS {c}"
+    ts = "try_strptime({c}, '%m/%d/%Y %I:%M:%S %p') AS {c}"
+    names = ", ".join(f"'{c}'" for c in _CSV_COLS)
+    return f"""
+WITH raw AS (
+  SELECT * FROM read_csv('{_TAXI_FIXTURE}',
+    header = true, all_varchar = true, names = [{names}])
+),
+typed AS (
+  SELECT trip_id, taxi_id,
+         {ts.format(c='trip_start_timestamp')},
+         {ts.format(c='trip_end_timestamp')},
+         try_cast(trip_seconds AS INTEGER) AS trip_seconds,
+         try_cast(trip_miles AS DOUBLE) AS trip_miles,
+         pickup_census_tract, dropoff_census_tract,
+         try_cast(pickup_community_area AS INTEGER) AS pickup_community_area,
+         try_cast(dropoff_community_area AS INTEGER) AS dropoff_community_area,
+         {money.format(c='fare')}, {money.format(c='tips')},
+         {money.format(c='tolls')}, {money.format(c='extras')},
+         {money.format(c='trip_total')},
+         payment_type, company,
+         pickup_centroid_latitude, pickup_centroid_longitude,
+         pickup_centroid_location, dropoff_centroid_latitude,
+         dropoff_centroid_longitude, dropoff_centroid_location,
+         -- raw copies for the DROPMALFORMED mirror below
+         trip_start_timestamp AS _r_start, trip_end_timestamp AS _r_end,
+         trip_seconds AS _r_secs, trip_miles AS _r_miles,
+         pickup_community_area AS _r_pca, dropoff_community_area AS _r_dca
+  FROM raw
+)
+SELECT trip_id, taxi_id, trip_start_timestamp, trip_end_timestamp,
+       trip_seconds, trip_miles, pickup_census_tract, dropoff_census_tract,
+       pickup_community_area, dropoff_community_area, fare, tips, tolls,
+       extras, trip_total, payment_type, company,
+       pickup_centroid_latitude, pickup_centroid_longitude,
+       pickup_centroid_location, dropoff_centroid_latitude,
+       dropoff_centroid_longitude, dropoff_centroid_location,
+       CAST(year(trip_start_timestamp) AS INT) AS year,
+       CAST(month(trip_start_timestamp) AS INT) AS month
+FROM typed
+WHERE (_r_start IS NULL OR trip_start_timestamp IS NOT NULL)
+  AND (_r_end   IS NULL OR trip_end_timestamp   IS NOT NULL)
+  AND (_r_secs  IS NULL OR trip_seconds  IS NOT NULL)
+  AND (_r_miles IS NULL OR trip_miles    IS NOT NULL)
+  AND (_r_pca   IS NULL OR pickup_community_area  IS NOT NULL)
+  AND (_r_dca   IS NULL OR dropoff_community_area IS NOT NULL)
+"""
+
+
+_TAXI_CLEAN_SQL = _taxi_clean_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "taxi_clean_csv": QuerySpec(q_taxi_clean_csv, _TAXI_CLEAN_SQL,
+                                tags=("S1", "F2", "P3", "P4", "P5", "P6")),
     "flagship_view": QuerySpec(q_flagship_view, _FLAGSHIP_SQL, bench=True,
                                tags=("A3", "J1", "A1", "P5")),
     "salted_skew_agg": QuerySpec(q_salted_skew_agg, _SALTED_SQL, tags=("A3", "skew")),
