@@ -141,6 +141,8 @@ def main() -> None:
         .outputMode("complete").trigger(availableNow=True).start()
     )
     wq.awaitTermination(30)
+    wq.stop()  # never let a straggling warmup batch run beside timed queries
+    spark.catalog.dropTempView("bench_warm_stream")
 
     timings: dict[str, float] = {}
     for name in sorted(specs):

@@ -107,10 +107,19 @@ def test_range_join_avoids_nested_loop(spark, sf_smoke):
 
 
 def test_ann_broadcasts_queries(spark, sf_smoke):
-    """The probe set must broadcast; the store is never shuffled."""
+    """Brute force: the probe set must broadcast and the store is never
+    shuffled. The BroadcastNestedLoopJoin is the documented, intended plan
+    for this exact-baseline path (capped by MAX_PROBE_VECS); the scale
+    paths (LSH) must instead plan an equi join on the bucket key."""
+    from tfm_taxitrips_spark.queries.vectors import q_ann_lsh
+
     plan = explain_formatted(q_ann_bruteforce(spark, sf_smoke))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+    lsh_plan = explain_formatted(q_ann_lsh(spark, sf_smoke))
+    assert "BroadcastHashJoin" in lsh_plan
+    assert "BroadcastNestedLoopJoin" not in lsh_plan
 
 
 def test_flagship_dedup_exchange_is_key_aligned(spark, sf_smoke):
@@ -120,6 +129,13 @@ def test_flagship_dedup_exchange_is_key_aligned(spark, sf_smoke):
     import re
 
     plan = explain_formatted(q_flagship_view(spark, sf_smoke))
-    for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
-        cols = [c for c in args.split(",") if "#" in c]
-        assert len(cols) <= 6, f"wide exchange re-appeared: {args}"
+    for m in re.finditer(r"hashpartitioning\(", plan):
+        # balanced-paren scan: partitioning expressions may nest parens
+        # (e.g. cast(x as int)), so a non-greedy regex would undercount
+        depth, i = 1, m.end()
+        while depth and i < len(plan):
+            depth += {"(": 1, ")": -1}.get(plan[i], 0)
+            i += 1
+        args = plan[m.end() : i - 1]
+        n_cols = len(re.findall(r"#\d+", args))
+        assert n_cols <= 6, f"wide exchange re-appeared: {args}"

@@ -13,7 +13,11 @@ Algorithm: iterative min-label propagation. Every node starts labeled with
 its own id; each round, a node takes the minimum of its label and its
 neighbors' labels. Labels are monotonically non-increasing, so the SUM of
 all labels strictly decreases until the fixpoint — one cheap scalar action
-per round decides convergence without a change-count join.
+per round decides convergence without a change-count join. The sum is
+taken in DECIMAL(38,0): 60-bit hash-derived node ids (the norm for a real
+corpus) overflow a signed-64 sum at ~8 nodes, which under ANSI mode would
+throw and with ANSI off could in principle wrap around to a false
+fixpoint.
 
 Scale properties (100 TB corpus):
 
@@ -31,12 +35,18 @@ Scale properties (100 TB corpus):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    strict: bool = True,
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the minimum
     node id reachable from it (= a canonical cluster id).
@@ -44,6 +54,11 @@ def connected_components(
     Returns a DataFrame ``(node BIGINT, comp BIGINT)`` with one row per
     distinct node appearing in ``edges``. Nodes in no edge are absent (a
     doc with no dup candidate is trivially its own cluster).
+
+    If the fixpoint is not reached within ``max_iter`` rounds (component
+    diameter > max_iter), partially-propagated labels are WRONG — raise by
+    default rather than return them; ``strict=False`` downgrades to a
+    warning for exploratory use.
     """
     e = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
@@ -58,8 +73,10 @@ def connected_components(
         .select(F.col("u").alias("node"), F.least("u", "mv").alias("comp"))
         .localCheckpoint()
     )
-    prev = labels.agg(F.sum("comp")).first()[0]
+    _label_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
+    prev = labels.agg(_label_sum).first()[0]
 
+    converged = False
     for _ in range(max_iter):
         # propagate: each node offers its label to every neighbor
         offers = sym.join(labels, sym.u == labels.node).select(
@@ -71,8 +88,18 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()
         )
-        cur = labels.agg(F.sum("comp")).first()[0]
+        cur = labels.agg(_label_sum).first()[0]
         if cur == prev:  # labels only decrease; equal sum ⟺ fixpoint
+            converged = True
             break
         prev = cur
+    if not converged:
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter}"
+            " rounds; labels are partially propagated (component diameter"
+            " exceeds max_iter)"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, stacklevel=2)
     return labels

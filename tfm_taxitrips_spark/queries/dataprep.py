@@ -225,9 +225,12 @@ def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the incremental path the reference lacks (it overwrites whole
     per-year views, /root/reference/TransformTaxiTrips.py:115-119). Scale
-    note: the anti join broadcasts the change-batch *keys* (a change batch
-    is small relative to base), so the base table is never shuffled; with a
-    bucketed base table the merge is shuffle-free entirely.
+    note: the join strategy is left to Catalyst/AQE on purpose — a change
+    batch that fits ``autoBroadcastJoinThreshold`` broadcasts its keys (the
+    base is never shuffled); one that doesn't (this query's deterministic
+    10%-of-base batch at 100 TB would) correctly falls back to a shuffled
+    anti join. A forced broadcast hint here would OOM at scale. With a
+    bucketed base table the fallback is shuffle-free too.
     """
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
     base = table(spark, sf_dir, "orders").select(*cols)
@@ -237,7 +240,7 @@ def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = base.where(is_chg).withColumn("o_orderstatus", F.lit("U"))
     merged = base.join(
-        F.broadcast(changes.select("o_orderkey")), "o_orderkey", "left_anti"
+        changes.select("o_orderkey"), "o_orderkey", "left_anti"
     ).unionByName(changes)
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),

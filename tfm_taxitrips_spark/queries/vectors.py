@@ -26,6 +26,14 @@ from tfm_taxitrips_spark.sources.readers import table
 N_QUERY_VECS = 5  # vec_id < 5 are the probe queries
 TOP_K = 10
 
+#: Hard cap on the brute-force probe batch. The `vec_id != qid` join has no
+#: equi key, so Catalyst plans a BroadcastNestedLoopJoin — O(|store|·|probes|)
+#: work and a broadcast of the probe set. That is the INTENDED plan for the
+#: exact baseline / rerank path, and it only stays sane while the probe
+#: batch is tiny; a large probe set would silently turn it into a cartesian
+#: scan. Larger batches belong on the bucketed paths (q_ann_lsh / q_ann_ivf).
+MAX_PROBE_VECS = 64
+
 
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 norms — the array-fold primitive in isolation."""
@@ -43,7 +51,18 @@ FROM embeddings
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast the query set, rank candidates per
-    query. At scale this is one pass over the store per query batch."""
+    query. At scale this is one pass over the store per query batch.
+
+    This is the oracle/rerank path ONLY: the deliberate
+    BroadcastNestedLoopJoin (see MAX_PROBE_VECS) is exact but scales as
+    |store| × |probes|; recall-bounded large-batch serving goes through
+    the LSH/IVF bucket equi-joins instead. Plan pinned by
+    tests/test_plans.py::test_ann_broadcasts_queries."""
+    if N_QUERY_VECS > MAX_PROBE_VECS:
+        raise ValueError(
+            f"brute-force probe batch {N_QUERY_VECS} exceeds MAX_PROBE_VECS="
+            f"{MAX_PROBE_VECS}; use q_ann_lsh/q_ann_ivf for large batches"
+        )
     # norms are computed ONCE per row before the join (store side) / per
     # query (broadcast side): the per-pair work is a single dot fold, not
     # three. Same doubles as cosine() — dot/(n_q*n_e) is the identical
