@@ -73,6 +73,70 @@ def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
     assert second == first, "late row must not re-emit or alter the finalized window"
 
 
+def test_stream_topk_serving_updates_across_batches(spark, tmp_path):
+    """The serving upsert must refresh windows UPDATED by later batches
+    (update mode + dynamic partition overwrite) and the final view must
+    equal the batch rollup's top-k — batch-stream parity for the Superset
+    ORDER BY...LIMIT layer."""
+    from tfm_taxitrips_spark.streaming.serving import (
+        run_topk_serving,
+        topk_view,
+    )
+
+    src_dir = str(tmp_path / "src")
+    serving = str(tmp_path / "serving")
+    chk = str(tmp_path / "chk")
+
+    # batch 1: two windows; batch 2 UPDATES the 10:00 window and adds 10:30
+    b1 = [
+        _event(1, "2024-01-01 10:01:00", value=5.0),
+        _event(2, "2024-01-01 10:16:00", value=3.0),
+    ]
+    b2 = [
+        _event(3, "2024-01-01 10:05:00", value=4.0),
+        _event(4, "2024-01-01 10:31:00", value=1.0),
+    ]
+    _drop(f"{src_dir}/b1.json", b1)
+    _drop(f"{src_dir}/b2.json", b2)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")  # force two micro-batches
+        .json(src_dir)
+    )
+    rolled = windowed_rollup(stream, ts_col="ts", dims=("event_type",))
+    run_topk_serving(rolled, serving, chk)
+
+    got = {
+        (r.window_start.strftime("%H:%M"), r.n_events, r.total_value)
+        for r in topk_view(spark, serving, 10).collect()
+    }
+    # 10:00 window reflects BOTH batches (the upsert replaced batch 1's row)
+    assert got == {
+        ("10:00", 2, 9.0),
+        ("10:15", 1, 3.0),
+        ("10:30", 1, 1.0),
+    }
+
+    # serving table is partitioned by window id — the upsert unit
+    parts = {p for p in os.listdir(serving) if p.startswith("window_id=")}
+    assert len(parts) == 3
+
+
+def test_stream_topk_view_plans_take_ordered(spark, tmp_path):
+    """The serving read must plan TakeOrderedAndProject (no global sort)."""
+    from tfm_taxitrips_spark.streaming.serving import topk_view, upsert_to_serving
+
+    serving = str(tmp_path / "serving")
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00", "click", 1, 2.0)],
+        "window_start string, event_type string, n_events bigint, total_value double",
+    ).withColumn("window_start", F.to_timestamp("window_start"))
+    upsert_to_serving(serving)(df, 0)
+    plan = topk_view(spark, serving, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_stateful_sessionize_carries_state_across_batches(spark, tmp_path):
     """applyInPandasWithState sessionization: per-user (last_us, counter)
     state must survive the micro-batch boundary — a second batch within the

@@ -64,6 +64,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "embedding_dup_pairs",      # shares the LSH-bucket pair path
     "ann_bruteforce",           # probe-cap guard added this round
     "taxi_clean_csv",           # NEW this round: dirty-CSV ingest oracle
+    "stream_topk",              # NEW this round: streaming serving view
     "flagship_view",            # headline query — keep a standing row
     "rollup_family",            # heaviest bench query — keep a standing row
 )

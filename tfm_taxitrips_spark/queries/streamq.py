@@ -168,7 +168,44 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+STREAM_TOPK_K = 20
+
+
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k serving view — the reference's Superset
+    ``ORDER BY ... LIMIT`` over the Druid rollup
+    (/root/reference/README.md:10-11), owned natively: update-mode windowed
+    rollup → foreachBatch dynamic-partition upsert into a parquet serving
+    table → TakeOrderedAndProject top-k read (streaming/serving.py)."""
+    import tempfile
+
+    from tfm_taxitrips_spark.streaming.serving import (
+        run_topk_serving,
+        topk_view,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    rolled = windowed_rollup(stream)
+    base = tempfile.mkdtemp(prefix="tfm_serving_")
+    run_topk_serving(rolled, f"{base}/table", f"{base}/chk")
+    return topk_view(spark, f"{base}/table", STREAM_TOPK_K)
+
+
+_STREAM_TOPK_SQL = f"""
+WITH rolled AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+         event_type, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT * FROM rolled
+ORDER BY total_value DESC, window_start ASC, event_type ASC
+LIMIT {STREAM_TOPK_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_topk": QuerySpec(q_stream_topk, _STREAM_TOPK_SQL,
+                             tags=("streaming", "topk", "serving")),
     "stream_window_rollup": QuerySpec(q_stream_window_rollup, _STREAM_ROLLUP_SQL,
                                       bench=True, tags=("A5", "S5", "streaming")),
     "stream_stream_join": QuerySpec(q_stream_stream_join, _STREAM_STREAM_SQL,
