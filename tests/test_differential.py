@@ -59,6 +59,20 @@ def test_grading_window_rotation():
     assert never_graded <= window, sorted(never_graded - window)
 
 
+def test_nanos_toggle_mixed_batch_stream_reads(spark, sf_smoke):
+    """readers.table / read_events_stream set the session-global
+    ``nanosAsLong`` toggle at the read seam. A session that interleaves a
+    STREAMING events read, a BATCH events read, and a batch read of a
+    non-events timestamp table must stay oracle-correct — the toggle only
+    affects NANOS-typed parquet, which events alone is."""
+    from tests.oracle import compare
+
+    for name in ("stream_window_rollup", "windowed_agg_batch", "date_parts"):
+        spec = _ALL[name]
+        compare(spec.fn(spark, sf_smoke), spec.oracle, sf_smoke, name=name)
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+
+
 def test_date_queries_survive_non_utc_session(spark, sf_smoke):
     """The grading driver's session inherits the HOST timezone; table()
     pins UTC at the read seam so year()/date_trunc() stay aligned with

@@ -133,6 +133,30 @@ def write_stream_foreach_batch(
     return writer.start()
 
 
+def kafka_payload(df: DataFrame, key_col: str = "taxi_id") -> DataFrame:
+    """The reference's Kafka wire projection: key = CAST(<key_col> AS
+    STRING), value = to_json(struct(*))
+    (/root/reference/StreamingTaxiTrips.py:144-146). Pure projection —
+    testable on a batch frame without a broker."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct("*")).alias("value"),
+    )
+
+
+def kafka_sink_options(brokers: str, topic: str, checkpoint: str) -> dict[str, str]:
+    """The exact option map of the reference's Kafka sink
+    (/root/reference/StreamingTaxiTrips.py:147-153) — note the checkpoint
+    is PER SINK, never shared across queries."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
 def write_kafka_stream(
     df: DataFrame,
     brokers: str,
@@ -142,17 +166,10 @@ def write_kafka_stream(
 ) -> StreamingQuery:
     """K3 — streaming Kafka sink: key=<key_col>, value=to_json(struct(*))
     (/root/reference/StreamingTaxiTrips.py:144-153)."""
-    from pyspark.sql import functions as F
-
-    payload = df.select(
-        F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct("*")).alias("value"),
-    )
     return (
-        payload.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
+        kafka_payload(df, key_col)
+        .writeStream.format("kafka")
+        .options(**kafka_sink_options(brokers, topic, checkpoint))
         .outputMode("append")
         .start()
     )

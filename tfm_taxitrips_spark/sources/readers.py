@@ -121,6 +121,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Spark's microsecond timestamp. Queries only consume ``ts`` through
     coarse (15-minute) event-time buckets, so the truncation is
     semantics-preserving.
+
+    SESSION-CONF INVARIANT (this seam and streaming.pipeline
+    .read_events_stream are the only two writers of it):
+    ``spark.sql.legacy.parquet.nanosAsLong`` is a session-global toggle —
+    there is no per-read option for it — so every engine path that touches
+    ``events`` must (a) set it and (b) convert nanos → micros itself, which
+    both seams do identically. It is safe to leave on for the rest of the
+    session because ``events`` is the only NANOS-typed table and the
+    toggle does not affect micro-precision parquet. Mixed same-session
+    batch + stream reads are pinned by
+    tests/test_differential.py::test_nanos_toggle_mixed_batch_stream_reads.
     """
     # pin the session to UTC: the driver's vanilla session inherits the
     # HOST timezone, and a non-UTC session would shift Spark's

@@ -14,6 +14,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def kafka_source_options(
+    brokers: str,
+    topic: str,
+    fail_on_data_loss: bool = False,
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The exact option map of the reference's Kafka source
+    (/root/reference/StreamingTaxiTrips.py:79-86: subscribe +
+    failOnDataLoss=False), factored out so the broker-gated reader's
+    surface is assertable without a broker
+    (tests/test_kafka_surface.py)."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def read_kafka_stream(
     spark: SparkSession,
     brokers: str,
@@ -29,14 +50,9 @@ def read_kafka_stream(
     Requires the spark-sql-kafka package on the classpath; tests use
     :func:`read_json_file_stream` instead.
     """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("failOnDataLoss", str(fail_on_data_loss).lower())
+    reader = spark.readStream.format("kafka").options(
+        **kafka_source_options(brokers, topic, fail_on_data_loss, max_offsets_per_trigger)
     )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     return reader.load().selectExpr(
         "CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value"
     )

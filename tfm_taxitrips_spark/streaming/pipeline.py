@@ -30,7 +30,11 @@ EVENTS_NANOS_SCHEMA = (
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table (file source stands in for Kafka,
-    SURVEY.md §2.1 S5). ``ts`` converted nanos → microsecond timestamp."""
+    SURVEY.md §2.1 S5). ``ts`` converted nanos → microsecond timestamp.
+
+    Sets the session-global ``nanosAsLong`` toggle — see the invariant
+    documented at :func:`tfm_taxitrips_spark.sources.readers.table` (the
+    batch twin of this seam)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = (
         spark.readStream.schema(EVENTS_NANOS_SCHEMA)
