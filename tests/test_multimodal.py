@@ -33,6 +33,29 @@ def test_empty_blob_edges(spark):
     assert frames[2].n_frames == 0 and frames[2].first_frame_md5 is None
 
 
+def test_audio_features_known_values_and_empty_edge(spark):
+    """Hand-computed stats on a tiny payload + the empty-blob edge the
+    oracle can't reach (documents has no empty text at the graded SFs)."""
+    import math
+
+    from tfm_taxitrips_spark.functions.multimodal import audio_features
+
+    # "aA A": bytes 97,65,32,65 → midline(128) never crossed; all < 128
+    df = spark.createDataFrame([(1, "aA A"), (2, "")], ["doc_id", "text"])
+    got = {r.doc_id: r for r in audio_features(attach_blob(df)).collect()}
+    a = got[1]
+    assert a.n_samples == 4
+    assert a.peak == 97
+    assert a.n_crossings == 0
+    assert a.n_silent_chunks == 0  # chunk peak 97 >= SILENCE_MAX
+    assert math.isclose(
+        a.rms, math.sqrt((97**2 + 65**2 + 32**2 + 65**2) / 4), rel_tol=1e-12
+    )
+    e = got[2]
+    assert (e.n_samples, e.rms, e.peak) == (0, None, None)
+    assert (e.n_crossings, e.n_silent_chunks) == (0, 0)
+
+
 def test_pandas_udf_cosine_agrees_with_fold(spark):
     """The Arrow pandas_udf cosine and the codegen fold cosine agree to
     1e-12 relative (different float association order, same math)."""

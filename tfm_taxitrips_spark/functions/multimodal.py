@@ -114,6 +114,56 @@ def resize_blobs(df: DataFrame, stride: int = RESIZE_STRIDE) -> DataFrame:
     return df.select("doc_id", "blob").mapInPandas(resize, schema=RESIZE_SCHEMA)
 
 
+#: output schema of audio_features
+AUDIO_SCHEMA = (
+    "doc_id bigint, n_samples bigint, rms double, peak int, "
+    "n_crossings bigint, n_silent_chunks int"
+)
+AUDIO_CHUNK = 128  # samples per VAD chunk
+AUDIO_MIDLINE = 128  # zero-crossing midline for unsigned 8-bit "samples"
+SILENCE_MAX = 48  # a chunk whose peak is below this is "silence"
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Audio-analysis analog over an opaque payload, treating bytes as
+    unsigned 8-bit PCM: RMS loudness, peak amplitude, zero-crossing count
+    (midline 128) and silent-chunk detection (the VAD slot — a real
+    pipeline decodes with soundfile/librosa inside these same workers,
+    see :func:`decode_image` for the stub pattern). Vectorized numpy over
+    Arrow batches; every stat is SQL-reproducible."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                s = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+                if s.size == 0:
+                    rows.append((doc_id, 0, None, None, 0, 0))
+                    continue
+                rms = float(np.sqrt((s * s).sum() / s.size))
+                hi = s >= AUDIO_MIDLINE
+                crossings = int((hi[1:] != hi[:-1]).sum())
+                n_chunks = (s.size + AUDIO_CHUNK - 1) // AUDIO_CHUNK
+                silent = sum(
+                    1
+                    for i in range(n_chunks)
+                    if s[i * AUDIO_CHUNK : (i + 1) * AUDIO_CHUNK].max() < SILENCE_MAX
+                )
+                rows.append(
+                    (doc_id, int(s.size), rms, int(s.max()), crossings, silent)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "rms", "peak",
+                    "n_crossings", "n_silent_chunks",
+                ],
+            )
+
+    return df.select("doc_id", "blob").mapInPandas(extract, schema=AUDIO_SCHEMA)
+
+
 def sample_blob_frames(df: DataFrame) -> DataFrame:
     """Frame sampling over an opaque payload: split into FRAME_BYTES chunks,
     keep every FRAME_STRIDE-th (video keyframe-sampling analog)."""

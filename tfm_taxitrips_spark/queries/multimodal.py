@@ -95,7 +95,51 @@ FROM documents
 """
 
 
+def q_blob_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-analysis analog (RMS / peak / zero crossings / silent chunks)
+    via mapInPandas + numpy — the loudness/VAD slot of a speech pipeline."""
+    from tfm_taxitrips_spark.functions.multimodal import audio_features
+
+    docs = attach_blob(table(spark, sf_dir, "documents"))
+    return audio_features(docs)
+
+
+def _audio_sql() -> str:
+    from tfm_taxitrips_spark.functions.multimodal import (
+        AUDIO_CHUNK,
+        AUDIO_MIDLINE,
+        SILENCE_MAX,
+    )
+
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(text, ''), c -> unicode(c)) AS s
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(s) AS BIGINT) AS n_samples,
+       CASE WHEN len(s) = 0 THEN NULL
+            ELSE sqrt(list_sum(list_transform(s, x -> CAST(x*x AS BIGINT)))
+                      / CAST(len(s) AS DOUBLE)) END AS rms,
+       CAST(list_max(s) AS INT) AS peak,
+       CAST(COALESCE(list_sum(list_transform(range(1, len(s)),
+            i -> CASE WHEN (s[i] >= {AUDIO_MIDLINE}) != (s[i+1] >= {AUDIO_MIDLINE})
+                      THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_crossings,
+       CAST(COALESCE(list_sum(list_transform(range(1, len(s) + 1, {AUDIO_CHUNK}),
+            i -> CASE WHEN list_max(list_slice(s, i, i + {AUDIO_CHUNK} - 1))
+                           < {SILENCE_MAX}
+                      THEN 1 ELSE 0 END)), 0) AS INT) AS n_silent_chunks
+FROM b
+"""
+
+
+_BLOB_AUDIO_SQL = _audio_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "blob_audio_features": QuerySpec(q_blob_audio_features, _BLOB_AUDIO_SQL,
+                                     tags=("multimodal", "audio")),
     "blob_metadata": QuerySpec(q_blob_metadata, _BLOB_META_SQL, tags=("multimodal",)),
     "blob_resize": QuerySpec(q_blob_resize, _BLOB_RESIZE_SQL, tags=("multimodal",)),
     "blob_features": QuerySpec(q_blob_features, _BLOB_FEATURES_SQL, tags=("multimodal",)),

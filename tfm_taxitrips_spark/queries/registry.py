@@ -52,6 +52,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "sequence_packing", "text_redact_pii",
     # -- multimodal: 4, never driver-graded ---------------------------------
     "blob_metadata", "blob_resize", "blob_features", "blob_frame_sample",
+    "blob_audio_features",  # NEW this round: audio-analysis analog
     # -- temporal: 3, never driver-graded -----------------------------------
     "event_range_join", "event_sessionization", "event_asof_join",
     # -- sketches: 2, never driver-graded -----------------------------------
