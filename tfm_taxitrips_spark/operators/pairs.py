@@ -81,8 +81,16 @@ def bucket_pairs(
             "m",
         )
     )
+    # Explicit repartition on the sub-group key: the bucket-key partitioning
+    # from the window already SATISFIES the groupBy's distribution (the
+    # group key is a superset), so without this Spark would elide the
+    # exchange and run every sub-group of a mega bucket in one task —
+    # memory-safe (bounded arrays, spilling agg) but CPU-skewed: the whole
+    # O(w²) expansion on one core. One extra shuffle of the compact banded
+    # rows buys cluster-wide distribution of the quadratic work.
     grouped = (
-        sub.groupBy(*keys, "_gi", "_gj")
+        sub.repartition(*keys, "_gi", "_gj")
+        .groupBy(*keys, "_gi", "_gj")
         .agg(F.array_sort(F.collect_set("m")).alias("ids"))
         .where(F.size("ids") > 1)
     )
