@@ -22,8 +22,10 @@ from tfm_taxitrips_spark.functions.text import (
     shingles,
     shingles_sql,
     token_count,
+    tokens,
 )
 from tfm_taxitrips_spark.operators.clustering import connected_components
+from tfm_taxitrips_spark.operators.partitioning import fan_out
 from tfm_taxitrips_spark.queries.registry import QuerySpec
 from tfm_taxitrips_spark.queries.text import (
     _MINHASH_LSH_SQL,
@@ -456,6 +458,115 @@ FROM t
 """
 
 
+# --------------------------------------------------------------------------
+# corpus-level exact-substring dedup (ExactSubstr / MassiveText style)
+# --------------------------------------------------------------------------
+
+_NGRAM_N = 8  # window width in words; MassiveText uses 50 tokens at web scale
+
+
+def q_corpus_ngram_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup: remove every word that sits
+    inside an 8-word window occurring verbatim in ≥2 distinct documents
+    (Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    Better" ExactSubstr; MassiveText §A.1.2 uses the same construction at
+    50 tokens). Emits per doc the surviving text plus dup-coverage stats —
+    the downstream filter typically drops docs above a coverage threshold
+    and keeps the cleaned text for the rest.
+
+    Scale design (the suffix-array of the paper is replaced by its
+    shuffle-native equivalent):
+    - windows are HASHED (``hash60``) before the shuffle — 8 bytes per
+      window on the wire instead of ~50 chars, at a collision risk of
+      2^-60 per pair (collisions only ever over-mark, never corrupt);
+    - duplicated-window detection is ONE map-side-combined groupBy on the
+      hash — never a self-join of the window stream;
+    - covered-position reassembly is doc-keyed: ``collect_set`` of covered
+      positions is bounded by document length (same bound as a MinHash
+      signature row), then a single in-row ``filter``/``transform``
+      rebuilds the cleaned text with no further shuffle;
+    - total: 3 exchanges (window-hash agg, candidate join-back, doc
+      regroup) + 1 doc-keyed join, each on a uniformly-hashed key — no
+      global sort, no driver collect, linear in corpus size.
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    base = docs.select("doc_id", tokens("text").alias("w"))
+    n_starts = F.size("w") - (_NGRAM_N - 1)
+    g = (
+        base.where(n_starts >= 1)
+        .select("doc_id", "w", F.explode(F.sequence(F.lit(1), n_starts)).alias("s"))
+        .select(
+            "doc_id",
+            "s",
+            hash60(F.concat_ws(" ", F.slice("w", F.col("s"), _NGRAM_N))).alias("h"),
+        )
+    )
+    dup = (
+        g.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("h")
+    )
+    cov = (
+        g.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("s"), F.col("s") + (_NGRAM_N - 1))).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("_cov"))
+    )
+    joined = base.join(cov, "doc_id", "left")
+    covc = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    keep = F.filter(
+        F.sequence(F.lit(1), F.size("w")),
+        lambda p: ~F.array_contains(covc, p),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("w").cast("int").alias("n_tokens"),
+        F.coalesce(F.size("_cov"), F.lit(0)).cast("int").alias("n_dup_tokens"),
+        (F.coalesce(F.size("_cov"), F.lit(0)).cast("double")
+         / F.size("w").cast("double")).alias("dup_frac"),
+        F.concat_ws(
+            " ", F.transform(keep, lambda p: F.element_at(F.col("w"), p))
+        ).alias("clean_text"),
+    )
+
+
+_CORPUS_NGRAM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id, s,
+         {hash60_sql(f"array_to_string(w[s:s+{_NGRAM_N - 1}], ' ')")} AS h
+  FROM t, unnest(range(1, len(w) - {_NGRAM_N - 2})) AS u(s)
+),
+dup AS (
+  SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT doc_id, s + i AS p
+  FROM g JOIN dup USING (h), unnest(range(0, {_NGRAM_N})) AS r(i)
+),
+ca AS (
+  SELECT doc_id, list(p) AS cl, COUNT(*) AS n_dup FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(w) AS INT) AS n_tokens,
+       CAST(COALESCE(ca.n_dup, 0) AS INT) AS n_dup_tokens,
+       CAST(COALESCE(ca.n_dup, 0) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dup_frac,
+       COALESCE(array_to_string(
+         list_transform(
+           list_filter(range(1, len(w) + 1),
+                       p -> ca.cl IS NULL OR NOT list_contains(ca.cl, p)),
+           p -> w[p]),
+         ' '), '') AS clean_text
+FROM t LEFT JOIN ca USING (doc_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_cluster_canonical": QuerySpec(
         q_dedup_cluster_canonical, _DEDUP_CLUSTER_SQL,
@@ -482,5 +593,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "text_redact_pii": QuerySpec(
         q_redact_pii, _REDACT_SQL, tags=("text", "pipeline"),
+    ),
+    "corpus_ngram_dedup": QuerySpec(
+        q_corpus_ngram_dedup, _CORPUS_NGRAM_SQL,
+        tags=("text", "dedup", "pipeline"),
     ),
 }

@@ -59,15 +59,20 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "hll_distinct_bounds", "quantile_sketch_bounds",
     # -- streaming: 1, never driver-graded ----------------------------------
     "stream_static_join",
-    # ---- 40 so far; remaining slots re-verify round-2-touched queries -----
+    # ---- 41 so far; remaining slots (window is 50) go to queries that are
+    # NEW or semantics-touched this round.  Rotated OUT to make room (all
+    # green in CORRECTNESS_r01 and unchanged semantically since):
+    # flagship_view, rollup_family, ann_bruteforce (round-2 change was an
+    # assertion guard only) — still pinned by tests/test_differential.py.
     "minhash_lsh_candidates",   # bucket-width cap added this round
     "simhash_dup_pairs",        # bucket-width cap added this round
     "embedding_dup_pairs",      # shares the LSH-bucket pair path
-    "ann_bruteforce",           # probe-cap guard added this round
     "taxi_clean_csv",           # NEW this round: dirty-CSV ingest oracle
     "stream_topk",              # NEW this round: streaming serving view
-    "flagship_view",            # headline query — keep a standing row
-    "rollup_family",            # heaviest bench query — keep a standing row
+    "window_lag_lead",          # NEW this round: offset window family
+    "hll_partitioned_union",    # NEW this round: mergeable-sketch union
+    "doc_repetition_stats",     # NEW this round: Gopher repetition signals
+    "corpus_ngram_dedup",       # NEW this round: ExactSubstr corpus dedup
 )
 
 

@@ -595,6 +595,46 @@ FROM monthly
 """
 
 
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline via offset window functions (§2.7):
+    days since the previous order (``lag``), the next order date
+    (``lead``), and an ``ntile(4)`` recency quartile — one shuffle on
+    ``o_custkey``, an in-partition sort, no self-join (the naive
+    formulation is an O(n²) self-join on adjacent rows).
+
+    Determinism: the window orders by ``(o_orderdate, o_orderkey)`` —
+    the unique tie-breaker makes lag/lead/ntile reproducible across
+    engines even when a customer places two orders the same day.
+    Scale: per-customer partitions are tiny (TPC-H ~10 orders/customer),
+    so the sort never spills; the single hash exchange on the partition
+    key is the floor for any offset-window computation.
+    """
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    od = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("order_date"),
+        F.datediff(od, F.lag(od).over(w)).alias("days_since_prev"),
+        F.lead("o_orderdate").over(w).alias("next_order_date"),
+        F.ntile(4).over(w).alias("order_quartile"),
+    )
+
+
+_LAG_LEAD_SQL = """
+SELECT o_custkey, o_orderkey,
+       o_orderdate AS order_date,
+       CAST(date_diff('day',
+                      lag(CAST(o_orderdate AS DATE)) OVER w,
+                      CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev,
+       lead(o_orderdate) OVER w AS next_order_date,
+       CAST(ntile(4) OVER w AS INT) AS order_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 _PIVOT_STATUSES = ("F", "O", "P")
 
 
@@ -847,6 +887,8 @@ QUERIES: dict[str, QuerySpec] = {
                                           tags=("pivot",)),
     "running_revenue": QuerySpec(q_running_revenue, _RUNNING_SQL,
                                  tags=("window", "frame")),
+    "window_lag_lead": QuerySpec(q_window_lag_lead, _LAG_LEAD_SQL,
+                                 tags=("window", "offset")),
     "anti_join": QuerySpec(q_anti_join, _ANTI_SQL, tags=("join",)),
     "semi_join": QuerySpec(q_semi_join, _SEMI_SQL, tags=("join",)),
     "windowed_agg_batch": QuerySpec(q_windowed_agg_batch, _WINDOWED_SQL, bench=True,

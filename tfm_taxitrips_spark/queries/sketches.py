@@ -88,9 +88,68 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABILITY contract that makes sketches the 100 TB path:
+    per-(event_type, day) DataSketches HLL states built once, then
+    ``hll_union_agg``-combined into a per-type distinct estimate WITHOUT
+    re-scanning the fact — the pattern for incremental rollups, where each
+    day's partition is sketched on arrival and historical totals are
+    re-derived from kilobyte states.
+
+    ``sum_daily_users`` (the naive re-aggregation: summing per-day distinct
+    counts) is emitted alongside to show why the union is needed — users
+    recur across days, so the sum overcounts; only the sketch union
+    deduplicates across partitions without the raw data.
+
+    Oracle strategy (module docstring): the estimate is engine-specific,
+    so the emitted column is the accuracy-contract boolean, computed
+    Spark-side against Spark's own exact distinct; the exact columns
+    hash-match DuckDB bit-for-bit.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("_sk"),
+        F.count_distinct("user_id").alias("_n_day"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est"),
+        F.sum("_n_day").cast("bigint").alias("sum_daily_users"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    # few event types — the merged side broadcasts
+    return exact.join(F.broadcast(merged), "event_type").select(
+        "event_type",
+        "n_users",
+        "sum_daily_users",
+        (F.abs(F.col("_est") - F.col("n_users"))
+         <= 0.05 * F.col("n_users")).alias("union_within_5pct"),
+    )
+
+
+_HLL_UNION_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         COUNT(DISTINCT user_id) AS n_day
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_type, e.n_users,
+       CAST(d.sum_daily_users AS BIGINT) AS sum_daily_users,
+       TRUE AS union_within_5pct
+FROM (SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1) e
+JOIN (SELECT event_type, SUM(n_day) AS sum_daily_users
+      FROM daily GROUP BY 1) d
+  ON e.event_type = d.event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "hll_distinct_bounds": QuerySpec(
         q_hll_distinct_bounds, _HLL_SQL, tags=("sketch", "A4")),
     "quantile_sketch_bounds": QuerySpec(
         q_quantile_sketch_bounds, _QUANTILE_SQL, tags=("sketch",)),
+    "hll_partitioned_union": QuerySpec(
+        q_hll_partitioned_union, _HLL_UNION_SQL, tags=("sketch", "merge", "A4")),
 }

@@ -538,7 +538,112 @@ FROM s GROUP BY 1, 2
 """
 
 
+def _top_gram_count(arr) -> F.Column:
+    """Highest occurrence count of any element of ``arr`` — the longest run
+    in the sorted array, via one ``aggregate`` fold.
+
+    Deliberately NOT explode + groupBy(doc, gram) + max: that is two
+    corpus-sized shuffles keyed by (doc, gram). Documents are row-bounded,
+    so an O(L log L) in-row fold keeps the whole query shuffle-FREE — at
+    100 TB this is a pure map job that scales linearly with input splits.
+    (For pathological multi-GB single documents the explode form would be
+    the fallback; corpus docs are capped far below that.)
+    """
+    s = F.array_sort(arr)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(s, zero, step, lambda acc: acc["best"])
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", table A1): the occurrence fraction of the
+    most frequent word 2-gram / 3-gram, and a ``repetitive`` flag at the
+    paper's 0.20 / 0.18 thresholds. Boilerplate-heavy or looping docs
+    (nav bars, keyword stuffing, decoding loops) score high and get
+    filtered before training.
+
+    Zero-shuffle design: see :func:`_top_gram_count`.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bi, tri = shingles("text", 2), shingles("text", 3)
+
+    def frac(top, n):
+        return F.when(
+            n >= 1, top.cast("double") / n.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    n_bi, n_tri = F.size(bi), F.size(tri)
+    top_bi, top_tri = _top_gram_count(bi), _top_gram_count(tri)
+    bi_frac, tri_frac = frac(top_bi, n_bi), frac(top_tri, n_tri)
+    return docs.select(
+        "doc_id",
+        n_bi.alias("n_bigrams"),
+        top_bi.alias("top_bigram_n"),
+        bi_frac.alias("top_bigram_frac"),
+        n_tri.alias("n_trigrams"),
+        top_tri.alias("top_trigram_n"),
+        tri_frac.alias("top_trigram_frac"),
+        ((bi_frac > 0.20) | (tri_frac > 0.18)).alias("repetitive"),
+    )
+
+
+_DOC_REPETITION_SQL = f"""
+WITH bg AS (
+  SELECT doc_id, unnest({shingles_sql('text', 2)}) AS g FROM documents
+),
+tg AS (
+  SELECT doc_id, unnest({shingles_sql('text', 3)}) AS g FROM documents
+),
+bc AS (
+  SELECT doc_id, MAX(c) AS top_bg FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1
+),
+tc AS (
+  SELECT doc_id, MAX(c) AS top_tg FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2) GROUP BY 1
+),
+base AS (
+  SELECT doc_id,
+         CAST(len({shingles_sql('text', 2)}) AS INT) AS n_bigrams,
+         CAST(len({shingles_sql('text', 3)}) AS INT) AS n_trigrams
+  FROM documents
+)
+SELECT b.doc_id, b.n_bigrams,
+       CAST(COALESCE(bc.top_bg, 0) AS INT) AS top_bigram_n,
+       CASE WHEN b.n_bigrams >= 1
+            THEN CAST(COALESCE(bc.top_bg, 0) AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+            ELSE 0.0 END AS top_bigram_frac,
+       b.n_trigrams,
+       CAST(COALESCE(tc.top_tg, 0) AS INT) AS top_trigram_n,
+       CASE WHEN b.n_trigrams >= 1
+            THEN CAST(COALESCE(tc.top_tg, 0) AS DOUBLE) / CAST(b.n_trigrams AS DOUBLE)
+            ELSE 0.0 END AS top_trigram_frac,
+       (CASE WHEN b.n_bigrams >= 1
+             THEN CAST(COALESCE(bc.top_bg, 0) AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+             ELSE 0.0 END > 0.20
+        OR
+        CASE WHEN b.n_trigrams >= 1
+             THEN CAST(COALESCE(tc.top_tg, 0) AS DOUBLE) / CAST(b.n_trigrams AS DOUBLE)
+             ELSE 0.0 END > 0.18) AS repetitive
+FROM base b
+LEFT JOIN bc ON b.doc_id = bc.doc_id
+LEFT JOIN tc ON b.doc_id = tc.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_repetition_stats": QuerySpec(q_doc_repetition, _DOC_REPETITION_SQL,
+                                      tags=("text", "quality", "gopher")),
     "training_data_mix": QuerySpec(q_training_mix, _TRAINING_MIX_SQL, bench=True,
                                    tags=("text", "dedup", "sample", "pipeline")),
     "text_token_count": QuerySpec(q_token_count, _TOKEN_COUNT_SQL, tags=("text",)),
