@@ -139,3 +139,48 @@ def test_flagship_dedup_exchange_is_key_aligned(spark, sf_smoke):
         args = plan[m.end() : i - 1]
         n_cols = len(re.findall(r"#\d+", args))
         assert n_cols <= 6, f"wide exchange re-appeared: {args}"
+
+
+def test_doc_repetition_is_shuffle_free(spark, sf_smoke):
+    """doc_repetition_stats claims zero-shuffle (in-row fold instead of
+    explode + groupBy) — the plan must contain no Exchange at all."""
+    from tfm_taxitrips_spark.queries.text import q_doc_repetition
+
+    plan = explain_formatted(q_doc_repetition(spark, sf_smoke))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_window_lag_lead_single_exchange(spark, sf_smoke):
+    """Offset windows need exactly one hash exchange (the partition key);
+    a second would mean a self-join formulation sneaked in."""
+    from tfm_taxitrips_spark.queries.relational import q_window_lag_lead
+
+    import re
+
+    plan = explain_formatted(q_window_lag_lead(spark, sf_smoke))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_corpus_ngram_dedup_no_pair_blowup(spark, sf_smoke):
+    """ExactSubstr dedup must stay equi-keyed end-to-end: no nested-loop
+    or cartesian join anywhere, and the dup-window detection is a
+    two-level (map-side partial) aggregate on the window hash."""
+    from tfm_taxitrips_spark.queries.dataprep import q_corpus_ngram_dedup
+
+    plan = explain_formatted(q_corpus_ngram_dedup(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # count_distinct(doc_id) per hash: partial + final HashAggregate pairs
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_hll_union_broadcasts_merged_side(spark, sf_smoke):
+    """The sketch-union side aggregates to one row per event_type — it
+    must broadcast into the exact-count join, never shuffle it."""
+    from tfm_taxitrips_spark.queries.sketches import q_hll_partitioned_union
+
+    plan = explain_formatted(q_hll_partitioned_union(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -13,7 +13,13 @@ The fix is dynamic sub-bucket salting, chosen over two rejected designs:
   forces every oracle to mirror the cap;
 * a narrow/wide two-branch union consumes the bands table twice more, and
   Spark does not reuse the exchange across the branches (verified on the
-  physical plan: the whole signature lineage executed 3×).
+  physical plan: the whole signature lineage executed 3×);
+* widths via count-agg + SHUFFLE_HASH join-back instead of the window
+  (drops the window's in-partition sort; measured ~10% off
+  minhash_lsh_candidates at sf0.1) — but the widths branch re-executes
+  the full signature lineage (ReuseExchange cannot fire: column pruning
+  and pushed null-filters make the two exchange subtrees non-identical),
+  i.e. a second corpus pass at 100 TB. Single-lineage wins at scale.
 
 Salting keeps ONE consumer of the bands table and changes only the
 execution strategy: a bucket of width ``w`` splits into
