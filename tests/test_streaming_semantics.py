@@ -285,3 +285,75 @@ def test_foreach_batch_incremental_partition_refresh(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 7
     assert got.where(F.col("day") == "2024-01-01").count() == 4
+
+
+def test_running_totals_carries_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState running totals: (n, tot) state must survive
+    the micro-batch boundary — batch-2 events continue the count/sum."""
+    from tfm_taxitrips_spark.streaming.stateful import streaming_running_totals
+
+    src_dir = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    schema = "event_id bigint, ts timestamp, user_id bigint, value double"
+
+    def run():
+        stream = spark.readStream.schema(schema).json(src_dir)
+        q = (
+            streaming_running_totals(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.user_id, r.event_id): (r.run_n, r.run_value)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    _drop(
+        f"{src_dir}/b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 7, "value": 1.5},
+            {"event_id": 2, "ts": "2024-01-01 10:10:00", "user_id": 7, "value": 2.0},
+        ],
+    )
+    first = run()
+    assert first == {(7, 1): (1, 1.5), (7, 2): (2, 3.5)}
+
+    _drop(
+        f"{src_dir}/b2.json",
+        [{"event_id": 3, "ts": "2024-01-01 10:20:00", "user_id": 7, "value": 4.0}],
+    )
+    second = run()
+    assert second[(7, 3)] == (3, 7.5)
+
+
+def test_running_totals_v2_parity_when_protobuf_available(spark, sf_smoke):
+    """transformWithStateInPandas (state v2) must emit exactly what the v1
+    applyInPandasWithState operator emits. Runs only where the state-v2
+    Python runner's protobuf dependency exists."""
+    pytest.importorskip("google.protobuf")
+    from tfm_taxitrips_spark.queries.streamq import q_stream_running_totals
+    from tfm_taxitrips_spark.streaming.pipeline import read_events_stream, run_to_memory
+    from tfm_taxitrips_spark.streaming.stateful import streaming_running_totals_v2
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        v2 = run_to_memory(
+            streaming_running_totals_v2(read_events_stream(spark, sf_smoke)),
+            spark,
+            output_mode="append",
+        )
+        v1 = q_stream_running_totals(spark, sf_smoke)
+        assert sorted(map(tuple, v2.collect())) == sorted(map(tuple, v1.collect()))
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

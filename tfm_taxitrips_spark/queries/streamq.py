@@ -203,9 +203,34 @@ LIMIT {STREAM_TOPK_K}
 """
 
 
+def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 ``transformWithStateInPandas`` stateful operator: every event
+    emitted with its as-of per-user running count + value total (the
+    incremental feature-store shape). Over the finite ordered replay it
+    must equal the batch cumulative-window SQL — that is the oracle."""
+    from tfm_taxitrips_spark.streaming.stateful import streaming_running_totals
+
+    stream = read_events_stream(spark, sf_dir)
+    totals = streaming_running_totals(stream)
+    return run_to_memory(totals, spark, output_mode="append")
+
+
+_STREAM_RUNNING_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS us,
+       CAST(COUNT(*) OVER w AS BIGINT) AS run_n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) / 100.0
+         AS run_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_topk": QuerySpec(q_stream_topk, _STREAM_TOPK_SQL,
                              tags=("streaming", "topk", "serving")),
+    "stream_running_totals": QuerySpec(q_stream_running_totals, _STREAM_RUNNING_SQL,
+                                       tags=("streaming", "stateful")),
     "stream_window_rollup": QuerySpec(q_stream_window_rollup, _STREAM_ROLLUP_SQL,
                                       bench=True, tags=("A5", "S5", "streaming")),
     "stream_stream_join": QuerySpec(q_stream_stream_join, _STREAM_STREAM_SQL,

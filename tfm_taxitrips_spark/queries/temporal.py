@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
 from tfm_taxitrips_spark.operators.temporal import (
     asof_join,
     sessionize,
@@ -134,9 +135,100 @@ GROUP BY 1, 2
 """
 
 
+def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows: a 30-minute span advancing
+    every 15 minutes, so each event lands in exactly span/slide = 2
+    windows. Spark expands the assignment map-side (a ``Generate``, never
+    a self-join against a window table) and the aggregate stays the usual
+    two-phase hash — at 100 TB the cost is 2× the tumbling rollup, not
+    O(windows). The oracle mirrors the expansion with a 2-element unnest
+    of the candidate window starts.
+    """
+    events = table(spark, sf_dir, "events")
+    w = F.window("ts", "30 minutes", "15 minutes")
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SLIDING_SQL = f"""
+SELECT ws AS window_start,
+       ws + INTERVAL '30 minutes' AS window_end,
+       event_type, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+FROM events,
+     unnest([time_bucket(INTERVAL '15 minutes', ts),
+             time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes'])
+       AS u(ws)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions via the BUILT-IN ``session_window`` aggregate
+    (the declarative alternative to the lag-gap window scan of
+    :func:`q_sessionization` — one two-phase agg, sessions merged by the
+    engine, and the same construct drives streaming session windows with
+    watermark-based state eviction).
+
+    Boundary semantics: an event exactly ``gap`` after the previous one
+    starts a NEW session (windows are half-open — merge requires
+    ``next.start < cur.end``), hence ``>=`` in the oracle where the
+    lag-gap formulation of ``q_sessionization`` uses ``>``.
+    """
+    events = table(spark, sf_dir, "events")
+    sw = F.session_window("ts", GAP)
+    return (
+        events.groupBy("user_id", sw.alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+_SESSION_WINDOW_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+x AS (
+  SELECT *,
+         CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w >= {GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM x
+)
+SELECT user_id,
+       MIN(us) AS session_start_us,
+       MAX(us) + {GAP_US} AS session_end_us,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "event_range_join": QuerySpec(q_range_join, _RANGE_SQL, tags=("temporal", "range_join")),
     "event_sessionization": QuerySpec(q_sessionization, _SESSION_SQL, bench=True,
                                       tags=("temporal",)),
     "event_asof_join": QuerySpec(q_asof_join, _ASOF_SQL, tags=("temporal",)),
+    "sliding_window_agg": QuerySpec(q_sliding_window_agg, _SLIDING_SQL,
+                                    tags=("temporal", "A5", "window")),
+    "session_window_agg": QuerySpec(q_session_window_agg, _SESSION_WINDOW_SQL,
+                                    tags=("temporal", "session")),
 }
