@@ -173,3 +173,31 @@ def write_kafka_stream(
         .outputMode("append")
         .start()
     )
+
+
+_BATCH_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    **options: str,
+) -> None:
+    """Format-agnostic batch sink over Spark's DataSourceV2 matrix:
+    columnar (``parquet``/``orc``) for analytics — both carry column
+    statistics and predicate pushdown — and row-wise (``json``/``csv``)
+    for interchange. One seam so pipelines pick a format by config, not by
+    code path (the reference hard-codes one writer call per sink).
+
+    CSV cannot carry nested structs/arrays; callers flatten first (Spark
+    raises AnalysisException otherwise — surfaced, not swallowed).
+    """
+    if fmt not in _BATCH_FORMATS:
+        raise ValueError(f"unsupported batch format {fmt!r}; one of {_BATCH_FORMATS}")
+    writer = df.write.format(fmt).mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

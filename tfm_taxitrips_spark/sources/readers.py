@@ -144,3 +144,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Format-agnostic batch scan — the read half of
+    :func:`tfm_taxitrips_spark.sinks.writers.write_table`.
+
+    Schema discipline at scale: ``parquet``/``orc`` embed their schema
+    (pass none); ``json``/``csv`` INFER by an extra full pass over the
+    data unless a schema is given — so for text formats callers should
+    always pass one (the round-trip tests pin that the explicit-schema
+    read returns bit-identical rows with zero inference jobs).
+    """
+    reader = spark.read.format(fmt).options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
