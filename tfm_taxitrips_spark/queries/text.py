@@ -269,11 +269,9 @@ FROM sets GROUP BY doc_id
 _MINHASH_SIG_SQL = _minhash_sig_sql()
 
 
-def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding (4 bands × 4 rows): docs sharing any band hash become
-    candidate pairs. The self-join key is (band_id, band_hash) — at 100 TB
-    the shuffle moves 16 ints per doc, and only same-bucket docs ever meet."""
-    sig = _minhash_signature(spark, sf_dir)
+def _minhash_bands(sig: DataFrame) -> DataFrame:
+    """LSH banding of a k=16 signature into 4 bands × 4 rows: one
+    (doc_id, band_id, band_hash) row per band, built map-side."""
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     band_cols = []
     for b in range(MINHASH_BANDS):
@@ -281,9 +279,16 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_cols.append(
             F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws(",", *cols)).alias("bh"))
         )
-    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band")).select(
         "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.bh").alias("bh")
     )
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands × 4 rows): docs sharing any band hash become
+    candidate pairs. The self-join key is (band_id, band_hash) — at 100 TB
+    the shuffle moves 16 ints per doc, and only same-bucket docs ever meet."""
+    bands = _minhash_bands(_minhash_signature(spark, sf_dir))
     # Bucket-group instead of self-join for narrow buckets (one shuffle, no
     # double execution of the signature pipeline); buckets wider than
     # LSH_MAX_BUCKET take a co-partitioned self-join so a degenerate corpus
@@ -295,7 +300,8 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_sql() -> str:
+def _bands_union_sql() -> str:
+    """DuckDB mirror of :func:`_minhash_bands` (over a CTE named ``sig``)."""
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     band_selects = []
     for b in range(MINHASH_BANDS):
@@ -303,10 +309,13 @@ def _minhash_lsh_sql() -> str:
         band_selects.append(
             f"SELECT doc_id, {b} AS band_id, md5(concat_ws(',', {cols})) AS bh FROM sig"
         )
-    bands = "\nUNION ALL\n".join(band_selects)
+    return "\nUNION ALL\n".join(band_selects)
+
+
+def _minhash_lsh_sql() -> str:
     return f"""
 WITH sig AS ({_MINHASH_SIG_SQL}),
-bands AS ({bands})
+bands AS ({_bands_union_sql()})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a
 JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
@@ -641,9 +650,114 @@ LEFT JOIN tc ON b.doc_id = tc.doc_id
 """
 
 
+_SPLIT_MOD, _SPLIT_BASE = 10, 8  # deterministic 80/20 base/incoming split
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: flag each INCOMING document against the
+    BASE corpus's fingerprint store — exact (content hash seen before) and
+    near (any MinHash-LSH band bucket shared with a base doc). The shape
+    every growing training corpus needs: a new crawl slice is admitted by
+    probing fingerprints, never by re-pairing against the full corpus.
+
+    Scale design: in production the two probe sets — base content hashes
+    and DISTINCT base band buckets — are PRE-MATERIALIZED once and only
+    appended to (each is a few bytes per doc); admitting a slice is then
+    two semi-joins of the (small) incoming side against them, keyed on
+    compact hashes, with no base re-scan and no pair generation at all.
+    Here both sides derive from the one `documents` table via a
+    deterministic hash split (80/20) so the DuckDB oracle can reproduce
+    the exact decision for every incoming doc.
+
+    Base membership is recomputed from ``doc_id`` wherever needed (a
+    map-side hash) instead of joining a tag column around — one fewer
+    corpus-sized join.
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    is_base = (
+        F.pmod(hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+               F.lit(_SPLIT_MOD)) < _SPLIT_BASE
+    )
+    keyed = docs.select("doc_id", F.md5(F.lower(F.col("text"))).alias("k"),
+                        is_base.alias("_b"))
+    base_keys = keyed.where("_b").select("k").distinct()
+    incoming = keyed.where(~F.col("_b"))
+    exact_ids = (
+        incoming.join(base_keys, "k", "left_semi").select("doc_id")
+        .withColumn("_e", F.lit(True))
+    )
+    bands = _minhash_bands(_minhash_signature(spark, sf_dir)).withColumn(
+        "_b",
+        F.pmod(hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+               F.lit(_SPLIT_MOD)) < _SPLIT_BASE,
+    )
+    base_buckets = bands.where("_b").select("band_id", "bh").distinct()
+    near_ids = (
+        bands.where(~F.col("_b"))
+        .join(base_buckets, ["band_id", "bh"], "left_semi")
+        .select("doc_id").distinct()
+        .withColumn("_n", F.lit(True))
+    )
+    out = (
+        incoming.select("doc_id")
+        .join(exact_ids, "doc_id", "left")
+        .join(near_ids, "doc_id", "left")
+    )
+    e = F.coalesce(F.col("_e"), F.lit(False))
+    n = F.coalesce(F.col("_n"), F.lit(False))
+    return out.select(
+        "doc_id",
+        e.alias("is_exact_dup"),
+        n.alias("is_near_dup"),
+        F.when(e, "drop").when(n, "review").otherwise("keep").alias("action"),
+    )
+
+
+def _dedup_incremental_sql() -> str:
+    split_hash = hash60_sql("concat('split:', CAST(doc_id AS VARCHAR))")
+    split = f"{split_hash} % {_SPLIT_MOD} < {_SPLIT_BASE}"
+    return f"""
+WITH sig AS ({_MINHASH_SIG_SQL}),
+bands AS ({_bands_union_sql()}),
+t AS (
+  SELECT doc_id, md5(lower(text)) AS k, ({split}) AS is_base FROM documents
+),
+exact AS (
+  SELECT DISTINCT i.doc_id FROM t i
+  WHERE NOT i.is_base
+    AND i.k IN (SELECT k FROM t WHERE is_base)
+),
+bb AS (
+  SELECT DISTINCT band_id, bh
+  FROM bands JOIN t USING (doc_id) WHERE t.is_base
+),
+near AS (
+  SELECT DISTINCT bands.doc_id
+  FROM bands JOIN t USING (doc_id) JOIN bb USING (band_id, bh)
+  WHERE NOT t.is_base
+)
+SELECT t.doc_id,
+       (e.doc_id IS NOT NULL) AS is_exact_dup,
+       (n.doc_id IS NOT NULL) AS is_near_dup,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'drop'
+            WHEN n.doc_id IS NOT NULL THEN 'review'
+            ELSE 'keep' END AS action
+FROM t
+LEFT JOIN exact e ON t.doc_id = e.doc_id
+LEFT JOIN near n ON t.doc_id = n.doc_id
+WHERE NOT t.is_base
+"""
+
+
+_DEDUP_INCREMENTAL_SQL = _dedup_incremental_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_repetition_stats": QuerySpec(q_doc_repetition, _DOC_REPETITION_SQL,
                                       tags=("text", "quality", "gopher")),
+    "dedup_incremental_incoming": QuerySpec(
+        q_dedup_incremental, _DEDUP_INCREMENTAL_SQL,
+        tags=("text", "dedup", "pipeline", "incremental")),
     "training_data_mix": QuerySpec(q_training_mix, _TRAINING_MIX_SQL, bench=True,
                                    tags=("text", "dedup", "sample", "pipeline")),
     "text_token_count": QuerySpec(q_token_count, _TOKEN_COUNT_SQL, tags=("text",)),
