@@ -151,6 +151,16 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 3)
 
+    # Fixed engine-independent workload, reported alongside the query
+    # timings so round-over-round comparisons can be normalized for
+    # machine drift (observed ~18% wall-clock swing on identical commits
+    # between runs hours apart on this host). Not part of `value`.
+    calib_start = time.perf_counter()
+    spark.range(200_000_000).selectExpr("sum(id * 2654435761 % 1000003) v").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    calib = round(time.perf_counter() - calib_start, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -159,6 +169,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "calibration_sec": calib,
                 "sf": sf,
             }
         )
