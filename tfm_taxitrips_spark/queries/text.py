@@ -495,6 +495,65 @@ LIMIT 200
 """
 
 
+_OOV_VOCAB_K = 20
+
+
+def q_token_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: derive the top-K corpus vocabulary, then
+    score every document's out-of-vocabulary token fraction — the check a
+    tokenizer/vocab change runs before retraining ("what % of the corpus
+    does this vocab NOT cover, and which docs are worst").
+
+    Plan: vocab = one map-side-combined count shuffle + TakeOrdered
+    (deterministic tf-desc/token-asc tie-break); the vocab (tiny by
+    construction) BROADCASTS back onto the exploded token stream, so the
+    per-doc scoring pass adds only the doc-keyed aggregation shuffle. K is
+    20 (not a production 50k) because the synthetic corpus vocabulary is
+    ~30 words — the plan shape is identical at any K that fits a
+    broadcast.
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    vocab = (
+        toks.groupBy("t").agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("t").asc())
+        .limit(_OOV_VOCAB_K)
+        .select("t", F.lit(1).alias("_v"))
+    )
+    n_tok = F.count(F.lit(1)).cast("bigint")
+    n_oov = F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0)).cast("bigint")
+    return (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(n_tok.alias("n_tokens"), n_oov.alias("n_oov"))
+        .select(
+            "doc_id", "n_tokens", "n_oov",
+            (F.col("n_oov").cast("double")
+             / F.col("n_tokens").cast("double")).alias("oov_rate"),
+        )
+    )
+
+
+_OOV_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+v AS (
+  SELECT t FROM tok GROUP BY t
+  ORDER BY COUNT(*) DESC, t ASC LIMIT {_OOV_VOCAB_K}
+),
+d AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN t IN (SELECT t FROM v) THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_oov
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+       CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+FROM d
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data prep composite
 # --------------------------------------------------------------------------
@@ -758,6 +817,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_incremental_incoming": QuerySpec(
         q_dedup_incremental, _DEDUP_INCREMENTAL_SQL,
         tags=("text", "dedup", "pipeline", "incremental")),
+    "token_oov_rate": QuerySpec(q_token_oov_rate, _OOV_SQL,
+                                tags=("text", "vocab", "pipeline")),
     "training_data_mix": QuerySpec(q_training_mix, _TRAINING_MIX_SQL, bench=True,
                                    tags=("text", "dedup", "sample", "pipeline")),
     "text_token_count": QuerySpec(q_token_count, _TOKEN_COUNT_SQL, tags=("text",)),

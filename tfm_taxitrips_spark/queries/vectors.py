@@ -350,8 +350,79 @@ FROM (
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding store with a per-vector
+    reconstruction-error audit — the compression step before an ANN index
+    ships (4× smaller store; IVF/LSH probes rerank against it).
+
+    Two-pass shape: pass 1 computes per-DIMENSION min/max (posexplode is
+    map-side; the stats aggregate returns one row per dimension — 64 here,
+    4096 for a big model — so it always broadcasts); pass 2 quantizes and
+    immediately dequantizes each coordinate against the broadcast stats
+    and audits ``|x - deq(q(x))| <= step/2`` per vector. The emitted
+    columns are the audit (max error + bound flag), not the int8 blobs —
+    engine-portable and oracle-checkable.
+
+    Determinism: both engines evaluate the identical double-precision
+    expression tree on the same (dim, x) pairs; ``round`` is
+    half-away-from-zero in Spark and DuckDB alike.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    coords = emb.select(
+        "vec_id", F.posexplode(as_double("embedding")).alias("dim", "x")
+    )
+    stats = coords.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    j = coords.join(F.broadcast(stats), "dim")
+    step = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    q = F.round((F.col("x") - F.col("mn")) / step) - 128
+    deq = F.col("mn") + (q + 128) * step
+    err = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        F.abs(F.col("x") - deq)
+    )
+    bound = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(step / 2)
+    return (
+        j.select("vec_id", err.alias("e"), (err <= bound + 1e-12).alias("ok"))
+        .groupBy("vec_id")
+        .agg(
+            F.max("e").alias("max_abs_err"),
+            F.min("ok").alias("within_half_step"),
+            F.count(F.lit(1)).cast("int").alias("n_dims"),
+        )
+    )
+
+
+_QUANTIZE_SQL = """
+WITH coords AS (
+  SELECT vec_id, CAST(i AS INT) - 1 AS dim, embedding[i]::DOUBLE AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+stats AS (
+  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM coords GROUP BY dim
+),
+audit AS (
+  SELECT vec_id,
+         CASE WHEN mx = mn THEN 0.0
+              ELSE abs(x - (mn + (round((x - mn) / ((mx - mn) / 255.0)) - 128
+                                  + 128) * ((mx - mn) / 255.0))) END AS e,
+         (CASE WHEN mx = mn THEN 0.0
+               ELSE abs(x - (mn + (round((x - mn) / ((mx - mn) / 255.0)) - 128
+                                   + 128) * ((mx - mn) / 255.0))) END
+          <= CASE WHEN mx = mn THEN 0.0
+                  ELSE ((mx - mn) / 255.0) / 2 END + 1e-12) AS ok
+  FROM coords JOIN stats USING (dim)
+)
+SELECT vec_id, MAX(e) AS max_abs_err, MIN(ok) AS within_half_step,
+       CAST(COUNT(*) AS INT) AS n_dims
+FROM audit GROUP BY vec_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "embedding_norms": QuerySpec(q_embedding_norms, _NORMS_SQL, tags=("vector",)),
+    "embedding_quantize_int8": QuerySpec(q_embedding_quantize, _QUANTIZE_SQL,
+                                         tags=("vector", "compression")),
     "knn_label_vote": QuerySpec(q_knn_label_vote, _KNN_VOTE_SQL, tags=("vector",)),
     "ann_bruteforce": QuerySpec(q_ann_bruteforce, _ANN_BRUTE_SQL, bench=True, tags=("vector",)),
     "lsh_buckets": QuerySpec(q_lsh_buckets, _LSH_BUCKETS_SQL, tags=("vector",)),
