@@ -459,6 +459,74 @@ FROM t
 
 
 # --------------------------------------------------------------------------
+# SCD-2 history: validity-interval upsert (the SCD-1 merge's sibling)
+# --------------------------------------------------------------------------
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: apply the deterministic change
+    batch of :func:`q_incremental_merge` as NEW VERSIONS instead of
+    overwrites — every key keeps its full history as half-open validity
+    intervals (``valid_from``, ``valid_to``), with ``is_current`` marking
+    the open row. The warehouse pattern for auditable dimensions; the
+    reference only ever overwrites (TransformTaxiTrips.py:115-119).
+
+    Plan: one union (map-side), one hash exchange on the key, one
+    in-partition sort shared by ``row_number``/``lead`` — interval
+    construction costs exactly one offset-window pass, never a self-join
+    of history against itself. Per-key partitions are version counts
+    (here ≤2, in practice small), so the sort cannot skew.
+    """
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("valid_from"),
+    )
+    is_chg = (
+        F.pmod(hash60(F.concat(F.lit("chg:"), F.col("o_orderkey").cast("string"))),
+               F.lit(10)) == 0
+    )
+    changes = base.where(is_chg).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("price") * 1.1).alias("price"),
+        (F.col("valid_from") + F.expr("INTERVAL 30 DAYS")).alias("valid_from"),
+    )
+    hist = base.unionByName(changes)
+    w = Window.partitionBy("o_orderkey").orderBy("valid_from")
+    valid_to = F.lead("valid_from").over(w)
+    return hist.select(
+        "o_orderkey",
+        F.row_number().over(w).alias("version"),
+        "o_orderstatus",
+        "price",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+_SCD2_SQL = f"""
+WITH hist AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice AS price,
+         o_orderdate AS valid_from
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'U', o_totalprice * 1.1,
+         o_orderdate + INTERVAL 30 DAY
+  FROM orders WHERE {_CHG_PRED}
+)
+SELECT o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS INT) AS version,
+       o_orderstatus, price, valid_from,
+       LEAD(valid_from) OVER w AS valid_to,
+       (LEAD(valid_from) OVER w IS NULL) AS is_current
+FROM hist
+WINDOW w AS (PARTITION BY o_orderkey ORDER BY valid_from)
+"""
+
+
+# --------------------------------------------------------------------------
 # corpus-level exact-substring dedup (ExactSubstr / MassiveText style)
 # --------------------------------------------------------------------------
 
@@ -597,5 +665,8 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_ngram_dedup": QuerySpec(
         q_corpus_ngram_dedup, _CORPUS_NGRAM_SQL,
         tags=("text", "dedup", "pipeline"),
+    ),
+    "scd2_history": QuerySpec(
+        q_scd2_history, _SCD2_SQL, tags=("merge", "pipeline", "window"),
     ),
 }
