@@ -184,3 +184,49 @@ def test_hll_union_broadcasts_merged_side(spark, sf_smoke):
     plan = explain_formatted(q_hll_partitioned_union(spark, sf_smoke))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_oov_vocab_broadcasts_and_takeordered(spark, sf_smoke):
+    """token_oov_rate: the top-K vocab must come from TakeOrderedAndProject
+    (never a global sort) and join back as a broadcast."""
+    from tfm_taxitrips_spark.queries.text import q_token_oov_rate
+
+    plan = explain_formatted(q_token_oov_rate(spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quantize_stats_broadcast(spark, sf_smoke):
+    """embedding_quantize_int8: per-dimension stats (64 rows) must
+    broadcast onto the coordinate stream, never shuffle it for a merge
+    join."""
+    from tfm_taxitrips_spark.queries.vectors import q_embedding_quantize
+
+    plan = explain_formatted(q_embedding_quantize(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate" in plan  # posexplode stays map-side
+
+
+def test_scd2_single_exchange_no_self_join(spark, sf_smoke):
+    """SCD-2 interval construction is one key exchange + one window sort —
+    a history self-join (the naive interval build) must never appear."""
+    import re
+
+    from tfm_taxitrips_spark.queries.dataprep import q_scd2_history
+
+    plan = explain_formatted(q_scd2_history(spark, sf_smoke))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_incremental_dedup_semi_joins_only(spark, sf_smoke):
+    """Fingerprint-store admission: every probe is an equi-keyed (semi)
+    join — no pair generation, no nested-loop fallback."""
+    from tfm_taxitrips_spark.queries.text import q_dedup_incremental
+
+    plan = explain_formatted(q_dedup_incremental(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
