@@ -203,6 +203,55 @@ LIMIT {STREAM_TOPK_K}
 """
 
 
+def q_stream_window_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches inside streaming state: per-window approximate distinct
+    users via HyperLogLog++ (``approx_count_distinct``) — the ONLY distinct
+    form streaming aggregation supports, precisely because its state is a
+    mergeable fixed-size register set instead of the unbounded value set an
+    exact COUNT(DISTINCT) would have to buffer per window.
+
+    Oracle strategy follows queries/sketches.py: the estimate is
+    engine-specific, so the emitted column is the accuracy-contract
+    boolean — the streamed estimate vs the BATCH exact distinct for the
+    same window, joined after the availableNow drain; DuckDB re-derives
+    the exact column and asserts the bound held.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("_hll"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "_hll"
+        )
+    )
+    streamed = run_to_memory(agg, spark)
+    ev = table(spark, sf_dir, "events")
+    exact = ev.groupBy(
+        F.window("ts", "15 minutes").alias("w"), "event_type"
+    ).agg(F.count_distinct("user_id").alias("n_users")).select(
+        F.col("w.start").alias("window_start"), "event_type", "n_users"
+    )
+    # bound: 5% relative OR 2 absolute — per-window cardinalities are tiny
+    # (a 15-min slice), where HLL's integer-rounded estimate can sit ±1-2
+    # off even though the relative contract holds at aggregate scale
+    return exact.join(streamed, ["window_start", "event_type"]).select(
+        "window_start",
+        "event_type",
+        "n_users",
+        (F.abs(F.col("_hll") - F.col("n_users"))
+         <= F.greatest(0.05 * F.col("n_users"), F.lit(2.0))).alias("hll_within_bound"),
+    )
+
+
+_STREAM_HLL_SQL = """
+SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+       event_type, COUNT(DISTINCT user_id) AS n_users,
+       TRUE AS hll_within_bound
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-4 ``transformWithStateInPandas`` stateful operator: every event
     emitted with its as-of per-user running count + value total (the
@@ -231,6 +280,8 @@ QUERIES: dict[str, QuerySpec] = {
                              tags=("streaming", "topk", "serving")),
     "stream_running_totals": QuerySpec(q_stream_running_totals, _STREAM_RUNNING_SQL,
                                        tags=("streaming", "stateful")),
+    "stream_window_hll": QuerySpec(q_stream_window_hll, _STREAM_HLL_SQL,
+                                   tags=("streaming", "sketch", "A4", "A5")),
     "stream_window_rollup": QuerySpec(q_stream_window_rollup, _STREAM_ROLLUP_SQL,
                                       bench=True, tags=("A5", "S5", "streaming")),
     "stream_stream_join": QuerySpec(q_stream_stream_join, _STREAM_STREAM_SQL,
