@@ -459,6 +459,84 @@ FROM t
 
 
 # --------------------------------------------------------------------------
+# corpus mix rebalancing: per-language target epochs
+# --------------------------------------------------------------------------
+
+#: target epochs per language: >1 upsamples (repeat), <1 downsamples.
+#: The LLM data-mixture knob (e.g. Llama upsampling Wikipedia ~x2 while
+#: sampling CommonCrawl <1 epoch). Fractions are expressed as integer
+#: per-mille thresholds so no float arithmetic enters either engine's plan.
+_MIX_EPOCHS: dict[str, float] = {
+    "en": 0.5, "de": 1.0, "es": 2.0, "fr": 1.5, "zh": 2.5,
+}
+
+
+def q_corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus to per-language target epochs: each doc yields
+    ``floor(e)`` full copies plus one more iff its deterministic hash
+    falls under the fractional remainder — so re-runs are stable and the
+    realized epochs converge to the target as the corpus grows.
+
+    The audit aggregates ``copies`` map-side (one shuffle on the 5-value
+    lang key) — materializing the rebalanced corpus itself is
+    ``explode(sequence(1, copies))``, a Generate with no shuffle at all,
+    so the expensive path costs exactly the output size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    whole = F.lit(None).cast("bigint")
+    thresh = F.lit(None).cast("bigint")
+    for lang, e in _MIX_EPOCHS.items():
+        w, t = int(e), round((e - int(e)) * 1000)
+        whole = F.when(F.col("lang") == lang, F.lit(w)).otherwise(whole)
+        thresh = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thresh)
+    h = F.pmod(
+        hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), F.lit(1000)
+    )
+    copies = whole + F.when(h < thresh, 1).otherwise(0)
+    return (
+        docs.select("lang", copies.alias("c"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_in"),
+            F.sum("c").cast("bigint").alias("n_examples_out"),
+        )
+        .select(
+            "lang", "n_docs_in", "n_examples_out",
+            (F.col("n_examples_out").cast("double")
+             / F.col("n_docs_in").cast("double")).alias("realized_epochs"),
+        )
+    )
+
+
+def _mix_rebalance_sql() -> str:
+    whole = " ".join(
+        f"WHEN lang = '{lang}' THEN {int(e)}" for lang, e in _MIX_EPOCHS.items()
+    )
+    thresh = " ".join(
+        f"WHEN lang = '{lang}' THEN {round((e - int(e)) * 1000)}"
+        for lang, e in _MIX_EPOCHS.items()
+    )
+    h = hash60_sql("concat('mix:', CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH c AS (
+  SELECT lang,
+         (CASE {whole} END)
+         + (CASE WHEN {h} % 1000 < (CASE {thresh} END) THEN 1 ELSE 0 END)
+           AS copies
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs_in,
+       CAST(SUM(copies) AS BIGINT) AS n_examples_out,
+       CAST(SUM(copies) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS realized_epochs
+FROM c GROUP BY lang
+"""
+
+
+_MIX_REBALANCE_SQL = _mix_rebalance_sql()
+
+
+# --------------------------------------------------------------------------
 # SCD-2 history: validity-interval upsert (the SCD-1 merge's sibling)
 # --------------------------------------------------------------------------
 
@@ -668,5 +746,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "scd2_history": QuerySpec(
         q_scd2_history, _SCD2_SQL, tags=("merge", "pipeline", "window"),
+    ),
+    "corpus_mix_rebalance": QuerySpec(
+        q_corpus_mix_rebalance, _MIX_REBALANCE_SQL,
+        tags=("text", "sample", "pipeline"),
     ),
 }
