@@ -9,7 +9,7 @@ bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
@@ -222,6 +222,131 @@ FROM s GROUP BY user_id, sid
 """
 
 
+#: Gap fill is defined over an explicit analysis range + bucket width,
+#: exactly like TimescaleDB's ``time_bucket_gapfill(start, finish)`` — an
+#: unbounded dense grid (users × full history at source granularity) is an
+#: output-size bug at scale, not a feature. Hourly buckets over January
+#: match the synthetic event density (~2 events/user/day: roughly one
+#: non-empty bucket in ten, so LOCF does real carrying).
+GAPFILL_FROM = "2024-01-01 00:00:00"
+GAPFILL_TO = "2024-02-01 00:00:00"
+BUCKET_US = 3_600_000_000  # 1 hour
+
+
+def q_event_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill (the hypertable ``time_bucket_gapfill``
+    + ``locf`` idiom): each user's events inside the analysis range are
+    bucketed to an hourly grid spanning their [first, last] activity,
+    empty buckets are materialized, and the bucket value is carried forward
+    from the most recent non-empty bucket.
+
+    Scale shape: the dense grid is generated map-side per user
+    (``sequence`` + ``explode`` — a Generate, never a join against a
+    calendar table), so its cost is exactly the output size, bounded by
+    users × the requested range/bucket regardless of event volume. The
+    event side collapses to one row per (user, bucket) BEFORE the grid
+    join, so the join input is already minimal; grid join and LOCF window
+    both key on ``user_id`` and reuse one partitioning. Per-bucket sample
+    is ``max(value)`` (order-independent — never a float sum).
+    """
+    events = table(spark, sf_dir, "events")
+    e = events.where(
+        (F.col("ts") >= F.lit(GAPFILL_FROM)) & (F.col("ts") < F.lit(GAPFILL_TO))
+    ).select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {BUCKET_US}").alias("bucket"),
+        "value",
+    )
+    per_bucket = e.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("v"),
+    )
+    grid = (
+        e.groupBy("user_id")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("bucket"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = grid.join(per_bucket, ["user_id", "bucket"], "left")
+    return filled.select(
+        "user_id",
+        (F.col("bucket") * F.lit(BUCKET_US)).alias("bucket_start_us"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("v", ignorenulls=True).over(w).alias("value_locf"),
+    )
+
+
+_GAP_FILL_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {BUCKET_US} AS bucket, value FROM events
+  WHERE ts >= TIMESTAMP '{GAPFILL_FROM}' AND ts < TIMESTAMP '{GAPFILL_TO}'
+),
+m AS (
+  SELECT user_id, bucket, COUNT(*) AS n_events, MAX(value) AS v
+  FROM e GROUP BY 1, 2
+),
+g AS (
+  SELECT user_id, UNNEST(generate_series(MIN(bucket), MAX(bucket))) AS bucket
+  FROM e GROUP BY user_id
+)
+SELECT g.user_id,
+       g.bucket * {BUCKET_US} AS bucket_start_us,
+       COALESCE(m.n_events, 0) AS n_events,
+       LAST_VALUE(m.v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+FROM g LEFT JOIN m ON g.user_id = m.user_id AND g.bucket = m.bucket
+"""
+
+
+ROLL_US = 10 * 60 * 1_000_000  # 10-minute trailing frame
+
+
+def q_event_rolling_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-window rate: for every event, how many events and
+    how much value the same user produced in the preceding 10 minutes
+    (inclusive). A RANGE frame over integer epoch-micros — the engine keeps
+    a sliding frame per partition in one pass; no self-join, no explode.
+
+    One shuffle on ``user_id``; per-user state is the frame buffer, bounded
+    by the densest 10 minutes of a single user, not by history length. The
+    value sum runs in DECIMAL inside the frame (order-independent and
+    engine-exact — a DOUBLE running frame would diverge from the oracle's
+    segment-tree association; see functions/aggregates).
+    """
+    events = table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-ROLL_US, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.count(F.lit(1)).over(w).alias("n_last_10m"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+        .cast("double").alias("value_last_10m"),
+    )
+
+
+_ROLLING_SQL = f"""
+SELECT event_id, user_id, epoch_us(ts) AS us,
+       COUNT(*) OVER w AS n_last_10m,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_last_10m
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {ROLL_US} PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "event_range_join": QuerySpec(q_range_join, _RANGE_SQL, tags=("temporal", "range_join")),
     "event_sessionization": QuerySpec(q_sessionization, _SESSION_SQL, bench=True,
@@ -231,4 +356,8 @@ QUERIES: dict[str, QuerySpec] = {
                                     tags=("temporal", "A5", "window")),
     "session_window_agg": QuerySpec(q_session_window_agg, _SESSION_WINDOW_SQL,
                                     tags=("temporal", "session")),
+    "event_gap_fill": QuerySpec(q_event_gap_fill, _GAP_FILL_SQL,
+                                tags=("temporal", "gapfill", "window")),
+    "event_rolling_rate": QuerySpec(q_event_rolling_rate, _ROLLING_SQL,
+                                    tags=("temporal", "window")),
 }
