@@ -459,6 +459,53 @@ FROM t
 
 
 # --------------------------------------------------------------------------
+# fixed-size per-stratum sample (the quota sibling of the rate sampler)
+# --------------------------------------------------------------------------
+
+SAMPLE_K = 5
+
+
+def q_per_group_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-k docs per stratum (language): rank docs inside each
+    language by a stable md5-derived draw and keep the first k — the
+    deterministic replacement for per-group reservoir sampling (eval-set
+    carving, per-source few-shot pools). Complements
+    ``stratified_sample``, which admits a RATE and so has binomial size
+    jitter per stratum.
+
+    Plan: one hash exchange on ``lang`` + in-partition sort for the
+    row_number window. Strata counts are assumed executor-sized (here: 5
+    languages); a skewed mega-stratum would make one sort wide — the
+    fix at scale is a two-phase pre-filter (keep each task's local top-k
+    via the same window over (lang, partition-salt), union, re-rank),
+    which multiplies the kept rows by the task count but never sorts a
+    full stratum in one place.
+    """
+    docs = table(spark, sf_dir, "documents")
+    draw = hash60(F.concat(F.lit("sampk:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(draw.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", draw.alias("draw"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= SAMPLE_K)
+        .select("lang", "rnk", "doc_id", "draw")
+    )
+
+
+_SAMPLE_K_DRAW = hash60_sql("concat('sampk:', CAST(doc_id AS VARCHAR))")
+
+_SAMPLE_K_SQL = f"""
+SELECT lang, rnk, doc_id, draw FROM (
+  SELECT lang, doc_id, {_SAMPLE_K_DRAW} AS draw,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY {_SAMPLE_K_DRAW} ASC, doc_id ASC) AS INT) AS rnk
+  FROM documents
+) WHERE rnk <= {SAMPLE_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # corpus mix rebalancing: per-language target epochs
 # --------------------------------------------------------------------------
 
@@ -750,5 +797,8 @@ QUERIES: dict[str, QuerySpec] = {
     "corpus_mix_rebalance": QuerySpec(
         q_corpus_mix_rebalance, _MIX_REBALANCE_SQL,
         tags=("text", "sample", "pipeline"),
+    ),
+    "per_group_sample_k": QuerySpec(
+        q_per_group_sample_k, _SAMPLE_K_SQL, tags=("sample", "pipeline"),
     ),
 }

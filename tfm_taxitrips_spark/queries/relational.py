@@ -635,6 +635,51 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window family (§2.7): rank / dense_rank / percent_rank /
+    cume_dist over a TIES-bearing order (order date within priority — many
+    orders share a date, so rank≠row_number and the tie semantics are
+    actually exercised), plus ``ntile(4)`` over a tie-free total order
+    (ntile distributes by row POSITION, so without a unique tie-breaker
+    its output is nondeterministic — engines may order equal keys
+    differently).
+
+    Both window specs share one partitioning (``o_orderpriority``), so the
+    plan is a single hash exchange with two in-partition sorts — the floor
+    for a two-ordering ranking query at any scale. percent_rank and
+    cume_dist are single IEEE divisions of exact integer counts:
+    bit-identical across engines.
+    """
+    orders = table(spark, sf_dir, "orders")
+    w_date = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    w_price = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(w_date).alias("date_rank"),
+        F.dense_rank().over(w_date).alias("date_dense_rank"),
+        F.percent_rank().over(w_date).alias("date_percent_rank"),
+        F.cume_dist().over(w_date).alias("date_cume_dist"),
+        F.ntile(4).over(w_price).alias("price_quartile"),
+    )
+
+
+_RANK_FAMILY_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       CAST(rank() OVER wd AS INT) AS date_rank,
+       CAST(dense_rank() OVER wd AS INT) AS date_dense_rank,
+       percent_rank() OVER wd AS date_percent_rank,
+       cume_dist() OVER wd AS date_cume_dist,
+       CAST(ntile(4) OVER wp AS INT) AS price_quartile
+FROM orders
+WINDOW wd AS (PARTITION BY o_orderpriority ORDER BY o_orderdate),
+       wp AS (PARTITION BY o_orderpriority
+              ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
 _PIVOT_STATUSES = ("F", "O", "P")
 
 
@@ -889,6 +934,8 @@ QUERIES: dict[str, QuerySpec] = {
                                  tags=("window", "frame")),
     "window_lag_lead": QuerySpec(q_window_lag_lead, _LAG_LEAD_SQL,
                                  tags=("window", "offset")),
+    "window_rank_family": QuerySpec(q_window_rank_family, _RANK_FAMILY_SQL,
+                                    tags=("window", "rank")),
     "anti_join": QuerySpec(q_anti_join, _ANTI_SQL, tags=("join",)),
     "semi_join": QuerySpec(q_semi_join, _SEMI_SQL, tags=("join",)),
     "windowed_agg_batch": QuerySpec(q_windowed_agg_batch, _WINDOWED_SQL, bench=True,

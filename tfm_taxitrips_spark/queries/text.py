@@ -811,7 +811,65 @@ WHERE NOT t.is_base
 _DEDUP_INCREMENTAL_SQL = _dedup_incremental_sql()
 
 
+TFIDF_TOP_TERMS = 3
+
+
+def q_tfidf_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive terms: the top-3 terms ranked by term
+    frequency descending, then document frequency ascending (frequent in
+    THIS doc, rare across the corpus) — the tf-idf ranking with the
+    monotone ``ln(N/df)`` weight replaced by the exact lexicographic order
+    ``(tf DESC, df ASC)``, so no transcendental float enters either
+    engine's plan and the result is bit-reproducible. ``tf``/``df`` are
+    emitted so any idf weighting can be applied downstream.
+
+    Plan: explode is map-side; tf aggregates on (doc, term) with map-side
+    combine; df re-aggregates the ALREADY-REDUCED tf rows (vocab-sized, one
+    row per distinct (doc, term) — never a second corpus pass); the
+    tf⋈df join shuffles on ``term`` (broadcast df instead when the vocab
+    fits the broadcast threshold); top-k per doc is one row_number window
+    on ``doc_id``.
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .where(F.col("rnk") <= TFIDF_TOP_TERMS)
+    )
+
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+)
+SELECT * FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS INT) AS rnk
+  FROM tf JOIN df USING (term)
+) WHERE rnk <= {TFIDF_TOP_TERMS}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "tfidf_distinctive_terms": QuerySpec(q_tfidf_distinctive_terms, _TFIDF_SQL,
+                                         tags=("text", "vocab", "topk")),
     "doc_repetition_stats": QuerySpec(q_doc_repetition, _DOC_REPETITION_SQL,
                                       tags=("text", "quality", "gopher")),
     "dedup_incremental_incoming": QuerySpec(

@@ -419,8 +419,61 @@ FROM audit GROUP BY vec_id
 """
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (mean vector) — the k-means/mean-pooling
+    primitive, one output row per (label, dimension).
+
+    Determinism: a float mean is order-dependent (shuffle order varies
+    between runs AND engines), so each coordinate is accumulated as
+    ``floor(x * 1e6)`` integer micros — float→double is exact, the double
+    multiply/floor are IEEE-determined, and the bigint sum is associative.
+    The final centroid is one integer÷double division, bit-identical in
+    both engines (documented micro-quantized mean, max 1e-6 bias per
+    coordinate).
+
+    Plan: posexplode is map-side (dim× row multiply, but partial aggs
+    combine per task before the exchange), so the single shuffle carries
+    only |labels|×dim partially-summed rows — independent of corpus size.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    coords = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    )
+    micro = F.floor(F.col("x").cast("double") * F.lit(1000000.0)).cast("long")
+    return (
+        coords.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(micro).alias("sum_micro"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            (F.col("sum_micro").cast("double")
+             / (F.col("n_vecs").cast("double") * F.lit(1000000.0))
+             ).alias("centroid"),
+        )
+    )
+
+
+_CENTROIDS_SQL = """
+WITH coords AS (
+  SELECT label, CAST(i AS INT) - 1 AS dim,
+         CAST(FLOOR(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS micro
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+)
+SELECT label, dim, COUNT(*) AS n_vecs,
+       CAST(SUM(micro) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS centroid
+FROM coords GROUP BY label, dim
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "embedding_norms": QuerySpec(q_embedding_norms, _NORMS_SQL, tags=("vector",)),
+    "label_centroids": QuerySpec(q_label_centroids, _CENTROIDS_SQL,
+                                 tags=("vector", "agg")),
     "embedding_quantize_int8": QuerySpec(q_embedding_quantize, _QUANTIZE_SQL,
                                          tags=("vector", "compression")),
     "knn_label_vote": QuerySpec(q_knn_label_vote, _KNN_VOTE_SQL, tags=("vector",)),
