@@ -230,3 +230,80 @@ def test_incremental_dedup_semi_joins_only(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+
+
+def test_rank_family_one_exchange_two_sorts(spark, sf_smoke):
+    """Two window orderings over one partition key must share a single
+    hash exchange (two in-partition sorts) — a second exchange would mean
+    the specs stopped sharing their partitioning."""
+    import re
+
+    from tfm_taxitrips_spark.queries.relational import q_window_rank_family
+
+    plan = explain_formatted(q_window_rank_family(spark, sf_smoke))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 2
+    assert "Join" not in plan
+
+
+def test_tfidf_scans_documents_once(spark, sf_smoke):
+    """df must derive from the reduced tf rows — a second scan of the
+    corpus (or any non-equi join) would double the most expensive pass."""
+    from tfm_taxitrips_spark.queries.text import q_tfidf_distinctive_terms
+
+    plan = explain_formatted(q_tfidf_distinctive_terms(spark, sf_smoke))
+    assert plan.count("documents.parquet") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_label_centroids_partial_agg_before_exchange(spark, sf_smoke):
+    """The dim-explode multiplies rows map-side; the shuffle must carry
+    only partially-summed (label, dim) rows — partial + final
+    HashAggregate around exactly one exchange, no join."""
+    import re
+
+    from tfm_taxitrips_spark.queries.vectors import q_label_centroids
+
+    plan = explain_formatted(q_label_centroids(spark, sf_smoke))
+    assert "Generate" in plan  # posexplode stays map-side
+    assert plan.count("HashAggregate") >= 2
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_gap_fill_generates_grid_no_nested_loop(spark, sf_smoke):
+    """The dense grid is a map-side Generate joined equi-keyed on
+    (user, bucket) — a calendar-table nested loop or cartesian product
+    must never appear, and the range filter reaches the scan."""
+    from tfm_taxitrips_spark.queries.temporal import q_event_gap_fill
+
+    plan = explain_formatted(q_event_gap_fill(spark, sf_smoke))
+    assert "Generate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan
+
+
+def test_rolling_rate_single_exchange(spark, sf_smoke):
+    """A RANGE-frame window is one exchange + one sort — the naive
+    formulation (self-join on the time band) must never appear."""
+    import re
+
+    from tfm_taxitrips_spark.queries.temporal import q_event_rolling_rate
+
+    plan = explain_formatted(q_event_rolling_rate(spark, sf_smoke))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_per_group_sample_k_single_exchange(spark, sf_smoke):
+    """Fixed-k stratum sampling is one exchange on the stratum key + one
+    window sort; no join, no global sort."""
+    import re
+
+    from tfm_taxitrips_spark.queries.dataprep import q_per_group_sample_k
+
+    plan = explain_formatted(q_per_group_sample_k(spark, sf_smoke))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Join" not in plan

@@ -824,21 +824,24 @@ def q_tfidf_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted so any idf weighting can be applied downstream.
 
     Plan: explode is map-side; tf aggregates on (doc, term) with map-side
-    combine; df re-aggregates the ALREADY-REDUCED tf rows (vocab-sized, one
-    row per distinct (doc, term) — never a second corpus pass); the
-    tf⋈df join shuffles on ``term`` (broadcast df instead when the vocab
-    fits the broadcast threshold); top-k per doc is one row_number window
-    on ``doc_id``.
+    combine; df is a COUNT WINDOW over the already-reduced tf rows (one
+    row per distinct (doc, term)) rather than a groupBy+self-join — the
+    join formulation makes Catalyst re-derive tf's whole lineage on the
+    df side and scan the corpus twice (no ReuseExchange across the
+    diamond), while the window keeps a single scan. Three exchanges
+    total — (doc,term) for tf, term for df, doc for the top-k — each
+    carrying only reduced rows; top-k per doc is row_number, which the
+    engine caps map-side via WindowGroupLimit.
     """
     docs = fan_out(table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w_df = Window.partitionBy("term")
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
     return (
-        tf.join(df, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(w_df))
         .select(
             "doc_id", "term", "tf", "df",
             F.row_number().over(w).alias("rnk"),
