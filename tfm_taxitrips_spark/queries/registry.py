@@ -75,6 +75,20 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "corpus_ngram_dedup",       # NEW this round: ExactSubstr corpus dedup
 )
 
+# Queries added AFTER the round-2 window was frozen at 50 entries. They are
+# differential-tested every session (tests/test_differential.py runs ALL
+# registered queries against their oracles at sf0.001) but have never had a
+# driver CORRECTNESS row; they MUST be fronted in the next round's
+# GRADING_PRIORITY, displacing entries that go green this round. The
+# rotation test pins this list so the debt can't silently grow.
+PENDING_ROTATION: tuple[str, ...] = (
+    "sliding_window_agg", "session_window_agg", "stream_running_totals",
+    "stream_window_hll", "dedup_incremental_incoming", "token_oov_rate",
+    "embedding_quantize_int8", "scd2_history", "corpus_mix_rebalance",
+    "per_group_sample_k", "window_rank_family", "tfidf_distinctive_terms",
+    "label_centroids", "event_gap_fill", "event_rolling_rate",
+)
+
 
 def all_queries() -> dict[str, QuerySpec]:
     from tfm_taxitrips_spark.queries import (
