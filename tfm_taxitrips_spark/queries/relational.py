@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
+from tfm_taxitrips_spark.operators.bloom import bloom_build, bloom_probe
 from tfm_taxitrips_spark.operators.dedup import dedup_exact, dedup_exact_aligned
 from tfm_taxitrips_spark.operators.enrich import role_play
 from tfm_taxitrips_spark.operators.topk import top_k_by_group, top_k_global
@@ -759,6 +760,46 @@ WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
 """
 
 
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact join behind an explicit Bloom runtime filter
+    (operators/bloom.py): urgent orders' keys are packed into an 8 KiB
+    filter, broadcast, and lineitem rows that cannot join are dropped at
+    the scan — before any shuffle moves them.
+
+    The result is bit-identical to the unpruned join (Bloom filters have
+    no false negatives; the inner join removes false positives), so the
+    oracle is the plain join — correctness of the pruning IS the check.
+
+    Scale: at test scale Catalyst would broadcast the filtered orders side
+    anyway; the operator earns its keep when the build side's ROWS exceed
+    the broadcast threshold but its KEY SET still fits m bits — e.g. 10⁹
+    urgent orders are ~100 GB of rows but a ~1 GB exact key set and a
+    ~1 KB-per-million-keys Bloom. The filter is sized m=64Ki/k=3 for the
+    test corpus (~3 k keys → ~0.2% FP); size m ≈ 10·n_keys at scale.
+    """
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    lineitem = table(spark, sf_dir, "lineitem")
+    bloom = bloom_build(orders.select("o_orderkey"), "o_orderkey")
+    pruned = bloom_probe(lineitem, "l_orderkey", bloom)
+    joined = pruned.join(orders, pruned.l_orderkey == orders.o_orderkey)
+    return joined.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_extendedprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_BLOOM_JOIN_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_extendedprice')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 # --------------------------------------------------------------------------
 # windowed event-time aggregate (A5, batch form; streaming form in streamq)
 # --------------------------------------------------------------------------
@@ -938,6 +979,8 @@ QUERIES: dict[str, QuerySpec] = {
                                     tags=("window", "rank")),
     "anti_join": QuerySpec(q_anti_join, _ANTI_SQL, tags=("join",)),
     "semi_join": QuerySpec(q_semi_join, _SEMI_SQL, tags=("join",)),
+    "bloom_pruned_join": QuerySpec(q_bloom_pruned_join, _BLOOM_JOIN_SQL,
+                                   tags=("join", "bloom", "runtime-filter")),
     "windowed_agg_batch": QuerySpec(q_windowed_agg_batch, _WINDOWED_SQL, bench=True,
                                     tags=("A5",)),
 }
