@@ -324,3 +324,16 @@ def test_bloom_probe_filters_before_join(spark, sf_smoke):
     join_pos = plan.find("BroadcastHashJoin")
     getbit_pos = plan.find("getbit")
     assert join_pos != -1 and getbit_pos != -1
+
+
+def test_cms_bounded_state_and_broadcast_probe(spark, sf_smoke):
+    """The CMS build must be a map-side-combined aggregation over ≤ d·w
+    cells, the heavy-hitter set a TakeOrderedAndProject, and the probe
+    joins broadcast — no sort-merge anywhere in the sketch path."""
+    from tfm_taxitrips_spark.queries.sketches import q_cms_heavy_hitters
+
+    plan = explain_formatted(q_cms_heavy_hitters(spark, sf_smoke))
+    assert plan.count("HashAggregate") >= 2  # partial + final cell counts
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -22,9 +22,13 @@ AND that the sketch met its bound.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tfm_taxitrips_spark.functions.text import tokens
+from tfm_taxitrips_spark.operators.partitioning import fan_out
 from tfm_taxitrips_spark.queries.registry import QuerySpec
 from tfm_taxitrips_spark.sources.readers import table
 
@@ -145,6 +149,87 @@ JOIN (SELECT event_type, SUM(n_day) AS sum_daily_users
 """
 
 
+_CMS_D = 4        # sketch depth (independent hash rows)
+_CMS_W = 2048     # sketch width (buckets per row)
+_CMS_TOPK = 20
+
+
+def _cms_cells(tok: Column) -> Column:
+    """The token's ``(row, bucket)`` coordinates, one per hash row.
+    ``xxhash64(tok, row)`` hashes the (token, row-literal) tuple, so the
+    rows are independent and build/probe agree by construction."""
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("d"),
+            F.pmod(F.xxhash64(tok, F.lit(i)), F.lit(_CMS_W)).alias("b"),
+        )
+        for i in range(_CMS_D)
+    ])
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch term frequencies, checked against exact counts for
+    the corpus's top-20 tokens (Cormode & Muthukrishnan 2005).
+
+    The sketch is a d×w grid of counters (d=4, w=2048 → 8 k cells, ~64 KB)
+    built in ONE map-side-combined shuffle of at most d·w rows, however
+    large the corpus — the frequency analog of HLL's bounded state, and the
+    100 TB path for "how often does each of these terms occur" when the
+    full term distribution is too wide to shuffle. Estimate = min over the
+    d counters a token hashes to; it NEVER undercounts, and overshoots
+    ``2e·N/w`` with probability ≤ (2e)⁻ᵈ per query.
+
+    Oracle strategy (module docstring): estimates are engine-specific, so
+    the emitted columns are the exact per-token counts plus the two
+    accuracy-contract booleans, computed Spark-side; DuckDB recomputes the
+    exact counts and asserts the booleans TRUE. The heavy-hitter set uses
+    a (count desc, token asc) total order on both engines, so the LIMIT
+    window is deterministic across ties.
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    cells = (
+        toks.select(F.explode(_cms_cells(F.col("tok"))).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("tok").asc())
+        .limit(_CMS_TOPK)
+    )
+    probes = top.select(
+        "tok", "n_exact", F.explode(_cms_cells(F.col("tok"))).alias("c")
+    ).select("tok", "n_exact", F.col("c.d").alias("d"), F.col("c.b").alias("b"))
+    est = (
+        cells.join(F.broadcast(probes), ["d", "b"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("cnt").alias("_est"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("_n_total"))
+    eps = 2.0 * math.e / _CMS_W
+    return est.join(F.broadcast(total)).select(
+        "tok",
+        "n_exact",
+        (F.col("_est") >= F.col("n_exact")).alias("cms_never_undercounts"),
+        (F.col("_est") <= F.col("n_exact") + eps * F.col("_n_total"))
+        .alias("cms_within_bound"),
+    )
+
+
+_CMS_SQL = f"""
+SELECT tok, n_exact,
+       TRUE AS cms_never_undercounts, TRUE AS cms_within_bound
+FROM (
+  SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY t
+  ORDER BY n_exact DESC, tok ASC
+  LIMIT {_CMS_TOPK}
+)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "hll_distinct_bounds": QuerySpec(
         q_hll_distinct_bounds, _HLL_SQL, tags=("sketch", "A4")),
@@ -152,4 +237,6 @@ QUERIES: dict[str, QuerySpec] = {
         q_quantile_sketch_bounds, _QUANTILE_SQL, tags=("sketch",)),
     "hll_partitioned_union": QuerySpec(
         q_hll_partitioned_union, _HLL_UNION_SQL, tags=("sketch", "merge", "A4")),
+    "cms_heavy_hitters": QuerySpec(
+        q_cms_heavy_hitters, _CMS_SQL, tags=("sketch", "heavy-hitters")),
 }
