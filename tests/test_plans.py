@@ -337,3 +337,15 @@ def test_cms_bounded_state_and_broadcast_probe(spark, sf_smoke):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_salted_join_spreads_hot_key(spark, sf_smoke):
+    """The salted join must materialize as a ShuffledHashJoin whose keys
+    include the salt — the fact exchange hash-partitions on (key, salt),
+    spreading each hot flag over salt_buckets reducers."""
+    from tfm_taxitrips_spark.queries.relational import q_salted_skew_join
+
+    plan = explain_formatted(q_salted_skew_join(spark, sf_smoke))
+    assert "ShuffledHashJoin" in plan
+    assert "_salt" in plan
+    assert "BroadcastHashJoin" not in plan  # broadcast would hide the spread

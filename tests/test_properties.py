@@ -238,3 +238,28 @@ def test_bloom_probe_never_drops_a_match(spark, build, probe):
         p = p.limit(0)
     kept = {r.k for r in bloom_probe(p, "k", bloom_build(b, "k")).collect()}
     assert set(build) & set(probe) <= kept <= set(probe)
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 99)),
+                  min_size=0, max_size=40),
+    right=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 99)),
+                   min_size=0, max_size=10),
+    how=st.sampled_from(["inner", "left"]),
+)
+@settings(**_SETTINGS)
+def test_salted_join_equals_direct_join(spark, left, right, how):
+    """salted_join is row-identical (as a multiset) to the direct join for
+    inner and left, including duplicate keys on both sides."""
+    from tfm_taxitrips_spark.operators.skew import salted_join
+
+    ldf = spark.createDataFrame(left or [(0, 0)], "k int, lv int")
+    rdf = spark.createDataFrame(right or [(0, 0)], "rk int, rv int")
+    if not left:
+        ldf = ldf.limit(0)
+    if not right:
+        rdf = rdf.limit(0)
+    got = salted_join(ldf, rdf, "k", "rk", how=how).collect()
+    exp = ldf.join(rdf, ldf.k == rdf.rk, how).collect()
+    key = lambda r: tuple(-1 if v is None else v for v in r)
+    assert sorted(map(key, got)) == sorted(map(key, exp))

@@ -54,6 +54,47 @@ def null_split_join(
     return matched.unionByName(nulls.select(*matched.columns))
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small side.
+
+    A hot join key funnels every one of its rows through one reducer —
+    AQE's skew-join split handles the common case, but only AFTER the
+    skewed shuffle files exist, only for sort-merge joins, and never when
+    the skewed side is the output of an exchange-reusing stage. The
+    explicit form: the (big, skewed) left gets a partition-id-derived salt
+    in [0, salt_buckets); the right is replicated once per salt value via
+    a generated ``sequence`` explode (rows × salt_buckets — use only when
+    the right is small relative to the left, yet too big to broadcast);
+    the join key becomes (key, salt), spreading each hot key over
+    ``salt_buckets`` reducers. Row-identical to the direct join for
+    ``inner`` and ``left`` (each left row carries exactly one salt and
+    every salt replica of the right exists).
+
+    The salt is the left's partition id, not a random number: deterministic
+    across retries (a task re-run salts identically, so no dup/lost rows
+    under speculative execution) and uniform regardless of the data.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner' or 'left'")
+    salted_left = left.withColumn(
+        "_salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
+    )
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    cond = (salted_left[left_key] == salted_right[right_key]) & (
+        salted_left["_salt"] == salted_right["_salt"]
+    )
+    return salted_left.join(salted_right, cond, how).drop("_salt")
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],

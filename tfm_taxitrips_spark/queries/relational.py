@@ -23,6 +23,7 @@ from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
 from tfm_taxitrips_spark.operators.bloom import bloom_build, bloom_probe
 from tfm_taxitrips_spark.operators.dedup import dedup_exact, dedup_exact_aligned
 from tfm_taxitrips_spark.operators.enrich import role_play
+from tfm_taxitrips_spark.operators.skew import salted_join
 from tfm_taxitrips_spark.operators.topk import top_k_by_group, top_k_global
 from tfm_taxitrips_spark.operators.views import agg_view, rollup_views
 from tfm_taxitrips_spark.queries.registry import QuerySpec
@@ -854,6 +855,53 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe JOIN on a genuinely hot key: every lineitem row joins its
+    l_returnflag-level revenue total (3 distinct flags — a plain shuffle
+    join funnels the whole fact through 3 reducers). ``salted_join``
+    (operators/skew.py) spreads each flag over 16 reducers by salting the
+    fact side and replicating the 3-row agg side ×16.
+
+    The agg side carries a ``shuffle_hash`` hint: at test scale Catalyst
+    would broadcast 3 rows and no skew would exist to fix — the hint makes
+    the salted exchange the REAL plan (pinned in tests/test_plans.py), the
+    shape this operator produces at 100 TB where the agg dim is millions of
+    group keys (too big to broadcast) with a power-law key frequency.
+
+    revenue_share = one IEEE division of a raw double by a dsum-exact
+    double, bit-identical across engines and row orders.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    flag_totals = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        dsum("l_extendedprice").alias("flag_revenue")
+    )
+    joined = salted_join(
+        li.select("l_orderkey", "l_linenumber", "l_returnflag",
+                  "l_extendedprice"),
+        flag_totals.hint("shuffle_hash"),
+        "l_returnflag",
+        "rf",
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        (F.col("l_extendedprice") / F.col("flag_revenue"))
+        .alias("revenue_share"),
+    )
+
+
+_SALTED_JOIN_SQL = f"""
+WITH ft AS (
+  SELECT l_returnflag AS rf, {dsum_sql('l_extendedprice')} AS flag_revenue
+  FROM lineitem GROUP BY 1
+)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       l_extendedprice / flag_revenue AS revenue_share
+FROM lineitem JOIN ft ON l_returnflag = rf
+"""
+
+
 _TAXI_FIXTURE = __file__.rsplit("/", 3)[0] + "/tests/fixtures/taxi_trips_dirty.csv"
 
 _CSV_COLS = (
@@ -947,6 +995,8 @@ QUERIES: dict[str, QuerySpec] = {
     "flagship_view": QuerySpec(q_flagship_view, _FLAGSHIP_SQL, bench=True,
                                tags=("A3", "J1", "A1", "P5")),
     "salted_skew_agg": QuerySpec(q_salted_skew_agg, _SALTED_SQL, tags=("A3", "skew")),
+    "salted_skew_join": QuerySpec(q_salted_skew_join, _SALTED_JOIN_SQL,
+                                  tags=("join", "skew")),
     "rollup_family": QuerySpec(q_rollup_family, _ROLLUP_FAMILY_SQL, bench=True,
                                tags=("A3", "A4")),
     "left_join_enrich": QuerySpec(q_left_join_enrich, _LEFT_JOIN_SQL, tags=("J1",)),
