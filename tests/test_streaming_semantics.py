@@ -87,14 +87,19 @@ def test_stream_topk_serving_updates_across_batches(spark, tmp_path):
     serving = str(tmp_path / "serving")
     chk = str(tmp_path / "chk")
 
-    # batch 1: two windows; batch 2 UPDATES the 10:00 window and adds 10:30
+    # batch 1: two windows; batch 2 UPDATES the 10:00 window's click group,
+    # touches the SAME window with a DIFFERENT event type (the overwrite-
+    # granularity trap: a window-level overwrite would delete the click row
+    # batch 1 upserted), and adds 10:30
     b1 = [
         _event(1, "2024-01-01 10:01:00", value=5.0),
         _event(2, "2024-01-01 10:16:00", value=3.0),
+        _event(5, "2024-01-01 10:02:00", etype="view", value=7.0),
     ]
     b2 = [
         _event(3, "2024-01-01 10:05:00", value=4.0),
         _event(4, "2024-01-01 10:31:00", value=1.0),
+        _event(6, "2024-01-01 10:17:00", etype="view", value=2.0),
     ]
     _drop(f"{src_dir}/b1.json", b1)
     _drop(f"{src_dir}/b2.json", b2)
@@ -108,19 +113,31 @@ def test_stream_topk_serving_updates_across_batches(spark, tmp_path):
     run_topk_serving(rolled, serving, chk)
 
     got = {
-        (r.window_start.strftime("%H:%M"), r.n_events, r.total_value)
+        (r.window_start.strftime("%H:%M"), r.event_type, r.n_events, r.total_value)
         for r in topk_view(spark, serving, 10).collect()
     }
-    # 10:00 window reflects BOTH batches (the upsert replaced batch 1's row)
+    # 10:00/click reflects BOTH batches; 10:00/view (touched only in batch 1)
+    # and 10:15/click (touched only in batch 1) must SURVIVE batch 2's
+    # updates to their sibling groups
     assert got == {
-        ("10:00", 2, 9.0),
-        ("10:15", 1, 3.0),
-        ("10:30", 1, 1.0),
+        ("10:00", "click", 2, 9.0),
+        ("10:00", "view", 1, 7.0),
+        ("10:15", "click", 1, 3.0),
+        ("10:15", "view", 1, 2.0),
+        ("10:30", "click", 1, 1.0),
     }
 
-    # serving table is partitioned by window id — the upsert unit
-    parts = {p for p in os.listdir(serving) if p.startswith("window_id=")}
-    assert len(parts) == 3
+    # serving table is partitioned by (window id, event type) — the upsert
+    # unit equals the aggregation key
+    win_parts = [p for p in os.listdir(serving) if p.startswith("window_id=")]
+    assert len(win_parts) == 3
+    type_parts = {
+        (w, t)
+        for w in win_parts
+        for t in os.listdir(f"{serving}/{w}")
+        if t.startswith("event_type=")
+    }
+    assert len(type_parts) == 5
 
 
 def test_stream_topk_view_plans_take_ordered(spark, tmp_path):

@@ -176,7 +176,11 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ORDER BY ... LIMIT`` over the Druid rollup
     (/root/reference/README.md:10-11), owned natively: update-mode windowed
     rollup → foreachBatch dynamic-partition upsert into a parquet serving
-    table → TakeOrderedAndProject top-k read (streaming/serving.py)."""
+    table → TakeOrderedAndProject top-k read (streaming/serving.py). The
+    throwaway serving dir is removed after the k rows are materialized so
+    repeated runs (bench / differential / driver) don't accumulate in
+    /tmp."""
+    import shutil
     import tempfile
 
     from tfm_taxitrips_spark.streaming.serving import (
@@ -187,8 +191,15 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     rolled = windowed_rollup(stream)
     base = tempfile.mkdtemp(prefix="tfm_serving_")
-    run_topk_serving(rolled, f"{base}/table", f"{base}/chk")
-    return topk_view(spark, f"{base}/table", STREAM_TOPK_K)
+    try:
+        run_topk_serving(rolled, f"{base}/table", f"{base}/chk")
+        view = topk_view(spark, f"{base}/table", STREAM_TOPK_K)
+        # materialize the k rows BEFORE removing the serving dir (the view
+        # is lazy over its parquet files); k is small by construction, so
+        # localizing it is the serving read, not a driver-side loop
+        return spark.createDataFrame(view.collect(), view.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 _STREAM_TOPK_SQL = f"""

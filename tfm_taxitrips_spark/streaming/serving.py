@@ -7,12 +7,17 @@ engine owns that serving layer natively:
 stream → watermarked windowed rollup (update mode) → ``foreachBatch``
 upsert into a parquet serving table → batch ``ORDER BY ... LIMIT`` view.
 
-Scale design: update mode emits only the window rows CHANGED in each
-micro-batch (bounded by the watermark), and the upsert uses dynamic
-partition overwrite on the window id — each refresh rewrites only the
-touched window partitions, never the whole history. The serving read is a
-global top-k, which Spark plans as TakeOrderedAndProject (no global sort,
-no full shuffle — pinned by tests/test_plans.py).
+Scale design: update mode emits only the (window, event_type) rows CHANGED
+in each micro-batch (bounded by the watermark), and the upsert uses dynamic
+partition overwrite on exactly that aggregation key — each refresh rewrites
+only the touched (window_id, event_type) partitions, never the whole
+history. The overwrite unit MUST equal the aggregation key: partitioning by
+window_id alone would let a batch that updates one event type of a window
+silently delete the window's other event types' previously-upserted rows
+(exposed by the cross-type replay in tests/test_streaming_semantics.py).
+The serving read is a global top-k, which Spark plans as
+TakeOrderedAndProject (no global sort, no full shuffle — pinned by
+tests/test_plans.py).
 """
 
 from __future__ import annotations
@@ -20,25 +25,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: partition column of the serving table (epoch seconds of window start —
-#: timestamps make hostile directory names on some filesystems)
+#: leading partition column of the serving table (epoch seconds of window
+#: start — timestamps make hostile directory names on some filesystems)
 WINDOW_ID = "window_id"
+
+#: full partition spec == the rollup's aggregation key, so the dynamic
+#: overwrite unit matches what update mode emits
+PARTITION_COLS = (WINDOW_ID, "event_type")
 
 
 def upsert_to_serving(serving_path: str):
-    """``foreachBatch`` body: upsert one micro-batch of updated window rows
-    into the serving table, overwriting ONLY the window partitions present
-    in the batch (dynamic partition overwrite)."""
+    """``foreachBatch`` body: upsert one micro-batch of updated rollup rows
+    into the serving table, overwriting ONLY the (window, event_type)
+    partitions present in the batch (dynamic partition overwrite)."""
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.withColumn(
                 WINDOW_ID, F.unix_timestamp("window_start").cast("long")
             )
-            .repartition(WINDOW_ID)  # one file per touched window, not per task
+            # one file per touched aggregation key, not per task
+            .repartition(*PARTITION_COLS)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(WINDOW_ID)
+            .partitionBy(*PARTITION_COLS)
             .parquet(serving_path)
         )
 
