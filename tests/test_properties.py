@@ -263,3 +263,26 @@ def test_salted_join_equals_direct_join(spark, left, right, how):
     exp = ldf.join(rdf, ldf.k == rdf.rk, how).collect()
     key = lambda r: tuple(-1 if v is None else v for v in r)
     assert sorted(map(key, got)) == sorted(map(key, exp))
+
+
+def test_salted_join_spreads_clustered_hot_key(spark):
+    """A hot key whose rows all sit in ONE input partition must still fan
+    out over multiple salt values — the regression the content-derived
+    salt fixes (a partition-id salt gives every row of a partition the
+    same salt, so clustered/sorted input re-funnels the hot key into one
+    reducer)."""
+    from pyspark.sql import functions as F
+
+    from tfm_taxitrips_spark.operators.skew import salted_join
+
+    hot = spark.range(1000).select(
+        F.lit(7).alias("k"), F.col("id").alias("lv")
+    ).coalesce(1)  # the whole hot key in a single input partition
+    dim = spark.createDataFrame([(7, "x")], "rk int, rv string")
+    joined = salted_join(hot, dim, "k", "rk", salt_buckets=8)
+    n_salts = (
+        hot.withColumn("_salt", F.pmod(F.xxhash64(*hot.columns), F.lit(8)))
+        .select("_salt").distinct().count()
+    )
+    assert n_salts >= 6, "content salt must spread a clustered hot key"
+    assert joined.count() == 1000  # and stay row-identical to the direct join

@@ -77,14 +77,21 @@ def salted_join(
     ``inner`` and ``left`` (each left row carries exactly one salt and
     every salt replica of the right exists).
 
-    The salt is the left's partition id, not a random number: deterministic
-    across retries (a task re-run salts identically, so no dup/lost rows
-    under speculative execution) and uniform regardless of the data.
+    The salt is ``xxhash64`` over the left row's content, not a random
+    number and not the input partition id: deterministic across retries (a
+    task re-run salts identically, so no dup/lost rows under speculative
+    execution), and it spreads a hot key's rows WITHIN each input
+    partition — a partition-id salt collapses when the hot key is
+    concentrated in few input partitions (clustered/sorted input, coalesced
+    scans, or an upstream exchange narrower than ``salt_buckets``). The one
+    degenerate case — a hot key whose rows are bit-identical in every
+    column — lands on one reducer either way, and its join output is
+    row-identical copies, so no salt can do better there.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports how='inner' or 'left'")
     salted_left = left.withColumn(
-        "_salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets))
+        "_salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt_buckets))
     )
     salted_right = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
