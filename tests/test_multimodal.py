@@ -82,3 +82,22 @@ def test_pandas_udf_cosine_agrees_with_fold(spark):
     assert both, "no rows"
     for r in both:
         assert abs(r.fold - r.arrow) <= 1e-12 * max(1.0, abs(r.fold)), r
+
+
+def test_corpus_is_ascii_nonempty(sf_smoke):
+    """Pins the invariant the md5-reconstruction oracles (blob_resize,
+    blob_frame_sample) rely on: those SQL oracles rebuild payloads from
+    CHAR slices, which equal BYTE slices only when every document is pure
+    ASCII and non-empty. The numeric-stat oracles (blob_features,
+    blob_audio_features) decode true bytes via hex() and do NOT need this.
+    If the fixture generator ever emits non-ASCII or empty text, this
+    fails here instead of as a silent oracle hash-mismatch."""
+    import duckdb
+
+    conn = duckdb.connect()
+    bad = conn.sql(
+        f"""SELECT count(*) FROM '{sf_smoke}/documents.parquet'
+            WHERE length(text) = 0
+               OR octet_length(encode(text)) <> length(text)"""
+    ).fetchone()[0]
+    assert bad == 0

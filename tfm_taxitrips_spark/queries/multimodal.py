@@ -1,7 +1,16 @@
 """Multimodal-column queries (SURVEY.md §2.10): binary payloads + typed
 metadata, with the heavy steps as Arrow-batched Pandas UDFs. The oracles
-recompute the deterministic byte-level features in SQL (documents are
-ASCII, so char ops = byte ops), proving the mapInPandas path end-to-end.
+recompute the deterministic byte-level features in SQL, proving the
+mapInPandas path end-to-end.
+
+Oracle byte semantics: numeric byte stats (``blob_features``,
+``blob_audio_features``) decode ``hex(encode(text))`` into a true byte
+list (``_BYTES_CTE``), so they are exact for ANY UTF-8 text including
+empty and non-ASCII. The two md5-reconstruction oracles
+(``blob_resize``, ``blob_frame_sample``) rebuild a *string* from char
+slices, which equals the byte slice only for ASCII — that invariant is
+asserted against the fixture by ``tests/test_multimodal.py``
+(test_corpus_is_ascii_nonempty) rather than silently assumed.
 """
 
 from __future__ import annotations
@@ -47,12 +56,24 @@ def q_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return featurize_blobs(docs)
 
 
-_BLOB_FEATURES_SQL = """
+# Decode hex(encode(text)) to a genuine byte list: exact for any UTF-8
+# payload (multi-byte chars and empty strings included), unlike per-char
+# unicode() codepoints which only coincide with bytes for ASCII.
+_BYTES_CTE = """
+  SELECT doc_id,
+         list_transform(range(0, octet_length(encode(text))),
+           i -> (strpos('0123456789ABCDEF', substr(hex(encode(text)), i*2+1, 1)) - 1) * 16
+              + (strpos('0123456789ABCDEF', substr(hex(encode(text)), i*2+2, 1)) - 1)) AS s
+  FROM documents
+"""
+
+_BLOB_FEATURES_SQL = f"""
+WITH b AS ({_BYTES_CTE})
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
-       CAST(list_sum(list_transform(string_split_regex(text, ''), c -> unicode(c))) AS BIGINT) AS byte_sum
-FROM documents
+       CAST(len(s) AS BIGINT) AS n_bytes,
+       CAST(len(list_filter(s, x -> x = 32)) AS BIGINT) AS n_spaces,
+       CAST(COALESCE(list_sum(s), 0) AS BIGINT) AS byte_sum
+FROM b
 """
 
 
@@ -112,11 +133,7 @@ def _audio_sql() -> str:
     )
 
     return f"""
-WITH b AS (
-  SELECT doc_id,
-         list_transform(string_split_regex(text, ''), c -> unicode(c)) AS s
-  FROM documents
-)
+WITH b AS ({_BYTES_CTE})
 SELECT doc_id,
        CAST(len(s) AS BIGINT) AS n_samples,
        CASE WHEN len(s) = 0 THEN NULL

@@ -20,29 +20,29 @@ from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.aggregates import dsum
 
-#: events wire schema with ts as raw nanos (parquet TIMESTAMP(NANOS) —
-#: see sources.readers.table)
-EVENTS_NANOS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table (file source stands in for Kafka,
-    SURVEY.md §2.1 S5). ``ts`` converted nanos → microsecond timestamp.
+    SURVEY.md §2.1 S5).
 
-    Sets the session-global ``nanosAsLong`` toggle — see the invariant
-    documented at :func:`tfm_taxitrips_spark.sources.readers.table` (the
-    batch twin of this seam)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    The file source needs an explicit schema, and the fixture's ``ts`` has
+    shipped both as TIMESTAMP(NANOS) (readable only as a raw LONG) and as
+    plain TIMESTAMP(MICROS) — so probe with the batch twin
+    (:func:`tfm_taxitrips_spark.sources.readers.read_events`, which owns
+    the type-adaptation logic) and lift ITS already-normalized schema into
+    the stream. The probe is one footer read, not a data scan."""
+    from tfm_taxitrips_spark.sources.readers import (
+        _read_events_raw,
+        normalize_event_ts,
+    )
+
+    raw, raw_ts = _read_events_raw(spark, f"{sf_dir}/events.parquet")
     src = (
-        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        spark.readStream.schema(raw.schema)
         # the file source requires a directory; glob-filter to the one table
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(src, raw_ts)
 
 
 def windowed_rollup(
