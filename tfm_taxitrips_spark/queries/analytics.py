@@ -1,0 +1,280 @@
+"""Dashboard-analytics queries (funnel, cohort retention, Pareto frontier,
+histogram, RFM) — the serving-layer families the reference exposes through
+Superset charts over Druid (/root/reference/README.md:10-11), owned
+natively as one-pass DataFrame plans.
+
+Determinism discipline (driver hashes values): counts are BIGINT, money
+runs through the decimal-sum helper, ratios are single IEEE divisions
+(correctly rounded, so bit-identical across engines), and every ordering
+has a total tie-break key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
+from tfm_taxitrips_spark.queries.registry import QuerySpec
+from tfm_taxitrips_spark.sources.readers import table
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel (view → click → purchase): a user converts a
+    stage only if its FIRST occurrence is strictly after the previous
+    stage's first occurrence.
+
+    Scale shape: ONE shuffle — conditional ``min(when(...))`` per user is
+    a map-side-combining hash aggregate, the stage counts reduce to a
+    single row, and the 3-row unpivot is a driver-free ``stack``. No
+    self-joins, no per-stage passes: at 100 TB this is a single scan of
+    events regardless of funnel depth.
+    """
+    events = table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("v_us"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("c_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
+    )
+    s2 = F.col("v_us").isNotNull() & (F.col("c_us") > F.col("v_us"))
+    s3 = s2 & (F.col("p_us") > F.col("c_us"))
+    counts = per_user.agg(
+        F.count("v_us").alias("n1"),
+        F.count(F.when(s2, F.lit(1))).alias("n2"),
+        F.count(F.when(s3, F.lit(1))).alias("n3"),
+    )
+    return counts.selectExpr(
+        "stack(3, 'view', n1, 'view_click', n2, 'view_click_purchase', n3) "
+        "as (stage, n_users)"
+    )
+
+
+_FUNNEL_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         min(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS v_us,
+         min(epoch_us(ts)) FILTER (WHERE event_type = 'click') AS c_us,
+         min(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS p_us
+  FROM events GROUP BY 1
+)
+SELECT 'view' AS stage, count(v_us) AS n_users FROM pu
+UNION ALL
+SELECT 'view_click', count(*) FILTER (WHERE v_us IS NOT NULL AND c_us > v_us)
+FROM pu
+UNION ALL
+SELECT 'view_click_purchase',
+       count(*) FILTER (WHERE v_us IS NOT NULL AND c_us > v_us AND p_us > c_us)
+FROM pu
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week they first
+    appeared, then distinct-active counts per (cohort_week, week_offset).
+
+    Scale shape: first-seen is one user-keyed aggregate; the cohort join
+    re-uses the SAME user_id partitioning (co-partitioned shuffle join, no
+    broadcast of a user-sized dim); the final distinct-count aggregates on
+    the small (cohort, offset) grid. Week math stays on integer day
+    diffs — both engines truncate weeks to Monday 00:00, so the diff is an
+    exact multiple of 7.
+    """
+    events = table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    )
+    joined = active.join(first_seen, "user_id")
+    offset = (
+        F.datediff(F.col("w").cast("date"), F.col("cohort_week").cast("date"))
+        / 7
+    ).cast("int")
+    return (
+        joined.withColumn("week_offset", offset)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_RETENTION_SQL = """
+WITH fs AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY 1
+),
+act AS (
+  SELECT e.user_id, fs.cohort_week, date_trunc('week', e.ts) AS w
+  FROM events e JOIN fs USING (user_id)
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, w) // 7 AS INT) AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM act GROUP BY 1, 2
+"""
+
+
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier over part: minimize ``p_retailprice``,
+    maximize ``p_size``. A part survives iff no other part is at-or-better
+    on both axes and strictly better on one.
+
+    Scale shape: NOT the O(n²) dominance self-join the semantics suggest.
+    Prices aggregate to their per-price max size (map-side combine), a
+    running max over the price-sorted group table finds each price's best
+    strictly-cheaper competitor, and the verdict joins back. The only
+    sequential step — the running max — runs over DISTINCT prices
+    (cardinality-collapsed, thousands not billions), so the single-
+    partition window is a deliberate, bounded choice; the group table is
+    broadcast back against the full part scan. The oracle is the naive
+    NOT EXISTS dominance formulation — an independent derivation, which is
+    exactly what makes the differential check strong.
+    """
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("best_size")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = per_price.withColumn(
+        "cheaper_best", F.max("best_size").over(w)
+    )
+    verdict = ranked.where(
+        F.col("cheaper_best").isNull()
+        | (F.col("best_size") > F.col("cheaper_best"))
+    )
+    return part.join(
+        F.broadcast(verdict), "p_retailprice"
+    ).where(F.col("p_size") == F.col("best_size")).select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+
+_PARETO_SQL = """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""
+
+
+HIST_WIDTH = 100
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document lengths — the corpus-profiling
+    pass every training-data pipeline runs before choosing filters.
+    Integer bucket math (floor division), one map-side-combining
+    aggregate on a bounded key space; at 100 TB this is scan-bound."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / HIST_WIDTH)
+    return (
+        docs.groupBy(bucket.alias("_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            (F.col("_b") * HIST_WIDTH).cast("long").alias("bucket_lo"),
+            ((F.col("_b") + 1) * HIST_WIDTH).cast("long").alias("bucket_hi"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+_HIST_SQL = f"""
+SELECT CAST((n_chars // {HIST_WIDTH}) * {HIST_WIDTH} AS BIGINT) AS bucket_lo,
+       CAST((n_chars // {HIST_WIDTH} + 1) * {HIST_WIDTH} AS BIGINT) AS bucket_hi,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile rank each customer on recency
+    (latest order), frequency (order count) and monetary (decimal-summed
+    spend), concatenated to the classic 'RFM' segment code.
+
+    Scale shape: the per-customer aggregate collapses the fact table
+    first; ``ntile`` then needs a total order over CUSTOMERS — fine into
+    the tens of millions on one partition of 3-column rows, and the
+    documented scale-out is to swap ntile for precomputed
+    ``approx_percentile`` thresholds (same output contract, no global
+    sort). Every ntile ordering carries the custkey tie-break so ranks
+    are total and engine-independent.
+    """
+    orders = table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("spend"),
+    )
+    r = F.ntile(4).over(
+        Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    )
+    fq = F.ntile(4).over(
+        Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
+    )
+    m = F.ntile(4).over(
+        Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    )
+    seg = per_cust.select(
+        "o_custkey",
+        r.alias("r_quartile"),
+        fq.alias("f_quartile"),
+        m.alias("m_quartile"),
+    )
+    return seg.withColumn(
+        "rfm_segment",
+        F.concat_ws(
+            "", F.col("r_quartile"), F.col("f_quartile"), F.col("m_quartile")
+        ),
+    )
+
+
+_RFM_SQL = f"""
+WITH pc AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS n_orders,
+         {dsum_sql('o_totalprice')} AS spend
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey,
+       ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_quartile,
+       ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f_quartile,
+       ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS m_quartile,
+       CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS VARCHAR)
+         || CAST(ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) AS VARCHAR)
+         || CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS VARCHAR)
+         AS rfm_segment
+FROM pc
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "funnel_conversion": QuerySpec(
+        q_funnel_conversion, _FUNNEL_SQL, tags=("analytics", "funnel")
+    ),
+    "retention_cohorts": QuerySpec(
+        q_retention_cohorts, _RETENTION_SQL, tags=("analytics", "cohort")
+    ),
+    "pareto_frontier": QuerySpec(
+        q_pareto_frontier, _PARETO_SQL, tags=("analytics", "skyline")
+    ),
+    "value_histogram": QuerySpec(
+        q_value_histogram, _HIST_SQL, tags=("analytics", "histogram")
+    ),
+    "rfm_segmentation": QuerySpec(
+        q_rfm_segmentation, _RFM_SQL, tags=("analytics", "window")
+    ),
+}

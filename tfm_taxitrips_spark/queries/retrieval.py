@@ -1,0 +1,213 @@
+"""Text retrieval + corpus gating queries: BM25 ranking and a composite
+Gopher-style quality filter (Rae et al. 2021, "Scaling Language Models" —
+the published repetition/length heuristics, recomputed here from scratch
+with built-in expressions only).
+
+Float discipline: every ratio is a single IEEE division (correctly rounded,
+so engine-identical); the one transcendental (BM25's idf log) is rounded to
+micro-units before it can reach the hash, and ALL orderings carry doc_id
+tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_taxitrips_spark.queries.registry import QuerySpec
+from tfm_taxitrips_spark.sources.readers import table
+
+#: fixed query — terms present in the synthetic corpus vocabulary
+BM25_TERMS = ("join", "hash", "scan")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    )
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k over the corpus for a fixed conjunctive query.
+
+    Scale shape: tokenization explodes map-side; ``tf`` filters to the
+    QUERY TERMS before its aggregate, so the shuffled keyspace is
+    O(matching docs × |query|), not the corpus vocabulary; ``df``/``N``/
+    ``avgdl`` collapse to a 3-row / 1-row broadcast. The per-term score
+    components pivot into fixed columns so the cross-term sum is a fixed
+    left-to-right addition — not a ``SUM`` whose accumulation order the
+    shuffle would pick — keeping the float bit-identical across engines;
+    the idf ``ln`` (the one libm call, which IEEE does NOT promise
+    cross-engine to the last ulp) is rounded to integer micro-score units
+    on BOTH sides before ranking. Final top-k is TakeOrderedAndProject on
+    (score_micros DESC, doc_id).
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = _tokens(docs)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    tf = (
+        tok.where(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    comp = idf * (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
+        )
+    )
+    per_term = scored.select("doc_id", "term", comp.alias("comp"))
+    # pivot to fixed columns => fixed-order addition, shuffle-independent
+    agg_cols = [
+        F.sum(F.when(F.col("term") == t, F.col("comp"))).alias(f"_c{i}")
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    total = per_term.groupBy("doc_id").agg(*agg_cols)
+    score = F.coalesce(F.col("_c0"), F.lit(0.0))
+    for i in range(1, len(BM25_TERMS)):
+        score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
+    ranked = total.select(
+        "doc_id",
+        F.round(score * 1_000_000).cast("long").alias("score_micros"),
+    )
+    return ranked.orderBy(
+        F.col("score_micros").desc(), F.col("doc_id")
+    ).limit(BM25_TOPK)
+
+
+_BM25_TERM_LIST = ", ".join(f"'{t}'" for t in BM25_TERMS)
+_BM25_COMPS = " + ".join(
+    f"COALESCE(SUM(comp) FILTER (WHERE term = '{t}'), 0.0)" for t in BM25_TERMS
+)
+
+_BM25_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ({_BM25_TERM_LIST}) GROUP BY 1, 2
+),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+comps AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (stats.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1.0)
+              / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                   + {BM25_B} * dl.dl / (stats.total_dl / stats.n_docs))))
+           AS comp
+  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id), stats
+)
+SELECT doc_id,
+       CAST(round(({_BM25_COMPS}) * 1000000) AS BIGINT) AS score_micros
+FROM comps GROUP BY doc_id
+ORDER BY score_micros DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+# Gopher-style gate thresholds, calibrated to the synthetic corpus so both
+# keep and drop branches are exercised (word counts run 10-99, stop-token
+# share 0-0.22 on the fixtures)
+MIN_WORDS = 20
+MAX_WORDS = 90
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 8.0
+MAX_STOP_RATIO = 0.15
+_STOP_TERMS = ("the", "a")
+
+
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality gate: word-count bounds, mean-word-length
+    bounds, and a stop-token-share cap, emitted as per-rule booleans plus
+    the conjunction (so downstream can audit WHICH rule dropped a doc).
+
+    Scale shape: one map-only pass — every signal is computed from
+    ``split``/``filter``/``length`` built-ins inside whole-stage codegen,
+    no explode, no shuffle (the output is row-per-doc). The ratio
+    comparisons are single correctly-rounded divisions, so the booleans
+    are engine-exact.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    n_words = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOP_TERMS)))
+    # mean word length over the space-split tokens: (chars - spaces)/words
+    mean_wl = (
+        (F.length("text") - (n_words - F.lit(1))).cast("double") / n_words
+    )
+    stop_ratio = n_stop.cast("double") / n_words
+    words_ok = (n_words >= MIN_WORDS) & (n_words <= MAX_WORDS)
+    word_len_ok = (mean_wl >= MIN_MEAN_WORD_LEN) & (
+        mean_wl <= MAX_MEAN_WORD_LEN
+    )
+    stop_ok = stop_ratio <= MAX_STOP_RATIO
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        words_ok.alias("words_ok"),
+        word_len_ok.alias("word_len_ok"),
+        stop_ok.alias("stop_ok"),
+        (words_ok & word_len_ok & stop_ok).alias("keep"),
+    )
+
+
+_STOP_LIST = ", ".join(f"'{t}'" for t in _STOP_TERMS)
+
+_GOPHER_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS n_words,
+         len(list_filter(string_split(lower(text), ' '),
+                         t -> t IN ({_STOP_LIST}))) AS n_stop,
+         length(text) AS n_chars
+  FROM documents
+),
+r AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         (n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}) AS words_ok,
+         (CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words
+            >= {MIN_MEAN_WORD_LEN}
+          AND CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words
+            <= {MAX_MEAN_WORD_LEN}) AS word_len_ok,
+         (CAST(n_stop AS DOUBLE) / n_words <= {MAX_STOP_RATIO}) AS stop_ok
+  FROM sig
+)
+SELECT doc_id, n_words, words_ok, word_len_ok, stop_ok,
+       (words_ok AND word_len_ok AND stop_ok) AS keep
+FROM r
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "bm25_search": QuerySpec(
+        q_bm25_search, _BM25_SQL, tags=("text", "retrieval", "topk")
+    ),
+    "gopher_quality_filter": QuerySpec(
+        q_gopher_quality_filter, _GOPHER_SQL, tags=("text", "quality", "gopher")
+    ),
+}

@@ -101,6 +101,92 @@ FROM m WHERE is_probe = 1
 """
 
 
+FWD_TOL_US = 30 * 60 * 1_000_000  # forward as-of tolerance: 30 minutes
+
+
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: each click matched to the same
+    user's NEXT purchase at-or-after it, nulled when the gap exceeds 30
+    minutes — the mirror of :func:`q_asof_join`'s backward direction, so
+    the engine covers both as-of orientations (reference serving layers
+    typically need backward for enrichment and forward for attribution).
+
+    Same scale shape as backward: union + ONE user-keyed window scan
+    (carry-first-following with ignorenulls), never a range self-join.
+    Probe rows sort BEFORE a build row at the identical timestamp so
+    'at-or-after' includes ties; two ignorenulls carries (id and ts) read
+    the same frame, so they always come from the same matched row.
+    """
+    events = table(spark, sf_dir, "events")
+    e = events.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    is_build = F.col("event_type") == "purchase"
+    tagged = e.select(
+        "user_id",
+        "event_id",
+        "us",
+        is_build.cast("int").alias("build_rank"),  # probe(0) before build(1)
+        F.when(is_build, F.col("event_id")).alias("b_id"),
+        F.when(is_build, F.col("us")).alias("b_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "build_rank", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = tagged.select(
+        "user_id",
+        "event_id",
+        "us",
+        "build_rank",
+        F.first("b_id", ignorenulls=True).over(w).alias("next_id"),
+        F.first("b_us", ignorenulls=True).over(w).alias("next_us"),
+    )
+    within = F.col("next_us") - F.col("us") <= FWD_TOL_US
+    return carried.where(F.col("build_rank") == 0).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "us",
+        F.when(within, F.col("next_id")).alias("next_purchase_id"),
+        F.when(within, F.col("next_us") - F.col("us")).alias("gap_us"),
+    )
+
+
+_ASOF_FWD_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+u AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS build_rank,
+         CASE WHEN event_type = 'purchase' THEN event_id END AS b_id,
+         CASE WHEN event_type = 'purchase' THEN us END AS b_us
+  FROM e
+),
+m AS (
+  SELECT *,
+         FIRST_VALUE(b_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, build_rank, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_id,
+         FIRST_VALUE(b_us IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, build_rank, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us
+  FROM u
+)
+SELECT event_id AS click_id, user_id, us,
+       CASE WHEN next_us - us <= {FWD_TOL_US} THEN next_id END
+         AS next_purchase_id,
+       CASE WHEN next_us - us <= {FWD_TOL_US} THEN next_us - us END
+         AS gap_us
+FROM m WHERE build_rank = 0
+"""
+
+
 RANGE_US = 5 * 60 * 1_000_000  # 5 minutes
 
 
@@ -352,6 +438,8 @@ QUERIES: dict[str, QuerySpec] = {
     "event_sessionization": QuerySpec(q_sessionization, _SESSION_SQL, bench=True,
                                       tags=("temporal",)),
     "event_asof_join": QuerySpec(q_asof_join, _ASOF_SQL, tags=("temporal",)),
+    "event_asof_forward": QuerySpec(q_asof_forward, _ASOF_FWD_SQL,
+                                    tags=("temporal", "asof")),
     "sliding_window_agg": QuerySpec(q_sliding_window_agg, _SLIDING_SQL,
                                     tags=("temporal", "A5", "window")),
     "session_window_agg": QuerySpec(q_session_window_agg, _SESSION_WINDOW_SQL,
