@@ -349,3 +349,61 @@ def test_salted_join_spreads_hot_key(spark, sf_smoke):
     assert "ShuffledHashJoin" in plan
     assert "_salt" in plan
     assert "BroadcastHashJoin" not in plan  # broadcast would hide the spread
+
+
+def test_funnel_single_shuffle(spark, sf_smoke):
+    """The 3-stage funnel is ONE user-keyed exchange (conditional min-when
+    aggregate) + a scalar collapse — never a per-stage self-join."""
+    from tfm_taxitrips_spark.queries.analytics import q_funnel_conversion
+
+    import re
+
+    plan = explain_formatted(q_funnel_conversion(spark, sf_smoke))
+    assert "Join" not in plan
+    # user agg + final single-row collapse, nothing else
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_pareto_no_dominance_self_join(spark, sf_smoke):
+    """The skyline must come from the running-max rewrite: a broadcast of
+    the cardinality-collapsed price table back onto the scan — never the
+    O(n^2) dominance join the oracle uses."""
+    from tfm_taxitrips_spark.queries.analytics import q_pareto_frontier
+
+    plan = explain_formatted(q_pareto_frontier(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_takeordered_and_broadcast_stats(spark, sf_smoke):
+    """BM25's final top-k is TakeOrderedAndProject (no global sort), and
+    the corpus stats / df sides join by broadcast."""
+    from tfm_taxitrips_spark.queries.retrieval import q_bm25_search
+
+    plan = explain_formatted(q_bm25_search(spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gopher_gate_is_map_only(spark, sf_smoke):
+    """The quality gate is a pure projection: no exchange, no generate."""
+    from tfm_taxitrips_spark.queries.retrieval import q_gopher_quality_filter
+
+    plan = explain_formatted(q_gopher_quality_filter(spark, sf_smoke))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_asof_forward_single_window_scan(spark, sf_smoke):
+    """Forward as-of = union + ONE user-keyed window scan; a range self-join
+    here would be the O(n^2) shape the operator exists to avoid."""
+    from tfm_taxitrips_spark.queries.temporal import q_asof_forward
+
+    import re
+
+    plan = explain_formatted(q_asof_forward(spark, sf_smoke))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
