@@ -407,3 +407,18 @@ def test_asof_forward_single_window_scan(spark, sf_smoke):
     plan = explain_formatted(q_asof_forward(spark, sf_smoke))
     assert "Join" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_cdc_apply_single_exchange_max_by(spark, sf_smoke):
+    """CDC last-wins collapse = map-side union of op waves + ONE key
+    exchange for the max_by aggregate — never a row_number sort over the
+    log."""
+    import re
+
+    from tfm_taxitrips_spark.queries.dataprep import q_cdc_apply
+
+    plan = explain_formatted(q_cdc_apply(spark, sf_smoke))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    # max_by plans as SortAggregate: partial (pre-shuffle combine) + final
+    assert len(re.findall(r"\(\d+\) SortAggregate", plan)) >= 2

@@ -587,6 +587,100 @@ _MIX_REBALANCE_SQL = _mix_rebalance_sql()
 # SCD-2 history: validity-interval upsert (the SCD-1 merge's sibling)
 # --------------------------------------------------------------------------
 
+#: sentinel for "this op carries no payload" (D rows) — lets the last-wins
+#: aggregate stay null-free, since DuckDB's arg_max skips NULL arguments
+#: while Spark's max_by carries them, and the two must agree
+_CDC_DEL = "<del>"
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply-changes: collapse an ordered insert/update/delete change
+    log (op, seq) to each key's FINAL state — last writer wins, delete
+    tombstones null the payload. The missing third of the merge family:
+    :func:`q_incremental_merge` is a single unordered upsert batch and
+    :func:`q_scd2_history` keeps every version; this is the Debezium-style
+    replay that produces the current snapshot from a multi-op log.
+
+    The log is synthesized deterministically from ``orders`` (three
+    hash-gated op waves with fixed seq 1/2/3, so keys overlap and real
+    multi-op collapses happen). Plan: map-side union of the three waves,
+    then ONE key exchange for a ``max_by`` aggregate — never a
+    row_number-over-log sort, and the log's width (ops per key) only
+    affects the map side. At 100 TB of log this is the shape you want:
+    partial aggregation collapses each key's ops within every scan task
+    before anything shuffles.
+
+    Cross-engine null discipline: payloads are sentinel-encoded before the
+    aggregate (see ``_CDC_DEL``) because DuckDB's ``arg_max`` ignores
+    NULL-argument rows while Spark's ``max_by`` returns them — the
+    sentinel keeps both engines on the total ops set, decoded after.
+    """
+    key = F.col("o_orderkey")
+    h = F.pmod(
+        hash60(F.concat(F.lit("cdc:"), key.cast("string"))), F.lit(105)
+    )
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", h.alias("_h")
+    )
+
+    def wave(mod, seq, op, status):
+        return base.where(F.col("_h") % mod == 0).select(
+            "o_orderkey",
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            status.alias("status"),
+        )
+
+    ops = (
+        wave(5, 1, "U", F.concat(F.lit("u1-"), F.col("o_orderstatus")))
+        .unionByName(wave(7, 2, "D", F.lit(_CDC_DEL)))
+        .unionByName(wave(3, 3, "U", F.lit("u2")))
+    )
+    last = ops.groupBy("o_orderkey").agg(
+        F.max_by("op", "seq").alias("last_op"),
+        F.max_by("status", "seq").alias("_status_enc"),
+        F.max("seq").alias("last_seq"),
+    )
+    return last.select(
+        "o_orderkey",
+        "last_op",
+        F.when(F.col("_status_enc") != _CDC_DEL, F.col("_status_enc")).alias(
+            "final_status"
+        ),
+        "last_seq",
+        (F.col("last_op") != "D").alias("alive"),
+    )
+
+
+_CDC_HASH = hash60_sql("concat('cdc:', CAST(o_orderkey AS VARCHAR))")
+
+_CDC_APPLY_SQL = f"""
+WITH ops AS (
+  SELECT o_orderkey, 1 AS seq, 'U' AS op,
+         'u1-' || o_orderstatus AS status
+  FROM orders WHERE ({_CDC_HASH} % 105) % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, 2, 'D', '{_CDC_DEL}'
+  FROM orders WHERE ({_CDC_HASH} % 105) % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 'U', 'u2'
+  FROM orders WHERE ({_CDC_HASH} % 105) % 3 = 0
+),
+last AS (
+  SELECT o_orderkey,
+         arg_max(op, seq) AS last_op,
+         arg_max(status, seq) AS status_enc,
+         max(seq) AS last_seq
+  FROM ops GROUP BY 1
+)
+SELECT o_orderkey, last_op,
+       CASE WHEN status_enc <> '{_CDC_DEL}' THEN status_enc END AS final_status,
+       CAST(last_seq AS INT) AS last_seq,
+       (last_op <> 'D') AS alive
+FROM last
+"""
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type 2: apply the deterministic change
     batch of :func:`q_incremental_merge` as NEW VERSIONS instead of
@@ -793,6 +887,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "scd2_history": QuerySpec(
         q_scd2_history, _SCD2_SQL, tags=("merge", "pipeline", "window"),
+    ),
+    "cdc_apply_changes": QuerySpec(
+        q_cdc_apply, _CDC_APPLY_SQL, tags=("merge", "pipeline", "cdc"),
     ),
     "corpus_mix_rebalance": QuerySpec(
         q_corpus_mix_rebalance, _MIX_REBALANCE_SQL,

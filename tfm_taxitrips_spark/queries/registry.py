@@ -72,7 +72,9 @@ GRADING_PRIORITY: tuple[str, ...] = (
 # files themselves (not a name heuristic), so this debt can't silently
 # grow: a new query missing from both GRADING_PRIORITY's window and this
 # list fails tests/test_differential.py::test_grading_window_rotation.
-PENDING_ROTATION: tuple[str, ...] = ()
+PENDING_ROTATION: tuple[str, ...] = (
+    "cdc_apply_changes",        # registered after the round-3 window froze
+)
 
 
 def all_queries() -> dict[str, QuerySpec]:
