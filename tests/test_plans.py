@@ -422,3 +422,15 @@ def test_cdc_apply_single_exchange_max_by(spark, sf_smoke):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     # max_by plans as SortAggregate: partial (pre-shuffle combine) + final
     assert len(re.findall(r"\(\d+\) SortAggregate", plan)) >= 2
+
+
+def test_kmeans_broadcast_centroids_no_cartesian(spark, sf_smoke):
+    """Every Lloyd assignment must broadcast its K centroid rows against
+    the store — a non-broadcast cartesian or a sort-merge join would mean
+    the iteration shuffles the corpus."""
+    from tfm_taxitrips_spark.queries.vectors import q_kmeans_fixed
+
+    plan = explain_formatted(q_kmeans_fixed(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

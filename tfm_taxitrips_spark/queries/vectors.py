@@ -470,7 +470,156 @@ FROM coords GROUP BY label, dim
 """
 
 
+KM_K = 8           # clusters
+KM_SEED_BASE = 100  # deterministic init: embeddings of vec_id 100..107
+KM_ITERS = 3        # fixed Lloyd iterations (unrolled in the oracle)
+
+
+def _km_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd assignment: nearest centroid by cosine, ties to the
+    smallest cid. Centroids broadcast (K rows); the window partitions by
+    vec_id over exactly K candidate rows each."""
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine(as_double("embedding"), F.col("c_emb")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+
+
+def _km_update(assign: DataFrame) -> DataFrame:
+    """One Lloyd update: micro-quantized per-dimension mean (the
+    label_centroids determinism trick — exact bigint sums, one final
+    division), re-packed into an ordered array."""
+    coords = assign.select(
+        "cid", F.posexplode("embedding").alias("dim", "x")
+    )
+    micro = F.floor(F.col("x").cast("double") * F.lit(1000000.0)).cast("long")
+    per_dim = (
+        coords.groupBy("cid", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(micro).alias("sm"))
+        .select(
+            "cid",
+            "dim",
+            (
+                F.col("sm").cast("double")
+                / (F.col("n").cast("double") * F.lit(1000000.0))
+            ).alias("m"),
+        )
+    )
+    packed = per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("c_emb")
+    )
+    return packed
+
+
+def q_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means with {KM_K} clusters, {KM_ITERS} fixed Lloyd iterations,
+    deterministic seed centroids — the ITERATIVE-algorithm pattern (the
+    trainer `q_ann_ivf` stubs out) made oracle-exact: cosine assignment
+    uses the proven sequential-fold ≡ list_dot_product identity, centroid
+    means are micro-quantized integer sums (order-independent, engine-
+    identical), and the oracle unrolls all {KM_ITERS} rounds as CTEs.
+
+    Output is the integer signature of the final clustering (sizes +
+    vec_id checksums) rather than float centroids, so the driver hash
+    compares exact values. Empty clusters drop out naturally (standard
+    Lloyd); seeds are real data points so iteration 1 never starts empty.
+
+    Scale shape per iteration: assignment is a broadcast of K centroid
+    rows against the store (map-side, no shuffle); the update shuffles
+    only (K × dim) partially-summed rows thanks to map-side combine on
+    the posexploded coords. At 100 TB you add `localCheckpoint()` per
+    round to truncate lineage and swap the seeds for k-means|| — the
+    per-iteration plan is unchanged.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.where(
+        (F.col("vec_id") >= KM_SEED_BASE)
+        & (F.col("vec_id") < KM_SEED_BASE + KM_K)
+    ).select(
+        (F.col("vec_id") - KM_SEED_BASE).cast("int").alias("cid"),
+        as_double("embedding").alias("c_emb"),
+    )
+    assign = None
+    for i in range(KM_ITERS):
+        assign = _km_assign(emb, cents)
+        if i < KM_ITERS - 1:
+            cents = _km_update(assign)
+    return assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("vec_id").alias("member_checksum"),
+    )
+
+
+def _km_sql() -> str:
+    seed = (
+        f"SELECT CAST(vec_id - {KM_SEED_BASE} AS INT) AS cid,\n"
+        f"       list_transform(embedding, x -> x::DOUBLE) AS c_emb\n"
+        f"FROM embeddings WHERE vec_id >= {KM_SEED_BASE}"
+        f" AND vec_id < {KM_SEED_BASE + KM_K}"
+    )
+
+    def assign(cent_cte: str, out: str) -> str:
+        sim = _COS.format(a="e.embedding", b=f"{cent_cte}.c_emb")
+        return (
+            f"{out} AS (\n"
+            f"  SELECT vec_id, embedding, cid FROM (\n"
+            f"    SELECT e.vec_id, e.embedding, {cent_cte}.cid,\n"
+            f"           ROW_NUMBER() OVER (PARTITION BY e.vec_id\n"
+            f"             ORDER BY {sim} DESC, {cent_cte}.cid ASC) AS rn\n"
+            f"    FROM embeddings e CROSS JOIN {cent_cte}\n"
+            f"  ) WHERE rn = 1\n"
+            f")"
+        )
+
+    def update(assign_cte: str, out: str) -> str:
+        return (
+            f"{out} AS (\n"
+            f"  SELECT cid, list(m ORDER BY dim) AS c_emb FROM (\n"
+            f"    SELECT cid, dim,\n"
+            f"           CAST(SUM(micro) AS DOUBLE)\n"
+            f"             / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS m\n"
+            f"    FROM (\n"
+            f"      SELECT cid, CAST(i AS INT) - 1 AS dim,\n"
+            f"             CAST(FLOOR(embedding[i]::DOUBLE * 1000000.0)"
+            f" AS BIGINT) AS micro\n"
+            f"      FROM {assign_cte}, unnest(range(1, len(embedding) + 1))"
+            f" AS u(i)\n"
+            f"    ) GROUP BY cid, dim\n"
+            f"  ) GROUP BY cid\n"
+            f")"
+        )
+
+    ctes = [f"c0 AS (\n{seed}\n)"]
+    for i in range(1, KM_ITERS + 1):
+        ctes.append(assign(f"c{i - 1}", f"a{i}"))
+        if i < KM_ITERS:
+            ctes.append(update(f"a{i}", f"c{i}"))
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT cid, COUNT(*) AS n_members,\n"
+        f"       CAST(SUM(vec_id) AS BIGINT) AS member_checksum\n"
+        f"FROM a{KM_ITERS} GROUP BY cid"
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "kmeans_fixed_iters": QuerySpec(
+        q_kmeans_fixed, _km_sql(), tags=("vector", "clustering", "iterative")
+    ),
     "embedding_norms": QuerySpec(q_embedding_norms, _NORMS_SQL, tags=("vector",)),
     "label_centroids": QuerySpec(q_label_centroids, _CENTROIDS_SQL,
                                  tags=("vector", "agg")),
