@@ -286,3 +286,70 @@ def test_salted_join_spreads_clustered_hot_key(spark):
     )
     assert n_salts >= 6, "content salt must spread a clustered hot key"
     assert joined.count() == 1000  # and stay row-identical to the direct join
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_skyline_matches_naive_dominance(spark, rows):
+    """The running-max skyline rewrite equals the O(n²) dominance model on
+    any point set — including all-ties, one-group, and duplicate points."""
+    from tfm_taxitrips_spark.operators.analytics import skyline_2d
+
+    df = spark.createDataFrame(
+        [(i, p, s) for i, (p, s) in enumerate(rows)],
+        "id int, price int, size int",
+    )
+    got = sorted(
+        (r.id, r.price, r.size)
+        for r in skyline_2d(df, "price", "size").collect()
+    )
+    expect = sorted(
+        (i, p, s)
+        for i, (p, s) in enumerate(rows)
+        if not any(
+            (q <= p and t >= s and (q < p or t > s)) for q, t in rows
+        )
+    )
+    assert got == expect
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 5),          # key
+            st.integers(0, 9),          # seq
+            st.sampled_from(["U", "D"]),
+            st.sampled_from(["a", "b", "<del>"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_cdc_collapse_matches_replay(spark, ops):
+    """cdc_collapse equals a per-key ordered replay for any log — dup
+    keys, delete-then-update, single-op keys. (key, seq) is deduped first
+    (the operator contract: seq is unique per key)."""
+    from tfm_taxitrips_spark.operators.analytics import cdc_collapse
+
+    uniq = {(k, s): (o, p) for k, s, o, p in ops}
+    rows = [(k, s, o, p) for (k, s), (o, p) in uniq.items()]
+    df = spark.createDataFrame(
+        rows, "k int, seq int, op string, status string"
+    )
+    got = {
+        r.k: (r.last_op, r.final_status, r.last_seq, r.alive)
+        for r in cdc_collapse(df, key="k").collect()
+    }
+    expect = {}
+    for k in {r[0] for r in rows}:
+        key_ops = sorted(r for r in rows if r[0] == k)
+        _, seq, op, payload = max(key_ops, key=lambda r: r[1])
+        expect[k] = (op, payload if op != "D" else None, seq, op != "D")
+    assert got == expect

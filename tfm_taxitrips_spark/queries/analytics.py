@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
+from tfm_taxitrips_spark.operators.analytics import skyline_2d
 from tfm_taxitrips_spark.queries.registry import QuerySpec
 from tfm_taxitrips_spark.sources.readers import table
 
@@ -134,22 +135,7 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size"
     )
-    per_price = part.groupBy("p_retailprice").agg(
-        F.max("p_size").alias("best_size")
-    )
-    w = Window.orderBy("p_retailprice").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    ranked = per_price.withColumn(
-        "cheaper_best", F.max("best_size").over(w)
-    )
-    verdict = ranked.where(
-        F.col("cheaper_best").isNull()
-        | (F.col("best_size") > F.col("cheaper_best"))
-    )
-    return part.join(
-        F.broadcast(verdict), "p_retailprice"
-    ).where(F.col("p_size") == F.col("best_size")).select(
+    return skyline_2d(part, "p_retailprice", "p_size").select(
         "p_partkey", "p_retailprice", "p_size"
     )
 

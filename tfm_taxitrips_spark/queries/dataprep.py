@@ -24,6 +24,7 @@ from tfm_taxitrips_spark.functions.text import (
     token_count,
     tokens,
 )
+from tfm_taxitrips_spark.operators.analytics import cdc_collapse
 from tfm_taxitrips_spark.operators.clustering import connected_components
 from tfm_taxitrips_spark.operators.partitioning import fan_out
 from tfm_taxitrips_spark.queries.registry import QuerySpec
@@ -636,20 +637,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(wave(7, 2, "D", F.lit(_CDC_DEL)))
         .unionByName(wave(3, 3, "U", F.lit("u2")))
     )
-    last = ops.groupBy("o_orderkey").agg(
-        F.max_by("op", "seq").alias("last_op"),
-        F.max_by("status", "seq").alias("_status_enc"),
-        F.max("seq").alias("last_seq"),
-    )
-    return last.select(
-        "o_orderkey",
-        "last_op",
-        F.when(F.col("_status_enc") != _CDC_DEL, F.col("_status_enc")).alias(
-            "final_status"
-        ),
-        "last_seq",
-        (F.col("last_op") != "D").alias("alive"),
-    )
+    return cdc_collapse(ops, key="o_orderkey")
 
 
 _CDC_HASH = hash60_sql("concat('cdc:', CAST(o_orderkey AS VARCHAR))")
