@@ -61,6 +61,8 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "bm25_search",              # BM25 top-k, pivoted fixed-order float sum
     "gopher_quality_filter",    # composite quality gate, map-only
     "event_asof_forward",       # forward as-of with tolerance
+    "cdc_apply_changes",        # ordered I/U/D log collapse
+    "kmeans_fixed_iters",       # fixed-iteration Lloyd, unrolled oracle
 )
 
 # Queries added AFTER this round's window froze at 50 entries. They are
@@ -72,10 +74,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
 # files themselves (not a name heuristic), so this debt can't silently
 # grow: a new query missing from both GRADING_PRIORITY's window and this
 # list fails tests/test_differential.py::test_grading_window_rotation.
-PENDING_ROTATION: tuple[str, ...] = (
-    "cdc_apply_changes",        # registered after the round-3 window froze
-    "kmeans_fixed_iters",       # registered after the round-3 window froze
-)
+PENDING_ROTATION: tuple[str, ...] = ()
 
 
 def all_queries() -> dict[str, QuerySpec]:
