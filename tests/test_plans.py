@@ -434,3 +434,24 @@ def test_kmeans_broadcast_centroids_no_cartesian(spark, sf_smoke):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sink_partitioned_readback_prunes(spark, sf_smoke, tmp_path):
+    """K1 contract: a predicate on the partition column of the sunk table
+    must reach the scan as a PartitionFilter (directory pruning), not a
+    post-scan Filter."""
+    from tfm_taxitrips_spark.queries.sinkq import PRUNE_PRIORITY
+    from tfm_taxitrips_spark.sinks.writers import write_table
+    from tfm_taxitrips_spark.sources.readers import table as t
+
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "orders_part")
+    write_table(
+        t(spark, sf_smoke, "orders"), path, partition_by=("o_orderpriority",)
+    )
+    back = spark.read.parquet(path).where(
+        F.col("o_orderpriority") == PRUNE_PRIORITY
+    )
+    plan = explain_formatted(back)
+    assert "PartitionFilters: [isnotnull(o_orderpriority" in plan

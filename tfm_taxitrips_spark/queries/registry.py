@@ -63,6 +63,9 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "event_asof_forward",       # forward as-of with tolerance
     "cdc_apply_changes",        # ordered I/U/D log collapse
     "kmeans_fixed_iters",       # fixed-iteration Lloyd, unrolled oracle
+    "sink_partitioned_roundtrip",   # K1: partitioned parquet write→pruned read
+    "sink_csv_roundtrip",           # K5: single-file CSV write→schema read
+    "sink_stream_parquet_roundtrip",  # K2: streaming parquet sink drain→read
 )
 
 # Queries added AFTER this round's window froze at 50 entries. They are
@@ -84,6 +87,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         relational,
         retrieval,
+        sinkq,
         sketches,
         sqlsuite,
         streamq,
@@ -94,7 +98,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
     merged: dict[str, QuerySpec] = {}
     for module in (relational, text, vectors, streamq, multimodal, temporal,
-                   sqlsuite, sketches, dataprep, analytics, retrieval):
+                   sqlsuite, sketches, dataprep, analytics, retrieval, sinkq):
         for name, spec in module.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")

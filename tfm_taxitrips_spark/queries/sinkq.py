@@ -1,0 +1,162 @@
+"""Sink round-trip queries: give the K-family sinks (SURVEY.md §2.2) a
+driver-checkable contract. Each query writes through the real sink seam
+into a throwaway dir, reads its own output back, and aggregates — so the
+oracle (plain SQL over the source table) proves the whole
+write→layout→read path, not just the write call. Dirs are removed after
+the small result is materialized (the stream_topk hygiene pattern).
+
+K1 partitioned parquet: /root/reference/TransformTaxiTrips.py:115-117
+K2 streaming parquet:   /root/reference/StreamingTaxiTrips.py:156-163
+K5 single-file CSV:     /root/reference/AreasLoc.py:79-80
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
+from tfm_taxitrips_spark.queries.registry import QuerySpec
+from tfm_taxitrips_spark.sinks.writers import (
+    write_parquet_stream,
+    write_single_csv,
+    write_table,
+)
+from tfm_taxitrips_spark.sources.readers import table
+
+
+def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Pin a small result before its backing files are removed. The
+    results here are aggregate-sized by construction (≤ tens of rows), so
+    localizing them IS the serving read, not a driver-side loop."""
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
+PRUNE_PRIORITY = "1-URGENT"
+
+
+def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 — partitioned batch parquet sink, proven by its read side:
+    orders written ``partitionBy(o_orderpriority)``, read back with a
+    partition predicate (the scan must PRUNE to one directory — pinned by
+    tests/test_plans.py), then aggregated. At 100 TB the partition column
+    IS the serving contract: a dashboard filter on priority touches
+    1/|priorities| of the files, which is exactly what this query
+    round-trips."""
+    base = tempfile.mkdtemp(prefix="tfm_sink_k1_")
+    try:
+        orders = table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+        )
+        write_table(
+            orders, f"{base}/orders", partition_by=("o_orderpriority",)
+        )
+        back = spark.read.parquet(f"{base}/orders").where(
+            F.col("o_orderpriority") == PRUNE_PRIORITY
+        )
+        agg = back.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        return _materialize(spark, agg)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_K1_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders WHERE o_orderpriority = '{PRUNE_PRIORITY}'
+GROUP BY 1
+"""
+
+
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 — single-file CSV sink round-trip. The doubles survive exactly:
+    Spark writes Java's shortest-round-trippable decimal form and the
+    explicit-schema read parses it back to the identical bits (no
+    inference pass — schema discipline per sources.readers.read_table)."""
+    base = tempfile.mkdtemp(prefix="tfm_sink_k5_")
+    try:
+        agg = (
+            table(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice").alias("total_price"),
+            )
+        )
+        write_single_csv(agg, f"{base}/out")
+        back = spark.read.csv(
+            f"{base}/out",
+            schema="o_orderstatus string, n_orders bigint, total_price double",
+            header=True,
+        )
+        return _materialize(spark, back)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_K5_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_sink_stream_parquet_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """K2 — streaming parquet sink: the bronze-ingest shape (map-only
+    enrichment, time-partitioned append, availableNow drain), proven by
+    reading the sunk files back and aggregating. Deliberately NOT a
+    watermarked aggregate: append-mode window aggs can hold final windows
+    in state past an availableNow drain, so the durable-sink contract is
+    raw-with-derived-partitions, and rollups happen on read (or in the
+    update-mode serving path, stream_topk)."""
+    from tfm_taxitrips_spark.streaming.pipeline import read_events_stream
+
+    base = tempfile.mkdtemp(prefix="tfm_sink_k2_")
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        enriched = stream.withColumn("year", F.year("ts")).withColumn(
+            "month", F.month("ts")
+        )
+        q = write_parquet_stream(
+            enriched,
+            f"{base}/events",
+            f"{base}/chk",
+            partition_by=("year", "month"),
+            available_now=True,
+        )
+        q.awaitTermination()
+        back = spark.read.parquet(f"{base}/events")
+        agg = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        return _materialize(spark, agg)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_K2_SQL = f"""
+SELECT event_type, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+FROM events GROUP BY 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "sink_partitioned_roundtrip": QuerySpec(
+        q_sink_partitioned_roundtrip, _K1_SQL, tags=("sink", "K1")
+    ),
+    "sink_csv_roundtrip": QuerySpec(
+        q_sink_csv_roundtrip, _K5_SQL, tags=("sink", "K5")
+    ),
+    "sink_stream_parquet_roundtrip": QuerySpec(
+        q_sink_stream_parquet_roundtrip, _K2_SQL, tags=("sink", "K2", "stream")
+    ),
+}
