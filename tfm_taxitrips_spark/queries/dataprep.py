@@ -588,6 +588,132 @@ _MIX_REBALANCE_SQL = _mix_rebalance_sql()
 # SCD-2 history: validity-interval upsert (the SCD-1 merge's sibling)
 # --------------------------------------------------------------------------
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row Bernoulli sample with probability proportional to document
+    LENGTH (the standard long-docs-oversampled training mix), fully
+    deterministic: keep iff ``hash60('ws:'||doc_id) % 1e6 <
+    n_chars*1e6 // max_chars``. Pure integer arithmetic end to end — no
+    float probability, no RNG — so membership is reproducible across
+    retries, partitionings, and engines.
+
+    Scale shape: the corpus max is ONE broadcast scalar; the gate is a
+    map-side filter fused into the scan. Weighted-without-replacement
+    variants (A-ES exponential keys) need transcendental per-row math
+    that is NOT cross-engine bit-stable — this thresholded form is the
+    deterministic subset that is, which is why the engine ships it.
+    """
+    docs = table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("mx"))
+    # integer threshold (floored quotient) keeps both engines exact
+    gate = (
+        F.pmod(
+            hash60(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+            F.lit(1_000_000),
+        )
+        < F.floor((F.col("n_chars") * F.lit(1_000_000)) / F.col("mx")).cast(
+            "long"
+        )
+    )
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .where(gate)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH m AS (SELECT max(n_chars) AS mx FROM documents)
+SELECT doc_id, lang, n_chars
+FROM documents, m
+WHERE {hash60_sql("concat('ws:', CAST(doc_id AS VARCHAR))")} % 1000000
+      < (n_chars * 1000000) // mx
+"""
+
+
+def _fp_table(df: DataFrame, name: str, row_repr) -> DataFrame:
+    return df.agg(
+        F.lit(name).alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(hash60(row_repr)).alias("fingerprint"),
+    )
+
+
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprints — the anti-entropy primitive
+    for verifying a replica, migration, or backfill WITHOUT sorting or
+    moving the data: per-row hash60 over a canonical string encoding,
+    folded with ``bit_xor`` (commutative, associative, overflow-free at
+    any row count — unlike a modular SUM, there is no scale at which the
+    accumulator wraps differently between engines).
+
+    Canonical encoding discipline: only types whose string form is
+    engine-identical go into the row representation (bigints, strings,
+    DECIMAL-cast money — never raw doubles, whose scientific-notation
+    thresholds differ between Spark and DuckDB).
+
+    Scale shape: three independent map-side-combined single-row
+    aggregates unioned — each table's fingerprint is one scan, no
+    shuffle beyond the 1-row partials.
+    """
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    sep = "|"
+    o_repr = F.concat_ws(
+        sep,
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+    )
+    c_repr = F.concat_ws(
+        sep,
+        F.col("c_custkey").cast("string"),
+        F.col("c_name"),
+        F.col("c_nationkey").cast("string"),
+    )
+    n_repr = F.concat_ws(
+        sep,
+        F.col("n_nationkey").cast("string"),
+        F.col("n_name"),
+        F.col("n_regionkey").cast("string"),
+    )
+    return (
+        _fp_table(orders, "orders", o_repr)
+        .unionByName(_fp_table(customer, "customer", c_repr))
+        .unionByName(_fp_table(nation, "nation", n_repr))
+    )
+
+
+def _fp_sql(tbl: str, repr_sql: str) -> str:
+    return (
+        f"SELECT '{tbl}' AS table_name, COUNT(*) AS n_rows,\n"
+        f"       bit_xor({hash60_sql(repr_sql)}) AS fingerprint\n"
+        f"FROM {tbl}"
+    )
+
+
+_FINGERPRINT_SQL = (
+    _fp_sql(
+        "orders",
+        "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), "
+        "o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR))",
+    )
+    + "\nUNION ALL\n"
+    + _fp_sql(
+        "customer",
+        "concat_ws('|', CAST(c_custkey AS VARCHAR), c_name, "
+        "CAST(c_nationkey AS VARCHAR))",
+    )
+    + "\nUNION ALL\n"
+    + _fp_sql(
+        "nation",
+        "concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name, "
+        "CAST(n_regionkey AS VARCHAR))",
+    )
+)
+
+
 #: sentinel for "this op carries no payload" (D rows) — lets the last-wins
 #: aggregate stay null-free, since DuckDB's arg_max skips NULL arguments
 #: while Spark's max_by carries them, and the two must agree
@@ -878,6 +1004,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "cdc_apply_changes": QuerySpec(
         q_cdc_apply, _CDC_APPLY_SQL, tags=("merge", "pipeline", "cdc"),
+    ),
+    "weighted_sample": QuerySpec(
+        q_weighted_sample, _WEIGHTED_SAMPLE_SQL, tags=("sample", "pipeline"),
+    ),
+    "table_fingerprint": QuerySpec(
+        q_table_fingerprint, _FINGERPRINT_SQL, tags=("integrity", "pipeline"),
     ),
     "corpus_mix_rebalance": QuerySpec(
         q_corpus_mix_rebalance, _MIX_REBALANCE_SQL,

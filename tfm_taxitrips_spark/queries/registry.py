@@ -66,6 +66,8 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "sink_partitioned_roundtrip",   # K1: partitioned parquet write→pruned read
     "sink_csv_roundtrip",           # K5: single-file CSV write→schema read
     "sink_stream_parquet_roundtrip",  # K2: streaming parquet sink drain→read
+    "weighted_sample",              # length-proportional integer Bernoulli
+    "table_fingerprint",            # bit_xor anti-entropy checksums
 )
 
 # Queries added AFTER this round's window froze at 50 entries. They are
