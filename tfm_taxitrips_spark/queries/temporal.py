@@ -3,8 +3,8 @@ extensions beyond the reference — SURVEY.md §2.7 notes it has no window
 functions; these are the first-class equivalents a serving layer needs).
 
 All timestamp math happens on integer epoch-micros (``unix_micros`` /
-``epoch_us``) so Spark (µs) and the DuckDB oracle (ns source data) agree
-bit-for-bit.
+``epoch_us``) so Spark and the DuckDB oracle agree bit-for-bit whatever
+precision the source parquet stores (see sources.readers.read_events).
 """
 
 from __future__ import annotations
