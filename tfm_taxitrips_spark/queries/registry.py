@@ -68,6 +68,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "sink_stream_parquet_roundtrip",  # K2: streaming parquet sink drain→read
     "weighted_sample",              # length-proportional integer Bernoulli
     "table_fingerprint",            # bit_xor anti-entropy checksums
+    "stream_quality_gate",          # streaming form of the Gopher gate
 )
 
 # Queries added AFTER this round's window froze at 50 entries. They are

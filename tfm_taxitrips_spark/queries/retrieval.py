@@ -141,18 +141,12 @@ MAX_STOP_RATIO = 0.15
 _STOP_TERMS = ("the", "a")
 
 
-def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite document-quality gate: word-count bounds, mean-word-length
-    bounds, and a stop-token-share cap, emitted as per-rule booleans plus
-    the conjunction (so downstream can audit WHICH rule dropped a doc).
-
-    Scale shape: one map-only pass — every signal is computed from
-    ``split``/``filter``/``length`` built-ins inside whole-stage codegen,
-    no explode, no shuffle (the output is row-per-doc). The ratio
-    comparisons are single correctly-rounded divisions, so the booleans
-    are engine-exact.
-    """
-    docs = table(spark, sf_dir, "documents")
+def quality_flags(docs: DataFrame) -> DataFrame:
+    """The gate's signal computation as a pure ``DataFrame → DataFrame``
+    map — shared VERBATIM by the batch query below and the streaming form
+    (queries.streamq.q_stream_quality_gate): map-only transformations are
+    the class Structured Streaming runs unchanged, and sharing one
+    builder is what guarantees batch/stream parity by construction."""
     toks = F.split(F.lower(F.col("text")), " ")
     n_words = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOP_TERMS)))
@@ -174,6 +168,20 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_ok.alias("stop_ok"),
         (words_ok & word_len_ok & stop_ok).alias("keep"),
     )
+
+
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality gate: word-count bounds, mean-word-length
+    bounds, and a stop-token-share cap, emitted as per-rule booleans plus
+    the conjunction (so downstream can audit WHICH rule dropped a doc).
+
+    Scale shape: one map-only pass — every signal is computed from
+    ``split``/``filter``/``length`` built-ins inside whole-stage codegen,
+    no explode, no shuffle (the output is row-per-doc). The ratio
+    comparisons are single correctly-rounded divisions, so the booleans
+    are engine-exact.
+    """
+    return quality_flags(table(spark, sf_dir, "documents"))
 
 
 _STOP_LIST = ", ".join(f"'{t}'" for t in _STOP_TERMS)

@@ -286,7 +286,41 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
 """
 
 
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality gate applied to a DOCUMENT STREAM — the
+    streaming-ingest form of corpus gating (docs filtered as they land,
+    not in a nightly batch). The signal computation is the SAME builder
+    the batch query uses (queries.retrieval.quality_flags), so
+    batch/stream parity holds by construction; this query then counts the
+    per-rule outcome grid through a complete-mode drain so the oracle
+    checks the whole gate truth table, not just the keep total."""
+    from tfm_taxitrips_spark.queries.retrieval import quality_flags
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    flagged = quality_flags(stream)
+    grid = flagged.groupBy(
+        "words_ok", "word_len_ok", "stop_ok", "keep"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    return run_to_memory(grid, spark)
+
+
+def _stream_gate_sql() -> str:
+    from tfm_taxitrips_spark.queries.retrieval import _GOPHER_SQL
+
+    return (
+        f"SELECT words_ok, word_len_ok, stop_ok, keep,"
+        f" COUNT(*) AS n_docs\nFROM ({_GOPHER_SQL})\nGROUP BY 1, 2, 3, 4"
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_quality_gate": QuerySpec(q_stream_quality_gate, _stream_gate_sql(),
+                                     tags=("streaming", "quality", "pipeline")),
     "stream_topk": QuerySpec(q_stream_topk, _STREAM_TOPK_SQL,
                              tags=("streaming", "topk", "serving")),
     "stream_running_totals": QuerySpec(q_stream_running_totals, _STREAM_RUNNING_SQL,
