@@ -149,7 +149,71 @@ FROM events GROUP BY 1
 """
 
 
+_MATRIX_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def q_sink_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The format-agnostic seam (write_table / read_table) proven across
+    its WHOLE matrix in one query: nation written and read back through
+    parquet, orc, json, and csv, each round-trip reduced to (n_rows,
+    bit_xor row fingerprint). All four rows must carry the SAME
+    fingerprint — and the oracle recomputes it from the source table per
+    format label, so any format that drops, mangles, or retypes a row
+    hash-fails. Text formats read with an explicit schema (no inference
+    pass, per the schema discipline at sources.readers.read_table)."""
+    from tfm_taxitrips_spark.functions.text import hash60
+    from tfm_taxitrips_spark.sources.readers import read_table
+
+    base = tempfile.mkdtemp(prefix="tfm_sink_matrix_")
+    try:
+        nation = table(spark, sf_dir, "nation")
+        schema = "n_nationkey int, n_name string, n_regionkey int"
+        out = None
+        for fmt in _MATRIX_FORMATS:
+            path = f"{base}/{fmt}"
+            write_table(nation.select("n_nationkey", "n_name", "n_regionkey"),
+                        path, fmt=fmt,
+                        **({"header": "true"} if fmt == "csv" else {}))
+            back = read_table(
+                spark, path, fmt=fmt,
+                schema=None if fmt in ("parquet", "orc") else schema,
+                **({"header": "true"} if fmt == "csv" else {}),
+            )
+            repr_ = F.concat_ws(
+                "|",
+                F.col("n_nationkey").cast("string"),
+                F.col("n_name"),
+                F.col("n_regionkey").cast("string"),
+            )
+            agg = back.agg(
+                F.lit(fmt).alias("fmt"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.bit_xor(hash60(repr_)).alias("fingerprint"),
+            )
+            out = agg if out is None else out.unionByName(agg)
+        return _materialize(spark, out)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _matrix_sql() -> str:
+    from tfm_taxitrips_spark.functions.text import hash60_sql
+
+    h = hash60_sql(
+        "concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name, "
+        "CAST(n_regionkey AS VARCHAR))"
+    )
+    parts = [
+        f"SELECT '{fmt}' AS fmt, COUNT(*) AS n_rows, bit_xor({h}) AS fingerprint FROM nation"
+        for fmt in _MATRIX_FORMATS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sink_format_matrix": QuerySpec(
+        q_sink_format_matrix, _matrix_sql(), tags=("sink", "formats")
+    ),
     "sink_partitioned_roundtrip": QuerySpec(
         q_sink_partitioned_roundtrip, _K1_SQL, tags=("sink", "K1")
     ),
