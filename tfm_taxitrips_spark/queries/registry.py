@@ -70,6 +70,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "table_fingerprint",            # bit_xor anti-entropy checksums
     "stream_quality_gate",          # streaming form of the Gopher gate
     "sink_format_matrix",           # parquet/orc/json/csv seam round-trip
+    "stream_funnel",                # stateful streaming funnel, batch oracle
 )
 
 # Queries added AFTER this round's window froze at 50 entries. They are

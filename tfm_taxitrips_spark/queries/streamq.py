@@ -286,6 +286,46 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
 """
 
 
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered 3-stage funnel computed ON THE STREAM: per-user
+    first-occurrence timestamps accumulate as streaming aggregate state
+    (complete mode — per-user funnel state is the serving table a live
+    funnel dashboard reads), then the drained state collapses to the same
+    3-row stage table as the batch form, under the SAME oracle
+    (queries.analytics._FUNNEL_SQL). Batch/stream funnel parity, checked
+    end-to-end.
+
+    State note: per-user minimums are compact (3 longs/user) but
+    unbounded in users — the production eviction is a TTL on user
+    inactivity via applyInPandasWithState (the sessionization pattern);
+    the finite replay here drains before eviction matters."""
+    stream = read_events_stream(spark, sf_dir)
+    us = F.unix_micros("ts")
+    per_user = stream.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("v_us"),
+        F.min(F.when(F.col("event_type") == "click", us)).alias("c_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
+    )
+    drained = run_to_memory(per_user, spark)
+    s2 = F.col("v_us").isNotNull() & (F.col("c_us") > F.col("v_us"))
+    s3 = s2 & (F.col("p_us") > F.col("c_us"))
+    counts = drained.agg(
+        F.count("v_us").alias("n1"),
+        F.count(F.when(s2, F.lit(1))).alias("n2"),
+        F.count(F.when(s3, F.lit(1))).alias("n3"),
+    )
+    return counts.selectExpr(
+        "stack(3, 'view', n1, 'view_click', n2, 'view_click_purchase', n3) "
+        "as (stage, n_users)"
+    )
+
+
+def _stream_funnel_sql() -> str:
+    from tfm_taxitrips_spark.queries.analytics import _FUNNEL_SQL
+
+    return _FUNNEL_SQL
+
+
 def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher quality gate applied to a DOCUMENT STREAM — the
     streaming-ingest form of corpus gating (docs filtered as they land,
@@ -319,6 +359,8 @@ def _stream_gate_sql() -> str:
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "stream_funnel": QuerySpec(q_stream_funnel, _stream_funnel_sql(),
+                               tags=("streaming", "funnel", "stateful")),
     "stream_quality_gate": QuerySpec(q_stream_quality_gate, _stream_gate_sql(),
                                      tags=("streaming", "quality", "pipeline")),
     "stream_topk": QuerySpec(q_stream_topk, _STREAM_TOPK_SQL,
