@@ -71,6 +71,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "stream_quality_gate",          # streaming form of the Gopher gate
     "sink_format_matrix",           # parquet/orc/json/csv seam round-trip
     "stream_funnel",                # stateful streaming funnel, batch oracle
+    "ann_recall_eval",              # recall@k acceptance gate for ANN
 )
 
 # Queries added AFTER this round's window froze at 50 entries. They are

@@ -470,6 +470,77 @@ FROM coords GROUP BY label, dim
 """
 
 
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation of the LSH ANN path against the exact
+    brute-force ranking — the acceptance gate every approximate-similarity
+    deployment needs before pointing it at production traffic. Emits the
+    integer contingency per probe (exact-set size, approx-set size, hit
+    count) so the driver hash compares exact numbers and downstream can
+    derive recall@k = n_hits / n_brute.
+
+    Composes the two ALREADY-ORACLE-PROVEN rankings (q_ann_bruteforce,
+    q_ann_lsh) and intersects per qid — the eval itself adds one
+    broadcast-sized join on (qid, vec_id). At 100 TB you run it on a
+    sampled probe set; the statistic is the same.
+
+    Measured finding on the synthetic fixture: recall@10 ≈ 0-10% — the
+    corpus is UNIFORM random vectors (all pairwise cosines ≈ 0, no
+    cluster structure), the adversarial case for hyperplane LSH. That is
+    the eval doing its job: on such data the correct deployment answer is
+    brute-force/IVF-rerank, and this query is the gate that tells you so
+    BEFORE production does.
+    """
+    brute = q_ann_bruteforce(spark, sf_dir).select("qid", "vec_id")
+    approx = q_ann_lsh(spark, sf_dir).select(
+        "qid", F.col("vec_id").alias("a_vec_id")
+    )
+    hits = brute.join(
+        approx,
+        (brute["qid"] == approx["qid"])
+        & (brute["vec_id"] == approx["a_vec_id"]),
+        "left",
+    ).select(
+        brute["qid"].alias("q"),
+        "vec_id",
+        F.col("a_vec_id").isNotNull().cast("int").alias("hit"),
+    )
+    per_q = hits.groupBy("q").agg(
+        F.count(F.lit(1)).alias("n_brute"),
+        F.sum("hit").alias("n_hits"),
+    )
+    n_approx = approx.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_approx")
+    )
+    return per_q.join(
+        n_approx, per_q["q"] == n_approx["qid"], "left"
+    ).select(
+        F.col("q").alias("qid"),
+        "n_brute",
+        F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+        "n_hits",
+    )
+
+
+_ANN_RECALL_SQL = f"""
+WITH brute AS (
+  SELECT qid, vec_id FROM ({_ANN_BRUTE_SQL}) b
+),
+approx AS (
+  SELECT qid, vec_id FROM ({_ANN_LSH_SQL}) a
+),
+per_q AS (
+  SELECT b.qid, COUNT(*) AS n_brute,
+         CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits
+  FROM brute b LEFT JOIN approx a ON a.qid = b.qid AND a.vec_id = b.vec_id
+  GROUP BY 1
+),
+na AS (SELECT qid, COUNT(*) AS n_approx FROM approx GROUP BY 1)
+SELECT p.qid, p.n_brute, COALESCE(na.n_approx, 0) AS n_approx, p.n_hits
+FROM per_q p LEFT JOIN na ON na.qid = p.qid
+"""
+
+
 KM_K = 8           # clusters
 KM_SEED_BASE = 100  # deterministic init: embeddings of vec_id 100..107
 KM_ITERS = 3        # fixed Lloyd iterations (unrolled in the oracle)
@@ -619,6 +690,9 @@ def _km_sql() -> str:
 QUERIES: dict[str, QuerySpec] = {
     "kmeans_fixed_iters": QuerySpec(
         q_kmeans_fixed, _km_sql(), tags=("vector", "clustering", "iterative")
+    ),
+    "ann_recall_eval": QuerySpec(
+        q_ann_recall_eval, _ANN_RECALL_SQL, tags=("vector", "eval")
     ),
     "embedding_norms": QuerySpec(q_embedding_norms, _NORMS_SQL, tags=("vector",)),
     "label_centroids": QuerySpec(q_label_centroids, _CENTROIDS_SQL,
