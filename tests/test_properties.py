@@ -353,3 +353,84 @@ def test_cdc_collapse_matches_replay(spark, ops):
         _, seq, op, payload = max(key_ops, key=lambda r: r[1])
         expect[k] = (op, payload if op != "D" else None, seq, op != "D")
     assert got == expect
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),                     # user
+            st.sampled_from(["click", "purchase"]),
+            st.integers(0, 100),                   # minutes offset
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_asof_forward_matches_python_model(spark, events):
+    """The union+window forward as-of equals the naive per-click scan for
+    any event mix — same-timestamp click/purchase ties (at-or-after
+    includes them), no-purchase users, out-of-tolerance gaps."""
+    import pyspark.sql.functions as F
+
+    from tfm_taxitrips_spark.queries.temporal import FWD_TOL_US
+
+    rows = [
+        (eid, u, ty, _EPOCH + dt.timedelta(minutes=m))
+        for eid, (u, ty, m) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+
+    # inline the query's core on this frame (same expressions as
+    # queries.temporal.q_asof_forward, minus the table() read)
+    from pyspark.sql import Window
+
+    e = df.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    is_build = F.col("event_type") == "purchase"
+    tagged = e.select(
+        "user_id", "event_id", "us",
+        is_build.cast("int").alias("build_rank"),
+        F.when(is_build, F.col("event_id")).alias("b_id"),
+        F.when(is_build, F.col("us")).alias("b_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "build_rank", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = tagged.select(
+        "user_id", "event_id", "us", "build_rank",
+        F.first("b_id", ignorenulls=True).over(w).alias("next_id"),
+        F.first("b_us", ignorenulls=True).over(w).alias("next_us"),
+    )
+    within = F.col("next_us") - F.col("us") <= FWD_TOL_US
+    got = {
+        r.event_id: r.next_purchase_id
+        for r in carried.where(F.col("build_rank") == 0)
+        .select(
+            "event_id",
+            F.when(within, F.col("next_id")).alias("next_purchase_id"),
+        )
+        .collect()
+    }
+
+    # naive model: for each click, earliest (us, event_id) purchase of the
+    # same user with p_us >= c_us and gap <= tolerance
+    us_of = {eid: int((ts - _EPOCH).total_seconds() * 1_000_000)
+             for eid, _, _, ts in rows}
+    expect = {}
+    for eid, u, ty, _ in rows:
+        if ty != "click":
+            continue
+        cands = [
+            (us_of[pid], pid)
+            for pid, pu, pty, _ in rows
+            if pty == "purchase" and pu == u and us_of[pid] >= us_of[eid]
+            and us_of[pid] - us_of[eid] <= FWD_TOL_US
+        ]
+        expect[eid] = min(cands)[1] if cands else None
+    assert got == expect
