@@ -368,11 +368,12 @@ def test_cdc_collapse_matches_replay(spark, ops):
 )
 @settings(**_SETTINGS)
 def test_asof_forward_matches_python_model(spark, events):
-    """The union+window forward as-of equals the naive per-click scan for
-    any event mix — same-timestamp click/purchase ties (at-or-after
-    includes them), no-purchase users, out-of-tolerance gaps."""
+    """asof_forward_join equals the naive per-click scan for any event
+    mix — same-timestamp click/purchase ties (at-or-after includes them),
+    no-purchase users, out-of-tolerance gaps."""
     import pyspark.sql.functions as F
 
+    from tfm_taxitrips_spark.operators.temporal import asof_forward_join
     from tfm_taxitrips_spark.queries.temporal import FWD_TOL_US
 
     rows = [
@@ -382,40 +383,14 @@ def test_asof_forward_matches_python_model(spark, events):
     df = spark.createDataFrame(
         rows, "event_id long, user_id long, event_type string, ts timestamp"
     )
-
-    # inline the query's core on this frame (same expressions as
-    # queries.temporal.q_asof_forward, minus the table() read)
-    from pyspark.sql import Window
-
-    e = df.select(
-        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
-    )
-    is_build = F.col("event_type") == "purchase"
-    tagged = e.select(
-        "user_id", "event_id", "us",
-        is_build.cast("int").alias("build_rank"),
-        F.when(is_build, F.col("event_id")).alias("b_id"),
-        F.when(is_build, F.col("us")).alias("b_us"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "build_rank", "event_id")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    carried = tagged.select(
-        "user_id", "event_id", "us", "build_rank",
-        F.first("b_id", ignorenulls=True).over(w).alias("next_id"),
-        F.first("b_us", ignorenulls=True).over(w).alias("next_us"),
-    )
-    within = F.col("next_us") - F.col("us") <= FWD_TOL_US
+    clicks = df.where(F.col("event_type") == "click")
+    purchases = df.where(F.col("event_type") == "purchase")
     got = {
-        r.event_id: r.next_purchase_id
-        for r in carried.where(F.col("build_rank") == 0)
-        .select(
-            "event_id",
-            F.when(within, F.col("next_id")).alias("next_purchase_id"),
-        )
-        .collect()
+        r.event_id: r.next_id
+        for r in asof_forward_join(
+            clicks, purchases, key_col="user_id", ts_col="ts",
+            id_col="event_id", tolerance_us=FWD_TOL_US,
+        ).collect()
     }
 
     # naive model: for each click, earliest (us, event_id) purchase of the

@@ -138,3 +138,65 @@ def asof_join(
         payload_name, F.last("_payload", ignorenulls=True).over(w)
     )
     return carried.where(F.col("_is_probe") == 1).drop("_is_probe", "_payload")
+
+
+def asof_forward_join(
+    probes: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """FORWARD as-of: for each probe row, the EARLIEST candidate with
+    ``ts >= probe.ts`` per key (ties at the same timestamp match — probes
+    sort before candidates), optionally nulled when the gap exceeds
+    ``tolerance_us``. The mirror of :func:`asof_join`.
+
+    Same scale shape: tag + union + ONE window scan per key, with
+    ``first(..., ignorenulls=True)`` over a current-row-to-end frame
+    carrying the next candidate's id and timestamp together (both read
+    the identical frame, so they always come from the same matched row).
+    Output: probe rows with ``us``, ``next_id``, ``next_us`` (and
+    ``gap_us`` when a tolerance is given).
+    """
+    p = probes.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.lit(0).alias("_build_rank"),
+        F.lit(None).cast("long").alias("_b_id"),
+        F.lit(None).cast("long").alias("_b_us"),
+    )
+    c = candidates.select(
+        F.col(key_col),
+        F.col(id_col),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.lit(1).alias("_build_rank"),
+        F.col(id_col).cast("long").alias("_b_id"),
+        F.unix_micros(F.col(ts_col)).alias("_b_us"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("us", "_build_rank", id_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = p.unionByName(c).select(
+        key_col,
+        id_col,
+        "us",
+        "_build_rank",
+        F.first("_b_id", ignorenulls=True).over(w).alias("next_id"),
+        F.first("_b_us", ignorenulls=True).over(w).alias("next_us"),
+    )
+    out = carried.where(F.col("_build_rank") == 0).drop("_build_rank")
+    if tolerance_us is not None:
+        within = F.col("next_us") - F.col("us") <= tolerance_us
+        out = out.select(
+            key_col,
+            id_col,
+            "us",
+            F.when(within, F.col("next_id")).alias("next_id"),
+            F.when(within, F.col("next_us") - F.col("us")).alias("gap_us"),
+        )
+    return out

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
 from tfm_taxitrips_spark.operators.temporal import (
+    asof_forward_join,
     asof_join,
     sessionize,
     time_range_join,
@@ -112,47 +113,26 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     typically need backward for enrichment and forward for attribution).
 
     Same scale shape as backward: union + ONE user-keyed window scan
-    (carry-first-following with ignorenulls), never a range self-join.
-    Probe rows sort BEFORE a build row at the identical timestamp so
-    'at-or-after' includes ties; two ignorenulls carries (id and ts) read
-    the same frame, so they always come from the same matched row.
+    (operators/temporal.asof_forward_join — property-tested against a
+    naive per-probe scan), never a range self-join.
     """
     events = table(spark, sf_dir, "events")
-    e = events.where(F.col("event_type").isin("click", "purchase")).select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.unix_micros("ts").alias("us"),
+    clicks = events.where(F.col("event_type") == "click")
+    purchases = events.where(F.col("event_type") == "purchase")
+    joined = asof_forward_join(
+        clicks,
+        purchases,
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        tolerance_us=FWD_TOL_US,
     )
-    is_build = F.col("event_type") == "purchase"
-    tagged = e.select(
-        "user_id",
-        "event_id",
-        "us",
-        is_build.cast("int").alias("build_rank"),  # probe(0) before build(1)
-        F.when(is_build, F.col("event_id")).alias("b_id"),
-        F.when(is_build, F.col("us")).alias("b_us"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "build_rank", "event_id")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    carried = tagged.select(
-        "user_id",
-        "event_id",
-        "us",
-        "build_rank",
-        F.first("b_id", ignorenulls=True).over(w).alias("next_id"),
-        F.first("b_us", ignorenulls=True).over(w).alias("next_us"),
-    )
-    within = F.col("next_us") - F.col("us") <= FWD_TOL_US
-    return carried.where(F.col("build_rank") == 0).select(
+    return joined.select(
         F.col("event_id").alias("click_id"),
         "user_id",
         "us",
-        F.when(within, F.col("next_id")).alias("next_purchase_id"),
-        F.when(within, F.col("next_us") - F.col("us")).alias("gap_us"),
+        F.col("next_id").alias("next_purchase_id"),
+        "gap_us",
     )
 
 
