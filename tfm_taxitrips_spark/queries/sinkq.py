@@ -149,18 +149,31 @@ FROM events GROUP BY 1
 """
 
 
-_MATRIX_FORMATS = ("parquet", "orc", "json", "csv")
+#: (label, format, write options) — labels are the oracle's join key.
+#: Compression variants are first-class rows: codec choice is a real
+#: 100 TB decision (zstd ~30% smaller than snappy at similar scan cost)
+#: and a codec that corrupted data would hash-fail here. Avro is absent
+#: by design: it is an EXTERNAL Spark module (spark-avro jar) that cannot
+#: be deployed in this environment — gate, don't fake.
+_MATRIX_FORMATS = (
+    ("parquet", "parquet", {}),
+    ("parquet-zstd", "parquet", {"compression": "zstd"}),
+    ("orc", "orc", {}),
+    ("json", "json", {}),
+    ("csv", "csv", {"header": "true"}),
+)
 
 
 def q_sink_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The format-agnostic seam (write_table / read_table) proven across
     its WHOLE matrix in one query: nation written and read back through
-    parquet, orc, json, and csv, each round-trip reduced to (n_rows,
-    bit_xor row fingerprint). All four rows must carry the SAME
+    parquet (snappy + zstd), orc, json, and csv, each round-trip reduced
+    to (n_rows, bit_xor row fingerprint). Every row must carry the SAME
     fingerprint — and the oracle recomputes it from the source table per
-    format label, so any format that drops, mangles, or retypes a row
-    hash-fails. Text formats read with an explicit schema (no inference
-    pass, per the schema discipline at sources.readers.read_table)."""
+    format label, so any format/codec that drops, mangles, or retypes a
+    row hash-fails. Text formats read with an explicit schema (no
+    inference pass, per the schema discipline at
+    sources.readers.read_table)."""
     from tfm_taxitrips_spark.functions.text import hash60
     from tfm_taxitrips_spark.sources.readers import read_table
 
@@ -169,11 +182,10 @@ def q_sink_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation = table(spark, sf_dir, "nation")
         schema = "n_nationkey int, n_name string, n_regionkey int"
         out = None
-        for fmt in _MATRIX_FORMATS:
-            path = f"{base}/{fmt}"
+        for label, fmt, opts in _MATRIX_FORMATS:
+            path = f"{base}/{label}"
             write_table(nation.select("n_nationkey", "n_name", "n_regionkey"),
-                        path, fmt=fmt,
-                        **({"header": "true"} if fmt == "csv" else {}))
+                        path, fmt=fmt, **opts)
             back = read_table(
                 spark, path, fmt=fmt,
                 schema=None if fmt in ("parquet", "orc") else schema,
@@ -186,7 +198,7 @@ def q_sink_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_regionkey").cast("string"),
             )
             agg = back.agg(
-                F.lit(fmt).alias("fmt"),
+                F.lit(label).alias("fmt"),
                 F.count(F.lit(1)).alias("n_rows"),
                 F.bit_xor(hash60(repr_)).alias("fingerprint"),
             )
@@ -204,8 +216,8 @@ def _matrix_sql() -> str:
         "CAST(n_regionkey AS VARCHAR))"
     )
     parts = [
-        f"SELECT '{fmt}' AS fmt, COUNT(*) AS n_rows, bit_xor({h}) AS fingerprint FROM nation"
-        for fmt in _MATRIX_FORMATS
+        f"SELECT '{label}' AS fmt, COUNT(*) AS n_rows, bit_xor({h}) AS fingerprint FROM nation"
+        for label, _, _ in _MATRIX_FORMATS
     ]
     return "\nUNION ALL\n".join(parts)
 
