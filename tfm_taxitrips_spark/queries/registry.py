@@ -72,6 +72,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "sink_format_matrix",           # parquet/orc/json/csv seam round-trip
     "stream_funnel",                # stateful streaming funnel, batch oracle
     "ann_recall_eval",              # recall@k acceptance gate for ANN
+    "event_gap_fill_interp",        # linear-interpolation gap fill
 )
 
 # Queries added AFTER this round's window froze at 50 entries. They are

@@ -102,6 +102,105 @@ FROM m WHERE is_probe = 1
 """
 
 
+def q_event_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill with LINEAR INTERPOLATION — the ``interpolate`` companion
+    to :func:`q_event_gap_fill`'s LOCF: empty grid buckets get
+    ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)`` between
+    the neighboring non-empty buckets. Same grid/join/partitioning shape
+    (one user keying reused by the join and BOTH carry windows); the
+    interpolation is one fixed expression tree over doubles and exact
+    integer bucket distances, so it is bit-identical across engines.
+    Interior-only by construction: each user's grid spans [first, last]
+    non-empty bucket, so both neighbors always exist.
+    """
+    events = table(spark, sf_dir, "events")
+    e = events.where(
+        (F.col("ts") >= F.lit(GAPFILL_FROM)) & (F.col("ts") < F.lit(GAPFILL_TO))
+    ).select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {BUCKET_US}").alias("bucket"),
+        "value",
+    )
+    per_bucket = e.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("v"),
+    )
+    grid = (
+        e.groupBy("user_id")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("bucket"))
+    )
+    filled = grid.join(per_bucket, ["user_id", "bucket"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    pv = F.last("v", ignorenulls=True).over(wb)
+    pb = F.last(known_bucket, ignorenulls=True).over(wb)
+    nv = F.first("v", ignorenulls=True).over(wf)
+    nb = F.first(known_bucket, ignorenulls=True).over(wf)
+    interp = pv + (nv - pv) * ((F.col("bucket") - pb) / (nb - pb))
+    return filled.select(
+        "user_id",
+        (F.col("bucket") * F.lit(BUCKET_US)).alias("bucket_start_us"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(interp)
+        .alias("value_interp"),
+    )
+
+
+def _gap_interp_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {BUCKET_US} AS bucket, value
+  FROM events
+  WHERE ts >= TIMESTAMP '{GAPFILL_FROM}' AND ts < TIMESTAMP '{GAPFILL_TO}'
+),
+pb AS (
+  SELECT user_id, bucket, COUNT(*) AS n_events, MAX(value) AS v
+  FROM e GROUP BY 1, 2
+),
+grid AS (
+  SELECT user_id, unnest(range(mn, mx + 1)) AS bucket
+  FROM (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+        FROM e GROUP BY 1)
+),
+f AS (
+  SELECT g.user_id, g.bucket, pb.n_events, pb.v
+  FROM grid g LEFT JOIN pb ON pb.user_id = g.user_id AND pb.bucket = g.bucket
+),
+c AS (
+  SELECT *,
+    LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    LAST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pbk,
+    FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY bucket
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nbk
+  FROM f
+)
+SELECT user_id,
+       CAST(bucket * {BUCKET_US} AS BIGINT) AS bucket_start_us,
+       COALESCE(n_events, 0) AS n_events,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE pv + (nv - pv) * ((bucket - pbk) / (nbk - pbk)) END
+         AS value_interp
+FROM c
+"""
+
+
 FWD_TOL_US = 30 * 60 * 1_000_000  # forward as-of tolerance: 30 minutes
 
 
@@ -426,6 +525,9 @@ QUERIES: dict[str, QuerySpec] = {
                                     tags=("temporal", "session")),
     "event_gap_fill": QuerySpec(q_event_gap_fill, _GAP_FILL_SQL,
                                 tags=("temporal", "gapfill", "window")),
+    "event_gap_fill_interp": QuerySpec(q_event_gap_fill_interp,
+                                       _gap_interp_sql(),
+                                       tags=("temporal", "gapfill", "window")),
     "event_rolling_rate": QuerySpec(q_event_rolling_rate, _ROLLING_SQL,
                                     tags=("temporal", "window")),
 }
