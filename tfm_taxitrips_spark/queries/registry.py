@@ -73,6 +73,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "stream_funnel",                # stateful streaming funnel, batch oracle
     "ann_recall_eval",              # recall@k acceptance gate for ANN
     "event_gap_fill_interp",        # linear-interpolation gap fill
+    "hll_intersection_estimate",    # sketch set algebra, contract-checked
 )
 
 # Queries added AFTER this round's window froze at 50 entries. They are

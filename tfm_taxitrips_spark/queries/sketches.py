@@ -230,6 +230,68 @@ FROM (
 """
 
 
+def q_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA: estimate the user overlap between two event
+    types by inclusion-exclusion over HLL states —
+    ``|A∩B| ≈ est(A) + est(B) − est(A∪B)`` — no raw-data join, just three
+    kilobyte sketches. The audience-overlap question every dashboard asks,
+    answered at 100 TB from pre-built per-segment sketches.
+
+    Error note (docstring'd, contract-checked): inclusion-exclusion
+    SUBTRACTS estimates, so relative error amplifies as the overlap
+    shrinks relative to the union — the emitted contract bounds the
+    ABSOLUTE error by a fraction of the union size (the quantity HLL
+    actually controls), which is the honest guarantee. Exact counts ride
+    along for the oracle's bit-exact columns.
+    """
+    ev = table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click")
+    b = ev.where(F.col("event_type") == "purchase")
+    sk = (
+        a.select(F.col("user_id"))
+        .agg(F.hll_sketch_agg("user_id").alias("_ska"))
+        .crossJoin(b.agg(F.hll_sketch_agg("user_id").alias("_skb")))
+    )
+    est = sk.select(
+        F.hll_sketch_estimate("_ska").alias("_ea"),
+        F.hll_sketch_estimate("_skb").alias("_eb"),
+        F.hll_sketch_estimate(
+            F.hll_union("_ska", "_skb")
+        ).alias("_eu"),
+    )
+    exact = (
+        a.select("user_id").intersect(b.select("user_id")).agg(
+            F.count(F.lit(1)).alias("n_overlap_exact")
+        )
+        .crossJoin(
+            a.select("user_id").union(b.select("user_id")).distinct().agg(
+                F.count(F.lit(1)).alias("n_union_exact")
+            )
+        )
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_overlap_exact",
+        "n_union_exact",
+        (
+            F.abs((F.col("_ea") + F.col("_eb") - F.col("_eu"))
+                  - F.col("n_overlap_exact"))
+            <= F.greatest(0.1 * F.col("n_union_exact"), F.lit(3.0))
+        ).alias("intersection_within_bound"),
+    )
+
+
+_HLL_INTERSECT_SQL = """
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT
+  (SELECT COUNT(*) FROM (SELECT user_id FROM a INTERSECT SELECT user_id FROM b))
+    AS n_overlap_exact,
+  (SELECT COUNT(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b))
+    AS n_union_exact,
+  TRUE AS intersection_within_bound
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "hll_distinct_bounds": QuerySpec(
         q_hll_distinct_bounds, _HLL_SQL, tags=("sketch", "A4")),
@@ -239,4 +301,6 @@ QUERIES: dict[str, QuerySpec] = {
         q_hll_partitioned_union, _HLL_UNION_SQL, tags=("sketch", "merge", "A4")),
     "cms_heavy_hitters": QuerySpec(
         q_cms_heavy_hitters, _CMS_SQL, tags=("sketch", "heavy-hitters")),
+    "hll_intersection_estimate": QuerySpec(
+        q_hll_intersection, _HLL_INTERSECT_SQL, tags=("sketch", "set-algebra")),
 }
