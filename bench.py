@@ -144,22 +144,39 @@ def main() -> None:
     wq.stop()  # never let a straggling warmup batch run beside timed queries
     spark.catalog.dropTempView("bench_warm_stream")
 
-    timings: dict[str, float] = {}
-    for name in sorted(specs):
-        start = time.perf_counter()
-        df = specs[name].fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+    # REPS runs per query, ROUND-ROBIN (all queries, then repeat): a
+    # co-tenant CPU spike then lands on one rep of many queries instead of
+    # all reps of one, and the median discards it. One-shot timings on
+    # this host have shown ±25-200% swings on untouched code — medians
+    # plus calibration normalization are what make round-over-round
+    # deltas signal (round-3 verdict item #5).
+    REPS = 3
+    runs: dict[str, list[float]] = {n: [] for n in specs}
+    for _ in range(REPS):
+        for name in sorted(specs):
+            start = time.perf_counter()
+            df = specs[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs[name].append(time.perf_counter() - start)
 
-    # Fixed engine-independent workload, reported alongside the query
-    # timings so round-over-round comparisons can be normalized for
-    # machine drift (observed ~18% wall-clock swing on identical commits
-    # between runs hours apart on this host). Not part of `value`.
-    calib_start = time.perf_counter()
-    spark.range(200_000_000).selectExpr("sum(id * 2654435761 % 1000003) v").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    calib = round(time.perf_counter() - calib_start, 3)
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    timings = {n: round(median(v), 3) for n, v in runs.items()}
+
+    # Fixed engine-independent workload (same REPS/median treatment),
+    # reported alongside the query timings so round-over-round comparisons
+    # can be normalized for machine drift. Not part of `value`.
+    calibs = []
+    for _ in range(REPS):
+        calib_start = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(id * 2654435761 % 1000003) v"
+        ).write.format("noop").mode("overwrite").save()
+        calibs.append(time.perf_counter() - calib_start)
+    calib = round(median(calibs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -169,7 +186,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": {n: round(min(v), 3) for n, v in runs.items()},
+                "reps": REPS,
                 "calibration_sec": calib,
+                # total in units of the calibration workload: the
+                # host-speed-independent number to compare across rounds
+                "value_per_calibration": round(total / calib, 2) if calib else None,
                 "sf": sf,
             }
         )

@@ -37,3 +37,56 @@ def test_long_chain_converges(spark):
 def test_duplicate_and_reversed_edges(spark):
     got = _cc(spark, [(2, 1), (1, 2), (2, 1)])
     assert got == {1: 1, 2: 1}
+
+
+def test_recall_gate_discriminates_index_designs(spark, sf_smoke):
+    """The recall@k eval must DISCRIMINATE, not merely report: on the
+    uniform-random fixture (adversarial for hyperplane LSH — no cluster
+    structure) IVF-with-rerank retains substantial recall while LSH sits
+    at ≈0. Measured: LSH 0.0, IVF ≈0.42 at sf0.001. A gate that scored
+    both paths alike would be decoration; this pin is what makes
+    ann_recall_eval(_ivf) an acceptance test for a 100 TB index choice."""
+    import pyspark.sql.functions as F
+
+    from tfm_taxitrips_spark.queries.vectors import (
+        q_ann_recall_eval,
+        q_ann_recall_eval_ivf,
+    )
+
+    def overall(df):
+        return df.agg(
+            (F.sum("n_hits") / F.sum("n_brute")).alias("r")
+        ).collect()[0].r
+
+    lsh = overall(q_ann_recall_eval(spark, sf_smoke))
+    ivf = overall(q_ann_recall_eval_ivf(spark, sf_smoke))
+    assert ivf >= 0.25, f"IVF recall collapsed: {ivf}"
+    assert ivf > lsh + 0.2, f"gate does not discriminate: ivf={ivf} lsh={lsh}"
+
+
+def test_kmeans_lineage_truncation(spark, sf_smoke):
+    """localCheckpoint knob (round-3 verdict item #8): (a) results are
+    bit-identical with and without truncation at equal iteration count;
+    (b) with truncate_every=2 a 10-iteration run's final-plan size stays
+    BELOW the untruncated 6-iteration plan — i.e. lineage no longer grows
+    with iterations, so analysis cost is bounded at any iteration count."""
+    from tfm_taxitrips_spark.queries.vectors import kmeans_clustering
+
+    base = {
+        tuple(sorted((r.cid, r.n_members, r.member_checksum) for r in
+                     kmeans_clustering(spark, sf_smoke, iters=4).collect()))
+    }
+    trunc = {
+        tuple(sorted((r.cid, r.n_members, r.member_checksum) for r in
+                     kmeans_clustering(spark, sf_smoke, iters=4,
+                                       truncate_every=2).collect()))
+    }
+    assert base == trunc
+
+    def plan_size(df):
+        return len(df._jdf.queryExecution().analyzed().toString())
+
+    grown = plan_size(kmeans_clustering(spark, sf_smoke, iters=6))
+    bounded = plan_size(kmeans_clustering(spark, sf_smoke, iters=10,
+                                          truncate_every=2))
+    assert bounded < grown, (bounded, grown)

@@ -80,3 +80,36 @@ def test_bucket_width_stats(spark):
     assert row.n_buckets == 2
     assert row.max_width == 600
     assert row.n_over_cap == 1
+
+
+def test_ngram_df_cap_drops_hot_shingle(spark, tmp_path):
+    """Semantic pin for the q_ngram_jaccard_pairs df cap: a shingle shared
+    by > NGRAM_DF_CAP documents must contribute ZERO pairs, while rare
+    shared shingles still pair. Built on a synthetic corpus where every
+    doc carries the same hot 3-gram and exactly two docs share a rare one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tfm_taxitrips_spark.queries.text import NGRAM_DF_CAP, q_ngram_jaccard_pairs
+
+    hot = "alpha beta gamma"  # one shared 3-word shingle in every doc
+    n_docs = NGRAM_DF_CAP + 10
+    texts = [f"{hot} unique{i} filler{i}" for i in range(n_docs)]
+    # docs 0 and 1 additionally share a rare tail -> one true near-dup pair
+    texts[0] = f"{hot} delta epsilon zeta eta"
+    texts[1] = f"{hot} delta epsilon zeta eta"
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n_docs),
+            "source": pa.array(["syn"] * n_docs),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "hotcorpus"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    pairs = q_ngram_jaccard_pairs(spark, str(d)).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert got == {(0, 1)}, got

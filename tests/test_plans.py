@@ -455,3 +455,18 @@ def test_sink_partitioned_readback_prunes(spark, sf_smoke, tmp_path):
     )
     plan = explain_formatted(back)
     assert "PartitionFilters: [isnotnull(o_orderpriority" in plan
+
+
+def test_ngram_jaccard_df_cap_bounds_pair_join(spark, sf_smoke):
+    """The shingle self-join must consume the df-capped (`df_s <= cap`)
+    shingle stream on BOTH sides — the filter is what bounds the join
+    output to NGRAM_DF_CAP × |shingles| (linear) instead of Σ df(s)²
+    (quadratic). Pin the window-count + filter upstream of the join and
+    that the join itself stays an equi-join."""
+    from tfm_taxitrips_spark.queries.text import NGRAM_DF_CAP, q_ngram_jaccard_pairs
+
+    plan = explain_formatted(q_ngram_jaccard_pairs(spark, sf_smoke))
+    assert f"<= {NGRAM_DF_CAP}" in plan, "df cap filter missing from plan"
+    assert "Window" in plan, "df annotation must be a window count, not a join"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -728,9 +728,10 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`q_scd2_history` keeps every version; this is the Debezium-style
     replay that produces the current snapshot from a multi-op log.
 
-    The log is synthesized deterministically from ``orders`` (three
-    hash-gated op waves with fixed seq 1/2/3, so keys overlap and real
-    multi-op collapses happen). Plan: map-side union of the three waves,
+    The log is synthesized deterministically from ``orders`` (four
+    hash-gated op waves — I at seq 0, U at 1, D at 2, U at 3 — so all
+    three op kinds are exercised, keys overlap, and real multi-op
+    collapses happen). Plan: map-side union of the waves,
     then ONE key exchange for a ``max_by`` aggregate — never a
     row_number-over-log sort, and the log's width (ops per key) only
     affects the map side. At 100 TB of log this is the shape you want:
@@ -759,7 +760,8 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ops = (
-        wave(5, 1, "U", F.concat(F.lit("u1-"), F.col("o_orderstatus")))
+        wave(2, 0, "I", F.concat(F.lit("i0-"), F.col("o_orderstatus")))
+        .unionByName(wave(5, 1, "U", F.concat(F.lit("u1-"), F.col("o_orderstatus"))))
         .unionByName(wave(7, 2, "D", F.lit(_CDC_DEL)))
         .unionByName(wave(3, 3, "U", F.lit("u2")))
     )
@@ -770,8 +772,12 @@ _CDC_HASH = hash60_sql("concat('cdc:', CAST(o_orderkey AS VARCHAR))")
 
 _CDC_APPLY_SQL = f"""
 WITH ops AS (
-  SELECT o_orderkey, 1 AS seq, 'U' AS op,
-         'u1-' || o_orderstatus AS status
+  SELECT o_orderkey, 0 AS seq, 'I' AS op,
+         'i0-' || o_orderstatus AS status
+  FROM orders WHERE ({_CDC_HASH} % 105) % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, 1, 'U',
+         'u1-' || o_orderstatus
   FROM orders WHERE ({_CDC_HASH} % 105) % 5 = 0
   UNION ALL
   SELECT o_orderkey, 2, 'D', '{_CDC_DEL}'

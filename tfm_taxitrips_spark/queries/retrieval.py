@@ -32,7 +32,10 @@ def _tokens(docs: DataFrame) -> DataFrame:
 
 
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-k over the corpus for a fixed conjunctive query.
+    """BM25 top-k over the corpus for a fixed multi-term (disjunctive)
+    query: documents matching ANY subset of BM25_TERMS are scored, with
+    missing-term contributions coalescing to 0 — standard BM25 semantics,
+    identical in the oracle.
 
     Scale shape: tokenization explodes map-side; ``tf`` filters to the
     QUERY TERMS before its aggregate, so the shuffled keyspace is

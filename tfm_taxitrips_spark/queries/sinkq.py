@@ -8,6 +8,14 @@ the small result is materialized (the stream_topk hygiene pattern).
 K1 partitioned parquet: /root/reference/TransformTaxiTrips.py:115-117
 K2 streaming parquet:   /root/reference/StreamingTaxiTrips.py:156-163
 K5 single-file CSV:     /root/reference/AreasLoc.py:79-80
+
+EAGER CONTRACT — unlike every other registered query, calling a q_sink_*
+function EXECUTES work (writes a sink, drains a stream, collects the
+aggregate) rather than returning a lazy plan. Plan-dump / explain / bench
+tooling must not call these for plan inspection — they are excluded from
+SHOWCASE and from bench.py's headline set for exactly this reason; the
+DataFrame they return is a small materialized result re-wrapped for the
+driver compare.
 """
 
 from __future__ import annotations
