@@ -1,0 +1,152 @@
+"""Opt-in ~sf1 scale smoke (round-3 verdict item #6).
+
+local[32] at sf0.1 hides two failure classes the 100 TB deployment would
+hit: driver-side pathologies (plan blowup, collect-sized state) and task
+skew (one straggler task dominating a stage). This module replicates the
+sf0.1 fixtures 10× with key offsets into a throwaway dir (~sf1: ~6M
+lineitem rows, 10-way-duplicated documents — deliberately adversarial for
+the LSH bucket paths, which must salt) and runs the five most expensive
+headline queries, asserting:
+
+1. completion — every query materializes through the noop sink;
+2. no straggler — for every completed stage of substance (max task
+   executorRunTime ≥ 500 ms and ≥ 4 tasks), the MAX task runtime is
+   ≤ 4× the MEDIAN task runtime (pulled from Spark's own REST API task
+   summaries).
+
+Opt-in because it takes minutes, not seconds:
+
+    SPARK_GRAFT_SCALE_SMOKE=1 python -m pytest tests/test_scale_smoke.py -q
+
+Run it standalone (its own pytest invocation) — it builds its OWN
+UI-enabled SparkSession, which must not race the shared test session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.request
+from functools import reduce
+
+import pytest
+
+SCALE_OPT_IN = os.environ.get("SPARK_GRAFT_SCALE_SMOKE")
+
+pytestmark = pytest.mark.skipif(
+    not SCALE_OPT_IN, reason="opt-in: set SPARK_GRAFT_SCALE_SMOKE=1"
+)
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+OFFSET = 100_000_000  # > any source key; keeps replicated keys disjoint
+
+#: table -> key columns that get the per-copy offset (so joins stay
+#: referentially intact within each copy and copies never collide)
+REPLICATED = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+#: dims stay single-copy (broadcast-sized at any scale)
+PASSTHROUGH = ("region", "nation", "supplier", "part")
+
+HEADLINE = (
+    "flagship_view",
+    "rollup_family",
+    "minhash_lsh_candidates",
+    "ann_lsh",
+    "stream_window_rollup",
+)
+
+STRAGGLER_FACTOR = 4.0
+MIN_TASKS = 4
+MIN_MAX_RUNTIME_MS = 500.0
+
+
+@pytest.fixture(scope="module")
+def scale_spark():
+    from tfm_taxitrips_spark.session import get_spark
+
+    s = get_spark(
+        app_name="tfm-taxitrips-scale-smoke",
+        master="local[8]",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    yield s
+
+
+@pytest.fixture(scope="module")
+def scale_dir(scale_spark, tmp_path_factory):
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("sfscale"))
+    for name, keys in REPLICATED.items():
+        src = scale_spark.read.parquet(f"{SRC}/{name}.parquet")
+        parts = []
+        for i in range(COPIES):
+            d = src
+            for k in keys:
+                d = d.withColumn(k, F.col(k) + F.lit(i * OFFSET))
+            parts.append(d)
+        reduce(DataFrame.unionByName, parts).write.parquet(
+            f"{out}/{name}.parquet", mode="overwrite"
+        )
+    for name in PASSTHROUGH:
+        scale_spark.read.parquet(f"{SRC}/{name}.parquet").write.parquet(
+            f"{out}/{name}.parquet", mode="overwrite"
+        )
+    return out
+
+
+def _api(scale_spark, path: str):
+    base = scale_spark.sparkContext.uiWebUrl
+    app = scale_spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}{path}") as r:
+        return json.load(r)
+
+
+def _completed_stage_ids(scale_spark) -> set[int]:
+    return {
+        s["stageId"] for s in _api(scale_spark, "/stages?status=complete")
+    }
+
+
+def _assert_no_stragglers(scale_spark, new_stages: set[int], label: str):
+    flagged = []
+    for sid in sorted(new_stages):
+        try:
+            summary = _api(
+                scale_spark,
+                f"/stages/{sid}/0/taskSummary?quantiles=0.5,1.0",
+            )
+            stage = _api(scale_spark, f"/stages/{sid}/0")
+        except Exception:
+            continue  # stage evicted from the UI store; nothing to check
+        if stage.get("numCompleteTasks", 0) < MIN_TASKS:
+            continue
+        med, mx = summary["executorRunTime"]
+        if mx < MIN_MAX_RUNTIME_MS:
+            continue  # sub-500ms stages are scheduler noise, not skew
+        if med > 0 and mx > STRAGGLER_FACTOR * med:
+            flagged.append(f"{label} stage {sid}: max {mx:.0f}ms > "
+                           f"{STRAGGLER_FACTOR}x median {med:.0f}ms")
+    assert not flagged, "\n".join(flagged)
+
+
+@pytest.mark.parametrize("name", HEADLINE)
+def test_headline_completes_without_stragglers(scale_spark, scale_dir, name):
+    from tfm_taxitrips_spark.queries.registry import all_queries
+
+    spec = all_queries()[name]
+    before = _completed_stage_ids(scale_spark)
+    spec.fn(scale_spark, scale_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    after = _completed_stage_ids(scale_spark)
+    _assert_no_stragglers(scale_spark, after - before, name)
