@@ -32,14 +32,18 @@ from tfm_taxitrips_spark.sources.readers import (
 )
 
 
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
 @pytest.mark.parametrize("name", sorted(schemas.DRIVER_TABLES))
-def test_table_matches_pinned_schema(spark, sf_smoke, name):
+def test_table_matches_pinned_schema(spark, sf_dir, name):
     """table() must return exactly the pinned logical schema (same names,
-    same order, same types) for every driver table on the CURRENT fixtures.
-    A failing diff here means the generator drifted in a way the conform
-    layer didn't absorb — fix schemas.DRIVER_TABLES or the conform rules
-    BEFORE grading day, guided by the diff below."""
-    got = table(spark, sf_smoke, name).schema
+    same order, same types) for every driver table on the CURRENT fixtures
+    — at BOTH the test SF and the driver's grading SF (generators have no
+    obligation to keep SFs consistent). A failing diff here means the
+    generator drifted in a way the conform layer didn't absorb — fix
+    schemas.DRIVER_TABLES or the conform rules BEFORE grading day, guided
+    by the diff below."""
+    got = table(spark, sf_dir, name).schema
     pinned = schemas.DRIVER_TABLES[name]
     diff = [
         f"{name}.{p.name}: pinned={p.dataType.simpleString()} "
