@@ -176,3 +176,63 @@ def test_conform_is_noop_projection_when_matched(spark, sf_smoke):
     conformed = conform_to_pinned(raw, schemas.DRIVER_TABLES["customer"], "customer")
     assert conformed.schema == raw.schema
     assert "cast" not in conformed._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_drift_events_nanos_streaming_and_batch(spark, tmp_path):
+    """The STREAMING events reader must absorb a TIMESTAMP(NANOS) regen
+    exactly like the batch reader: the footer probe flips the legacy
+    toggle, the raw LONG nanos surface normalizes to session-TZ TIMESTAMP,
+    and a watermarked windowed rollup over the stream equals the same
+    rollup over the batch read. This is the one drift path the current
+    (native-timestamp) fixtures never exercise."""
+    from pyspark.sql import functions as F
+
+    from tfm_taxitrips_spark.streaming.pipeline import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    base = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    ts = [base + datetime.timedelta(minutes=7 * i) for i in range(40)]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(40), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("ns")),
+            "user_id": pa.array([i % 5 for i in range(40)], pa.int64()),
+            "event_type": pa.array(["click", "view"] * 20),
+            "value": pa.array([float(i) for i in range(40)], pa.float64()),
+            "props": pa.array(["{}"] * 40),
+        }
+    )
+    d = tmp_path / "nanos_events"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"),
+                   coerce_timestamps=None, version="2.6")
+    assert pq.read_schema(str(d / "events.parquet")).field("ts").type \
+        == pa.timestamp("ns")
+    try:
+        batch = table(spark, str(d), "events")
+        assert batch.schema == schemas.DRIVER_TABLES["events"]
+
+        def rollup(df):
+            return (
+                df.withWatermark("ts", "30 minutes")
+                if df.isStreaming else df
+            ).groupBy(
+                F.window("ts", "15 minutes").alias("w"), "event_type"
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("s"),
+            ).select(
+                F.col("w.start").alias("ws"), "event_type", "n", "s"
+            )
+
+        expected = sorted(map(tuple, rollup(batch).collect()))
+        streamed = run_to_memory(
+            rollup(read_events_stream(spark, str(d))), spark
+        )
+        assert sorted(map(tuple, streamed.collect())) == expected
+        # first window starts at the true wall clock, not 1970 / ÷1000
+        assert expected[0][0].year == 2024
+    finally:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
