@@ -112,3 +112,23 @@ def test_date_queries_survive_non_utc_session(spark, sf_smoke):
             compare(spec.fn(spark, sf_smoke), spec.oracle, sf_smoke, name=name)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_rotation_planner_matches_invariant():
+    """The rotation planner (queries/rotation.py) must front every
+    never-graded query — the same hard debt the rotation invariant
+    enforces — and never recommend more slots than the window."""
+    from tfm_taxitrips_spark.queries.rotation import latest_graded_round, plan
+
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = latest_graded_round(repo)
+    rows = plan(50, repo)
+    assert len(rows) == 50
+    recommended = [n for n, _ in rows]
+    never = [n for n in _ALL if n not in latest]
+    assert set(never) <= set(recommended)
+    # stalest-first: latest-round sequence is non-decreasing
+    rounds = [r for _, r in rows]
+    assert rounds == sorted(rounds)
