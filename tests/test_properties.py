@@ -409,3 +409,66 @@ def test_asof_forward_matches_python_model(spark, events):
         ]
         expect[eid] = min(cands)[1] if cands else None
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# fixture-drift conform layer: random drift combinations (round-4 armor)
+# ---------------------------------------------------------------------------
+
+#: per-column drift choices for the `customer` pin (bigint, string, int,
+#: double, string): each entry maps a pinned column to the arrow types the
+#: generator could plausibly ship it as, all value-preserving for the
+#: values below
+_CUST_DRIFTS = {
+    "c_custkey": ["int64", "int32"],
+    "c_name": ["string"],
+    "c_nationkey": ["int32", "int64", "int16"],
+    "c_acctbal": ["float64", "float32"],
+    "c_mktsegment": ["string"],
+}
+
+
+@given(
+    drift=st.fixed_dictionaries(
+        {c: st.sampled_from(ts) for c, ts in _CUST_DRIFTS.items()}
+    ),
+    add_extra=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_conform_survives_random_drift_combinations(
+    spark, tmp_path_factory, drift, add_extra
+):
+    """Any combination of value-preserving per-column drifts (int widths,
+    float/double, plus an optional added column) must conform to the
+    pinned customer schema with values intact. One property run covers
+    drift combinations the per-class simulations never enumerate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tfm_taxitrips_spark import schemas
+    from tfm_taxitrips_spark.sources.readers import table
+
+    # values chosen exact in every sampled type (small ints, 0.5-steps)
+    rows = {
+        "c_custkey": [1, 2, 3],
+        "c_name": ["a", "b", "c"],
+        "c_nationkey": [7, 8, 9],
+        "c_acctbal": [1.5, -2.0, 0.25],
+        "c_mktsegment": ["X", "Y", "Z"],
+    }
+    cols = {
+        c: pa.array(v, getattr(pa, drift[c])() if drift[c] != "string" else pa.string())
+        for c, v in rows.items()
+    }
+    if add_extra:
+        cols["c_comment"] = pa.array(["n1", "n2", "n3"])
+    d = tmp_path_factory.mktemp("hypdrift")
+    pq.write_table(pa.table(cols), str(d / "customer.parquet"))
+    df = table(spark, str(d), "customer")
+    pinned = schemas.DRIVER_TABLES["customer"]
+    assert df.schema.fields[: len(pinned.fields)] == list(pinned.fields)
+    got = sorted(
+        (r.c_custkey, r.c_name, r.c_nationkey, r.c_acctbal, r.c_mktsegment)
+        for r in df.collect()
+    )
+    assert got == sorted(zip(*rows.values()))
