@@ -470,3 +470,14 @@ def test_ngram_jaccard_df_cap_bounds_pair_join(spark, sf_smoke):
     assert "Window" in plan, "df annotation must be a window count, not a join"
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_doc_chunking_is_map_only(spark, sf_smoke):
+    """Chunking must be a pure scan-side transform: token split, start
+    generation, slice, filter — NO exchange at any corpus size (the
+    W/stride output fan-out is payload, not a key explosion)."""
+    from tfm_taxitrips_spark.queries.dataprep import q_doc_chunking
+
+    plan = explain_formatted(q_doc_chunking(spark, sf_smoke))
+    assert "Exchange" not in plan
+    assert "Join" not in plan

@@ -413,6 +413,69 @@ GROUP BY 1, 2
 """
 
 
+CHUNK_W = 64      # tokens per chunk (the training context window)
+CHUNK_STRIDE = 48  # chunk start step → 16-token overlap between chunks
+CHUNK_MIN = 8      # drop tail chunks shorter than this (unless sole chunk)
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-window preparation
+    step every LLM training pipeline runs between cleaning and packing:
+    each document becomes overlapping CHUNK_W-token chunks starting every
+    CHUNK_STRIDE tokens (16-token overlap), tail chunks shorter than
+    CHUNK_MIN dropped unless they are the document's only chunk.
+
+    ``chunk_id = (start-1) / stride`` is derived arithmetically, never
+    from explode order, so the output is deterministic under any
+    partitioning. Complements :func:`q_sequence_packing` (which packs
+    whole docs into budgets; this splits docs into windows).
+
+    Scale shape: map-only — token split, start generation
+    (``sequence``), and slice all happen inside the scan task; NO shuffle
+    at any corpus size. The ~W/stride output multiplier is the
+    unavoidable payload fan-out, not a key explosion.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = tokens("text")
+    n = F.size(w)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(CHUNK_STRIDE))
+    exploded = docs.select(
+        "doc_id", "lang", w.alias("w"), F.explode(starts).alias("st")
+    )
+    chunk = F.slice(F.col("w"), F.col("st"), CHUNK_W)
+    return (
+        exploded.select(
+            "doc_id",
+            "lang",
+            ((F.col("st") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.size(chunk).cast("int").alias("n_chunk_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+        .where((F.col("n_chunk_tokens") >= CHUNK_MIN) | (F.col("chunk_id") == 0))
+    )
+
+
+_DOC_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+e AS (
+  SELECT doc_id, lang, w,
+         CAST(st AS BIGINT) AS st
+  FROM t, unnest(range(1, greatest(n, 1) + 1, {CHUNK_STRIDE})) AS u(st)
+)
+SELECT doc_id, lang,
+       CAST((st - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+       CAST(len(w[st : st + {CHUNK_W - 1}]) AS INT) AS n_chunk_tokens,
+       array_to_string(w[st : st + {CHUNK_W - 1}], ' ') AS chunk_text
+FROM e
+WHERE len(w[st : st + {CHUNK_W - 1}]) >= {CHUNK_MIN}
+   OR (st - 1) // {CHUNK_STRIDE} = 0
+"""
+
+
 # --------------------------------------------------------------------------
 # PII redaction: regex scrub with audit counts
 # --------------------------------------------------------------------------
@@ -997,6 +1060,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sequence_packing": QuerySpec(
         q_sequence_packing, _SEQ_PACK_SQL, tags=("text", "pipeline", "window"),
+    ),
+    "doc_chunking": QuerySpec(
+        q_doc_chunking, _DOC_CHUNK_SQL, tags=("text", "pipeline"),
     ),
     "text_redact_pii": QuerySpec(
         q_redact_pii, _REDACT_SQL, tags=("text", "pipeline"),
