@@ -481,3 +481,15 @@ def test_doc_chunking_is_map_only(spark, sf_smoke):
     plan = explain_formatted(q_doc_chunking(spark, sf_smoke))
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_cross_source_matrix_broadcasts_candidates(spark, sf_smoke):
+    """The LSH-bounded candidate set must broadcast into the documents
+    label scans — the corpus is never shuffled for the matrix; SortMerge
+    on either label join would mean the small side regressed to an
+    exchange."""
+    from tfm_taxitrips_spark.queries.text import q_cross_source_dup_matrix
+
+    plan = explain_formatted(q_cross_source_dup_matrix(spark, sf_smoke))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

@@ -355,6 +355,48 @@ JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
 _MINHASH_LSH_SQL = _minhash_lsh_sql()
 
 
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the dataset-curation question
+    behind every corpus merge: how many near-dup pairs link source A to
+    source B (and each source to itself)? Composes the LSH candidate
+    pairs with the documents' ``source`` labels and counts per unordered
+    source pair.
+
+    Scale shape: the candidate set is LSH-bounded (≪ corpus), so it
+    BROADCASTS into two streaming scans of the (doc_id, source)
+    projection — the corpus is never shuffled, and the only exchange is
+    the final |sources|² aggregate. The alternative (explode pairs, one
+    scan, regroup by pair id) would shuffle pair rows; this form keeps
+    every big-table access a map-side broadcast probe.
+    """
+    cands = q_minhash_lsh_candidates(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = src.join(F.broadcast(cands), src["doc_id"] == cands["doc_a"]).select(
+        F.col("source").alias("source_a"), "doc_b"
+    )
+    b = src.join(F.broadcast(a), src["doc_id"] == a["doc_b"]).select(
+        "source_a", F.col("source").alias("source_b")
+    )
+    return b.groupBy(
+        F.least("source_a", "source_b").alias("source_lo"),
+        F.greatest("source_a", "source_b").alias("source_hi"),
+    ).agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+
+
+_CROSS_SOURCE_SQL = f"""
+WITH cand AS ({_MINHASH_LSH_SQL}),
+lab AS (
+  SELECT da.source AS sa, db.source AS sb
+  FROM cand c
+  JOIN documents da ON da.doc_id = c.doc_a
+  JOIN documents db ON db.doc_id = c.doc_b
+)
+SELECT least(sa, sb) AS source_lo, greatest(sa, sb) AS source_hi,
+       COUNT(*) AS n_dup_pairs
+FROM lab GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
@@ -929,5 +971,8 @@ QUERIES: dict[str, QuerySpec] = {
                                    tags=("dedup",)),
     "minhash_lsh_candidates": QuerySpec(q_minhash_lsh_candidates, _MINHASH_LSH_SQL,
                                         bench=True, tags=("dedup",)),
+    "cross_source_dup_matrix": QuerySpec(q_cross_source_dup_matrix,
+                                         _CROSS_SOURCE_SQL,
+                                         tags=("dedup", "curation")),
     "simhash": QuerySpec(q_simhash, _SIMHASH_SQL, tags=("dedup",)),
 }
