@@ -397,6 +397,117 @@ FROM lab GROUP BY 1, 2
 """
 
 
+def q_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator gate — the dedup pipeline's analog of the ANN
+    recall gate: for every LSH candidate pair, the signature-based Jaccard
+    estimate (matching mins / 16) side by side with the EXACT Jaccard over
+    the same hashed-shingle universe, plus the integer match count so the
+    driver compares exact values. This is how you validate the 16-perm
+    signature is accurate enough before trusting it to delete data at
+    100 TB (expected stderr ≈ 1/√16 ≈ 0.25 per pair).
+
+    Exact Jaccard here is the SAFE composition the standalone
+    `ngram_jaccard_pairs` df-cap exists to avoid needing: the shingle
+    self-join runs only over docs that appear in the LSH-bounded candidate
+    set (broadcast semi-joins), so the pair space is candidates-only by
+    construction — never corpus².
+    """
+    sig = _minhash_signature(spark, sf_dir)
+    cands = q_minhash_lsh_candidates(spark, sf_dir)
+    a_ids = cands.select(F.col("doc_a").alias("doc_id"))
+    b_ids = cands.select(F.col("doc_b").alias("doc_id"))
+    cand_ids = a_ids.unionByName(b_ids).distinct()
+
+    matches = sum(
+        F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)
+        for j in range(MINHASH_PERMS)
+    )
+    est = (
+        cands.join(F.broadcast(sig).alias("a"),
+                   F.col("doc_a") == F.col("a.doc_id"))
+        .join(F.broadcast(sig).alias("b"),
+              F.col("doc_b") == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", matches.alias("n_match"))
+    )
+
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    sets = (
+        docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .select("doc_id",
+                F.explode(shingles(F.lower(F.col("text")), 3)).alias("s"))
+        .select("doc_id", (hash60(F.col("s")) % _P).alias("x"))
+        .distinct()
+    )
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sets.alias("sa")
+        .join(sets.alias("sb"),
+              (F.col("sa.x") == F.col("sb.x"))
+              & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+        .groupBy(F.col("sa.doc_id").alias("doc_a"),
+                 F.col("sb.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    exact = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("sz").alias("sz_a")), "doc_a")
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
+                                       F.col("sz").alias("sz_b"))), "doc_b")
+    )
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    return exact.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_match").cast("int").alias("n_match"),
+        (F.col("n_match") / F.lit(float(MINHASH_PERMS))).alias("est_jaccard"),
+        (n_inter.cast("double")
+         / (F.col("sz_a") + F.col("sz_b") - n_inter).cast("double")
+         ).alias("exact_jaccard"),
+    )
+
+
+def _minhash_eval_sql() -> str:
+    eq = " + ".join(
+        f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END"
+        for j in range(MINHASH_PERMS)
+    )
+    return f"""
+WITH sig AS ({_MINHASH_SIG_SQL}),
+cand AS ({_MINHASH_LSH_SQL}),
+est AS (
+  SELECT c.doc_a, c.doc_b, CAST({eq} AS INT) AS n_match
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.doc_a
+  JOIN sig b ON b.doc_id = c.doc_b
+),
+ids AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+sets AS (
+  SELECT DISTINCT doc_id, {hash60_sql('s')} % {_P} AS x
+  FROM (SELECT doc_id, unnest({shingles_sql('lower(text)')}) AS s
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM ids))
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY 1),
+inter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sets sa JOIN sets sb ON sa.x = sb.x AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT e.doc_a, e.doc_b, e.n_match,
+       e.n_match / {float(MINHASH_PERMS)} AS est_jaccard,
+       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         / CAST(sa.sz + sb.sz - COALESCE(i.n_inter, 0) AS DOUBLE)
+         AS exact_jaccard
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes sa ON sa.doc_id = e.doc_a
+JOIN sizes sb ON sb.doc_id = e.doc_b
+"""
+
+
+_MINHASH_EVAL_SQL = _minhash_eval_sql()
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
@@ -974,5 +1085,8 @@ QUERIES: dict[str, QuerySpec] = {
     "cross_source_dup_matrix": QuerySpec(q_cross_source_dup_matrix,
                                          _CROSS_SOURCE_SQL,
                                          tags=("dedup", "curation")),
+    "minhash_estimate_eval": QuerySpec(q_minhash_estimate_eval,
+                                       _MINHASH_EVAL_SQL,
+                                       tags=("dedup", "eval")),
     "simhash": QuerySpec(q_simhash, _SIMHASH_SQL, tags=("dedup",)),
 }
