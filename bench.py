@@ -159,10 +159,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs[name].append(time.perf_counter() - start)
 
-    def median(xs: list[float]) -> float:
-        s = sorted(xs)
-        mid = len(s) // 2
-        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+    from statistics import median
 
     timings = {n: round(median(v), 3) for n, v in runs.items()}
 

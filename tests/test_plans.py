@@ -493,3 +493,16 @@ def test_cross_source_matrix_broadcasts_candidates(spark, sf_smoke):
     plan = explain_formatted(q_cross_source_dup_matrix(spark, sf_smoke))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_eval_broadcasts_only_candidate_slice(spark, sf_smoke):
+    """The estimator gate must semi-join the corpus-sized signature table
+    down to candidate docs BEFORE broadcasting it (a whole-sig broadcast
+    OOMs at corpus scale), and the exact-Jaccard leg must likewise be
+    candidates-only. Pin: a LeftSemi restriction exists and no
+    SortMergeJoin sneaks into the signature joins."""
+    from tfm_taxitrips_spark.queries.text import q_minhash_estimate_eval
+
+    plan = explain_formatted(q_minhash_estimate_eval(spark, sf_smoke))
+    assert "LeftSemi" in plan
+    assert plan.count("BroadcastHashJoin") >= 3

@@ -99,11 +99,14 @@ def test_drift_orders_date_as_nanos(spark, tmp_path):
     # confirm the fixture really is NANOS on disk (else the test is vacuous)
     phys = pq.read_schema(f"{sf_dir}/orders.parquet").field("o_orderdate").type
     assert phys == pa.timestamp("ns")
-    df = table(spark, sf_dir, "orders")
-    assert df.schema == schemas.DRIVER_TABLES["orders"]
-    got = sorted((r.o_orderkey, r.o_orderdate) for r in df.collect())
-    assert got == [(1, ts[0]), (2, ts[1])]
-    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    try:
+        df = table(spark, sf_dir, "orders")
+        assert df.schema == schemas.DRIVER_TABLES["orders"]
+        got = sorted((r.o_orderkey, r.o_orderdate) for r in df.collect())
+        assert got == [(1, ts[0]), (2, ts[1])]
+    finally:
+        # never leak legacy mode into the shared session on failure
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
 
 
 def test_drift_int_width_and_added_column(spark, tmp_path):

@@ -3,7 +3,7 @@
 Run: ``python -m tfm_taxitrips_spark.queries.rotation [window_size]``
 
 The grading driver re-verifies only the FIRST ``window_size`` (50)
-registry entries per round, so with 137 registered queries the window
+registry entries per round, so with 140 registered queries the window
 must rotate. This tool derives the recommended next window from the
 ``CORRECTNESS_r*.json`` files themselves — the same ground truth the
 rotation invariant test uses — ordered by staleness:

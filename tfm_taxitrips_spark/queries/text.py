@@ -412,11 +412,17 @@ def q_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (broadcast semi-joins), so the pair space is candidates-only by
     construction — never corpus².
     """
-    sig = _minhash_signature(spark, sf_dir)
     cands = q_minhash_lsh_candidates(spark, sf_dir)
     a_ids = cands.select(F.col("doc_a").alias("doc_id"))
     b_ids = cands.select(F.col("doc_b").alias("doc_id"))
     cand_ids = a_ids.unionByName(b_ids).distinct()
+
+    # restrict the signature table to candidate docs BEFORE broadcasting:
+    # sig is corpus-sized (one row per document) and must never broadcast
+    # whole — only the LSH-bounded candidate slice does
+    sig = _minhash_signature(spark, sf_dir).join(
+        F.broadcast(cand_ids), "doc_id", "left_semi"
+    )
 
     matches = sum(
         F.when(F.col(f"a.h{j}") == F.col(f"b.h{j}"), 1).otherwise(0)

@@ -141,14 +141,31 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     return normalize_event_ts(df, raw_ts)
 
 
-def _is_nanos_rejection(exc: Exception) -> bool:
+def _is_nanos_rejection(exc: Exception, path: str) -> bool:
     """True iff the read failure is Spark's footer-conversion rejection of
     parquet TIMESTAMP(NANOS) — the only failure mode where flipping the
     session-global ``nanosAsLong`` legacy toggle is the correct response.
-    Matching the message keeps an unrelated failure (missing file, bad
-    permissions) from mutating session conf."""
+    Two checks so an unrelated failure (missing file, bad permissions)
+    never mutates session conf:
+
+    1. the error text names the NANOS conversion (current Spark wording);
+    2. message-independent fallback — the parquet footer, read via
+       pyarrow, actually carries a nanosecond timestamp column (guards
+       against a Spark version rewording the message: the round-1 failure
+       this path absorbs must not come back via an error-string change).
+    """
     msg = str(exc)
-    return "NANOS" in msg or "nanosAsLong" in msg
+    if "NANOS" in msg or "nanosAsLong" in msg:
+        return True
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return any(
+            getattr(f.type, "unit", None) == "ns" for f in schema
+        )
+    except Exception:
+        return False
 
 
 def _probe_driver_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -168,7 +185,7 @@ def _probe_driver_parquet(spark: SparkSession, path: str) -> DataFrame:
         df.schema  # force footer resolution
         return df
     except Exception as exc:
-        if not _is_nanos_rejection(exc):
+        if not _is_nanos_rejection(exc, path):
             raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
@@ -253,7 +270,11 @@ def _conform_column(col_name: str, physical, pinned):
             return micros.cast(pinned)
         return None
     # numeric width/precision drift — value-preserving for the generator's
-    # realistic moves (int32↔int64, float↔double, decimal→double)
+    # realistic moves (int32↔int64, float↔double, decimal→double).
+    # NARROWING casts (long→int, double→float) are accepted because key/
+    # size columns drift in representation, not range; out-of-range values
+    # still fail loudly — Spark 4's default ANSI mode raises CAST_OVERFLOW
+    # naming the column at scan time rather than wrapping silently.
     if isinstance(pinned, num_family) and isinstance(physical, num_family):
         return F.col(col_name).cast(pinned)
     if isinstance(pinned, StringType) and isinstance(physical, StringType):

@@ -29,9 +29,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain TIMESTAMP(MICROS) — so probe with the batch twin
     (:func:`tfm_taxitrips_spark.sources.readers.read_events`, which owns
     the type-adaptation logic) and lift ITS already-normalized schema into
-    the stream. The probe is one footer read, not a data scan."""
+    the stream. The probe is one footer read, not a data scan.
+
+    The stream then passes through the SAME ``conform_to_pinned`` layer as
+    the batch reader (a pure projection, streaming-safe): without it a
+    regen that drifts a non-``ts`` column (e.g. ``value`` to decimal)
+    would leave the 10 stream queries computing on raw drifted types
+    while batch/oracle paths use the pinned ones."""
+    from tfm_taxitrips_spark import schemas
     from tfm_taxitrips_spark.sources.readers import (
         _read_events_raw,
+        conform_to_pinned,
         normalize_event_ts,
     )
 
@@ -42,7 +50,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return normalize_event_ts(src, raw_ts)
+    return conform_to_pinned(
+        normalize_event_ts(src, raw_ts), schemas.DRIVER_TABLES["events"], "events"
+    )
 
 
 def windowed_rollup(
