@@ -411,6 +411,16 @@ def q_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join runs only over docs that appear in the LSH-bounded candidate
     set (broadcast semi-joins), so the pair space is candidates-only by
     construction — never corpus².
+
+    Known constant-factor cost, deliberately kept: the candidate lineage
+    appears under three branches (est pairs, candidate-id semi-joins),
+    and Spark's ReuseExchange recovers only part of it — the signature
+    pipeline executes ~3×. Asymptotics are unchanged (each pass is the
+    linear LSH pipeline) and this is an occasional acceptance gate, not a
+    per-batch operator; at deployment you `.cache()`/checkpoint the
+    candidate frame once and the recompute disappears. Keeping the
+    registered form lazy (no localCheckpoint inside) preserves the
+    plan-inspection contract every non-sink query in the registry obeys.
     """
     cands = q_minhash_lsh_candidates(spark, sf_dir)
     a_ids = cands.select(F.col("doc_a").alias("doc_id"))
