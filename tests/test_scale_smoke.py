@@ -38,7 +38,10 @@ pytestmark = pytest.mark.skipif(
 )
 
 SRC = "/root/testdata/sf0.1"
-COPIES = 10
+#: replication factor: 10 → ~sf1 (default). Raise via env for deeper
+#: one-off validations (e.g. SPARK_GRAFT_SCALE_COPIES=40 → ~sf4; r4 ran
+#: both green, see ROUND4_NOTES).
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 OFFSET = 100_000_000  # > any source key; keeps replicated keys disjoint
 
 #: table -> key columns that get the per-copy offset (so joins stay
@@ -78,6 +81,22 @@ def scale_spark():
         extra_conf={"spark.ui.enabled": "true"},
     )
     yield s
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _warm(scale_spark):
+    """JIT/page-cache warmup at the SOURCE scale before anything is
+    measured: without it the first measured query pays whole-stage-codegen
+    compilation inside its first tasks, which reads as a >4x 'straggler'
+    that is really cold-start skew (observed once at 40x: flagship flagged
+    in a cold session, clean when re-run warm)."""
+    from tfm_taxitrips_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    for name in HEADLINE:
+        qs[name].fn(scale_spark, SRC).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
 
 @pytest.fixture(scope="module")
