@@ -152,12 +152,20 @@ def main() -> None:
     # deltas signal (round-3 verdict item #5).
     REPS = 3
     runs: dict[str, list[float]] = {n: [] for n in specs}
+    errors: dict[str, str] = {}
     for _ in range(REPS):
         for name in sorted(specs):
+            if name in errors:
+                continue  # failed once: don't retry, don't kill the bench
             start = time.perf_counter()
-            df = specs[name].fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = specs[name].fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # one broken query must not cost the JSON line
+                errors[name] = str(exc)[:200]
+                continue
             runs[name].append(time.perf_counter() - start)
+    runs = {n: v for n, v in runs.items() if v}
 
     from statistics import median
 
@@ -189,6 +197,7 @@ def main() -> None:
                 # total in units of the calibration workload: the
                 # host-speed-independent number to compare across rounds
                 "value_per_calibration": round(total / calib, 2) if calib else None,
+                "errors": errors,
                 "sf": sf,
             }
         )
