@@ -472,3 +472,53 @@ def test_conform_survives_random_drift_combinations(
         for r in df.collect()
     )
     assert got == sorted(zip(*rows.values()))
+
+
+@given(n_tokens=st.integers(min_value=0, max_value=300))
+@settings(**_SETTINGS)
+def test_doc_chunking_covers_every_token(spark, tmp_path_factory, n_tokens):
+    """Chunking invariants for any document length: (a) every token
+    position is covered by at least one kept chunk; (b) consecutive
+    chunks overlap by exactly CHUNK_W - CHUNK_STRIDE tokens while both
+    are full-width; (c) chunk_ids are dense from 0. Tail-dropping
+    (< CHUNK_MIN) must never orphan tokens — a dropped tail's tokens all
+    appear in the previous (overlapping) chunk."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tfm_taxitrips_spark.queries.dataprep import (
+        CHUNK_MIN,
+        CHUNK_STRIDE,
+        CHUNK_W,
+        q_doc_chunking,
+    )
+
+    text = " ".join(f"t{i}" for i in range(n_tokens))  # unique tokens
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "text": pa.array([text]),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["syn"]),
+            "n_chars": pa.array([len(text)], pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp("chunkprop")
+    pq.write_table(t, str(d / "documents.parquet"))
+    rows = sorted(
+        q_doc_chunking(spark, str(d)).collect(), key=lambda r: r.chunk_id
+    )
+    assert [r.chunk_id for r in rows] == list(range(len(rows)))  # dense
+    covered = set()
+    for r in rows:
+        # mirrors the engines' split semantics: ''.split(' ') == ['']
+        toks = r.chunk_text.split(" ")
+        assert len(toks) == r.n_chunk_tokens
+        covered.update(toks)
+    expected = {f"t{i}" for i in range(n_tokens)} or {""}
+    # every token of the doc appears in some kept chunk: a dropped tail
+    # (< CHUNK_MIN tokens) is always a suffix of the previous chunk
+    # because stride < W - CHUNK_MIN... unless the tail extends BEYOND
+    # the previous chunk's reach; assert the real invariant directly
+    missing = expected - covered
+    assert not missing, f"orphaned tokens: {sorted(missing)[:5]} (n={n_tokens})"
