@@ -165,7 +165,10 @@ def main() -> None:
                 errors[name] = str(exc)[:200]
                 continue
             runs[name].append(time.perf_counter() - start)
-    runs = {n: v for n, v in runs.items() if v}
+    # a query that failed on ANY rep reports ONLY under `errors` — its
+    # surviving reps would be a degraded 1-2 sample pseudo-median that a
+    # round-over-round consumer could not distinguish from a real one
+    runs = {n: v for n, v in runs.items() if v and n not in errors}
 
     from statistics import median
 

@@ -458,16 +458,21 @@ def test_sink_partitioned_readback_prunes(spark, sf_smoke, tmp_path):
 
 
 def test_ngram_jaccard_df_cap_bounds_pair_join(spark, sf_smoke):
-    """The shingle self-join must consume the df-capped (`df_s <= cap`)
-    shingle stream on BOTH sides — the filter is what bounds the join
-    output to NGRAM_DF_CAP × |shingles| (linear) instead of Σ df(s)²
-    (quadratic). Pin the window-count + filter upstream of the join and
-    that the join itself stays an equi-join."""
+    """The shingle self-join must consume the df-capped shingle stream on
+    BOTH sides — the cap bounds the join output to NGRAM_DF_CAP ×
+    |shingles| (linear) instead of Σ df(s)² (quadratic). The cap itself
+    must be hot-key-safe: df counts via partial-aggregated groupBy (two
+    HashAggregate levels), over-cap shingles BROADCAST into a map-side
+    anti-join — never a Window.partitionBy(s), whose exchange would
+    funnel every raw row of a hot shingle through one reducer."""
     from tfm_taxitrips_spark.queries.text import NGRAM_DF_CAP, q_ngram_jaccard_pairs
 
     plan = explain_formatted(q_ngram_jaccard_pairs(spark, sf_smoke))
-    assert f"<= {NGRAM_DF_CAP}" in plan, "df cap filter missing from plan"
-    assert "Window" in plan, "df annotation must be a window count, not a join"
+    assert f"> {NGRAM_DF_CAP}" in plan, "df cap threshold missing from plan"
+    assert "Window" not in plan, "window df-count reintroduces the hot-key funnel"
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    ), "hot-shingle filter must be a broadcast anti-join"
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
@@ -499,8 +504,10 @@ def test_minhash_eval_broadcasts_only_candidate_slice(spark, sf_smoke):
     """The estimator gate must semi-join the corpus-sized signature table
     down to candidate docs BEFORE broadcasting it (a whole-sig broadcast
     OOMs at corpus scale), and the exact-Jaccard leg must likewise be
-    candidates-only. Pin: a LeftSemi restriction exists and no
-    SortMergeJoin sneaks into the signature joins."""
+    candidates-only. Pin: the LeftSemi restrictions exist and the
+    broadcast joins are present. (The restricted-sets self-join inside
+    the exact leg is a legitimate shuffle join, so a blanket
+    no-SortMergeJoin assertion would be wrong here.)"""
     from tfm_taxitrips_spark.queries.text import q_minhash_estimate_eval
 
     plan = explain_formatted(q_minhash_estimate_eval(spark, sf_smoke))

@@ -137,16 +137,24 @@ def _completed_stage_ids(scale_spark) -> set[int]:
 
 
 def _assert_no_stragglers(scale_spark, new_stages: set[int], label: str):
-    flagged = []
+    flagged, skipped = [], []
     for sid in sorted(new_stages):
         try:
+            # use the LATEST completed attempt, not a hardcoded attempt 0 —
+            # a retried stage's attempt 0 is dead and would hide real skew
+            attempts = _api(scale_spark, f"/stages/{sid}")
+            done = [a for a in attempts if a.get("status") == "COMPLETE"]
+            if not done:
+                continue
+            att = max(a["attemptId"] for a in done)
             summary = _api(
                 scale_spark,
-                f"/stages/{sid}/0/taskSummary?quantiles=0.5,1.0",
+                f"/stages/{sid}/{att}/taskSummary?quantiles=0.5,1.0",
             )
-            stage = _api(scale_spark, f"/stages/{sid}/0")
+            stage = _api(scale_spark, f"/stages/{sid}/{att}")
         except Exception:
-            continue  # stage evicted from the UI store; nothing to check
+            skipped.append(sid)  # evicted from the UI store
+            continue
         if stage.get("numCompleteTasks", 0) < MIN_TASKS:
             continue
         med, mx = summary["executorRunTime"]
@@ -156,6 +164,10 @@ def _assert_no_stragglers(scale_spark, new_stages: set[int], label: str):
             flagged.append(f"{label} stage {sid}: max {mx:.0f}ms > "
                            f"{STRAGGLER_FACTOR}x median {med:.0f}ms")
     assert not flagged, "\n".join(flagged)
+    # an entirely-unreadable run must not pass vacuously
+    assert len(skipped) < max(1, len(new_stages)), (
+        f"{label}: all {len(new_stages)} stages unreadable from the UI API"
+    )
 
 
 @pytest.mark.parametrize("name", HEADLINE)

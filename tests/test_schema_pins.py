@@ -239,3 +239,36 @@ def test_drift_events_nanos_streaming_and_batch(spark, tmp_path):
         assert expected[0][0].year == 2024
     finally:
         spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+
+def test_drift_integral_double_absorbed_fractional_raises(spark, tmp_path):
+    """fractional→integral drift: embeddings.label shipped as double. With
+    integral values the cast absorbs it; a NON-integral value must raise
+    (ANSI does not protect this pair — plain cast truncates 2.5→2 and
+    corrupts keys silently), naming the column."""
+    import pyarrow as pa
+
+    ok = pa.table(
+        {
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array([[0.5], [1.5]], pa.list_(pa.float32())),
+            "label": pa.array([3.0, 4.0], pa.float64()),
+        }
+    )
+    d_ok = tmp_path / "ok"; d_ok.mkdir()
+    pq.write_table(ok, str(d_ok / "embeddings.parquet"))
+    df = table(spark, str(d_ok), "embeddings")
+    assert df.schema == schemas.DRIVER_TABLES["embeddings"]
+    assert sorted(r.label for r in df.collect()) == [3, 4]
+
+    bad = pa.table(
+        {
+            "vec_id": pa.array([1], pa.int64()),
+            "embedding": pa.array([[0.5]], pa.list_(pa.float32())),
+            "label": pa.array([2.5], pa.float64()),
+        }
+    )
+    d_bad = tmp_path / "bad"; d_bad.mkdir()
+    pq.write_table(bad, str(d_bad / "embeddings.parquet"))
+    with pytest.raises(Exception, match="non-integral value in 'label'"):
+        table(spark, str(d_bad), "embeddings").collect()

@@ -54,7 +54,8 @@ def plan(window: int = 50, repo_root: str | None = None) -> list[tuple[str, int]
             os.path.dirname(os.path.abspath(__file__))))
     latest = latest_graded_round(repo_root)
     names = list(all_queries())  # registry order = tiebreaker
-    ranked = sorted(names, key=lambda n: (latest.get(n, 0), names.index(n)))
+    idx = {n: i for i, n in enumerate(names)}
+    ranked = sorted(names, key=lambda n: (latest.get(n, 0), idx[n]))
     return [(n, latest.get(n, 0)) for n in ranked[:window]]
 
 

@@ -188,21 +188,32 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The df cap is what makes this runnable standalone at 100 TB: without it
     one hot shingle pairs nearly every document with every other (the
     round-3 verdict's one flagged scale-killer). With it the join output is
-    provably ≤ NGRAM_DF_CAP × |shingle rows|. The df annotation rides a
-    window count over the SAME hash-partition-by-shingle the join needs —
-    one extra linear pass, no extra join. The verification stage of the
-    near-dup pipeline remains `minhash_lsh_candidates` composition; this
-    form is the exact-Jaccard fallback that can no longer blow up.
+    provably ≤ NGRAM_DF_CAP × |shingle rows|.
+
+    How the cap itself avoids the hot key: df counts come from a
+    ``groupBy('s').count()`` whose MAP-SIDE partial aggregation collapses
+    each task's copies of a hot shingle before the shuffle — the reducer
+    merges small partial counts, never raw rows. The over-cap shingles
+    (the Zipf head — bounded vocabulary, broadcastable at any corpus
+    size, exactly a computed stopword list) then BROADCAST into a
+    map-side anti-join. A window-count formulation was rejected: its
+    ``partitionBy(s)`` exchange funnels every raw row of each hot shingle
+    through one reducer — reintroducing at the filter the very funnel the
+    filter removes from the join. The verification stage of the near-dup
+    pipeline remains `minhash_lsh_candidates` composition; this form is
+    the exact-Jaccard fallback that can no longer blow up.
     """
     docs = fan_out(table(spark, sf_dir, "documents"))
     sets = docs.select(
         "doc_id", F.explode(shingles(F.lower(F.col("text")), 3)).alias("s")
     ).distinct()
-    kept = (
-        sets.withColumn("df_s", F.count(F.lit(1)).over(Window.partitionBy("s")))
-        .where(F.col("df_s") <= NGRAM_DF_CAP)
-        .drop("df_s")
+    hot = (
+        sets.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df_s"))
+        .where(F.col("df_s") > NGRAM_DF_CAP)
+        .select("s")
     )
+    kept = sets.join(F.broadcast(hot), "s", "left_anti")
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = kept.alias("a"), kept.alias("b")
     inter = (

@@ -155,8 +155,11 @@ def _is_nanos_rejection(exc: Exception, path: str) -> bool:
        this path absorbs must not come back via an error-string change).
     """
     msg = str(exc)
-    if "NANOS" in msg or "nanosAsLong" in msg:
+    if "TIMESTAMP(NANOS" in msg or "nanosAsLong" in msg:
         return True
+    # message-independent fallback: only meaningful when the footer itself
+    # is readable (a missing/perm-broken file must keep its own error) and
+    # actually carries a nanosecond column
     try:
         import pyarrow.parquet as pq
 
@@ -187,11 +190,21 @@ def _probe_driver_parquet(spark: SparkSession, path: str) -> DataFrame:
     except Exception as exc:
         if not _is_nanos_rejection(exc, path):
             raise
+        # remember the toggle's prior state: an earlier nanos table in
+        # this session may have legitimately set it, and a failed retry
+        # must RESTORE that, not blindly unset it
+        try:
+            prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+        except Exception:
+            prior = None
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
             return spark.read.parquet(path)
         except Exception:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
             raise
 
 
@@ -271,12 +284,31 @@ def _conform_column(col_name: str, physical, pinned):
         return None
     # numeric width/precision drift — value-preserving for the generator's
     # realistic moves (int32↔int64, float↔double, decimal→double).
-    # NARROWING casts (long→int, double→float) are accepted because key/
-    # size columns drift in representation, not range; out-of-range values
+    # NARROWING integral casts (long→int) are accepted because key/size
+    # columns drift in representation, not range; out-of-range values
     # still fail loudly — Spark 4's default ANSI mode raises CAST_OVERFLOW
     # naming the column at scan time rather than wrapping silently.
+    # FRACTIONAL→INTEGRAL is the one numeric pair ANSI does NOT protect
+    # (cast silently truncates 2.5 → 2), so it gets an explicit per-row
+    # integrality guard: a non-integral value raises with the column name
+    # instead of corrupting keys downstream.
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    fractional = (FloatType, DoubleType, DecimalType)
     if isinstance(pinned, num_family) and isinstance(physical, num_family):
-        return F.col(col_name).cast(pinned)
+        col = F.col(col_name)
+        if isinstance(pinned, integral) and isinstance(physical, fractional):
+            ok = col.isNull() | (col == F.floor(col))
+            return F.when(ok, col.cast(pinned)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"SchemaDrift: non-integral value in "
+                              f"'{col_name}' (pinned "
+                              f"{pinned.simpleString()}): "),
+                        col.cast("string"),
+                    )
+                ).cast(pinned)
+            )
+        return col.cast(pinned)
     if isinstance(pinned, StringType) and isinstance(physical, StringType):
         return F.col(col_name).cast(pinned)  # char/varchar variants
     if isinstance(pinned, ArrayType) and isinstance(physical, ArrayType):
