@@ -1,0 +1,65 @@
+"""Graph-family tests: PageRank invariants, lineage truncation, plan shape.
+
+The bit-exact Spark-vs-DuckDB agreement is covered by the registry-wide
+differential sweep (tests/test_differential.py); these pin the properties
+that make the operator safe to scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tfm_taxitrips_spark.plans.explain import explain_formatted
+from tfm_taxitrips_spark.queries.graph import (
+    PR_BASE,
+    PR_UNIT,
+    _pr_edges,
+    pagerank,
+    q_pagerank_fixed,
+)
+
+
+def test_pagerank_mass_bounds(spark, sf_smoke):
+    """Integer floor-division only LOSES mass: every node stays within
+    [teleport base, total initial mass]; the total never grows."""
+    ranks = q_pagerank_fixed(spark, sf_smoke)
+    stats = ranks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rank_micro").alias("total"),
+        F.min("rank_micro").alias("mn"),
+    ).collect()[0]
+    assert stats["mn"] >= PR_BASE
+    assert stats["total"] <= stats["n"] * PR_UNIT
+    # damping redistributes, never zeroes: total stays above teleport floor
+    assert stats["total"] >= stats["n"] * PR_BASE
+
+
+def test_pagerank_node_universe_stable(spark, sf_smoke):
+    """Every graph node gets a rank every iteration (undirected edges ⇒
+    no dangling loss of rows)."""
+    n_nodes = _pr_edges(spark, sf_smoke).select("src").distinct().count()
+    assert q_pagerank_fixed(spark, sf_smoke).count() == n_nodes
+
+
+def test_pagerank_truncation_bit_identical(spark, sf_smoke):
+    """localCheckpoint lineage truncation changes the plan, never the
+    integers (same contract as kmeans_clustering's truncate_every)."""
+    base = {
+        (r["entity_id"], r["node_type"]): r["rank_micro"]
+        for r in pagerank(spark, sf_smoke, iters=3).collect()
+    }
+    trunc = {
+        (r["entity_id"], r["node_type"]): r["rank_micro"]
+        for r in pagerank(spark, sf_smoke, iters=3, truncate_every=1).collect()
+    }
+    assert base == trunc
+
+
+def test_pagerank_plan_no_cartesian_integer_lineage(spark, sf_smoke):
+    plan = explain_formatted(q_pagerank_fixed(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # per-node combine must partially aggregate before each dst shuffle
+    assert plan.count("HashAggregate") >= 2
+    # rank column is integral end to end — no float cast anywhere
+    assert q_pagerank_fixed(spark, sf_smoke).schema["rank_micro"].dataType.simpleString() == "bigint"

@@ -1,0 +1,166 @@
+"""Graph operators over the relational star: PageRank power iteration on
+the customer–supplier interaction graph.
+
+The reference has no graph surface (its five scripts are scan/join/agg
+pipelines, /root/reference/TransformTaxiTrips.py:39-192); this family
+extends the engine the same way the dedup/ANN families do — an iterative
+algorithm a 100 TB training-data pipeline needs (influence scoring for
+source weighting, seed selection for crawl frontiers), expressed as
+DataFrame ops with an exact unrolled-CTE oracle.
+
+Float discipline: the entire iteration runs in 64-bit integer micro-units
+(rank × 1e6). Each edge contribution is ``(r*85) div (100*deg)`` — integer
+multiply then integer floor-division, identical in Spark (``div``) and
+DuckDB (``//``) on non-negative operands — and the per-node combine is an
+integer SUM, order-independent under any shuffle. No float exists anywhere
+in the lineage, so the driver's bit-exact hash compare holds by
+construction (the same reason ``q_kmeans_fixed`` micro-quantizes its
+means). Headroom: ranks are bounded by total mass ``1e6 × |V|``; at
+``|V| = 1e9`` the pre-division product stays < 1e17 « 2^63.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tfm_taxitrips_spark.queries.registry import QuerySpec
+from tfm_taxitrips_spark.sources.readers import table
+
+PR_ITERS = 3        # fixed power iterations (unrolled in the oracle)
+PR_DAMP_PCT = 85    # damping d = 0.85, carried as an integer percentage
+PR_UNIT = 1_000_000  # rank micro-unit scale
+PR_BASE = PR_UNIT * (100 - PR_DAMP_PCT) // 100  # (1-d) teleport mass
+
+
+def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected customer–supplier edge list with disjoint node ids
+    (customer → 2k, supplier → 2k+1). One distinct over the join output,
+    then a union of both directions — every node therefore has degree ≥ 1
+    and appears on both the src and dst side (no dangling mass)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    return cs.selectExpr("u AS src", "v AS dst").unionByName(
+        cs.selectExpr("v AS src", "u AS dst")
+    )
+
+
+def pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = PR_ITERS,
+    truncate_every: int = 0,
+) -> DataFrame:
+    """Parameterized power-iteration loop behind ``q_pagerank_fixed``.
+
+    Shape per iteration: ONE join (ranks onto the degree-annotated edge
+    list, both sides hash-partitioned on ``src`` — the edge side's
+    partitioning is established once by the degree window and reused every
+    round) and ONE aggregation shuffle on ``dst`` with map-side combine
+    over integer partial sums. At 100 TB the edge list dominates and never
+    re-shuffles; only the |V|-sized rank table moves. Hub skew on ``dst``
+    is AQE-splittable (aggregation, not join — see SCALE.md §Joins for why
+    the salt belongs on joins only).
+
+    ``truncate_every=n`` localCheckpoints the rank frame every n
+    iterations — same contract as :func:`~tfm_taxitrips_spark.queries.
+    vectors.kmeans_clustering`: identical results, constant-size
+    per-iteration plan instead of one that nests every prior round.
+    """
+    edges = _pr_edges(spark, sf_dir)
+    w_deg = Window.partitionBy("src")
+    edges_deg = edges.withColumn(
+        "deg", F.count(F.lit(1)).over(w_deg).cast("bigint")
+    )
+    ranks = (
+        edges.select("src").distinct()
+        .select(F.col("src").alias("node"),
+                F.lit(PR_UNIT).cast("bigint").alias("r"))
+    )
+    for i in range(iters):
+        contrib = edges_deg.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(
+            "dst",
+            F.expr(f"(r * {PR_DAMP_PCT}) div (100 * deg)").alias("c"),
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(
+                (F.lit(PR_BASE) + F.sum("c")).cast("bigint").alias("r")
+            )
+            .select(F.col("dst").alias("node"), "r")
+        )
+        if truncate_every and (i + 1) % truncate_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        F.expr("node div 2").cast("bigint").alias("entity_id"),
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.col("r").alias("rank_micro"),
+    )
+
+
+def q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 3 fixed power iterations, damping 0.85, over the
+    undirected bipartite customer–supplier graph derived from
+    lineitem ⋈ orders. Integer micro-unit arithmetic end to end (module
+    docstring); the oracle unrolls the three rounds as CTEs."""
+    return pagerank(spark, sf_dir)
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return (
+        f"{out} AS (\n"
+        f"  SELECT e.dst AS node,\n"
+        f"         CAST({PR_BASE} + SUM((r.r * {PR_DAMP_PCT})"
+        f" // (100 * d.deg)) AS BIGINT) AS r\n"
+        f"  FROM edges e\n"
+        f"  JOIN deg d ON d.node = e.src\n"
+        f"  JOIN {prev} r ON r.node = e.src\n"
+        f"  GROUP BY e.dst\n"
+        f")"
+    )
+
+
+_PAGERANK_SQL = f"""
+WITH cs AS (
+  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT u AS src, v AS dst FROM cs
+  UNION ALL
+  SELECT v AS src, u AS dst FROM cs
+),
+deg AS (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+),
+r0 AS (
+  SELECT node, CAST({PR_UNIT} AS BIGINT) AS r FROM deg
+),
+{_pr_iter_sql('r0', 'r1')},
+{_pr_iter_sql('r1', 'r2')},
+{_pr_iter_sql('r2', 'r3')}
+SELECT CAST(node // 2 AS BIGINT) AS entity_id,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       r AS rank_micro
+FROM r3
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "pagerank_fixed_iters": QuerySpec(
+        q_pagerank_fixed, _PAGERANK_SQL,
+        tags=("graph", "iterative", "pipeline"),
+    ),
+}

@@ -85,7 +85,8 @@ GRADING_PRIORITY: tuple[str, ...] = (
 PENDING_ROTATION: tuple[str, ...] = (
     "doc_chunking",             # added after the round-4 window froze
     "cross_source_dup_matrix",  # likewise
-    "minhash_estimate_eval",    # likewise; front all three in round 5
+    "minhash_estimate_eval",    # likewise
+    "pagerank_fixed_iters",     # round-4 late additions; fronting below
 )
 
 
@@ -93,6 +94,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from tfm_taxitrips_spark.queries import (
         analytics,
         dataprep,
+        graph,
         multimodal,
         relational,
         retrieval,
@@ -107,7 +109,8 @@ def all_queries() -> dict[str, QuerySpec]:
 
     merged: dict[str, QuerySpec] = {}
     for module in (relational, text, vectors, streamq, multimodal, temporal,
-                   sqlsuite, sketches, dataprep, analytics, retrieval, sinkq):
+                   sqlsuite, sketches, dataprep, analytics, retrieval, graph,
+                   sinkq):
         for name, spec in module.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
