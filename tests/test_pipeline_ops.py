@@ -1,0 +1,124 @@
+"""Behavioral tests for the round-4 pipeline additions: split assignment,
+inverted-index build, and SemDeDup pruning. Oracle parity for all three is
+covered by the registry-wide differential sweep; these pin the semantics
+the oracle comparison alone can't express (disjointness, stability, cap
+enforcement, guard-path equivalence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tfm_taxitrips_spark.queries.dataprep import (
+    _SPLIT_TRAIN_END,
+    _SPLIT_VAL_END,
+    q_dataset_split,
+)
+from tfm_taxitrips_spark.queries.retrieval import (
+    IDX_MIN_DF,
+    IDX_TOPK_POSTINGS,
+    q_inverted_index,
+)
+from tfm_taxitrips_spark.queries.vectors import SEM_TAU, q_semantic_dedup
+from tfm_taxitrips_spark.sources.readers import table
+
+
+def test_dataset_split_is_disjoint_total_and_stable(spark, sf_smoke):
+    docs_n = table(spark, sf_smoke, "documents").count()
+    audit = q_dataset_split(spark, sf_smoke)
+    # disjoint + total: per-(source,split) doc counts add back to the corpus
+    assert audit.agg(F.sum("n_docs")).collect()[0][0] == docs_n
+    # only the three split labels exist
+    labels = {r["split"] for r in audit.select("split").distinct().collect()}
+    assert labels <= {"train", "val", "test"}
+    # stability: a second independent evaluation assigns identically
+    again = q_dataset_split(spark, sf_smoke)
+    assert sorted(map(tuple, audit.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+    # proportions: train dominates at the configured 90/5/5 boundaries
+    by_split = {
+        r["split"]: r["n"]
+        for r in audit.groupBy("split").agg(F.sum("n_docs").alias("n")).collect()
+    }
+    assert by_split["train"] > by_split.get("val", 0)
+    assert by_split["train"] > by_split.get("test", 0)
+    assert _SPLIT_TRAIN_END < _SPLIT_VAL_END <= 100
+
+
+def test_inverted_index_caps_and_ordering(spark, sf_smoke):
+    idx = q_inverted_index(spark, sf_smoke).collect()
+    per_term: dict[str, list] = {}
+    for r in idx:
+        per_term.setdefault(r["term"], []).append(r)
+    for term, rows in per_term.items():
+        assert len(rows) <= IDX_TOPK_POSTINGS
+        assert all(r["df"] >= IDX_MIN_DF for r in rows)
+        # impact ordering: rank follows (tf DESC, doc_id ASC)
+        rows.sort(key=lambda r: r["rnk"])
+        keys = [(-r["tf"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys)
+
+
+def test_semantic_dedup_salted_path_equals_plain_self_join(spark, sf_smoke):
+    """The bucket_pairs-guarded pair stage must reproduce the naive
+    within-cell self-join exactly (that equivalence is what lets the
+    DuckDB oracle stay uncapped)."""
+    from pyspark.sql import Window
+
+    from tfm_taxitrips_spark.functions.similarity import as_double, cosine, dot, l2_norm
+    from tfm_taxitrips_spark.queries.vectors import IVF_NLIST, N_QUERY_VECS
+
+    emb = table(spark, sf_smoke, "embeddings")
+    cents = emb.where(
+        (F.col("vec_id") >= N_QUERY_VECS)
+        & (F.col("vec_id") < N_QUERY_VECS + IVF_NLIST)
+    ).select(
+        (F.col("vec_id") - N_QUERY_VECS).alias("cid"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cid",
+        cosine(as_double("embedding"), as_double("c_embedding")).alias("c_sim"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("cid").asc()
+    )
+    assign = (
+        scored.withColumn("crn", F.row_number().over(wv))
+        .where(F.col("crn") == 1)
+        .select("cid", "vec_id", as_double("embedding").alias("emb"),
+                l2_norm(as_double("embedding")).alias("nrm"))
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    naive = (
+        a.join(b, (F.col("a.cid") == F.col("b.cid"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.cid").alias("cid"),
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            (dot(F.col("a.emb"), F.col("b.emb"))
+             / (F.col("a.nrm") * F.col("b.nrm"))).alias("sim"),
+        )
+        .where(F.col("sim") >= SEM_TAU)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"),
+             F.sum("vb").alias("vb_mass"))
+    )
+    naive_rows = {r["cid"]: (r["n_dup_pairs"]) for r in naive.collect()}
+    audit = {
+        r["cid"]: r["n_dup_pairs"]
+        for r in q_semantic_dedup(spark, sf_smoke).collect()
+        if r["n_dup_pairs"] > 0
+    }
+    assert naive_rows == audit
+
+
+def test_semantic_dedup_prune_counts_consistent(spark, sf_smoke):
+    for r in q_semantic_dedup(spark, sf_smoke).collect():
+        # pruned docs are a subset of pair endpoints; counts can't exceed
+        assert 0 <= r["n_pruned"] <= r["n_dup_pairs"]
+        assert r["n_pruned"] <= r["n_members"]
+        if r["n_dup_pairs"] == 0:
+            assert r["n_pruned"] == 0 and r["pruned_checksum"] == 0

@@ -513,3 +513,46 @@ def test_minhash_eval_broadcasts_only_candidate_slice(spark, sf_smoke):
     plan = explain_formatted(q_minhash_estimate_eval(spark, sf_smoke))
     assert "LeftSemi" in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_dataset_split_single_exchange(spark, sf_smoke):
+    """Split assignment is a map-side expression; only the (source, split)
+    audit aggregation may shuffle — one exchange, partial agg before it."""
+    import re
+
+    from tfm_taxitrips_spark.queries.dataprep import q_dataset_split
+
+    plan = explain_formatted(q_dataset_split(spark, sf_smoke))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_inverted_index_single_scan_capped_window(spark, sf_smoke):
+    """The index build scans the corpus once; df-count and top-k postings
+    share the term partitioning (one Window stage), and the per-term cap
+    executes map-side via WindowGroupLimit before rows move."""
+    import re
+
+    from tfm_taxitrips_spark.queries.retrieval import q_inverted_index
+
+    plan = explain_formatted(q_inverted_index(spark, sf_smoke))
+    assert plan.count("documents.parquet") == 1
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+    # (term,doc) tf exchange + term window exchange — nothing else
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_semantic_dedup_broadcast_cents_no_self_join(spark, sf_smoke):
+    """Cell assignment broadcasts the centroid rows; the within-cell pair
+    stage is the salted bucket-group expansion, NOT a self-join of the
+    store — no cartesian/nested-loop path exists at any corpus shape."""
+    from tfm_taxitrips_spark.queries.vectors import q_semantic_dedup
+
+    plan = explain_formatted(q_semantic_dedup(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # pair generation is groupBy+explode (bucket_pairs): the only joins are
+    # the K-row centroid broadcast and the final 16-row audit assembly
+    assert "SortMergeJoin" not in plan

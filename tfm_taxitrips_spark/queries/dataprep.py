@@ -1037,7 +1037,80 @@ FROM t LEFT JOIN ca USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# dataset split assignment: deterministic, disjoint train/val/test
+# --------------------------------------------------------------------------
+
+#: bucket boundaries out of 100: < 90 train, < 95 val, rest test
+_SPLIT_TRAIN_END = 90
+_SPLIT_VAL_END = 95
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment: every document draws
+    a stable 0-99 bucket from md5(doc_id) and lands in exactly one split
+    (90/5/5) — the DISJOINT-partition counterpart of q_stratified_sample's
+    quota sampling. Keying the hash on doc_id (not position or load order)
+    keeps membership stable under re-ingestion, repartitioning, and corpus
+    growth: a doc never migrates between splits, so eval sets stay
+    uncontaminated as the corpus is re-built — the property a
+    training-data pipeline actually needs from its splitter.
+
+    Output is the per-(source, split) audit: doc count, token mass, and a
+    doc_id checksum so two pipeline runs can be diffed cheaply.
+
+    Plan: the bucket and split label are map-side expressions on the scan;
+    ONE aggregation shuffle on (source, split) with map-side combine —
+    nothing else moves. At 100 TB the split column is written back
+    partitioned-by-split; the assignment itself never shuffles.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < _SPLIT_TRAIN_END, F.lit("train"))
+        .when(bucket < _SPLIT_VAL_END, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(
+            "source",
+            split.alias("split"),
+            "doc_id",
+            token_count("text").cast("bigint").alias("n_tok"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("doc_id").alias("doc_checksum"),
+        )
+    )
+
+
+_SPLIT_BUCKET = (
+    hash60_sql("concat('split:', CAST(doc_id AS VARCHAR))") + " % 100"
+)
+
+_DATASET_SPLIT_SQL = f"""
+SELECT source,
+       CASE WHEN {_SPLIT_BUCKET} < {_SPLIT_TRAIN_END} THEN 'train'
+            WHEN {_SPLIT_BUCKET} < {_SPLIT_VAL_END} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dataset_split_assign": QuerySpec(
+        q_dataset_split, _DATASET_SPLIT_SQL, tags=("sample", "pipeline"),
+    ),
     "dedup_cluster_canonical": QuerySpec(
         q_dedup_cluster_canonical, _DEDUP_CLUSTER_SQL,
         tags=("dedup", "clustering", "pipeline"),

@@ -87,6 +87,9 @@ PENDING_ROTATION: tuple[str, ...] = (
     "cross_source_dup_matrix",  # likewise
     "minhash_estimate_eval",    # likewise
     "pagerank_fixed_iters",     # round-4 late additions; fronting below
+    "dataset_split_assign",
+    "inverted_index_postings",
+    "semantic_dedup_prune",
 )
 
 

@@ -11,7 +11,7 @@ tie-breaks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.queries.registry import QuerySpec
@@ -214,9 +214,69 @@ FROM r
 """
 
 
+IDX_TOPK_POSTINGS = 4  # postings kept per term (impact-ordered index)
+IDX_MIN_DF = 5         # terms rarer than this are left to exact lookup
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-ordered inverted-index build: for every corpus term with
+    document frequency ≥ IDX_MIN_DF, the top-IDX_TOPK_POSTINGS postings by
+    (tf DESC, doc_id ASC) — the static index structure BM25 serving reads,
+    materialized as (term, df, rank, doc_id, tf) rows. The per-term cap is
+    standard impact-ordered/quantized index pruning (keep the documents a
+    top-k scorer could ever return; WAND-style serving never looks past
+    them).
+
+    Plan (mirrors q_tfidf_distinctive_terms' single-scan diamond, with the
+    window axes swapped — per-TERM top docs instead of per-DOC top terms):
+    explode map-side; tf aggregates on (term, doc) with map-side combine;
+    df is a COUNT window over the reduced tf rows on the term partition,
+    and the top-k row_number rides the SAME term partitioning — Catalyst
+    runs both in one Window stage, so there are exactly two exchanges
+    ((term,doc) then term) and the per-term cap executes map-side via
+    WindowGroupLimit before anything else moves. Postings for one term
+    co-locate by construction — the index shard key at 100 TB.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    w_df = Window.partitionBy("term")
+    w_rnk = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        tf.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .withColumn("rnk", F.row_number().over(w_rnk))
+        .where((F.col("df") >= IDX_MIN_DF) & (F.col("rnk") <= IDX_TOPK_POSTINGS))
+        .select("term", "df", "rnk", "doc_id", "tf")
+    )
+
+
+_INV_INDEX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+)
+SELECT term, df, rnk, doc_id, tf FROM (
+  SELECT term, doc_id, tf,
+         CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS INT) AS rnk
+  FROM tf
+) WHERE df >= {IDX_MIN_DF} AND rnk <= {IDX_TOPK_POSTINGS}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "bm25_search": QuerySpec(
         q_bm25_search, _BM25_SQL, tags=("text", "retrieval", "topk")
+    ),
+    "inverted_index_postings": QuerySpec(
+        q_inverted_index, _INV_INDEX_SQL, tags=("text", "retrieval", "index")
     ),
     "gopher_quality_filter": QuerySpec(
         q_gopher_quality_filter, _GOPHER_SQL, tags=("text", "quality", "gopher")

@@ -742,7 +742,141 @@ def _km_sql() -> str:
     )
 
 
+SEM_TAU = 0.30  # within-cell cosine above which the higher-id vec is pruned
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-quantize the embedding store into cells,
+    compute pairwise cosine ONLY within each cell, and prune the higher-id
+    member of every pair above SEM_TAU (0.30). Output is the per-cell
+    audit a corpus build records: member count, above-threshold pair
+    count, pruned count, and a pruned-id checksum.
+
+    The cells are the IVF coarse quantizer's (same deterministic seed
+    centroids as q_ann_ivf, so the oracle stays exact; at scale they come
+    from k-means|| and `nlist` grows with the corpus so expected cell
+    width stays bounded). The within-cell pairing goes through
+    :func:`~tfm_taxitrips_spark.operators.pairs.bucket_pairs` — the same
+    salted, width-capped expansion the MinHash-LSH path uses — so a
+    degenerate cell (every vector near one centroid) fans out across
+    tasks instead of materializing an O(w²) batch on one core; the pair
+    SET is provably identical to the plain self-join the oracle runs.
+    No all-pairs path exists at any corpus shape.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.where(
+        (F.col("vec_id") >= N_QUERY_VECS)
+        & (F.col("vec_id") < N_QUERY_VECS + IVF_NLIST)
+    ).select(
+        (F.col("vec_id") - N_QUERY_VECS).alias("cid"),
+        F.col("embedding").alias("c_embedding"),
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine(as_double("embedding"), as_double("c_embedding")).alias("c_sim"),
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("cid").asc()
+    )
+    assign = (
+        scored.withColumn("crn", F.row_number().over(wv))
+        .where(F.col("crn") == 1)
+        .select(
+            "cid",
+            "vec_id",
+            as_double("embedding").alias("emb"),
+            l2_norm(as_double("embedding")).alias("nrm"),
+        )
+    )
+    from tfm_taxitrips_spark.operators.pairs import bucket_pairs
+
+    item = F.struct(
+        F.col("cid").alias("cid"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("emb").alias("emb"),
+        F.col("nrm").alias("nrm"),
+    )
+    pairs = (
+        bucket_pairs(assign, ["cid"], item)
+        .select(
+            F.col("p.a.cid").alias("cid"),
+            F.col("p.a.vec_id").alias("va"),
+            F.col("p.b.vec_id").alias("vb"),
+            (
+                dot(F.col("p.a.emb"), F.col("p.b.emb"))
+                / (F.col("p.a.nrm") * F.col("p.b.nrm"))
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= SEM_TAU)
+    )
+    members = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    pair_agg = pairs.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    pruned = (
+        pairs.select("cid", "vb").distinct()
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_pruned"),
+            F.sum("vb").alias("pruned_checksum"),
+        )
+    )
+    return (
+        members.join(F.broadcast(pair_agg), "cid", "left")
+        .join(F.broadcast(pruned), "cid", "left")
+        .select(
+            "cid",
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.coalesce("n_pruned", F.lit(0)).cast("bigint").alias("n_pruned"),
+            F.coalesce("pruned_checksum", F.lit(0)).cast("bigint").alias(
+                "pruned_checksum"
+            ),
+        )
+    )
+
+
+_SEMDEDUP_SQL = f"""
+WITH cents AS (
+  SELECT vec_id - {N_QUERY_VECS} AS cid, embedding AS c_embedding
+  FROM embeddings
+  WHERE vec_id >= {N_QUERY_VECS} AND vec_id < {N_QUERY_VECS + IVF_NLIST}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY {_COS.format(a='e.embedding', b='c.c_embedding')} DESC,
+                    c.cid ASC) AS crn
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (SELECT vec_id, embedding, cid FROM scored WHERE crn = 1),
+pairs AS (
+  SELECT a.cid, a.vec_id AS va, b.vec_id AS vb
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= {SEM_TAU}
+),
+members AS (SELECT cid, COUNT(*) AS n_members FROM assign GROUP BY 1),
+pa AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs FROM pairs GROUP BY 1),
+pr AS (
+  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_pruned,
+         CAST(SUM(vb) AS BIGINT) AS pruned_checksum
+  FROM (SELECT DISTINCT cid, vb FROM pairs) GROUP BY 1
+)
+SELECT m.cid, m.n_members,
+       COALESCE(pa.n_dup_pairs, 0) AS n_dup_pairs,
+       COALESCE(pr.n_pruned, 0) AS n_pruned,
+       COALESCE(pr.pruned_checksum, 0) AS pruned_checksum
+FROM members m
+LEFT JOIN pa ON pa.cid = m.cid
+LEFT JOIN pr ON pr.cid = m.cid
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "semantic_dedup_prune": QuerySpec(
+        q_semantic_dedup, _SEMDEDUP_SQL, tags=("vector", "dedup", "pipeline")
+    ),
     "kmeans_fixed_iters": QuerySpec(
         q_kmeans_fixed, _km_sql(), tags=("vector", "clustering", "iterative")
     ),
