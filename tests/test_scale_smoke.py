@@ -63,6 +63,11 @@ HEADLINE = (
     "minhash_lsh_candidates",
     "ann_lsh",
     "stream_window_rollup",
+    # round-4 additions with real scale surface: replicated embeddings
+    # push IVF cells ~10x past LSH_MAX_BUCKET (salting must engage), and
+    # the replicated graph grows edges ~10x for the iterative path
+    "semantic_dedup_prune",
+    "pagerank_fixed_iters",
 )
 
 STRAGGLER_FACTOR = 4.0

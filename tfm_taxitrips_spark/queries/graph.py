@@ -58,17 +58,27 @@ def pagerank(
     sf_dir: str,
     iters: int = PR_ITERS,
     truncate_every: int = 0,
+    materialize_edges: bool = True,
 ) -> DataFrame:
     """Parameterized power-iteration loop behind ``q_pagerank_fixed``.
 
-    Shape per iteration: ONE join (ranks onto the degree-annotated edge
-    list, both sides hash-partitioned on ``src`` — the edge side's
-    partitioning is established once by the degree window and reused every
-    round) and ONE aggregation shuffle on ``dst`` with map-side combine
-    over integer partial sums. At 100 TB the edge list dominates and never
-    re-shuffles; only the |V|-sized rank table moves. Hub skew on ``dst``
-    is AQE-splittable (aggregation, not join — see SCALE.md §Joins for why
-    the salt belongs on joins only).
+    The degree-annotated edge list is MATERIALIZED once (lazy
+    ``localCheckpoint`` — the GraphX-style edge cache) before the loop:
+    every iteration and the rank initialization then read the same
+    computed partitions instead of replaying the scan→join→distinct
+    lineage. Without this the static plan embeds the edge pipeline once
+    per consumer — measured 8 lineitem scans for 3 iterations — which is
+    exactly the plan you cannot ship against a 100 TB fact table (pinned:
+    tests/test_graph.py asserts the source tables appear at most once in
+    the default plan). ``materialize_edges=False`` keeps the pure-lineage
+    form; results are bit-identical either way (integer lineage).
+
+    Shape per iteration: ONE join (ranks onto the cached edge partitions,
+    hash-partitioned on ``src``) and ONE aggregation shuffle on ``dst``
+    with map-side combine over integer partial sums. At 100 TB the edge
+    list dominates and never re-shuffles; only the |V|-sized rank table
+    moves. Hub skew on ``dst`` is AQE-splittable (aggregation, not join —
+    see SCALE.md §Joins for why the salt belongs on joins only).
 
     ``truncate_every=n`` localCheckpoints the rank frame every n
     iterations — same contract as :func:`~tfm_taxitrips_spark.queries.
@@ -80,8 +90,10 @@ def pagerank(
     edges_deg = edges.withColumn(
         "deg", F.count(F.lit(1)).over(w_deg).cast("bigint")
     )
+    if materialize_edges:
+        edges_deg = edges_deg.localCheckpoint(eager=False)
     ranks = (
-        edges.select("src").distinct()
+        edges_deg.select("src").distinct()
         .select(F.col("src").alias("node"),
                 F.lit(PR_UNIT).cast("bigint").alias("r"))
     )
