@@ -63,7 +63,9 @@ def test_pagerank_truncation_bit_identical(spark, sf_smoke):
 
 
 def test_pagerank_plan_no_cartesian_integer_lineage(spark, sf_smoke):
-    plan = explain_formatted(q_pagerank_fixed(spark, sf_smoke))
+    # the fully-lazy loop (the plan-shape surface; the registered form
+    # sequences iterations eagerly and returns only the final projection)
+    plan = explain_formatted(pagerank(spark, sf_smoke))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     # per-node combine must partially aggregate before each dst shuffle
@@ -77,7 +79,7 @@ def test_pagerank_edge_pipeline_materialized_once(spark, sf_smoke):
     iteration consumers: without it the static plan embeds 8 lineitem
     scans for 3 iterations (measured) — unshippable against a 100 TB
     fact table."""
-    plan = explain_formatted(q_pagerank_fixed(spark, sf_smoke))
+    plan = explain_formatted(pagerank(spark, sf_smoke))
     assert plan.count("lineitem.parquet") <= 1
     assert plan.count("orders.parquet") <= 1
     # the pure-lineage form really is the shape being guarded against
@@ -85,3 +87,54 @@ def test_pagerank_edge_pipeline_materialized_once(spark, sf_smoke):
         pagerank(spark, sf_smoke, materialize_edges=False)
     )
     assert pure.count("lineitem.parquet") > 1
+
+
+def test_pagerank_bucketed_edges_no_edge_exchange(spark, sf_smoke, tmp_path):
+    """The 100 TB deployment shape: the degree-annotated edge list lives
+    in a table BUCKETED by src, so every iteration's rank join reads it
+    co-located — the edge side of the join must plan NO exchange (the
+    only shuffles are the small rank side and the dst aggregation)."""
+    import re
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tfm_taxitrips_spark.operators.bucketing import write_bucketed
+    from tfm_taxitrips_spark.queries.graph import (
+        PR_UNIT,
+        _pr_edges,
+        pagerank_iterations,
+    )
+
+    edges = _pr_edges(spark, sf_smoke)
+    edges_deg = edges.select(
+        "src", "dst",
+        F.count(F.lit(1)).over(Window.partitionBy("src"))
+        .cast("bigint").alias("deg"),
+    )
+    write_bucketed(
+        edges_deg, "pr_edges_bkt", ["src"], 8, path=str(tmp_path / "edges")
+    )
+    try:
+        bkt = spark.table("pr_edges_bkt")
+        ranks = bkt.select("src").distinct().select(
+            F.col("src").alias("node"),
+            F.lit(PR_UNIT).cast("bigint").alias("r"),
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = pagerank_iterations(bkt, ranks, iters=1)
+            plan = explain_formatted(out)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # the bucketed scan side must sit under the join WITHOUT an
+        # exchange: every Exchange in the plan keys on node/dst lineage,
+        # never re-shuffling the bucketed edge columns
+        join_tree = plan.split("SortMergeJoin")[1] if "SortMergeJoin" in plan else plan
+        assert "Scan parquet" in plan  # bucketed table scan present
+        # count exchanges: rank-side sort-merge prep + dst aggregation =
+        # at most 2; an edge-side exchange would make it 3
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pr_edges_bkt")

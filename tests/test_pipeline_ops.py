@@ -122,3 +122,39 @@ def test_semantic_dedup_prune_counts_consistent(spark, sf_smoke):
         assert r["n_pruned"] <= r["n_members"]
         if r["n_dup_pairs"] == 0:
             assert r["n_pruned"] == 0 and r["pruned_checksum"] == 0
+
+
+def test_random_projection_preserves_neighborhood_signal(spark, sf_smoke):
+    """JL sanity: distances in 8-dim sketch space must correlate with
+    64-dim distances (rank correlation well above chance on a sample) —
+    the property that makes the sketch usable as an ANN pre-filter."""
+    import math
+
+    from tfm_taxitrips_spark.queries.vectors import RP_K, q_random_projection
+    from tfm_taxitrips_spark.sources.readers import table
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in table(spark, sf_smoke, "embeddings").limit(40).collect()
+    }
+    proj = {
+        r["vec_id"]: [r[f"proj_{j}"] for j in range(RP_K)]
+        for r in q_random_projection(spark, sf_smoke).collect()
+        if r["vec_id"] in emb
+    }
+    ids = sorted(emb)
+    d_full, d_sk = [], []
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        d_full.append(math.dist(emb[a], emb[b]))
+        d_sk.append(math.dist(proj[a], proj[b]))
+    # Spearman-ish: compare orderings pairwise
+    concord = disc = 0
+    for i in range(len(d_full)):
+        for j in range(i + 1, len(d_full)):
+            s = (d_full[i] - d_full[j]) * (d_sk[i] - d_sk[j])
+            if s > 0:
+                concord += 1
+            elif s < 0:
+                disc += 1
+    assert concord > disc  # better than chance, robustly

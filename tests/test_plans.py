@@ -556,3 +556,16 @@ def test_semantic_dedup_broadcast_cents_no_self_join(spark, sf_smoke):
     # pair generation is groupBy+explode (bucket_pairs): the only joins are
     # the K-row centroid broadcast and the final 16-row audit assembly
     assert "SortMergeJoin" not in plan
+
+
+def test_random_projection_is_map_only(spark, sf_smoke):
+    """The JL sketch must ride the scan: in-row integer folds, zero
+    exchanges, no explode of the store."""
+    import re
+
+    from tfm_taxitrips_spark.queries.vectors import q_random_projection
+
+    plan = explain_formatted(q_random_projection(spark, sf_smoke))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no posexplode fallback

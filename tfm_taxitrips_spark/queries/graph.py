@@ -83,7 +83,11 @@ def pagerank(
     ``truncate_every=n`` localCheckpoints the rank frame every n
     iterations — same contract as :func:`~tfm_taxitrips_spark.queries.
     vectors.kmeans_clustering`: identical results, constant-size
-    per-iteration plan instead of one that nests every prior round.
+    per-iteration plan instead of one that nests every prior round, AND
+    (because the checkpoint is eager) the iterations execute as separate
+    sequential jobs — without it Spark schedules every iteration's
+    independent edge-side stages concurrently, so they contend for cores
+    and read as task skew.
     """
     edges = _pr_edges(spark, sf_dir)
     w_deg = Window.partitionBy("src")
@@ -97,6 +101,29 @@ def pagerank(
         .select(F.col("src").alias("node"),
                 F.lit(PR_UNIT).cast("bigint").alias("r"))
     )
+    ranks = pagerank_iterations(edges_deg, ranks, iters, truncate_every)
+    return ranks.select(
+        F.expr("node div 2").cast("bigint").alias("entity_id"),
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.col("r").alias("rank_micro"),
+    )
+
+
+def pagerank_iterations(
+    edges_deg: DataFrame,
+    ranks: DataFrame,
+    iters: int,
+    truncate_every: int = 0,
+) -> DataFrame:
+    """The power-iteration core over any degree-annotated edge frame
+    (columns ``src``, ``dst``, ``deg``) and initial ranks (``node``,
+    ``r``). Factored out so the 100 TB deployment shape — ``edges_deg``
+    read from a table BUCKETED by ``src``, which removes the edge-side
+    exchange from every iteration's join (pinned:
+    tests/test_graph.py::test_pagerank_bucketed_edges_no_edge_exchange) —
+    runs the identical loop."""
     for i in range(iters):
         contrib = edges_deg.join(
             ranks.withColumnRenamed("node", "src"), "src"
@@ -113,21 +140,23 @@ def pagerank(
         )
         if truncate_every and (i + 1) % truncate_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select(
-        F.expr("node div 2").cast("bigint").alias("entity_id"),
-        F.when(F.col("node") % 2 == 0, F.lit("customer"))
-        .otherwise(F.lit("supplier"))
-        .alias("node_type"),
-        F.col("r").alias("rank_micro"),
-    )
+    return ranks
 
 
 def q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, 3 fixed power iterations, damping 0.85, over the
     undirected bipartite customer–supplier graph derived from
     lineitem ⋈ orders. Integer micro-unit arithmetic end to end (module
-    docstring); the oracle unrolls the three rounds as CTEs."""
-    return pagerank(spark, sf_dir)
+    docstring); the oracle unrolls the three rounds as CTEs.
+
+    EAGER-ISH CONTRACT: runs with ``truncate_every=1`` — each iteration
+    materializes its (|V|-row) rank frame as a sequential job when the
+    DataFrame is BUILT, so calling this function executes iterations
+    1..N-1 eagerly and the returned plan holds only the final round.
+    That sequencing is what keeps the iterations from contending for
+    cores (function docstring above); results are pinned bit-identical
+    to the fully-lazy form."""
+    return pagerank(spark, sf_dir, truncate_every=1)
 
 
 def _pr_iter_sql(prev: str, out: str) -> str:

@@ -31,9 +31,10 @@ class QuerySpec:
 # inside that window each round.  Round-4 policy (verdict item #3 +
 # staleness ordering from queries/rotation.py): never-graded first, then
 # changed-this-round, then oldest driver rows.  The round-5 re-grade
-# backlog (45 entries: the 38 r2-latest listed in ROUND4_NOTES plus
+# backlog (46 entries: the 38 r2-latest listed in ROUND4_NOTES plus
 # anti_join, semi_join, union_distinct, intersect_custkeys, cast_project,
-# null_predicates, to_json_struct displaced from group (c) below) stays
+# null_predicates, to_json_struct, json_extract displaced from group (c)
+# below) stays
 # registered and differential-tested at sf0.001 every session; front it
 # next round, displacing whatever goes green here.  See README
 # "Correctness-window rotation".
@@ -45,6 +46,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "dataset_split_assign",     # NEW: disjoint hash train/val/test split
     "inverted_index_postings",  # NEW: impact-ordered index build
     "semantic_dedup_prune",     # NEW: SemDeDup cell-wise pruning
+    "random_projection_sketch", # NEW: integer-exact JL projection
     "doc_chunking",             # added after the r3 grading ran
     "cross_source_dup_matrix",  # likewise
     "minhash_estimate_eval",    # likewise
@@ -59,7 +61,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "ann_bruteforce", "ann_ivf", "ann_lsh",
     "cube_orders", "date_trunc_day", "dedup_count", "dedup_distinct_pairs",
     "dedup_exact_docs", "embedding_norms",
-    "json_extract", "knn_label_vote", "lsh_buckets", "minhash_signature",
+    "knn_label_vote", "lsh_buckets", "minhash_signature",
     "partition_filter", "pivot_status_by_priority",
     "running_revenue", "simhash", "stream_dedup",
     "stream_sessionization", "stream_stream_join", "stream_window_rollup",

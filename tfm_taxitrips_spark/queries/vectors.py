@@ -742,6 +742,73 @@ def _km_sql() -> str:
     )
 
 
+RP_K = 8  # target dims for the random-projection sketch
+
+#: Deterministic Rademacher (+/-1) sign matrix for the JL projection,
+#: derived from md5 in PYTHON at import time — both engines receive the
+#: SAME literals, so no hash function has to agree across engines.
+import hashlib as _hashlib
+
+_RP_SIGNS: tuple[tuple[int, ...], ...] = tuple(
+    tuple(
+        1 if int(_hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest(), 16) % 2 == 0
+        else -1
+        for j in range(RP_K)
+    )
+    for i in range(64)
+)
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: 64-dim embeddings sketched
+    to RP_K=8 dims with a Rademacher (+/-1) sign matrix (Achlioptas 2003 —
+    database-friendly random projections). The cheap-ANN / near-dup
+    pre-filter primitive: distances are approximately preserved at 1/8 the
+    vector width, so a 100 TB store can be first bucketed/pruned in sketch
+    space and only candidates touch the full vectors.
+
+    Float discipline: each coordinate is micro-quantized (floor ×1e6 —
+    one float multiply + floor, engine-identical) BEFORE the signed sum,
+    so every projection is an integer sum — order-independent, bit-exact.
+    Plan: a pure map-side projection (in-row zip_with/aggregate folds) —
+    ZERO shuffles, no explode; the sketch rides along with whatever scan
+    already reads the store (pinned, tests/test_plans.py).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        as_double("embedding"),
+        lambda x: F.floor(x * F.lit(1000000.0)).cast("long"),
+    )
+    base = emb.select("vec_id", "label", micro.alias("m"))
+    projs = []
+    for j in range(RP_K):
+        signs = F.array(
+            *[F.lit(_RP_SIGNS[i][j]).cast("long") for i in range(64)]
+        )
+        pj = F.aggregate(
+            F.zip_with(F.col("m"), signs, lambda m, s: m * s),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        projs.append(pj.alias(f"proj_{j}"))
+    return base.select("vec_id", "label", *projs)
+
+
+def _rp_sql() -> str:
+    cols = []
+    for j in range(RP_K):
+        terms = " + ".join(
+            f"({_RP_SIGNS[i][j]})*CAST(FLOOR(embedding[{i + 1}]::DOUBLE"
+            f"*1000000) AS BIGINT)"
+            for i in range(64)
+        )
+        cols.append(f"CAST({terms} AS BIGINT) AS proj_{j}")
+    return "SELECT vec_id, label,\n  " + ",\n  ".join(cols) + "\nFROM embeddings"
+
+
+_RANDOM_PROJECTION_SQL = _rp_sql()
+
+
 SEM_TAU = 0.30  # within-cell cosine above which the higher-id vec is pruned
 
 
@@ -874,6 +941,10 @@ LEFT JOIN pr ON pr.cid = m.cid
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "random_projection_sketch": QuerySpec(
+        q_random_projection, _RANDOM_PROJECTION_SQL,
+        tags=("vector", "compression", "pipeline"),
+    ),
     "semantic_dedup_prune": QuerySpec(
         q_semantic_dedup, _SEMDEDUP_SQL, tags=("vector", "dedup", "pipeline")
     ),
