@@ -73,12 +73,18 @@ def pagerank(
     the default plan). ``materialize_edges=False`` keeps the pure-lineage
     form; results are bit-identical either way (integer lineage).
 
-    Shape per iteration: ONE join (ranks onto the cached edge partitions,
-    hash-partitioned on ``src``) and ONE aggregation shuffle on ``dst``
-    with map-side combine over integer partial sums. At 100 TB the edge
-    list dominates and never re-shuffles; only the |V|-sized rank table
-    moves. Hub skew on ``dst`` is AQE-splittable (aggregation, not join —
-    see SCALE.md §Joins for why the salt belongs on joins only).
+    Shape per iteration: ONE join (ranks onto the cached edge partitions)
+    and ONE aggregation shuffle on ``dst`` with map-side combine over
+    integer partial sums. Caveat the checkpoint cannot fix: a
+    DataFrame-level checkpoint drops hash-partitioning METADATA, so the
+    join still re-exchanges the (cheap, cached) edge rows each round. At
+    100 TB — where |E| dominates — store the edge list BUCKETED by
+    ``src`` instead and run :func:`pagerank_iterations` over it: the edge
+    side then plans no exchange at all (pinned:
+    tests/test_graph.py::test_pagerank_bucketed_edges_no_edge_exchange),
+    leaving only the |V|-sized rank shuffle per round. Hub skew on
+    ``dst`` is AQE-splittable (aggregation, not join — see SCALE.md
+    §Joins for why the salt belongs on joins only).
 
     ``truncate_every=n`` localCheckpoints the rank frame every n
     iterations — same contract as :func:`~tfm_taxitrips_spark.queries.
