@@ -158,3 +158,23 @@ def test_random_projection_preserves_neighborhood_signal(spark, sf_smoke):
             elif s < 0:
                 disc += 1
     assert concord > disc  # better than chance, robustly
+
+
+def test_token_diversity_invariants(spark, sf_smoke):
+    """Exact integer invariants of the diversity triple: TTR and shares
+    are proper ppm fractions, Simpson concentration is bounded below by
+    1/n_types (uniform) and above by the top-token share (Cauchy-Schwarz
+    ordering survives the integer floors)."""
+    from tfm_taxitrips_spark.queries.text import q_token_diversity
+
+    rows = q_token_diversity(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_types"] <= r["n_tokens"]
+        assert 0 < r["ttr_ppm"] <= 1_000_000
+        assert 0 < r["simpson_ppm"] <= 1_000_000
+        assert 0 < r["top_share_ppm"] <= 1_000_000
+        # sum(c^2)/n^2 <= max_c/n exactly, and floor preserves <=
+        assert r["simpson_ppm"] <= r["top_share_ppm"]
+        # uniform lower bound: sum(p^2) >= 1/n_types (floor slack of 1)
+        assert r["simpson_ppm"] >= 1_000_000 // r["n_types"] - 1

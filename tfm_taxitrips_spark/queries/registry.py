@@ -31,10 +31,10 @@ class QuerySpec:
 # inside that window each round.  Round-4 policy (verdict item #3 +
 # staleness ordering from queries/rotation.py): never-graded first, then
 # changed-this-round, then oldest driver rows.  The round-5 re-grade
-# backlog (46 entries: the 38 r2-latest listed in ROUND4_NOTES plus
+# backlog (47 entries: the 38 r2-latest listed in ROUND4_NOTES plus
 # anti_join, semi_join, union_distinct, intersect_custkeys, cast_project,
-# null_predicates, to_json_struct, json_extract displaced from group (c)
-# below) stays
+# null_predicates, to_json_struct, json_extract, embedding_norms displaced
+# from group (c) below) stays
 # registered and differential-tested at sf0.001 every session; front it
 # next round, displacing whatever goes green here.  See README
 # "Correctness-window rotation".
@@ -47,6 +47,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "inverted_index_postings",  # NEW: impact-ordered index build
     "semantic_dedup_prune",     # NEW: SemDeDup cell-wise pruning
     "random_projection_sketch", # NEW: integer-exact JL projection
+    "token_diversity_stats",    # NEW: TTR/Simpson lexical-diversity QC
     "doc_chunking",             # added after the r3 grading ran
     "cross_source_dup_matrix",  # likewise
     "minhash_estimate_eval",    # likewise
@@ -60,7 +61,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
     #    the round-5 backlog to make room for (a).
     "ann_bruteforce", "ann_ivf", "ann_lsh",
     "cube_orders", "date_trunc_day", "dedup_count", "dedup_distinct_pairs",
-    "dedup_exact_docs", "embedding_norms",
+    "dedup_exact_docs",
     "knn_label_vote", "lsh_buckets", "minhash_signature",
     "partition_filter", "pivot_status_by_priority",
     "running_revenue", "simhash", "stream_dedup",

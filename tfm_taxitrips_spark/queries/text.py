@@ -1080,6 +1080,64 @@ SELECT * FROM (
 """
 
 
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity corpus QC: per document, type-token ratio,
+    Simpson concentration (Σp² — the inverse participation ratio; high =
+    few token types dominate = repetition/gibberish), and top-token share.
+    Together these catch the low-diversity failure modes a pretraining
+    filter drops (boilerplate, keyword stuffing, decode loops) without
+    any n-gram machinery.
+
+    Float discipline: every ratio is integer ppm via ``div`` on exact
+    bigint counts — unlike Shannon entropy there is NO transcendental
+    anywhere, so the driver hash holds with zero rounding risk. Plan: one
+    (doc, token) reduce with map-side combine, then a doc-keyed reduce of
+    the already-reduced rows; the ppm projections are scalar expressions.
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+        F.max("c").cast("bigint").alias("max_c"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.expr("(1000000 * n_types) div n_tokens").alias("ttr_ppm"),
+        F.expr("(1000000 * sum_c2) div (n_tokens * n_tokens)").alias(
+            "simpson_ppm"
+        ),
+        F.expr("(1000000 * max_c) div n_tokens").alias("top_share_ppm"),
+    )
+
+
+_TOKEN_DIVERSITY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tf AS (
+  SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+         CAST(MAX(c) AS BIGINT) AS max_c
+  FROM tf GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_types,
+       (1000000 * n_types) // n_tokens AS ttr_ppm,
+       (1000000 * sum_c2) // (n_tokens * n_tokens) AS simpson_ppm,
+       (1000000 * max_c) // n_tokens AS top_share_ppm
+FROM agg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tfidf_distinctive_terms": QuerySpec(q_tfidf_distinctive_terms, _TFIDF_SQL,
                                          tags=("text", "vocab", "topk")),
@@ -1090,6 +1148,9 @@ QUERIES: dict[str, QuerySpec] = {
         tags=("text", "dedup", "pipeline", "incremental")),
     "token_oov_rate": QuerySpec(q_token_oov_rate, _OOV_SQL,
                                 tags=("text", "vocab", "pipeline")),
+    "token_diversity_stats": QuerySpec(
+        q_token_diversity, _TOKEN_DIVERSITY_SQL,
+        tags=("text", "quality", "pipeline")),
     "training_data_mix": QuerySpec(q_training_mix, _TRAINING_MIX_SQL, bench=True,
                                    tags=("text", "dedup", "sample", "pipeline")),
     "text_token_count": QuerySpec(q_token_count, _TOKEN_COUNT_SQL, tags=("text",)),
