@@ -21,7 +21,7 @@ means). Headroom: ranks are bounded by total mass ``1e6 × |V|``; at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.queries.registry import QuerySpec
@@ -96,10 +96,19 @@ def pagerank(
     and read as task skew.
     """
     edges = _pr_edges(spark, sf_dir)
-    w_deg = Window.partitionBy("src")
-    edges_deg = edges.withColumn(
-        "deg", F.count(F.lit(1)).over(w_deg).cast("bigint")
+    # Degree via map-side-combined groupBy + join-back — NOT a count
+    # window. A window partitions AND SORTS every edge row by src with no
+    # skew mitigation available (AQE cannot split a window partition);
+    # the aggregation form reduces hub rows map-side before they move,
+    # and the join-back is AQE-skew-splittable (broadcast at small |V|).
+    # Strictly less shuffled-and-sorted work on a hub-heavy graph — the
+    # ~sf4 smoke's wall-time wobble on the window form prompted the look,
+    # though the measured imbalance there was core contention (CPU-time
+    # ratio ~1.6), not data skew; see the smoke's straggler-metric note.
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
     )
+    edges_deg = edges.join(deg, "src")
     if materialize_edges:
         edges_deg = edges_deg.localCheckpoint(eager=False)
     ranks = (
