@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tfm_taxitrips_spark.plans.explain import explain_formatted
+
 from tfm_taxitrips_spark.queries.dataprep import (
     _SPLIT_TRAIN_END,
     _SPLIT_VAL_END,
@@ -178,3 +180,36 @@ def test_token_diversity_invariants(spark, sf_smoke):
         assert r["simpson_ppm"] <= r["top_share_ppm"]
         # uniform lower bound: sum(p^2) >= 1/n_types (floor slack of 1)
         assert r["simpson_ppm"] >= 1_000_000 // r["n_types"] - 1
+
+
+def test_fuzzy_editdist_blocking_finds_true_pairs_only(spark, sf_smoke):
+    """FastSS completeness at k=1 on the fixture: a known distance-1 pair
+    is found, everything emitted verifies at distance <= 1, pairs are
+    canonical (a < b, no self-pairs, no duplicates)."""
+    from tfm_taxitrips_spark.queries.dataprep import q_fuzzy_dedup_editdist
+
+    rows = q_fuzzy_dedup_editdist(spark, sf_smoke).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["cust_a"] < r["cust_b"]
+        assert r["edit_dist"] <= 1
+        key = (r["cust_a"], r["cust_b"])
+        assert key not in seen
+        seen.add(key)
+    # names are Customer#NNNNNNNNN: ids 0 and 1 differ in the last digit
+    assert (0, 1) in seen
+    # distance-2 neighbours must not appear: ids differing in two digits
+    assert (0, 11) not in seen
+
+
+def test_fuzzy_editdist_plan_blocked_equi_join(spark, sf_smoke):
+    """Candidate generation must be an equi join on the variant hash with
+    the hot-variant guard as a broadcast anti-join — no cartesian or
+    nested-loop path exists."""
+    from tfm_taxitrips_spark.queries.dataprep import q_fuzzy_dedup_editdist
+
+    plan = explain_formatted(q_fuzzy_dedup_editdist(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan

@@ -1107,7 +1107,117 @@ GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+# fuzzy record linkage: FastSS deletion-neighborhood blocking + verify
+# --------------------------------------------------------------------------
+
+#: deletion-variant document-frequency cap — the same Zipf-head guard as
+#: the n-gram df cap: a variant shared by more than this many records is
+#: dropped from blocking (its pairs, if real, surface through the other
+#: 18 variants of each name), bounding join output per variant.
+FUZZY_DF_CAP = 64
+
+
+def q_fuzzy_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage over customer names: all pairs within
+    Levenshtein distance 1, found via FastSS deletion-neighborhood
+    blocking (Bocek et al. 2007): two strings are within edit distance 1
+    iff their {self} ∪ {one-char-deleted} variant sets intersect, so
+    candidate generation is an EQUI-join on a variant hash — never an
+    all-pairs scan — and the exact ``levenshtein`` verify (built-in in
+    both engines) runs only on blocked candidates.
+
+    Scale design: variants are generated in-row (explode of a
+    length-bounded sequence), hashed to 60-bit ints before the shuffle
+    (8 bytes on the wire), and hot variants above FUZZY_DF_CAP are
+    dropped via a map-side-combined count + broadcast anti-join — the
+    ngram_jaccard df-cap pattern — so no variant can pair quadratically.
+    Candidate pairs dedupe on (a, b) before the verify. The oracle
+    mirrors blocking, cap, and verify bit-exactly.
+    """
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    variant = F.expr(
+        "CASE WHEN i = 0 THEN c_name "
+        "ELSE concat(substring(c_name, 1, i-1), substring(c_name, i+1, 1000)) "
+        "END"
+    )
+    v = (
+        cust.select(
+            "c_custkey",
+            "c_name",
+            F.explode(F.sequence(F.lit(0), F.length("c_name"))).alias("i"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            hash60(variant).alias("vh"),
+        )
+        .distinct()
+    )
+    hot = (
+        v.groupBy("vh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > FUZZY_DF_CAP)
+        .select("vh")
+    )
+    blocked = v.join(F.broadcast(hot), "vh", "left_anti")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.vh") == F.col("b.vh"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "cust_a",
+        "cust_b",
+        F.levenshtein("name_a", "name_b").cast("int").alias("edit_dist"),
+    ).where(F.col("edit_dist") <= 1)
+
+
+_FUZZY_VARIANT = (
+    "CASE WHEN i = 0 THEN c_name "
+    "ELSE substr(c_name, 1, i-1) || substr(c_name, i+1) END"
+)
+
+_FUZZY_SQL = f"""
+WITH v AS (
+  SELECT DISTINCT c_custkey, c_name,
+         {hash60_sql(_FUZZY_VARIANT)} AS vh
+  FROM customer, UNNEST(generate_series(0, length(c_name))) AS t(i)
+),
+hot AS (
+  SELECT vh FROM v GROUP BY vh HAVING COUNT(*) > {FUZZY_DF_CAP}
+),
+blocked AS (
+  SELECT * FROM v WHERE vh NOT IN (SELECT vh FROM hot)
+),
+cands AS (
+  SELECT DISTINCT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+                  a.c_name AS name_a, b.c_name AS name_b
+  FROM blocked a JOIN blocked b
+    ON a.vh = b.vh AND a.c_custkey < b.c_custkey
+)
+SELECT cust_a, cust_b,
+       CAST(levenshtein(name_a, name_b) AS INT) AS edit_dist
+FROM cands
+WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "fuzzy_dedup_editdist": QuerySpec(
+        q_fuzzy_dedup_editdist, _FUZZY_SQL,
+        tags=("dedup", "linkage", "pipeline"),
+    ),
     "dataset_split_assign": QuerySpec(
         q_dataset_split, _DATASET_SPLIT_SQL, tags=("sample", "pipeline"),
     ),
