@@ -138,3 +138,58 @@ def test_pagerank_bucketed_edges_no_edge_exchange(spark, sf_smoke, tmp_path):
         assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS pr_edges_bkt")
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "a bigint, b bigint"
+    )
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 ∪ pendant edge: K4 has C(4,3)=4 triangles, each K4 node sits in
+    3 of them; the pendant node closes nothing and must not appear."""
+    from tfm_taxitrips_spark.queries.graph import triangle_counts
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    out = {
+        r["node"]: r["tri_cnt"]
+        for r in triangle_counts(_edges_df(spark, k4 + [(4, 5)])).collect()
+    }
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_star_is_triangle_free(spark):
+    """A star (one hub, leaves only) has wedges everywhere but zero
+    triangles — the closing-edge join must yield nothing, and the hub's
+    huge wedge set must not fabricate counts."""
+    from tfm_taxitrips_spark.queries.graph import triangle_counts
+
+    star = [(0, i) for i in range(1, 30)]
+    assert triangle_counts(_edges_df(spark, star)).count() == 0
+
+
+def test_triangle_orientation_counts_each_once(spark):
+    """Degree-tied cycle C5 (every deg=2): orientation falls back to id
+    order and must still count the 0 triangles of C5 and the 1 triangle
+    of C3 exactly once each."""
+    from tfm_taxitrips_spark.queries.graph import triangle_counts
+
+    c5 = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 5)]
+    assert triangle_counts(_edges_df(spark, c5)).count() == 0
+    c3 = [(7, 8), (8, 9), (7, 9)]
+    out = {r["node"]: r["tri_cnt"] for r in triangle_counts(_edges_df(spark, c3)).collect()}
+    assert out == {7: 1, 8: 1, 9: 1}
+
+
+def test_triangle_plan_no_cartesian_hub_cap_broadcast(spark, sf_smoke):
+    """The registered co-supply form: hub-part anti-join broadcasts (the
+    over-cap set is Zipf-head-bounded), and nothing in the plan degenerates
+    to a cartesian/BNLJ — every triangle join is an equi hash join."""
+    from tfm_taxitrips_spark.queries.graph import q_triangle_count
+
+    plan = explain_formatted(q_triangle_count(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the hub-cap anti-join
+    assert plan.count("LeftAnti") >= 1

@@ -214,9 +214,140 @@ FROM r3
 """
 
 
+#: Hub-context cap for the bipartite→co-supply projection. A part supplied
+#: by d suppliers projects to C(d,2) edges, so the projection of the whole
+#: table is Σ d(p)² — quadratic in hub parts, the same blow-up shape as the
+#: ngram shingle join (queries/text.py NGRAM_DF_CAP). Dropping hub contexts
+#: is the standard fix for co-occurrence graphs (a part everyone supplies
+#: carries no affinity signal), and it bounds the projection to
+#: C(cap,2) × |parts| — LINEAR in the part table. Mirrored in the oracle.
+TRI_PART_CAP = 16
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected simple edge list
+    (columns ``a`` < ``b``, one row per edge) — degree-ordered enumeration
+    (Suri & Vassilvitskii's MR orientation; public algorithm).
+
+    Each undirected edge is ORIENTED from its lower-(degree, id) endpoint
+    to the higher one. The orientation is acyclic and bounds every node's
+    out-degree by O(√m) on any graph, so the wedge self-join below fans
+    out O(m^1.5) total instead of Σ deg² — the difference between a plan
+    that survives a power-law graph at 100 TB and one that funnels a hub's
+    entire neighborhood through one join key. Every triangle then has
+    exactly one vertex with two out-edges inside it (its minimum), so
+    joining wedges (u→v, u→w) against the closing oriented edge (v→w)
+    counts each triangle once — no /3 correction, no duplicate pairs.
+
+    Shuffles: one degree aggregation (map-side combined), one join-back,
+    the wedge self-join on ``src``, and the closing equi-join on
+    ``(src, dst)`` — all hash joins on node keys, AQE-skew-splittable;
+    no cartesian anywhere (pinned in tests/test_plans.py).
+    """
+    deg = (
+        edges.select(F.col("a").alias("n")).unionByName(edges.select(F.col("b").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    ed = (
+        edges
+        .join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    lt = (F.col("x.dd") < F.col("y.dd")) | (
+        (F.col("x.dd") == F.col("y.dd")) & (F.col("x.dst") < F.col("y.dst"))
+    )
+    wedges = x.join(y, (F.col("x.src") == F.col("y.src")) & lt).select(
+        F.col("x.src").alias("u"), F.col("x.dst").alias("v"), F.col("y.dst").alias("w")
+    )
+    closing = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    nodes = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("tri_cnt"))
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts on the co-supply graph: suppliers are
+    adjacent iff they ship the same part (lineitem projection, hub parts
+    with > TRI_PART_CAP distinct suppliers dropped — module constant).
+
+    Triangle density is the classic community/cohesion signal a crawl- or
+    source-weighting pipeline derives per entity; counts are exact
+    integers, so the driver hash compare is bit-stable by construction.
+    The oracle enumerates id-ordered triples (a < b < c) over the same
+    capped edge set — a different, brute-force enumeration order that
+    provably yields the identical triangle set, which is the point: the
+    degree-oriented Spark plan is pure optimization, not semantics.
+    """
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    hub = (
+        ps.groupBy("p").agg(F.count(F.lit(1)).alias("d_p"))
+        .where(F.col("d_p") > TRI_PART_CAP)
+        .select("p")
+    )
+    kept = ps.join(F.broadcast(hub), "p", "left_anti")
+    ka, kb = kept.alias("ka"), kept.alias("kb")
+    edges = (
+        ka.join(kb, (F.col("ka.p") == F.col("kb.p")) & (F.col("ka.s") < F.col("kb.s")))
+        .select(F.col("ka.s").alias("a"), F.col("kb.s").alias("b"))
+        .distinct()
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("supp_id"), "tri_cnt"
+    )
+
+
+_TRIANGLE_SQL = f"""
+WITH ps AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+),
+keep AS (
+  SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= {TRI_PART_CAP}
+),
+eg AS (
+  SELECT DISTINCT a.s AS a, b.s AS b
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+  WHERE a.p IN (SELECT p FROM keep)
+),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM eg e1
+  JOIN eg e2 ON e2.a = e1.b
+  JOIN eg e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+nodes AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node AS supp_id, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+FROM nodes GROUP BY node
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pagerank_fixed_iters": QuerySpec(
         q_pagerank_fixed, _PAGERANK_SQL,
         tags=("graph", "iterative", "pipeline"),
+    ),
+    "triangle_count": QuerySpec(
+        q_triangle_count, _TRIANGLE_SQL,
+        tags=("graph", "pipeline"),
     ),
 }

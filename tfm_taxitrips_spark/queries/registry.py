@@ -94,6 +94,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
 PENDING_ROTATION: tuple[str, ...] = (
     "fuzzy_dedup_editdist",  # added after the round-4 window refilled;
                              # front in round 5 (differential-tested now)
+    "triangle_count",        # likewise (degree-oriented co-supply triangles)
 )
 
 
