@@ -569,3 +569,19 @@ def test_random_projection_is_map_only(spark, sf_smoke):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0
     assert "Join" not in plan
     assert "Generate" not in plan  # no posexplode fallback
+
+
+def test_ohlc_resample_partial_bars_no_window(spark, sf_smoke):
+    """OHLC downsampling must be ONE two-phase aggregation: a partial
+    aggregate on the scan side collapses each task to per-(type, hour)
+    bars before the single exchange, and no Window operator (the oracle's
+    row_number formulation — a full tick sort-and-shuffle) may appear."""
+    import re
+
+    from tfm_taxitrips_spark.queries.temporal import q_ohlc_resample
+
+    plan = explain_formatted(q_ohlc_resample(spark, sf_smoke))
+    assert "Window" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    # partial-then-final: two aggregate operators around that exchange
+    assert len(re.findall(r"\(\d+\) \w*Aggregate", plan)) == 2

@@ -95,6 +95,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "fuzzy_dedup_editdist",  # added after the round-4 window refilled;
                              # front in round 5 (differential-tested now)
     "triangle_count",        # likewise (degree-oriented co-supply triangles)
+    "event_ohlc_resample",   # likewise (hourly OHLC bars via min_by/max_by)
 )
 
 

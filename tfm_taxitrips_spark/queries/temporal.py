@@ -512,6 +512,67 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to hourly OHLC bars per event type — the
+    classic resample an observability/feature pipeline runs before a
+    model ever sees raw ticks (open/close = first/last ``value`` by event
+    time, high/low = extrema, volume = row count).
+
+    Spark-first shape: ``min_by``/``max_by`` keyed on the COMPOSITE
+    ``struct(ts, event_id)`` (a total order — event_id is unique — so
+    same-timestamp ticks can never flip open/close between runs) turn the
+    whole resample into ONE two-phase aggregation with map-side combine
+    (the struct-ordered buffer plans as SortAggregate, but the partial
+    phase still reduces each task to one bar per (type, hour) BEFORE the
+    exchange — pinned in tests/test_plans.py). The oracle expresses
+    first/last with row_number windows instead, which would shuffle and
+    sort EVERY tick. That asymmetry is the point at 100 TB: the
+    aggregation form's shuffle carries partial bars, not ticks, and AQE
+    can split a hot hour freely since nothing depends on
+    partition-internal order. All outputs are either exact
+    integer counts or verbatim picks of stored doubles (no float
+    arithmetic), so the driver hash compare is bit-stable.
+    """
+    events = table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.min_by("value", key).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", key).alias("close_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_OHLC_SQL = """
+WITH r AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS ws,
+         value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT ws AS window_start, event_type,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+       COUNT(*) AS n_events
+FROM r
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "event_range_join": QuerySpec(q_range_join, _RANGE_SQL, tags=("temporal", "range_join")),
     "event_sessionization": QuerySpec(q_sessionization, _SESSION_SQL, bench=True,
@@ -530,4 +591,6 @@ QUERIES: dict[str, QuerySpec] = {
                                        tags=("temporal", "gapfill", "window")),
     "event_rolling_rate": QuerySpec(q_event_rolling_rate, _ROLLING_SQL,
                                     tags=("temporal", "window")),
+    "event_ohlc_resample": QuerySpec(q_ohlc_resample, _OHLC_SQL,
+                                     tags=("temporal", "resample")),
 }
