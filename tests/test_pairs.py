@@ -138,3 +138,37 @@ def test_minhash_estimator_tracks_exact_jaccard(spark, sf_smoke):
     assert row.n > 10, "candidate set collapsed — LSH constants changed?"
     assert row.corr > 0.6, row
     assert row.mae < 0.3, row
+
+
+def test_setsim_prefix_join_threshold_boundary(spark, tmp_path):
+    """Boundary pin for q_setsim_prefix_join: pairs at exactly τ=0.8
+    (4 shared of 5 union) are kept, pairs just below (4 of 6) dropped,
+    identical docs score 1.0 — all found through the prefix filter."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tfm_taxitrips_spark.queries.text import q_setsim_prefix_join
+
+    texts = [
+        "a b c d e",   # 0: vs 1 -> 4/6 (<τ); vs 2 -> 4/5 (=τ)
+        "a b c d f",   # 1: vs 2 -> 4/5 (=τ)
+        "a b c d",     # 2
+        "zz yy xx",    # 3: unrelated
+        "p q r",       # 4: identical to 5 -> 1.0
+        "p q r",       # 5
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["syn"] * len(texts)),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    d = tmp_path / "setsim"
+    d.mkdir()
+    pq.write_table(t, str(d / "documents.parquet"))
+    rows = q_setsim_prefix_join(spark, str(d)).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard_ppm for r in rows}
+    assert got == {(0, 2): 800000, (1, 2): 800000, (4, 5): 1000000}, got

@@ -585,3 +585,18 @@ def test_ohlc_resample_partial_bars_no_window(spark, sf_smoke):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     # partial-then-final: two aggregate operators around that exchange
     assert len(re.findall(r"\(\d+\) \w*Aggregate", plan)) == 2
+
+
+def test_setsim_prefix_join_materializes_corpus_once(spark, sf_smoke):
+    """The tokenized-corpus frame feeds three consumers (prefix explode +
+    both verify sides); the lazy localCheckpoint must hide the
+    scan→df-join→collect lineage so the final plan replays no documents
+    scan, and the candidate stage must stay equi-join/bucket-group shaped
+    (no cartesian, no nested loop) at any corpus shape."""
+    from tfm_taxitrips_spark.queries.text import q_setsim_prefix_join
+
+    plan = explain_formatted(q_setsim_prefix_join(spark, sf_smoke))
+    assert plan.count("documents.parquet") == 0  # checkpointed lineage
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -96,6 +96,7 @@ PENDING_ROTATION: tuple[str, ...] = (
                              # front in round 5 (differential-tested now)
     "triangle_count",        # likewise (degree-oriented co-supply triangles)
     "event_ohlc_resample",   # likewise (hourly OHLC bars via min_by/max_by)
+    "setsim_prefix_join",    # likewise (lossless prefix-filtered set-sim join)
 )
 
 

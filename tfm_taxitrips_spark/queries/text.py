@@ -1138,6 +1138,117 @@ FROM agg
 """
 
 
+#: Token-set Jaccard threshold for the prefix-filtered similarity join,
+#: in parts-per-million (integer compare in both engines — no float
+#: boundary can flip membership).
+SETSIM_TAU_PPM = 800_000
+SETSIM_TAU_NUM, SETSIM_TAU_DEN = 4, 5  # τ = 4/5, kept as a ratio for ceil()
+
+
+def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set similarity join at Jaccard ≥ 0.8 via PREFIX
+    FILTERING (Bayardo et al. "Scaling Up All Pairs", Xiao et al. PPJoin —
+    public algorithms): the exact-result counterpart to the probabilistic
+    MinHash-LSH pipeline, for when a curation rule needs *no* false
+    negatives.
+
+    Why it scales where the naive form cannot: J(A,B) ≥ τ forces
+    |A∩B| ≥ ⌈τ·|A|⌉, so if the tokens of every doc are sorted by ONE
+    global order (document frequency ascending, then token — rarest
+    first), any qualifying pair must already collide inside the first
+    ``|A| - ⌈τ·|A|⌉ + 1`` tokens of each side. Only those prefix tokens
+    (≈ 20% of each set at τ=0.8, and by construction the RAREST ones, so
+    Zipf-head tokens almost never drive candidates) enter the join; the
+    exact |∩|/|∪| then runs on candidates only. The prefix join itself is
+    intra-bucket pair generation keyed on the token, so it reuses the
+    salted ``bucket_pairs`` guard — a freak hot prefix token salts into
+    bounded sub-groups instead of funnelling one task (same guarantee as
+    the LSH bucket path, pair set provably identical).
+
+    The tokenized corpus (sorted token array + set size per doc) is
+    materialized once via lazy ``localCheckpoint`` — three consumers read
+    it (prefix explode, both verify sides); without it the plan would
+    re-run scan→explode→df-join→collect per consumer (the pagerank edge
+    lesson, tests/test_graph.py::test_pagerank_edge_pipeline_materialized_once).
+
+    The oracle brute-forces the full shared-token self-join — quadratic,
+    fine at oracle scale — proving the prefix filter is LOSSLESS
+    (identical pair set), which is the whole point of registering it.
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias("t"),
+    )
+    df_t = toks.groupBy("t").agg(F.count(F.lit(1)).alias("df_t"))
+    doc_arr = (
+        toks.join(df_t, "t")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df_t", "t"))).alias("st"))
+        .select(
+            "doc_id",
+            F.transform("st", lambda x: x["t"]).alias("ts"),
+            F.size("st").alias("s"),
+            F.slice(
+                F.transform("st", lambda x: x["t"]),
+                1,
+                F.expr(
+                    f"size(st) - ((({SETSIM_TAU_NUM} * size(st))"
+                    f" + {SETSIM_TAU_DEN} - 1) div {SETSIM_TAU_DEN}) + 1"
+                ),
+            ).alias("prefix"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    prefix_rows = doc_arr.select("doc_id", F.explode("prefix").alias("t"))
+    cands = (
+        bucket_pairs(prefix_rows, ["t"], F.col("doc_id"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+    a = doc_arr.select(F.col("doc_id").alias("doc_a"),
+                       F.col("ts").alias("ts_a"), F.col("s").alias("s_a"))
+    b = doc_arr.select(F.col("doc_id").alias("doc_b"),
+                       F.col("ts").alias("ts_b"), F.col("s").alias("s_b"))
+    verified = (
+        cands.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ts_a", "ts_b")).cast("bigint").alias("n_inter"),
+            "s_a",
+            "s_b",
+        )
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("(1000000 * n_inter) div (s_a + s_b - n_inter)"),
+        )
+    )
+    return verified.where(F.col("jaccard_ppm") >= SETSIM_TAU_PPM).select(
+        "doc_a", "doc_b", "n_inter", "jaccard_ppm"
+    )
+
+
+_SETSIM_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS t
+  FROM documents
+),
+sz AS (SELECT doc_id, COUNT(*) AS s FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       (1000000 * n_inter) // (sa.s + sb.s - n_inter) AS jaccard_ppm
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE (1000000 * n_inter) // (sa.s + sb.s - n_inter) >= {SETSIM_TAU_PPM}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tfidf_distinctive_terms": QuerySpec(q_tfidf_distinctive_terms, _TFIDF_SQL,
                                          tags=("text", "vocab", "topk")),
@@ -1177,4 +1288,6 @@ QUERIES: dict[str, QuerySpec] = {
                                        _MINHASH_EVAL_SQL,
                                        tags=("dedup", "eval")),
     "simhash": QuerySpec(q_simhash, _SIMHASH_SQL, tags=("dedup",)),
+    "setsim_prefix_join": QuerySpec(q_setsim_prefix_join, _SETSIM_SQL,
+                                    tags=("text", "dedup", "pipeline")),
 }
