@@ -600,3 +600,33 @@ def test_setsim_prefix_join_materializes_corpus_once(spark, sf_smoke):
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_column_profile_single_scan(spark, sf_smoke):
+    """The profiler must read orders ONCE: six exact count-distincts plan
+    as one aggregation behind an Expand, not six scans or a join-union of
+    per-column subqueries; the unpivot is a projection (stack), not a
+    shuffle."""
+    from tfm_taxitrips_spark.queries.analytics import q_column_profile
+
+    plan = explain_formatted(q_column_profile(spark, sf_smoke))
+    assert plan.count("orders.parquet") == 1
+    assert "Expand" in plan  # the multi-count-distinct single-pass shape
+    assert "Join" not in plan
+    assert "Generate" in plan or "Expand" in plan  # stack lowers to Generate/Expand
+
+
+def test_feature_hashing_no_vocab_join_single_shuffle(spark, sf_smoke):
+    """The hashing trick must plan with NO vocabulary join (its whole
+    point) and exactly one exchange — the (doc, bucket) aggregation with
+    a map-side partial over the exploded tokens."""
+    import re
+
+    from tfm_taxitrips_spark.queries.dataprep import q_feature_hashing
+
+    plan = explain_formatted(q_feature_hashing(spark, sf_smoke))
+    assert "Join" not in plan
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    # fan_out may add a repartition of the scan; the aggregation adds one
+    assert len(exchanges) <= 2
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2  # partial + final

@@ -247,7 +247,102 @@ FROM pc
 """
 
 
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profiling in ONE scan: per column of ``orders``
+    — null count, exact distinct count, and a typed-but-portable min/max
+    rendering — unpivoted to one row per column via ``stack``.
+
+    This is the ingest-gate primitive of a data pipeline (schema drift,
+    null storms, and key-cardinality regressions all surface here before
+    a model trains on garbage). Plan shape: the six exact
+    ``count(DISTINCT)``s in one aggregation make Catalyst plan a single
+    pass with an ``Expand`` (rows × #distinct-aggs before the partial
+    aggregate) — the deliberate single-scan tradeoff; at 100 TB you flip
+    exact→``approx_count_distinct`` per column and the Expand disappears,
+    which is a one-line knob precisely because the profile is ONE
+    aggregation, not six scans. The unpivot is driver-free (stack over
+    the one-row aggregate).
+
+    Portable renderings (bit-stable across engines): BIGINT keys and
+    VARCHAR columns cast to string; money min/max in floor-cents (cast
+    truncation differs between engines, ``floor`` does not — and floor is
+    monotone, so it commutes with min/max); timestamps formatted to
+    seconds.
+    """
+    o = table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    ts_fmt = "yyyy-MM-dd HH:mm:ss"
+
+    def prof(c, mn, mx):
+        return [
+            (n - F.count(F.col(c))).cast("bigint").alias(f"nn_{c}"),
+            F.countDistinct(F.col(c)).cast("bigint").alias(f"nd_{c}"),
+            mn.cast("string").alias(f"mn_{c}"),
+            mx.cast("string").alias(f"mx_{c}"),
+        ]
+
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    aggs = (
+        prof("o_orderkey", F.min("o_orderkey"), F.max("o_orderkey"))
+        + prof("o_custkey", F.min("o_custkey"), F.max("o_custkey"))
+        + prof("o_orderstatus", F.min("o_orderstatus"), F.max("o_orderstatus"))
+        + prof("o_totalprice", F.min(cents), F.max(cents))
+        + prof(
+            "o_orderdate",
+            F.date_format(F.min("o_orderdate"), ts_fmt),
+            F.date_format(F.max("o_orderdate"), ts_fmt),
+        )
+        + prof("o_orderpriority", F.min("o_orderpriority"), F.max("o_orderpriority"))
+    )
+    one = o.agg(n.cast("bigint").alias("n_rows"), *aggs)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack}) AS (col_name, n_null, n_distinct, min_repr, max_repr)",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_repr", "max_repr")
+
+
+def _profile_col_sql(c: str, mn: str, mx: str) -> str:
+    return (
+        f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows,\n"
+        f"       COUNT(*) - COUNT({c}) AS n_null,\n"
+        f"       COUNT(DISTINCT {c}) AS n_distinct,\n"
+        f"       {mn} AS min_repr, {mx} AS max_repr\n"
+        f"FROM orders"
+    )
+
+
+_COLUMN_PROFILE_SQL = "\nUNION ALL\n".join(
+    [
+        _profile_col_sql("o_orderkey", "CAST(MIN(o_orderkey) AS VARCHAR)",
+                         "CAST(MAX(o_orderkey) AS VARCHAR)"),
+        _profile_col_sql("o_custkey", "CAST(MIN(o_custkey) AS VARCHAR)",
+                         "CAST(MAX(o_custkey) AS VARCHAR)"),
+        _profile_col_sql("o_orderstatus", "MIN(o_orderstatus)", "MAX(o_orderstatus)"),
+        _profile_col_sql(
+            "o_totalprice",
+            "CAST(MIN(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS VARCHAR)",
+            "CAST(MAX(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS VARCHAR)",
+        ),
+        _profile_col_sql(
+            "o_orderdate",
+            "strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+            "strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+        ),
+        _profile_col_sql("o_orderpriority", "MIN(o_orderpriority)",
+                         "MAX(o_orderpriority)"),
+    ]
+)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "column_profile": QuerySpec(
+        q_column_profile, _COLUMN_PROFILE_SQL, tags=("analytics", "profiling")
+    ),
     "funnel_conversion": QuerySpec(
         q_funnel_conversion, _FUNNEL_SQL, tags=("analytics", "funnel")
     ),

@@ -1213,7 +1213,61 @@ WHERE levenshtein(name_a, name_b) <= 1
 """
 
 
+#: Feature-hashing dimensionality (the hashing trick's bucket count).
+FH_DIM = 64
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009, public): token streams →
+    fixed-``FH_DIM``-dimensional SIGNED count features without a
+    vocabulary pass. Bucket = ``hash60(token) mod FH_DIM``; the sign comes
+    from the next hash bit, so colliding tokens cancel in expectation
+    instead of biasing the bucket upward — the property that makes hashed
+    features usable by a downstream linear model.
+
+    Scale shape: pure map-side explode→project (no vocabulary table, no
+    df join — that's the trick's entire point vs. a count-vectorizer),
+    then ONE aggregation keyed (doc_id, bucket) with map-side combine;
+    output is the sparse (nonzero) feature triplet form. Everything is
+    integer (md5-derived hash, ±1 signs, integer sums) → bit-stable
+    across engines and partitionings.
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("t"),
+    )
+    h = tok.select("doc_id", hash60(F.col("t")).alias("h"))
+    feats = (
+        h.select(
+            "doc_id",
+            F.expr(f"h % {FH_DIM}").alias("bucket"),
+            F.expr(f"1 - 2 * ((h div {FH_DIM}) % 2)").alias("sgn"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("bigint").alias("feat_val"))
+        .where(F.col("feat_val") != 0)
+    )
+    return feats
+
+
+_FEATURE_HASHING_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+h AS (SELECT doc_id, {hash60_sql('t')} AS h FROM tok)
+SELECT doc_id, h % {FH_DIM} AS bucket,
+       CAST(SUM(1 - 2 * ((h // {FH_DIM}) % 2)) AS BIGINT) AS feat_val
+FROM h
+GROUP BY 1, 2
+HAVING CAST(SUM(1 - 2 * ((h // {FH_DIM}) % 2)) AS BIGINT) != 0
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "feature_hashing": QuerySpec(
+        q_feature_hashing, _FEATURE_HASHING_SQL, tags=("pipeline", "features"),
+    ),
     "fuzzy_dedup_editdist": QuerySpec(
         q_fuzzy_dedup_editdist, _FUZZY_SQL,
         tags=("dedup", "linkage", "pipeline"),

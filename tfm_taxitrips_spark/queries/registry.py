@@ -97,6 +97,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "triangle_count",        # likewise (degree-oriented co-supply triangles)
     "event_ohlc_resample",   # likewise (hourly OHLC bars via min_by/max_by)
     "setsim_prefix_join",    # likewise (lossless prefix-filtered set-sim join)
+    "column_profile",        # likewise (single-scan table profiling gate)
+    "feature_hashing",       # likewise (signed hashing-trick features)
 )
 
 
