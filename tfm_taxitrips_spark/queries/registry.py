@@ -99,6 +99,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "setsim_prefix_join",    # likewise (lossless prefix-filtered set-sim join)
     "column_profile",        # likewise (single-scan table profiling gate)
     "feature_hashing",       # likewise (signed hashing-trick features)
+    "bigram_logprob_score",  # likewise (CCNet-style LM perplexity filter)
 )
 
 

@@ -1249,6 +1249,78 @@ WHERE (1000000 * n_inter) // (sa.s + sb.s - n_inter) >= {SETSIM_TAU_PPM}
 """
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality filtering (the CCNet/Wenzek et al. 2020 recipe,
+    public): score every document by its average bigram negative
+    log-likelihood under a language model estimated FROM THE CORPUS
+    ITSELF — high-NLL docs are the gibberish/boilerplate a pretraining
+    pipeline drops.
+
+    Model = MLE bigram LM: P(b|a) = c(a,b)/c(a·) over corpus bigram
+    counts. Per-bigram NLL = ln(c(a·)/c(a,b)) ≥ 0, ROUNDED TO INTEGER
+    MICRO-NATS per bigram *before* the per-doc sum — so the accumulation
+    is an integer sum (order-independent under any shuffle; the BM25
+    query's fixed-accumulation-order lesson applied the cheaper way) and
+    the mean is one integer division. The single libm ln call rounds
+    identically across engines at micro precision (same contract as
+    `bm25_search`).
+
+    Scale shape: bigram explode is map-side (shingles n=2 over the token
+    array); both count tables come from map-side-combined groupBys; the
+    scoring joins key on bigram/head — honest large-vocabulary hash
+    joins, AQE-splittable, and the frequency tables ARE the model (no
+    driver-side state). Docs with < 2 tokens have no bigrams and drop
+    out, exactly as in the oracle.
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    bg = docs.select(
+        "doc_id",
+        F.explode(shingles(F.lower(F.col("text")), 2)).alias("bg"),
+    ).withColumn("head", F.split(F.col("bg"), " ")[0])
+    cb = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    ch = bg.groupBy("head").agg(F.count(F.lit(1)).alias("c_head"))
+    scored = (
+        bg.join(cb, "bg")
+        .join(ch, "head")
+        .withColumn(
+            "nll_micro",
+            F.round(
+                F.log(F.col("c_head").cast("double") / F.col("c_bg").cast("double"))
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("nll_micro").cast("bigint").alias("sum_nll_micro"),
+        )
+        .withColumn("avg_nll_micro", F.expr("sum_nll_micro div n_bigrams"))
+        .select("doc_id", "n_bigrams", "avg_nll_micro")
+    )
+
+
+_BIGRAM_LOGPROB_SQL = f"""
+WITH bg AS (
+  SELECT doc_id, unnest({shingles_sql('lower(text)', 2)}) AS bg
+  FROM documents
+),
+hb AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS head FROM bg),
+cb AS (SELECT bg, COUNT(*) AS c_bg FROM hb GROUP BY 1),
+ch AS (SELECT head, COUNT(*) AS c_head FROM hb GROUP BY 1),
+scored AS (
+  SELECT doc_id,
+         CAST(round(1000000 * ln(CAST(c_head AS DOUBLE) / c_bg)) AS BIGINT)
+           AS nll_micro
+  FROM hb JOIN cb USING (bg) JOIN ch USING (head)
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(nll_micro) AS BIGINT) // COUNT(*) AS avg_nll_micro
+FROM scored GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tfidf_distinctive_terms": QuerySpec(q_tfidf_distinctive_terms, _TFIDF_SQL,
                                          tags=("text", "vocab", "topk")),
@@ -1290,4 +1362,6 @@ QUERIES: dict[str, QuerySpec] = {
     "simhash": QuerySpec(q_simhash, _SIMHASH_SQL, tags=("dedup",)),
     "setsim_prefix_join": QuerySpec(q_setsim_prefix_join, _SETSIM_SQL,
                                     tags=("text", "dedup", "pipeline")),
+    "bigram_logprob_score": QuerySpec(q_bigram_logprob, _BIGRAM_LOGPROB_SQL,
+                                      tags=("text", "quality", "pipeline")),
 }
