@@ -374,3 +374,53 @@ def test_running_totals_v2_parity_when_protobuf_available(spark, sf_smoke):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_ohlc_state_merges_across_micro_batches(spark, tmp_path):
+    """OHLC's min_by/max_by state must merge partial bars ASSOCIATIVELY
+    across micro-batches: batch 2 delivers the hour's earliest tick (a
+    new open) and a later close, arriving AFTER batch 1 built a bar — the
+    merged bar must equal the batch answer, proving open/close picks are
+    micro-batch-order independent."""
+    from tfm_taxitrips_spark.streaming.pipeline import run_to_memory
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path / "src")
+    # batch 1: mid-hour ticks (provisional open=2.0@:10, close=4.0@:20)
+    _drop(f"{src_dir}/b1.json", [
+        _event(10, "2024-01-01 10:10:00", value=2.0),
+        _event(11, "2024-01-01 10:20:00", value=4.0),
+    ])
+    # batch 2: the true open (earlier ts) and true close (later ts),
+    # plus a same-ts tie at the close decided by event_id
+    _drop(f"{src_dir}/b2.json", [
+        _event(12, "2024-01-01 10:01:00", value=9.0),
+        _event(13, "2024-01-01 10:40:00", value=1.0),
+        _event(14, "2024-01-01 10:40:00", value=7.0),
+    ])
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")  # force two micro-batches
+        .json(src_dir)
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    bars = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", key).alias("close_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    rows = run_to_memory(bars, spark).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # open from batch 2 (earliest ts), close = event_id 14 (same-ts tie,
+    # higher id wins under the composite order), extrema over both batches
+    assert (r.open_value, r.high_value, r.low_value, r.close_value, r.n_events) == (
+        9.0, 9.0, 1.0, 7.0, 5
+    )

@@ -100,6 +100,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "column_profile",        # likewise (single-scan table profiling gate)
     "feature_hashing",       # likewise (signed hashing-trick features)
     "bigram_logprob_score",  # likewise (CCNet-style LM perplexity filter)
+    "stream_ohlc_resample",  # likewise (streaming parity for OHLC bars)
 )
 
 

@@ -358,6 +358,62 @@ def _stream_gate_sql() -> str:
     )
 
 
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars: the batch resample's composite-keyed
+    ``min_by``/``max_by`` running INSIDE a watermarked streaming
+    aggregation — proving the open/close picks are micro-batch-order
+    independent (state merges partial bars exactly like the batch
+    partial/final split; the struct(ts, event_id) total order is what
+    makes the merge associative). Complete-mode drain over the finite
+    replay must equal the batch window SQL — that is the oracle.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    bars = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", key).alias("close_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open_value",
+            "high_value",
+            "low_value",
+            "close_value",
+            "n_events",
+        )
+    )
+    return run_to_memory(bars, spark)
+
+
+_STREAM_OHLC_SQL = """
+WITH r AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS ws,
+         value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT ws AS window_start, event_type,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+       COUNT(*) AS n_events
+FROM r
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_funnel": QuerySpec(q_stream_funnel, _stream_funnel_sql(),
                                tags=("streaming", "funnel", "stateful")),
@@ -378,4 +434,6 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_dedup": QuerySpec(q_stream_dedup, _STREAM_DEDUP_SQL, tags=("streaming", "dedup")),
     "stream_static_join": QuerySpec(q_stream_static_join, _STREAM_JOIN_SQL,
                                     tags=("streaming", "J2")),
+    "stream_ohlc_resample": QuerySpec(q_stream_ohlc, _STREAM_OHLC_SQL,
+                                      tags=("streaming", "resample", "A5")),
 }
