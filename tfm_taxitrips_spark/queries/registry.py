@@ -101,6 +101,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "feature_hashing",       # likewise (signed hashing-trick features)
     "bigram_logprob_score",  # likewise (CCNet-style LM perplexity filter)
     "stream_ohlc_resample",  # likewise (streaming parity for OHLC bars)
+    "event_count_anomaly",   # likewise (integer-exact rolling 3-sigma test)
 )
 
 

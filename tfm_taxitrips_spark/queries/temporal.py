@@ -512,6 +512,85 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def q_event_count_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection on the hourly event series: flag hours
+    whose count deviates > 3σ from the TRAILING 24-hour window (previous
+    hours only — no leakage of the hour being judged), the monitoring
+    primitive that guards an ingest pipeline against silent upstream
+    breaks or floods.
+
+    Integer-exact z-test: with trailing n, S = Σc, Q = Σc², the float
+    test (x − S/n)² > 9·Var reduces — multiplying through by n² — to
+    ``(n·x − S)² > 9·(n·Q − S²)`` on exact BIGINTs, so no float boundary
+    can flip a verdict between engines (headroom: exact while hourly
+    counts stay ≤ ~3e8; past that you pre-scale the series). Hours with
+    < 12 trailing observations abstain.
+
+    Scale shape: the window runs over the AGGREGATED (type, hour) series
+    — cardinality-collapsed from the raw events by a map-side-combined
+    count first (the `pareto_frontier` lesson), so the per-type sort
+    touches |hours| rows, not |events|. The RANGE frame keys on an
+    integer hour index (epoch-micros div 3600e6), making gaps in the
+    series behave as true time gaps, not missing rows.
+    """
+    events = table(spark, sf_dir, "events")
+    hc = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("hidx", F.expr("unix_micros(h) div 3600000000"))
+    )
+    win = (
+        Window.partitionBy("event_type").orderBy("hidx").rangeBetween(-24, -1)
+    )
+    st = hc.select(
+        "event_type",
+        F.col("h").alias("window_start"),
+        "cnt",
+        F.count(F.lit(1)).over(win).cast("bigint").alias("n_hist"),
+        F.coalesce(F.sum("cnt").over(win), F.lit(0)).cast("bigint").alias("s"),
+        F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(win), F.lit(0))
+        .cast("bigint").alias("q"),
+    )
+    dev = F.col("n_hist") * F.col("cnt") - F.col("s")
+    return st.select(
+        "event_type",
+        "window_start",
+        "cnt",
+        "n_hist",
+        (
+            (F.col("n_hist") >= 12)
+            & (dev * dev > 9 * (F.col("n_hist") * F.col("q") - F.col("s") * F.col("s")))
+        ).alias("is_anomaly"),
+    )
+
+
+_ANOMALY_SQL = """
+WITH hc AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, h, cnt, epoch_us(h) // 3600000000 AS hidx FROM hc
+),
+st AS (
+  SELECT event_type, h, cnt,
+         CAST(COUNT(*) OVER win AS BIGINT) AS n_hist,
+         CAST(COALESCE(SUM(cnt) OVER win, 0) AS BIGINT) AS s,
+         CAST(COALESCE(SUM(cnt * cnt) OVER win, 0) AS BIGINT) AS q
+  FROM w
+  WINDOW win AS (PARTITION BY event_type ORDER BY hidx
+                 RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, h AS window_start, cnt, n_hist,
+       (n_hist >= 12 AND
+        (n_hist * cnt - s) * (n_hist * cnt - s) > 9 * (n_hist * q - s * s))
+         AS is_anomaly
+FROM st
+"""
+
+
 def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series downsampling to hourly OHLC bars per event type — the
     classic resample an observability/feature pipeline runs before a
@@ -593,4 +672,6 @@ QUERIES: dict[str, QuerySpec] = {
                                     tags=("temporal", "window")),
     "event_ohlc_resample": QuerySpec(q_ohlc_resample, _OHLC_SQL,
                                      tags=("temporal", "resample")),
+    "event_count_anomaly": QuerySpec(q_event_count_anomaly, _ANOMALY_SQL,
+                                     tags=("temporal", "monitoring", "window")),
 }
