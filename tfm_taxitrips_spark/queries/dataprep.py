@@ -21,6 +21,8 @@ from tfm_taxitrips_spark.functions.text import (
     hash60_sql,
     shingles,
     shingles_sql,
+    stopword_count,
+    stopword_count_sql,
     token_count,
     tokens,
 )
@@ -1264,9 +1266,95 @@ HAVING CAST(SUM(1 - 2 * ((h // {FH_DIM}) % 2)) AS BIGINT) != 0
 """
 
 
+#: Nucleus (top-p) retention share, in percent, for q_group_top_p.
+TOP_P_PCT = 80
+
+
+def q_group_top_p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-nucleus curation (top-p per source): within each source,
+    keep the highest-quality documents until they account for
+    ``TOP_P_PCT`` % of the source's total quality mass — the
+    quality-weighted downsampling step of a pretraining mix (better than
+    a fixed top-k because prolific low-quality sources shrink more).
+
+    All-integer lineage: the quality heuristic collapses to ppm —
+    ``(1e6·(n_distinct + n_tok − n_stop)) div (2·n_tok)`` (the
+    `text_quality_score` formula cleared of its two divisions) — and the
+    nucleus test is the cross-multiplied ``100·cum_before < p·total`` on
+    exact BIGINTs: no division anywhere, so no rounding boundary exists
+    to disagree across engines. Ordering ties break on doc_id (total
+    order).
+
+    Scale shape: scoring is pure per-row codegen on the scan; the
+    cumulative window sorts each SOURCE's doc-level rows (already one row
+    per doc — never token rows). At extreme per-source cardinality the
+    documented fallback is an approx-quantile score threshold per source
+    (the `rfm_segmentation` note) — same selection, no sort.
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    w = tokens("text")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct"),
+        F.size(w).cast("bigint").alias("n_tok"),
+        stopword_count("text").cast("bigint").alias("n_stop"),
+    ).select(
+        "source",
+        "doc_id",
+        F.expr(
+            "(1000000 * (n_distinct + n_tok - n_stop)) div (2 * n_tok)"
+        ).alias("score_ppm"),
+    )
+    order = [F.col("score_ppm").desc(), F.col("doc_id")]
+    cum_w = (
+        Window.partitionBy("source").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot_w = Window.partitionBy("source")
+    st = scored.select(
+        "source",
+        "doc_id",
+        "score_ppm",
+        F.coalesce(F.sum("score_ppm").over(cum_w), F.lit(0))
+        .cast("bigint").alias("cum_before"),
+        F.sum("score_ppm").over(tot_w).cast("bigint").alias("total"),
+    )
+    return st.where(
+        F.lit(100) * F.col("cum_before") < F.lit(TOP_P_PCT) * F.col("total")
+    ).select("source", "doc_id", "score_ppm")
+
+
+_GROUP_TOP_P_SQL = f"""
+WITH scored AS (
+  SELECT source, doc_id,
+         (1000000 * (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                     + CAST(len(string_split(text, ' ')) AS BIGINT)
+                     - CAST({stopword_count_sql('text')} AS BIGINT)))
+           // (2 * CAST(len(string_split(text, ' ')) AS BIGINT)) AS score_ppm
+  FROM documents
+),
+st AS (
+  SELECT source, doc_id, score_ppm,
+         CAST(COALESCE(SUM(score_ppm) OVER (
+           PARTITION BY source ORDER BY score_ppm DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before,
+         CAST(SUM(score_ppm) OVER (PARTITION BY source) AS BIGINT) AS total
+  FROM scored
+)
+SELECT source, doc_id, score_ppm
+FROM st
+WHERE 100 * cum_before < {TOP_P_PCT} * total
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "feature_hashing": QuerySpec(
         q_feature_hashing, _FEATURE_HASHING_SQL, tags=("pipeline", "features"),
+    ),
+    "group_top_p": QuerySpec(
+        q_group_top_p, _GROUP_TOP_P_SQL, tags=("sample", "quality", "pipeline"),
     ),
     "fuzzy_dedup_editdist": QuerySpec(
         q_fuzzy_dedup_editdist, _FUZZY_SQL,

@@ -102,6 +102,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "bigram_logprob_score",  # likewise (CCNet-style LM perplexity filter)
     "stream_ohlc_resample",  # likewise (streaming parity for OHLC bars)
     "event_count_anomaly",   # likewise (integer-exact rolling 3-sigma test)
+    "group_top_p",           # likewise (quality-nucleus per-source curation)
 )
 
 
