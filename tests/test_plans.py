@@ -630,3 +630,36 @@ def test_feature_hashing_no_vocab_join_single_shuffle(spark, sf_smoke):
     # fan_out may add a repartition of the scan; the aggregation adds one
     assert len(exchanges) <= 2
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2  # partial + final
+
+
+def test_markov_matrix_aggregates_before_normalizing(spark, sf_smoke):
+    """The transition matrix must collapse the per-event pair stream with
+    a map-side-combined aggregation BEFORE the row-normalizing window, so
+    the window sorts |types|² matrix rows, never event rows — and the
+    whole query must stay join-free."""
+    import re
+
+    from tfm_taxitrips_spark.queries.temporal import q_markov_transitions
+
+    plan = explain_formatted(q_markov_transitions(spark, sf_smoke))
+    assert "Join" not in plan
+    # lag window (per-user) + normalizing window (per-src) only
+    assert plan.count("Window") >= 2
+    # pair collapse is partial+final around its exchange
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+
+
+def test_trend_slopes_no_window_broadcast_base(spark, sf_smoke):
+    """Per-type OLS must be pure sufficient-statistics aggregation: no
+    Window/sort anywhere, the global min-hour joined as a broadcast
+    (1-row side), and both aggregations two-phase (map-side partials)."""
+    import re
+
+    from tfm_taxitrips_spark.queries.temporal import q_group_trend_slopes
+
+    plan = explain_formatted(q_group_trend_slopes(spark, sf_smoke))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan  # 1-row min-hour base
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4

@@ -87,9 +87,10 @@ GRADING_PRIORITY: tuple[str, ...] = (
 # files themselves (not a name heuristic), so this debt can't silently
 # grow: a new query missing from both GRADING_PRIORITY's window and this
 # list fails tests/test_differential.py::test_grading_window_rotation.
-# (Empty right now: the round-4 window was refreshed after the last
-# operator batch, so every never-graded query sits in the window.)
-PENDING_ROTATION: tuple[str, ...] = ()
+PENDING_ROTATION: tuple[str, ...] = (
+    "markov_transitions",   # added after the refreshed round-4 window froze
+    "group_trend_slopes",   # likewise (integer-exact per-type OLS trend)
+)
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -652,6 +652,161 @@ GROUP BY 1, 2
 """
 
 
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    for every ordered (src → dst) event-type pair that appears as
+    consecutive events of one user, the transition count and the
+    row-normalized probability in ppm — the behavioral model a
+    recommendation / anomaly layer fits over clickstreams.
+
+    Scale shape: ONE user-keyed shuffle feeds the lag window (per-user
+    sequences, the same bound `event_sessionization` rides), then the
+    pairs collapse through a map-side-combined groupBy to the |types|²
+    transition matrix — tiny by construction — so the row-normalizing
+    window costs nothing. Probability is the cross-engine-exact integer
+    ``(1e6·n) div row_total`` (both operands BIGINT, no float anywhere);
+    the lag ordering carries the (us, event_id) total order so same-ts
+    events can't flip a transition between runs.
+    """
+    events = table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("src_type"),
+        F.col("event_type").alias("dst_type"),
+    ).where(F.col("src_type").isNotNull())
+    counts = pairs.groupBy("src_type", "dst_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trans")
+    )
+    row_w = Window.partitionBy("src_type")
+    return counts.select(
+        "src_type",
+        "dst_type",
+        "n_trans",
+        F.expr("(1000000 * n_trans) div (sum(n_trans) OVER "
+               "(PARTITION BY src_type))").alias("p_ppm"),
+    )
+
+
+_MARKOV_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+pairs AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           AS src_type,
+         event_type AS dst_type
+  FROM e
+),
+counts AS (
+  SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM pairs WHERE src_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT src_type, dst_type, n_trans,
+       (1000000 * n_trans) // SUM(n_trans) OVER (PARTITION BY src_type)
+         AS p_ppm
+FROM counts
+"""
+
+
+def q_group_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type trend detection: ordinary-least-squares slope of the
+    hourly event-count series, fitted per event_type purely from
+    sufficient statistics — the monitoring primitive that turns "is this
+    stream growing/decaying?" into one aggregation.
+
+    Integer-exact OLS: with x = hour index recentred to the global min
+    (keeps every product far inside BIGINT), slope = num/den where
+    ``num = n·Σxy − Σx·Σy`` and ``den = n·Σx² − (Σx)²`` — all BIGINT, no
+    float in the lineage. The reported ``slope_uphr`` (micro-counts per
+    hour) divides with EXPLICIT sign handling, ``sign(num)·((1e6·|num|)
+    div den)``, so Spark's `div` and DuckDB's `//` agree even where their
+    negative-operand conventions differ.
+
+    Scale shape: raw events collapse to the (type, hour) series by a
+    map-side-combined count FIRST (the `event_count_anomaly` shape), the
+    global min-hour is a 1-row broadcast, and the OLS is a second
+    map-side-combined aggregation over |hours| rows — no window, no sort,
+    no per-event work past the first combine.
+    """
+    events = table(spark, sf_dir, "events")
+    hc = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("hidx", F.expr("unix_micros(h) div 3600000000"))
+    )
+    base = hc.agg(F.min("hidx").alias("h0"))
+    st = (
+        hc.crossJoin(F.broadcast(base))
+        .select(
+            "event_type",
+            (F.col("hidx") - F.col("h0")).alias("x"),
+            F.col("cnt").alias("y"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        )
+    )
+    num = F.col("n_hours") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den > 0,
+        F.signum(num).cast("bigint")
+        * F.expr("(1000000 * abs(n_hours * sxy - sx * sy)) div "
+                 "(n_hours * sxx - sx * sx)"),
+    )
+    return st.select(
+        "event_type",
+        "n_hours",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        slope.alias("slope_uphr"),
+    )
+
+
+_TREND_SQL = """
+WITH hc AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, epoch_us(h) // 3600000000 AS hidx, cnt FROM hc
+),
+base AS (SELECT MIN(hidx) AS h0 FROM w),
+st AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(hidx - h0) AS BIGINT) AS sx,
+         CAST(SUM(cnt) AS BIGINT) AS sy,
+         CAST(SUM((hidx - h0) * cnt) AS BIGINT) AS sxy,
+         CAST(SUM((hidx - h0) * (hidx - h0)) AS BIGINT) AS sxx
+  FROM w CROSS JOIN base GROUP BY 1
+)
+SELECT event_type, n_hours,
+       n_hours * sxy - sx * sy AS slope_num,
+       n_hours * sxx - sx * sx AS slope_den,
+       CASE WHEN n_hours * sxx - sx * sx > 0 THEN
+         CAST(sign(n_hours * sxy - sx * sy) AS BIGINT)
+         * ((1000000 * abs(n_hours * sxy - sx * sy))
+            // (n_hours * sxx - sx * sx))
+       END AS slope_uphr
+FROM st
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "event_range_join": QuerySpec(q_range_join, _RANGE_SQL, tags=("temporal", "range_join")),
     "event_sessionization": QuerySpec(q_sessionization, _SESSION_SQL, bench=True,
@@ -674,4 +829,8 @@ QUERIES: dict[str, QuerySpec] = {
                                      tags=("temporal", "resample")),
     "event_count_anomaly": QuerySpec(q_event_count_anomaly, _ANOMALY_SQL,
                                      tags=("temporal", "monitoring", "window")),
+    "markov_transitions": QuerySpec(q_markov_transitions, _MARKOV_SQL,
+                                    tags=("temporal", "sequence")),
+    "group_trend_slopes": QuerySpec(q_group_trend_slopes, _TREND_SQL,
+                                    tags=("temporal", "monitoring")),
 }
