@@ -213,3 +213,48 @@ def test_fuzzy_editdist_plan_blocked_equi_join(spark, sf_smoke):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
+
+
+def test_zorder_buckets_are_local_on_both_dims(spark, sf_smoke):
+    """The payoff claim: a contiguous z-range (one file bucket) covers a
+    SMALL min/max span on BOTH quantized dimensions, so zone maps prune
+    range predicates on either column. A 1-D sort gives locality only on
+    its leading key; z-order must keep the mean per-bucket span well
+    under the full 16-bit domain on x AND y."""
+    from tfm_taxitrips_spark.queries.analytics import Z_BITS, q_zorder_layout
+
+    rows = q_zorder_layout(spark, sf_smoke).collect()
+    assert rows
+    by_bucket: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        qx = qy = 0
+        for i in range(Z_BITS):
+            qx |= ((r.zval >> (2 * i)) & 1) << i
+            qy |= ((r.zval >> (2 * i + 1)) & 1) << i
+        by_bucket.setdefault(r.file_bucket, []).append((qx, qy))
+    domain = (1 << Z_BITS) - 1
+    spans_x, spans_y = [], []
+    for pts in by_bucket.values():
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        spans_x.append(max(xs) - min(xs))
+        spans_y.append(max(ys) - min(ys))
+    assert sum(spans_x) / len(spans_x) < domain / 4
+    assert sum(spans_y) / len(spans_y) < domain / 4
+
+
+def test_copurchase_output_invariants(spark, sf_smoke):
+    """Support floor holds, pairs are canonically ordered, marginals
+    bound support, and lift is the exact integer form."""
+    from tfm_taxitrips_spark.queries.analytics import (
+        BASKET_MINSUP,
+        q_copurchase_lift,
+    )
+
+    rows = q_copurchase_lift(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.brand_a < r.brand_b
+        assert r.support >= BASKET_MINSUP
+        assert r.support <= min(r.n_a, r.n_b)
+        assert r.lift_ppm > 0

@@ -663,3 +663,36 @@ def test_trend_slopes_no_window_broadcast_base(spark, sf_smoke):
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan  # 1-row min-hour base
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4
+
+
+def test_zorder_layout_map_only_no_shuffle(spark, sf_smoke):
+    """The layout-key pass must be map-only: the 1-row min/max frame
+    broadcasts, the quantize+interleave is per-row codegen, and NO
+    shuffle exchange / sort / window may appear (the physical data move
+    is a separate deployment step)."""
+    import re
+
+    from tfm_taxitrips_spark.queries.analytics import q_zorder_layout
+
+    plan = explain_formatted(q_zorder_layout(spark, sf_smoke))
+    assert "Window" not in plan
+    assert "Sort " not in plan
+    # the only exchange is the stats pass's SinglePartition reduce, which
+    # carries one partial min/max row per task — the data rows never shuffle
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "SinglePartition" in plan
+    assert "hashpartitioning" not in plan
+    assert "Broadcast" in plan
+
+
+def test_copurchase_basket_checkpointed_equi_joins(spark, sf_smoke):
+    """The basket relation feeds four consumers; the lazy localCheckpoint
+    must hide the lineitem-scan lineage from the final plan, and every
+    join must stay equi/broadcast shaped — no cartesian scan of the pair
+    space (the 1-row order-count cross join broadcasts)."""
+    from tfm_taxitrips_spark.queries.analytics import q_copurchase_lift
+
+    plan = explain_formatted(q_copurchase_lift(spark, sf_smoke))
+    assert plan.count("lineitem.parquet") == 0  # checkpointed lineage
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan

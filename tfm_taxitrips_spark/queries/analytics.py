@@ -339,6 +339,210 @@ _COLUMN_PROFILE_SQL = "\nUNION ALL\n".join(
 )
 
 
+#: Market-basket guards: pairs below this support are noise (and the
+#: apriori prune that keeps the pair space bounded); baskets with more
+#: distinct brands than the cap are dropped — a mega-basket pairs
+#: everything with everything (C(b,2) blowup) while carrying no affinity
+#: signal, the same Zipf-head reasoning as NGRAM_DF_CAP / TRI_PART_CAP.
+BASKET_MINSUP = 20
+BASKET_CAP = 64
+
+
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: for every unordered brand pair co-occurring
+    in at least ``BASKET_MINSUP`` orders, the support count and the lift
+    in ppm — the co-purchase signal behind "customers also bought".
+
+    Scale shape: the basket relation (order, brand) is distinct-collapsed
+    and localCheckpointed ONCE, then feeds four consumers (both pair-join
+    sides, the per-brand marginals, the order total) without replaying
+    the lineitem scan. The pair self-join is bounded two ways: per-order
+    output is ≤ C(BASKET_CAP, 2) by the basket-size guard, and the brand
+    universe caps the result at C(|brands|, 2) rows after the support
+    aggregation. Marginals and the 1-row order count broadcast. Lift is
+    the exact integer ``(1e6·support·n_orders) div (n_a·n_b)`` — BIGINT
+    headroom holds to ~3e6 orders; past that, pre-divide the marginals
+    (documented, not needed at fixture scale).
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(part), li.l_orderkey.isNotNull()
+                & (li.l_partkey == part.p_partkey))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    sizes = items.groupBy("okey").agg(F.count(F.lit(1)).alias("n_brands"))
+    basket = (
+        items.join(sizes.where(F.col("n_brands") <= BASKET_CAP), "okey")
+        .select("okey", "brand")
+        .localCheckpoint(eager=False)
+    )
+    a = basket.select("okey", F.col("brand").alias("brand_a"))
+    b = basket.select(F.col("okey").alias("okey_b"), F.col("brand").alias("brand_b"))
+    pairs = a.join(
+        b, (a.okey == b.okey_b) & (F.col("brand_a") < F.col("brand_b"))
+    )
+    support = (
+        pairs.groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .where(F.col("support") >= BASKET_MINSUP)
+    )
+    marg = basket.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_brand")
+    )
+    n_orders = basket.agg(
+        F.count_distinct(F.col("okey")).cast("bigint").alias("n_orders")
+    )
+    return (
+        support.join(
+            F.broadcast(marg.select(F.col("brand").alias("brand_a"),
+                                    F.col("n_brand").alias("n_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("brand").alias("brand_b"),
+                                    F.col("n_brand").alias("n_b"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a", "brand_b", "support", "n_a", "n_b",
+            F.expr("(1000000 * support * n_orders) div (n_a * n_b)")
+            .alias("lift_ppm"),
+        )
+    )
+
+
+_COPURCHASE_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+sizes AS (
+  SELECT okey, COUNT(*) AS n_brands FROM items GROUP BY 1
+),
+basket AS (
+  SELECT i.okey, i.brand FROM items i
+  JOIN sizes s ON i.okey = s.okey AND s.n_brands <= {BASKET_CAP}
+),
+support AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM basket a JOIN basket b
+    ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MINSUP}
+),
+marg AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_brand FROM basket GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM basket
+)
+SELECT s.brand_a, s.brand_b, s.support,
+       ma.n_brand AS n_a, mb.n_brand AS n_b,
+       (1000000 * s.support * t.n_orders) // (ma.n_brand * mb.n_brand)
+         AS lift_ppm
+FROM support s
+JOIN marg ma ON s.brand_a = ma.brand
+JOIN marg mb ON s.brand_b = mb.brand
+CROSS JOIN tot t
+"""
+
+
+#: Z-order layout: 16 bits per dimension interleaved into a 32-bit key,
+#: bucketed into 64 equal z-ranges (the "file" granularity).
+Z_BITS = 16
+Z_BUCKETS = 64
+
+
+def _interleave_spark(qx: str, qy: str) -> str:
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"shiftleft(shiftright({qx}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({qy}, {i}) & 1, {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _interleave_duckdb(qx: str, qy: str) -> str:
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({qx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({qy} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over orders on the (o_custkey,
+    order-day) pair — the multi-dimensional clustering step a lakehouse
+    runs before writing (Delta/Iceberg ``OPTIMIZE ZORDER BY`` analog), so
+    zone-map min/max pruning works for range predicates on EITHER
+    dimension, not just the sort-leading one.
+
+    Two passes, the honest shape: a stats pass reduces to a 1-row
+    min/max frame (broadcast), then a MAP-ONLY pass quantizes each
+    dimension to {Z_BITS} bits (integer scale-div, no float) and
+    interleaves bits with shift/mask expressions — all inside
+    whole-stage codegen, zero shuffle exchanges (pinned). The physical
+    move (repartitionByRange on zval) is the deployment step; this query
+    returns the verifiable layout assignment (zval + file bucket), and
+    tests/test_pipeline_ops.py measures the payoff: mean per-bucket
+    zone-map span is a small fraction of the domain on BOTH dimensions.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("x"),
+        F.expr("datediff(cast(o_orderdate as date), date'1970-01-01')")
+        .cast("bigint").alias("y"),
+    )
+    mm = orders.agg(
+        F.min("x").alias("minx"), F.max("x").alias("maxx"),
+        F.min("y").alias("miny"), F.max("y").alias("maxy"),
+    )
+    scale = (1 << Z_BITS) - 1
+    q = orders.crossJoin(F.broadcast(mm)).select(
+        "o_orderkey",
+        F.expr(f"(({scale} * (x - minx)) div greatest(1, maxx - minx))")
+        .alias("qx"),
+        F.expr(f"(({scale} * (y - miny)) div greatest(1, maxy - miny))")
+        .alias("qy"),
+    )
+    zexpr = _interleave_spark("qx", "qy")
+    return q.select(
+        "o_orderkey",
+        F.expr(zexpr).cast("bigint").alias("zval"),
+    ).withColumn(
+        "file_bucket",
+        F.expr(f"zval div {(1 << (2 * Z_BITS)) // Z_BUCKETS}").cast("int"),
+    )
+
+
+_ZORDER_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey, o_custkey AS x,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS y
+  FROM orders
+),
+mm AS (
+  SELECT MIN(x) AS minx, MAX(x) AS maxx, MIN(y) AS miny, MAX(y) AS maxy
+  FROM o
+),
+q AS (
+  SELECT o_orderkey,
+         (({(1 << Z_BITS) - 1} * (x - minx)) // GREATEST(1, maxx - minx)) AS qx,
+         (({(1 << Z_BITS) - 1} * (y - miny)) // GREATEST(1, maxy - miny)) AS qy
+  FROM o CROSS JOIN mm
+)
+SELECT o_orderkey,
+       CAST({_interleave_duckdb('qx', 'qy')} AS BIGINT) AS zval,
+       CAST(CAST({_interleave_duckdb('qx', 'qy')} AS BIGINT)
+            // {(1 << (2 * Z_BITS)) // Z_BUCKETS} AS INT) AS file_bucket
+FROM q
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "column_profile": QuerySpec(
         q_column_profile, _COLUMN_PROFILE_SQL, tags=("analytics", "profiling")
@@ -357,5 +561,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "rfm_segmentation": QuerySpec(
         q_rfm_segmentation, _RFM_SQL, tags=("analytics", "window")
+    ),
+    "copurchase_lift": QuerySpec(
+        q_copurchase_lift, _COPURCHASE_SQL, tags=("analytics", "basket")
+    ),
+    "zorder_layout": QuerySpec(
+        q_zorder_layout, _ZORDER_SQL, tags=("analytics", "layout")
     ),
 }

@@ -90,6 +90,8 @@ GRADING_PRIORITY: tuple[str, ...] = (
 PENDING_ROTATION: tuple[str, ...] = (
     "markov_transitions",   # added after the refreshed round-4 window froze
     "group_trend_slopes",   # likewise (integer-exact per-type OLS trend)
+    "copurchase_lift",      # likewise (support-pruned market-basket lift)
+    "zorder_layout",        # likewise (Morton layout keys + file buckets)
 )
 
 
