@@ -258,3 +258,24 @@ def test_copurchase_output_invariants(spark, sf_smoke):
         assert r.support >= BASKET_MINSUP
         assert r.support <= min(r.n_a, r.n_b)
         assert r.lift_ppm > 0
+
+
+def test_hybrid_fusion_scores_are_exact_rrf(spark, sf_smoke):
+    """Every fused row carries at least one list rank, and rrf_ppb is
+    exactly the integer RRF formula over the present ranks."""
+    from tfm_taxitrips_spark.queries.retrieval import (
+        FUSION_TOPK,
+        RRF_K,
+        q_hybrid_rank_fusion,
+    )
+
+    rows = q_hybrid_rank_fusion(spark, sf_smoke).collect()
+    assert 0 < len(rows) <= FUSION_TOPK
+    for r in rows:
+        assert r.bm25_rnk is not None or r.ann_rnk is not None
+        expect = 0
+        if r.bm25_rnk is not None:
+            expect += 10**9 // (RRF_K + r.bm25_rnk)
+        if r.ann_rnk is not None:
+            expect += 10**9 // (RRF_K + r.ann_rnk)
+        assert r.rrf_ppb == expect

@@ -696,3 +696,15 @@ def test_copurchase_basket_checkpointed_equi_joins(spark, sf_smoke):
     assert plan.count("lineitem.parquet") == 0  # checkpointed lineage
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hybrid_fusion_lists_reduce_before_rank(spark, sf_smoke):
+    """Both fusion inputs must reduce through distributed
+    TakeOrderedAndProject to their depth-100 lists BEFORE any window
+    touches them, so the single-partition rank windows and the fusion
+    join only ever see driver-sized frames."""
+    from tfm_taxitrips_spark.queries.retrieval import q_hybrid_rank_fusion
+
+    plan = explain_formatted(q_hybrid_rank_fusion(spark, sf_smoke))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan

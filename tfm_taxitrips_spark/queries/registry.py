@@ -92,6 +92,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "group_trend_slopes",   # likewise (integer-exact per-type OLS trend)
     "copurchase_lift",      # likewise (support-pruned market-basket lift)
     "zorder_layout",        # likewise (Morton layout keys + file buckets)
+    "hybrid_rank_fusion",   # likewise (RRF over BM25 + cosine lists)
 )
 
 

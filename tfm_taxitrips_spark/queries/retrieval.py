@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tfm_taxitrips_spark.functions.similarity import as_double, dot, l2_norm
 from tfm_taxitrips_spark.queries.registry import QuerySpec
 from tfm_taxitrips_spark.sources.readers import table
 
@@ -31,24 +32,10 @@ def _tokens(docs: DataFrame) -> DataFrame:
     )
 
 
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-k over the corpus for a fixed multi-term (disjunctive)
-    query: documents matching ANY subset of BM25_TERMS are scored, with
-    missing-term contributions coalescing to 0 — standard BM25 semantics,
-    identical in the oracle.
-
-    Scale shape: tokenization explodes map-side; ``tf`` filters to the
-    QUERY TERMS before its aggregate, so the shuffled keyspace is
-    O(matching docs × |query|), not the corpus vocabulary; ``df``/``N``/
-    ``avgdl`` collapse to a 3-row / 1-row broadcast. The per-term score
-    components pivot into fixed columns so the cross-term sum is a fixed
-    left-to-right addition — not a ``SUM`` whose accumulation order the
-    shuffle would pick — keeping the float bit-identical across engines;
-    the idf ``ln`` (the one libm call, which IEEE does NOT promise
-    cross-engine to the last ulp) is rounded to integer micro-score units
-    on BOTH sides before ranking. Final top-k is TakeOrderedAndProject on
-    (score_micros DESC, doc_id).
-    """
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score_micros) for every document matching any BM25 term —
+    the shared scoring frame behind ``q_bm25_search`` and the hybrid
+    fusion query (one expression tree, so both rank identically)."""
     docs = table(spark, sf_dir, "documents")
     tok = _tokens(docs)
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -90,11 +77,31 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.coalesce(F.col("_c0"), F.lit(0.0))
     for i in range(1, len(BM25_TERMS)):
         score = score + F.coalesce(F.col(f"_c{i}"), F.lit(0.0))
-    ranked = total.select(
+    return total.select(
         "doc_id",
         F.round(score * 1_000_000).cast("long").alias("score_micros"),
     )
-    return ranked.orderBy(
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k over the corpus for a fixed multi-term (disjunctive)
+    query: documents matching ANY subset of BM25_TERMS are scored, with
+    missing-term contributions coalescing to 0 — standard BM25 semantics,
+    identical in the oracle.
+
+    Scale shape: tokenization explodes map-side; ``tf`` filters to the
+    QUERY TERMS before its aggregate, so the shuffled keyspace is
+    O(matching docs × |query|), not the corpus vocabulary; ``df``/``N``/
+    ``avgdl`` collapse to a 3-row / 1-row broadcast. The per-term score
+    components pivot into fixed columns so the cross-term sum is a fixed
+    left-to-right addition — not a ``SUM`` whose accumulation order the
+    shuffle would pick — keeping the float bit-identical across engines;
+    the idf ``ln`` (the one libm call, which IEEE does NOT promise
+    cross-engine to the last ulp) is rounded to integer micro-score units
+    on BOTH sides before ranking. Final top-k is TakeOrderedAndProject on
+    (score_micros DESC, doc_id).
+    """
+    return _bm25_scored(spark, sf_dir).orderBy(
         F.col("score_micros").desc(), F.col("doc_id")
     ).limit(BM25_TOPK)
 
@@ -104,7 +111,10 @@ _BM25_COMPS = " + ".join(
     f"COALESCE(SUM(comp) FILTER (WHERE term = '{t}'), 0.0)" for t in BM25_TERMS
 )
 
-_BM25_SQL = f"""
+#: Shared CTE block: everything through the per-doc integer score frame
+#: (`bm25_scored`), reused verbatim by the plain BM25 top-k and the
+#: hybrid fusion oracle so both rank from the identical scores.
+_BM25_SCORED_CTES = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
   FROM documents
@@ -124,12 +134,131 @@ comps AS (
                    + {BM25_B} * dl.dl / (stats.total_dl / stats.n_docs))))
            AS comp
   FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id), stats
-)
-SELECT doc_id,
-       CAST(round(({_BM25_COMPS}) * 1000000) AS BIGINT) AS score_micros
-FROM comps GROUP BY doc_id
+),
+bm25_scored AS (
+  SELECT doc_id,
+         CAST(round(({_BM25_COMPS}) * 1000000) AS BIGINT) AS score_micros
+  FROM comps GROUP BY doc_id
+)"""
+
+_BM25_SQL = f"""{_BM25_SCORED_CTES}
+SELECT doc_id, score_micros
+FROM bm25_scored
 ORDER BY score_micros DESC, doc_id
 LIMIT {BM25_TOPK}
+"""
+
+
+#: Reciprocal-rank-fusion parameters: standard k=60 (Cormack et al.),
+#: per-list depth 100, fused top-20, embedding probe = vec 0.
+RRF_K = 60
+RRF_DEPTH = 100
+FUSION_TOPK = 20
+FUSION_QID = 0
+
+
+def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical list
+    and the embedding-cosine semantic list — the standard way a RAG /
+    search stack combines scorers whose raw scales are incomparable
+    (RRF needs only ranks, so it is immune to score calibration).
+
+    Each list is produced the scalable way FIRST — BM25 candidates and
+    the broadcast-probe cosine scan both reduce through distributed
+    TakeOrderedAndProject to their top-{RRF_DEPTH} — and only those ≤100
+    rows enter the single-partition rank windows and the full-outer
+    fusion join (driver-sized frames; the corpus never reaches a global
+    sort). The fused score ``Σ 1e9 div (k + rank)`` is all-integer, so
+    the result hashes identically across engines; doc_id breaks every
+    tie. Docs missing from one list contribute 0 for it — standard RRF.
+
+    Rank determinism: BM25 ranks on integer micro-scores (shared frame
+    with q_bm25_search); the cosine ranks on the same double expression
+    tree as q_ann_bruteforce, whose cross-engine bit-stability is already
+    driver-proven.
+    """
+    bm_w = Window.orderBy(F.col("score_micros").desc(), F.col("doc_id"))
+    bm_ranked = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score_micros").desc(), F.col("doc_id"))
+        .limit(RRF_DEPTH)
+        .select("doc_id", F.row_number().over(bm_w).alias("bm25_rnk"))
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == FUSION_QID).select(
+        F.col("embedding").alias("q_embedding"),
+        l2_norm(as_double("embedding")).alias("q_nrm"),
+    )
+    scored = (
+        emb.where(F.col("vec_id") != FUSION_QID)
+        .select("vec_id", "embedding",
+                l2_norm(as_double("embedding")).alias("nrm"))
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            (dot(as_double("q_embedding"), as_double("embedding"))
+             / (F.col("q_nrm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    ann_w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
+    ann_ranked = (
+        scored.orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(RRF_DEPTH)
+        .select(F.col("vec_id").alias("doc_id"),
+                F.row_number().over(ann_w).alias("ann_rnk"))
+    )
+    fused = bm_ranked.join(ann_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rnk",
+        "ann_rnk",
+        (
+            F.coalesce(F.expr(f"{10**9} div ({RRF_K} + bm25_rnk)"), F.lit(0))
+            + F.coalesce(F.expr(f"{10**9} div ({RRF_K} + ann_rnk)"), F.lit(0))
+        ).cast("bigint").alias("rrf_ppb"),
+    )
+    return fused.orderBy(F.col("rrf_ppb").desc(), F.col("doc_id")).limit(
+        FUSION_TOPK
+    )
+
+
+_FUSION_SQL = f"""{_BM25_SCORED_CTES},
+bm_ranked AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id) AS INT)
+           AS bm25_rnk
+  FROM bm25_scored
+  ORDER BY score_micros DESC, doc_id
+  LIMIT {RRF_DEPTH}
+),
+probe AS (
+  SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = {FUSION_QID}
+),
+ann_scored AS (
+  SELECT e.vec_id,
+         list_dot_product(p.q_embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(p.q_embedding::DOUBLE[],
+                                    p.q_embedding::DOUBLE[]))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                      e.embedding::DOUBLE[]))) AS cos
+  FROM embeddings e CROSS JOIN probe p
+  WHERE e.vec_id <> {FUSION_QID}
+),
+ann_ranked AS (
+  SELECT vec_id AS doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS INT)
+           AS ann_rnk
+  FROM ann_scored
+  ORDER BY cos DESC, vec_id
+  LIMIT {RRF_DEPTH}
+)
+SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+       b.bm25_rnk, a.ann_rnk,
+       CAST(COALESCE({10**9} // ({RRF_K} + b.bm25_rnk), 0)
+            + COALESCE({10**9} // ({RRF_K} + a.ann_rnk), 0) AS BIGINT)
+         AS rrf_ppb
+FROM bm_ranked b FULL OUTER JOIN ann_ranked a ON b.doc_id = a.doc_id
+ORDER BY rrf_ppb DESC, doc_id
+LIMIT {FUSION_TOPK}
 """
 
 
@@ -280,5 +409,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "gopher_quality_filter": QuerySpec(
         q_gopher_quality_filter, _GOPHER_SQL, tags=("text", "quality", "gopher")
+    ),
+    "hybrid_rank_fusion": QuerySpec(
+        q_hybrid_rank_fusion, _FUSION_SQL, tags=("text", "retrieval", "hybrid")
     ),
 }
