@@ -708,8 +708,8 @@ counts AS (
   FROM pairs WHERE src_type IS NOT NULL GROUP BY 1, 2
 )
 SELECT src_type, dst_type, n_trans,
-       (1000000 * n_trans) // SUM(n_trans) OVER (PARTITION BY src_type)
-         AS p_ppm
+       CAST((1000000 * n_trans) // SUM(n_trans) OVER (PARTITION BY src_type)
+            AS BIGINT) AS p_ppm
 FROM counts
 """
 
