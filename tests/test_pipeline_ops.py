@@ -279,3 +279,37 @@ def test_hybrid_fusion_scores_are_exact_rrf(spark, sf_smoke):
         if r.ann_rnk is not None:
             expect += 10**9 // (RRF_K + r.ann_rnk)
         assert r.rrf_ppb == expect
+
+
+def test_cusum_closed_form_equals_recursion(spark, sf_smoke):
+    """The windowed closed form S = C - min(0, running-min C) must equal
+    the textbook recursion S_i = max(0, S_{i-1} + y_i) replayed
+    sequentially, for both sides, on every type."""
+    from collections import defaultdict
+
+    from tfm_taxitrips_spark.queries.temporal import q_cusum_drift
+    from tfm_taxitrips_spark.sources.readers import table
+    import pyspark.sql.functions as F
+
+    rows = q_cusum_drift(spark, sf_smoke).collect()
+    hc = (
+        table(spark, sf_smoke, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .count()
+        .collect()
+    )
+    series = defaultdict(dict)
+    for r in hc:
+        series[r.event_type][r.h] = r["count"]
+    expect = {}
+    for et, by_h in series.items():
+        n = len(by_h)
+        tot = sum(by_h.values())
+        su = sd = 0
+        for h in sorted(by_h):
+            su = max(0, su + 2 * n * by_h[h] - 3 * tot)
+            sd = max(0, sd + tot - 2 * n * by_h[h])
+            expect[(et, h)] = (su, sd)
+    assert rows
+    for r in rows:
+        assert (r.cusum_up, r.cusum_dn) == expect[(r.event_type, r.window_start)]

@@ -708,3 +708,21 @@ def test_hybrid_fusion_lists_reduce_before_rank(spark, sf_smoke):
     plan = explain_formatted(q_hybrid_rank_fusion(spark, sf_smoke))
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_cusum_single_sort_broadcast_stats(spark, sf_smoke):
+    """Both cumulative windows (sum, then running-min of the sum) share
+    one partitioning and ordering: the plan may sort the (type, hour)
+    series once behind a single hash exchange for the window stages, the
+    per-type stats row must broadcast, and the series aggregation must
+    partial-combine map-side."""
+    import re
+
+    from tfm_taxitrips_spark.queries.temporal import q_cusum_drift
+
+    plan = explain_formatted(q_cusum_drift(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # one exchange for the hour-series agg, one for the window partitioning,
+    # one single-partition reduce inside the broadcast stats side
+    assert len(re.findall(r"\(\d+\) Sort", plan)) <= 2

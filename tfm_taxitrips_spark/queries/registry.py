@@ -93,6 +93,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "copurchase_lift",      # likewise (support-pruned market-basket lift)
     "zorder_layout",        # likewise (Morton layout keys + file buckets)
     "hybrid_rank_fusion",   # likewise (RRF over BM25 + cosine lists)
+    "cusum_drift",          # likewise (two-sided integer Page CUSUM)
 )
 
 

@@ -807,6 +807,118 @@ FROM st
 """
 
 
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point detection on the hourly event series:
+    flag sustained LEVEL SHIFTS (drift) per event type — the complement
+    of `event_count_anomaly`'s single-hour spike test; a slow 20% volume
+    decay never trips a 3σ spike gate but accumulates here.
+
+    Integer-exact Page CUSUM: with per-type n/Σc/Σc², the series is
+    centered and scaled by 2n (``y⁺ = 2n·x − 3·tot`` embeds the standard
+    μ/2 slack — ``2n·(x − μ − μ/2)`` — that keeps pure noise bounded),
+    the recursion ``S_i = max(0, S_{i-1} + y_i)`` becomes the closed form
+    ``S = C − min(0, running-min C)`` over the cumulative sum, and the
+    h=3.5σ decision is the cross-multiplied ``(n−1)·S² > 49·n·(n·Q −
+    tot²)`` on exact BIGINTs — no sqrt, no float, no rounding boundary.
+    Headroom: exact while hourly counts stay ≤ ~1e5 (tot² dominates);
+    past that, pre-scale the series (the `event_count_anomaly` note).
+
+    Scale shape: raw events collapse map-side to the (type, hour) series
+    first; the per-type stats row broadcasts; both cumulative windows
+    share ONE partitioning and ordering, so the per-type sort happens
+    once over |hours| rows. The slack is what makes this deployable as a
+    standing monitor — without it a random walk crosses any fixed
+    threshold eventually.
+    """
+    events = table(spark, sf_dir, "events")
+    hc = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tt = hc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("tot"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("q"),
+    )
+    y = hc.join(F.broadcast(tt), "event_type").select(
+        "event_type",
+        F.col("h").alias("window_start"),
+        "cnt", "n", "tot", "q",
+        (2 * F.col("n") * F.col("cnt") - 3 * F.col("tot")).alias("yu"),
+        (F.col("tot") - 2 * F.col("n") * F.col("cnt")).alias("yd"),
+    )
+    wi = (
+        Window.partitionBy("event_type").orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = y.select(
+        "event_type", "window_start", "cnt", "n", "tot", "q",
+        F.sum("yu").over(wi).alias("cu"),
+        F.sum("yd").over(wi).alias("cd"),
+    )
+    s = c.select(
+        "event_type", "window_start", "cnt", "n", "tot", "q",
+        (F.col("cu") - F.least(F.lit(0), F.min("cu").over(wi)))
+        .alias("cusum_up"),
+        (F.col("cd") - F.least(F.lit(0), F.min("cd").over(wi)))
+        .alias("cusum_dn"),
+    )
+    rhs = 49 * F.col("n") * (F.col("n") * F.col("q") - F.col("tot") * F.col("tot"))
+    return s.select(
+        "event_type",
+        "window_start",
+        "cnt",
+        "cusum_up",
+        "cusum_dn",
+        ((F.col("n") - 1) * F.col("cusum_up") * F.col("cusum_up") > rhs)
+        .alias("drift_up"),
+        ((F.col("n") - 1) * F.col("cusum_dn") * F.col("cusum_dn") > rhs)
+        .alias("drift_dn"),
+    )
+
+
+_CUSUM_SQL = """
+WITH hc AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+tt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cnt) AS BIGINT) AS tot,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS q
+  FROM hc GROUP BY 1
+),
+y AS (
+  SELECT hc.event_type, hc.h, hc.cnt, tt.n, tt.tot, tt.q,
+         CAST(2 * tt.n * hc.cnt - 3 * tt.tot AS BIGINT) AS yu,
+         CAST(tt.tot - 2 * tt.n * hc.cnt AS BIGINT) AS yd
+  FROM hc JOIN tt USING (event_type)
+),
+c AS (
+  SELECT event_type, h, cnt, n, tot, q,
+         CAST(SUM(yu) OVER wi AS BIGINT) AS cu,
+         CAST(SUM(yd) OVER wi AS BIGINT) AS cd
+  FROM y
+  WINDOW wi AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT event_type, h, cnt, n, tot, q,
+         CAST(cu - LEAST(0, MIN(cu) OVER wi) AS BIGINT) AS cusum_up,
+         CAST(cd - LEAST(0, MIN(cd) OVER wi) AS BIGINT) AS cusum_dn
+  FROM c
+  WINDOW wi AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, h AS window_start, cnt, cusum_up, cusum_dn,
+       (n - 1) * cusum_up * cusum_up > 49 * n * (n * q - tot * tot)
+         AS drift_up,
+       (n - 1) * cusum_dn * cusum_dn > 49 * n * (n * q - tot * tot)
+         AS drift_dn
+FROM s
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "event_range_join": QuerySpec(q_range_join, _RANGE_SQL, tags=("temporal", "range_join")),
     "event_sessionization": QuerySpec(q_sessionization, _SESSION_SQL, bench=True,
@@ -833,4 +945,6 @@ QUERIES: dict[str, QuerySpec] = {
                                     tags=("temporal", "sequence")),
     "group_trend_slopes": QuerySpec(q_group_trend_slopes, _TREND_SQL,
                                     tags=("temporal", "monitoring")),
+    "cusum_drift": QuerySpec(q_cusum_drift, _CUSUM_SQL,
+                             tags=("temporal", "monitoring", "window")),
 }
