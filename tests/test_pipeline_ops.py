@@ -313,3 +313,65 @@ def test_cusum_closed_form_equals_recursion(spark, sf_smoke):
     assert rows
     for r in rows:
         assert (r.cusum_up, r.cusum_dn) == expect[(r.event_type, r.window_start)]
+
+
+def test_mad_fence_matches_float_reference(spark, sf_smoke):
+    """The integer fence 20000·d2 > 44478·mad4 must reproduce the float
+    rule |x − med| > 3·1.4826·MAD computed naively in Python, and some
+    segment must have both inliers and outliers on the fixture."""
+    import statistics
+
+    from tfm_taxitrips_spark.queries.analytics import q_mad_outlier_flags
+    from tfm_taxitrips_spark.sources.readers import table
+    import pyspark.sql.functions as F
+
+    rows = q_mad_outlier_flags(spark, sf_smoke).collect()
+    by_type: dict[str, list[int]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r.cents)
+    for r in rows:
+        vals = by_type[r.event_type]
+        med = statistics.median(vals)
+        mad = statistics.median(abs(v - med) for v in vals)
+        expect = abs(r.cents - med) > 3 * 1.4826 * mad
+        assert r.is_outlier == expect, (r, med, mad)
+    assert any(r.is_outlier for r in rows)
+    assert any(not r.is_outlier for r in rows)
+
+
+def test_twap_excludes_last_obs_and_divides_exactly(spark, sf_smoke):
+    """span_us must equal last-first per (type, day), and twap_cents must
+    be the floor of the exact weighted sum — recomputed naively."""
+    from collections import defaultdict
+
+    from tfm_taxitrips_spark.queries.temporal import q_time_weighted_avg
+    from tfm_taxitrips_spark.sources.readers import table
+    import math
+    import pyspark.sql.functions as F
+
+    ev = (
+        table(spark, sf_smoke, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"),
+                F.unix_micros("ts").alias("us"), "event_id",
+                F.floor(F.col("value") * 100).cast("long").alias("cents"))
+        .collect()
+    )
+    series = defaultdict(list)
+    for r in ev:
+        series[(r.event_type, r.day)].append((r.us, r.event_id, r.cents))
+    rows = q_time_weighted_avg(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        obs = sorted(series[(r.event_type, r.day)])
+        assert r.n_obs == len(obs)
+        wsum = sum(
+            c * (obs[i + 1][0] - u)
+            for i, (u, _e, c) in enumerate(obs[:-1])
+        )
+        span = obs[-1][0] - obs[0][0]
+        assert r.span_us == span
+        if span > 0:
+            sign = 1 if wsum >= 0 else -1
+            assert r.twap_cents == sign * (abs(wsum) // span)
+        else:
+            assert r.twap_cents is None

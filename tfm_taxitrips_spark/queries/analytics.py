@@ -543,6 +543,76 @@ FROM q
 """
 
 
+def q_mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier flags via median absolute deviation —
+    the mean/σ pair (`event_count_anomaly`'s tool) is itself dragged by
+    outliers; MAD is the 50%-breakdown robust alternative a data-quality
+    gate uses on skewed telemetry/money columns (here: the heavy-tailed
+    per-type event value; a uniform column never breaches a 4.45·MAD
+    fence by construction, which is the right behavior).
+
+    Integer discipline around an interpolated median: balances go
+    through floor-cents, and every median is carried DOUBLED
+    (``2·median`` = the sum of the two middle elements — an exact BIGINT
+    even when the median itself is a .5), so ``d2 = |2x − med2|`` and
+    ``mad4 = 2·median(d2)`` never leave integer space. The 3·1.4826·MAD
+    fence is the cross-multiplied ``20000·d2 > 44478·mad4`` — no float
+    comparison anywhere. (The only doubles are the engines' exact
+    ``(a+b)/2``, lossless below 2^53.)
+
+    Scale shape: two grouped EXACT medians (sort-per-group — the honest
+    exact mode; the documented 100 TB flip is `approx_percentile`, the
+    `quantile_sketch_bounds` path) with the tiny per-type stats
+    broadcast back each pass.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("CAST(2 * percentile(cents, 0.5) AS BIGINT)").alias("med2")
+    )
+    d = ev.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "cents", "med2",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("d2"),
+    )
+    mad = d.groupBy("event_type").agg(
+        F.expr("CAST(2 * percentile(d2, 0.5) AS BIGINT)").alias("mad4")
+    )
+    return d.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        "cents",
+        (20000 * F.col("d2") > 44478 * F.col("mad4")).alias("is_outlier"),
+    )
+
+
+_MAD_SQL = """
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT event_type, CAST(2 * median(cents) AS BIGINT) AS med2
+  FROM ev GROUP BY 1
+),
+d AS (
+  SELECT e.event_id, e.event_type, e.cents,
+         ABS(2 * e.cents - m.med2) AS d2
+  FROM ev e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, CAST(2 * median(d2) AS BIGINT) AS mad4
+  FROM d GROUP BY 1
+)
+SELECT d.event_id, d.event_type, d.cents,
+       20000 * d.d2 > 44478 * ma.mad4 AS is_outlier
+FROM d JOIN mad ma USING (event_type)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "column_profile": QuerySpec(
         q_column_profile, _COLUMN_PROFILE_SQL, tags=("analytics", "profiling")
@@ -567,5 +637,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "zorder_layout": QuerySpec(
         q_zorder_layout, _ZORDER_SQL, tags=("analytics", "layout")
+    ),
+    "mad_outlier_flags": QuerySpec(
+        q_mad_outlier_flags, _MAD_SQL, tags=("analytics", "robust")
     ),
 }

@@ -94,6 +94,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "zorder_layout",        # likewise (Morton layout keys + file buckets)
     "hybrid_rank_fusion",   # likewise (RRF over BM25 + cosine lists)
     "cusum_drift",          # likewise (two-sided integer Page CUSUM)
+    "mad_outlier_flags",    # likewise (exact-median MAD robust fence)
+    "time_weighted_avg",    # likewise (integer-exact daily TWAP)
 )
 
 

@@ -919,6 +919,82 @@ FROM s
 """
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average value (TWAP) per event type over the
+    IRREGULAR event series — a plain AVG over-weights bursts; weighting
+    each observation by its holding duration (time until the next event
+    that day) is how financial/telemetry pipelines downsample honestly.
+
+    Integer-exact: values go through floor-cents, durations are exact
+    epoch-micro differences, and the TWAP is ``Σ(cents·dur) div Σdur``
+    on BIGINTs — the weighted mean never touches a float sum (a double
+    Σ(v·w) would be shuffle-order-dependent). The day's last observation
+    carries no forward duration and is excluded from the weighting
+    (documented choice, mirrored in the oracle; n_obs still counts it).
+
+    Scale shape: one (type, day)-keyed window for the lead — the
+    sessionization-class sort — then a map-side-combined aggregation to
+    one row per (type, day).
+    """
+    events = table(spark, sf_dir, "events")
+    e = events.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    d = e.select(
+        "event_type", "day", "cents",
+        (F.lead("us").over(w) - F.col("us")).alias("dur_us"),
+    )
+    return (
+        d.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum("dur_us").cast("bigint").alias("span_us"),
+            F.sum(F.col("cents") * F.col("dur_us")).cast("bigint")
+            .alias("wsum"),
+        )
+        .select(
+            "event_type", "day", "n_obs", "span_us",
+            # sign-explicit so Spark `div` and DuckDB `//` agree even if a
+            # fixture regen ships negative values (cents < 0)
+            F.expr("CASE WHEN span_us > 0 THEN "
+                   "CAST(sign(wsum) AS BIGINT) * (abs(wsum) div span_us) END")
+            .alias("twap_cents"),
+        )
+    )
+
+
+_TWAP_SQL = """
+WITH e AS (
+  SELECT event_type, date_trunc('day', ts) AS day, epoch_us(ts) AS us,
+         event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+d AS (
+  SELECT event_type, day, cents,
+         LEAD(us) OVER (PARTITION BY event_type, day
+                        ORDER BY us, event_id) - us AS dur_us
+  FROM e
+),
+g AS (
+  SELECT event_type, day,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(dur_us) AS BIGINT) AS span_us,
+         CAST(SUM(cents * dur_us) AS BIGINT) AS wsum
+  FROM d GROUP BY 1, 2
+)
+SELECT event_type, day, n_obs, span_us,
+       CASE WHEN span_us > 0
+            THEN CAST(CAST(sign(wsum) AS BIGINT) * (abs(wsum) // span_us)
+                      AS BIGINT) END AS twap_cents
+FROM g
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "event_range_join": QuerySpec(q_range_join, _RANGE_SQL, tags=("temporal", "range_join")),
     "event_sessionization": QuerySpec(q_sessionization, _SESSION_SQL, bench=True,
@@ -947,4 +1023,6 @@ QUERIES: dict[str, QuerySpec] = {
                                     tags=("temporal", "monitoring")),
     "cusum_drift": QuerySpec(q_cusum_drift, _CUSUM_SQL,
                              tags=("temporal", "monitoring", "window")),
+    "time_weighted_avg": QuerySpec(q_time_weighted_avg, _TWAP_SQL,
+                                   tags=("temporal", "resample")),
 }
