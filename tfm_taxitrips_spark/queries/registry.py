@@ -96,6 +96,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "cusum_drift",          # likewise (two-sided integer Page CUSUM)
     "mad_outlier_flags",    # likewise (exact-median MAD robust fence)
     "time_weighted_avg",    # likewise (integer-exact daily TWAP)
+    "touch_attribution",    # likewise (bucketed linear multi-touch credit)
+    "type_correlation",     # likewise (integer r^2 co-movement matrix)
 )
 
 

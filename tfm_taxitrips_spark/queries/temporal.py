@@ -995,6 +995,80 @@ FROM g
 """
 
 
+ATTR_WINDOW_US = 30 * 60 * 1_000_000  # linear-attribution lookback
+
+
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear marketing attribution: every click by the same user in the
+    30 minutes before a purchase shares the conversion credit equally
+    (1/k as exact integer ppm) — the multi-touch generalization of
+    `event_asof_join`'s last-touch pick.
+
+    Scale shape: the backward range join uses the SAME bucketed rewrite
+    as operators/temporal.time_range_join — clicks replicate to two
+    window-width buckets and the join is EQUI on (user_id, bucket) plus
+    an exact residual filter, so there is no nested-loop pair space and
+    the shuffle is user-local (the cross-user pairing a bare time-bucket
+    join would produce never exists). The per-purchase touch count is a
+    partition-only window over groups bounded by a user's 30-minute
+    click burst.
+    """
+    events = table(spark, sf_dir, "events")
+    w = ATTR_WINDOW_US
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("c_us"),
+    )
+    purch = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    c2 = clicks.withColumn(
+        "_b",
+        F.explode(F.array(F.expr(f"c_us DIV {w}"), F.expr(f"c_us DIV {w}") + 1)),
+    )
+    p2 = purch.withColumn("_b", F.expr(f"p_us DIV {w}"))
+    pairs = (
+        p2.join(c2, (p2.user_id == c2.cu) & (p2._b == c2._b))
+        .where((F.col("c_us") >= F.col("p_us") - w)
+               & (F.col("c_us") <= F.col("p_us")))
+        .select("user_id", "purchase_id", "p_us", "click_id", "c_us")
+    )
+    kw = Window.partitionBy("purchase_id")
+    return pairs.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.count(F.lit(1)).over(kw).cast("bigint").alias("n_touches"),
+        F.expr(f"{10**6} div count(1) OVER (PARTITION BY purchase_id)")
+        .cast("bigint").alias("credit_ppm"),
+    )
+
+
+_ATTR_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT p.user_id, p.purchase_id, c.click_id
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.c_us >= p.p_us - {ATTR_WINDOW_US} AND c.c_us <= p.p_us
+)
+SELECT user_id, purchase_id, click_id,
+       CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
+       CAST({10**6} // COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+         AS credit_ppm
+FROM pairs
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "event_range_join": QuerySpec(q_range_join, _RANGE_SQL, tags=("temporal", "range_join")),
     "event_sessionization": QuerySpec(q_sessionization, _SESSION_SQL, bench=True,
@@ -1025,4 +1099,6 @@ QUERIES: dict[str, QuerySpec] = {
                              tags=("temporal", "monitoring", "window")),
     "time_weighted_avg": QuerySpec(q_time_weighted_avg, _TWAP_SQL,
                                    tags=("temporal", "resample")),
+    "touch_attribution": QuerySpec(q_touch_attribution, _ATTR_SQL,
+                                   tags=("temporal", "attribution")),
 }
