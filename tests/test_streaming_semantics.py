@@ -424,3 +424,48 @@ def test_stream_ohlc_state_merges_across_micro_batches(spark, tmp_path):
     assert (r.open_value, r.high_value, r.low_value, r.close_value, r.n_events) == (
         9.0, 9.0, 1.0, 7.0, 5
     )
+
+
+def test_stream_transitions_state_survives_batch_boundary(spark, tmp_path):
+    """The transition straddling a micro-batch boundary must come from
+    carried state: user 7's first batch-2 event must emit the LAST
+    batch-1 event type as its src — exactly what a per-batch lag cannot
+    produce — and first-ever events emit a NULL src."""
+    from tfm_taxitrips_spark.streaming.stateful import streaming_transitions
+
+    src_dir = str(tmp_path / "src")
+
+    def _uevent(eid, ts, etype):
+        return {"event_id": eid, "ts": ts, "event_type": etype,
+                "user_id": 7, "value": 1.0}
+
+    _drop(f"{src_dir}/b1.json", [
+        _uevent(1, "2024-01-01 10:00:00", "view"),
+        _uevent(2, "2024-01-01 10:01:00", "click"),
+    ])
+    _drop(f"{src_dir}/b2.json", [
+        _uevent(3, "2024-01-01 10:02:00", "purchase"),
+    ])
+    schema = ("event_id bigint, ts timestamp, event_type string, "
+              "user_id bigint, value double")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")  # force two micro-batches
+        .json(src_dir)
+    )
+    out = streaming_transitions(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trans_carry")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.event_id: (r.src_type, r.dst_type)
+            for r in spark.sql("SELECT * FROM trans_carry").collect()}
+    assert rows == {
+        1: (None, "view"),
+        2: ("view", "click"),
+        3: ("click", "purchase"),  # src recovered from carried state
+    }

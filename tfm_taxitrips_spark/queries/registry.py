@@ -98,6 +98,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "time_weighted_avg",    # likewise (integer-exact daily TWAP)
     "touch_attribution",    # likewise (bucketed linear multi-touch credit)
     "type_correlation",     # likewise (integer r^2 co-movement matrix)
+    "stream_transitions",   # likewise (stateful streaming markov feed)
 )
 
 

@@ -414,9 +414,36 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transitions maintained ON THE STREAM via
+    custom state (`streaming/stateful.streaming_transitions`): each event
+    emits with its user's previous event type, with the previous-event
+    state surviving micro-batch boundaries — the incremental feed for
+    `markov_transitions`' matrix. Over the finite ordered replay it must
+    equal the batch ``lag`` window — that is the oracle (first events
+    carry a NULL src, same as lag's leading NULL)."""
+    from tfm_taxitrips_spark.streaming.stateful import streaming_transitions
+
+    stream = read_events_stream(spark, sf_dir)
+    trans = streaming_transitions(stream)
+    return run_to_memory(trans, spark, output_mode="append")
+
+
+_STREAM_TRANS_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS us,
+       LAG(event_type) OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS src_type,
+       event_type AS dst_type
+FROM events
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_funnel": QuerySpec(q_stream_funnel, _stream_funnel_sql(),
                                tags=("streaming", "funnel", "stateful")),
+    "stream_transitions": QuerySpec(q_stream_transitions, _STREAM_TRANS_SQL,
+                                    tags=("streaming", "stateful",
+                                          "sequence")),
     "stream_quality_gate": QuerySpec(q_stream_quality_gate, _stream_gate_sql(),
                                      tags=("streaming", "quality", "pipeline")),
     "stream_topk": QuerySpec(q_stream_topk, _STREAM_TOPK_SQL,

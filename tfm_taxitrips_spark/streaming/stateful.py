@@ -85,6 +85,75 @@ def streaming_sessionize(
     )
 
 
+_TRANS_OUT_SCHEMA = (
+    "user_id bigint, event_id bigint, us bigint, "
+    "src_type string, dst_type string"
+)
+_TRANS_STATE_SCHEMA = "last_us bigint, last_id bigint, last_type string"
+
+
+def streaming_transitions(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user event-type transition stream: every event emitted with the
+    type of the SAME user's previous event — the incremental feed behind
+    `queries.temporal.q_markov_transitions`' matrix, maintained live.
+
+    State = the user's last (us, event_id, event_type); a transition that
+    straddles a micro-batch boundary is recovered from state, which is
+    the property the batch `lag` window cannot give an incremental
+    pipeline. One hash shuffle on the user key, Arrow-batched per key per
+    micro-batch. First-ever event per user emits src_type NULL (the
+    matrix consumer drops it, same as `lag`'s leading NULL).
+    """
+
+    def assign(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last_us, last_id, last_type = (
+            state.get if state.exists else (None, None, None)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["us", "event_id"], ignore_index=True)
+        srcs = []
+        for etype in rows["event_type"]:
+            srcs.append(last_type)
+            last_type = etype
+        last_us = int(rows["us"].iloc[-1])
+        last_id = int(rows["event_id"].iloc[-1])
+        state.update((last_us, last_id, str(rows["event_type"].iloc[-1])))
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "event_id": rows["event_id"],
+                "us": rows["us"],
+                "src_type": srcs,
+                "dst_type": rows["event_type"],
+            }
+        )
+
+    prepared = stream.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(type_col).alias("event_type"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        assign,
+        outputStructType=_TRANS_OUT_SCHEMA,
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # --------------------------------------------------------------------------
 # transformWithStateInPandas (Spark 4 state-v2 API): per-user running totals
 # --------------------------------------------------------------------------
