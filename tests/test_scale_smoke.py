@@ -68,6 +68,11 @@ HEADLINE = (
     # the replicated graph grows edges ~10x for the iterative path
     "semantic_dedup_prune",
     "pagerank_fixed_iters",
+    # late-round-4 additions: the basket pair self-join (replication
+    # multiplies baskets, the cap must keep pair output linear) and the
+    # densified-grid pair join behind the correlation matrix
+    "copurchase_lift",
+    "type_correlation",
 )
 
 STRAGGLER_FACTOR = 4.0
