@@ -415,3 +415,33 @@ def test_type_correlation_r2_in_range_and_symmetric_grid(spark, sf_smoke):
         seen.add((r.type_a, r.type_b))
         if r.r2_bp is not None:
             assert -10000 <= r.r2_bp <= 10000
+
+
+def test_decayed_engagement_is_exact_bitshift_sum(spark, sf_smoke):
+    """Scores must equal the naive per-event 2^(H-age) sum and never
+    include beyond-horizon contributions."""
+    from collections import defaultdict
+
+    from tfm_taxitrips_spark.queries.temporal import (
+        DECAY_HORIZON_DAYS,
+        q_decayed_engagement,
+    )
+    from tfm_taxitrips_spark.sources.readers import table
+    import pyspark.sql.functions as F
+
+    ev = (
+        table(spark, sf_smoke, "events")
+        .select("user_id", F.expr("unix_micros(ts) div 86400000000").alias("d"))
+        .collect()
+    )
+    maxday = max(r.d for r in ev)
+    expect: dict[int, int] = defaultdict(int)
+    n_rec: dict[int, int] = defaultdict(int)
+    for r in ev:
+        age = maxday - r.d
+        if age <= DECAY_HORIZON_DAYS:
+            expect[r.user_id] += 1 << (DECAY_HORIZON_DAYS - age)
+            n_rec[r.user_id] += 1
+    rows = q_decayed_engagement(spark, sf_smoke).collect()
+    assert {r.user_id: r.score for r in rows} == dict(expect)
+    assert {r.user_id: r.n_recent for r in rows} == dict(n_rec)

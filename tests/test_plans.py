@@ -752,3 +752,33 @@ def test_type_correlation_pair_join_rides_hour_key(spark, sf_smoke):
     assert plan.count("events.parquet") == 0
     assert "Scan ExistingRDD" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fk_audit_broadcasts_dims_prunes_keys(spark, sf_smoke):
+    """Dimension-side orphan checks must broadcast the parent (left-anti
+    build side) and every scan must read ONLY the key column."""
+    from tfm_taxitrips_spark.queries.analytics import q_fk_integrity_audit
+
+    plan = explain_formatted(q_fk_integrity_audit(spark, sf_smoke))
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    # key-only scans: no non-key lineitem column may be read
+    read_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_lines
+    assert not any("l_quantity" in l or "l_extendedprice" in l
+                   for l in read_lines)
+
+
+def test_decayed_engagement_prunes_horizon_before_shuffle(spark, sf_smoke):
+    """The horizon predicate must drop zero-weight rows BEFORE the user
+    aggregation's exchange, and the weight computation is map-side (no
+    window, no join besides the 1-row anchor broadcast)."""
+    import re
+
+    from tfm_taxitrips_spark.queries.temporal import q_decayed_engagement
+
+    plan = explain_formatted(q_decayed_engagement(spark, sf_smoke))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4  # anchor + user agg, partial+final

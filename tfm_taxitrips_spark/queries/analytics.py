@@ -736,6 +736,67 @@ FROM st
 """
 
 
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each FK
+    relationship, the child row count and the orphan count (child keys
+    with no parent) — the ingest gate that catches a truncated dimension
+    load before a silent inner join drops fact rows downstream.
+
+    Scale shape: each orphan check is ONE left-anti join — small parents
+    (customer, supplier, part at dimension scale) broadcast; the
+    fact-fact check (lineitem→orders) is the honest shuffle anti-join,
+    AQE-skew-splittable. Counts reduce to a 4-row summary unioned
+    driver-free. No pass reads a table's non-key columns (pruned scans).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    part = table(spark, sf_dir, "part")
+
+    def audit(child, key, parent, pkey, rel):
+        ch = child.select(F.col(key).alias("k"))
+        pa = parent.select(F.col(pkey).alias("k"))
+        total = ch.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+        orphans = ch.join(pa, "k", "left_anti").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+        )
+        return total.crossJoin(orphans).select(
+            F.lit(rel).alias("relationship"), "n_child", "n_orphans"
+        )
+
+    return (
+        audit(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+        .unionByName(audit(li, "l_partkey", part, "p_partkey",
+                           "lineitem->part"))
+        .unionByName(audit(li, "l_suppkey", supp, "s_suppkey",
+                           "lineitem->supplier"))
+        .unionByName(audit(orders, "o_custkey", cust, "c_custkey",
+                           "orders->customer"))
+    )
+
+
+_FK_AUDIT_SQL = """
+SELECT 'lineitem->orders' AS relationship,
+       CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+         AS n_orphans
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT)
+FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+UNION ALL
+SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "column_profile": QuerySpec(
         q_column_profile, _COLUMN_PROFILE_SQL, tags=("analytics", "profiling")
@@ -766,5 +827,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "type_correlation": QuerySpec(
         q_type_correlation, _TYPECORR_SQL, tags=("analytics", "stats")
+    ),
+    "fk_integrity_audit": QuerySpec(
+        q_fk_integrity_audit, _FK_AUDIT_SQL, tags=("analytics", "quality")
     ),
 }

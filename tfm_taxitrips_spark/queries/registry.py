@@ -99,6 +99,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "touch_attribution",    # likewise (bucketed linear multi-touch credit)
     "type_correlation",     # likewise (integer r^2 co-movement matrix)
     "stream_transitions",   # likewise (stateful streaming markov feed)
+    "fk_integrity_audit",   # likewise (star-schema orphan audit)
+    "decayed_engagement",   # likewise (exact power-of-two recency score)
 )
 
 

@@ -1069,6 +1069,66 @@ FROM pairs
 """
 
 
+DECAY_HORIZON_DAYS = 30  # contributions older than this decay to zero
+
+
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score per user: each event contributes
+    ``2^(H − age_days)`` (half-life = one day, horizon H=30) — the
+    freshness-aware ranking signal a feed/retention model uses instead
+    of raw counts, which treat a year-old click like today's.
+
+    EXACT exponential decay: powers of two are integer bit-shifts, so
+    the score is a BIGINT sum — order-independent under any shuffle,
+    engine-identical — where the usual ``exp(−λ·age)`` float would be
+    neither. Age anchors to the dataset's max event day (a 1-row
+    broadcast), so the query is deterministic over a fixture rather than
+    wall-clock-dependent.
+
+    Scale shape: map-side weight computation on the scan, one
+    map-side-combined groupBy(user). The weight table is 31 distinct
+    values; contributions beyond the horizon are exactly 0 and are
+    dropped BEFORE the shuffle (partition-pruning-friendly predicate).
+    """
+    events = table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("eday"),
+    )
+    anchor = e.agg(F.max("eday").alias("maxday"))
+    h = DECAY_HORIZON_DAYS
+    return (
+        e.crossJoin(F.broadcast(anchor))
+        .where(F.col("maxday") - F.col("eday") <= h)
+        .select(
+            "user_id",
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                   f"CAST({h} - (maxday - eday) AS INT))").alias("w"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_recent"),
+            F.sum("w").cast("bigint").alias("score"),
+        )
+    )
+
+
+_DECAY_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS eday FROM events
+),
+anchor AS (SELECT MAX(eday) AS maxday FROM e)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_recent,
+       CAST(SUM(CAST(1 AS BIGINT)
+                << CAST({DECAY_HORIZON_DAYS} - (maxday - eday) AS INT))
+            AS BIGINT) AS score
+FROM e CROSS JOIN anchor
+WHERE maxday - eday <= {DECAY_HORIZON_DAYS}
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "event_range_join": QuerySpec(q_range_join, _RANGE_SQL, tags=("temporal", "range_join")),
     "event_sessionization": QuerySpec(q_sessionization, _SESSION_SQL, bench=True,
@@ -1101,4 +1161,6 @@ QUERIES: dict[str, QuerySpec] = {
                                    tags=("temporal", "resample")),
     "touch_attribution": QuerySpec(q_touch_attribution, _ATTR_SQL,
                                    tags=("temporal", "attribution")),
+    "decayed_engagement": QuerySpec(q_decayed_engagement, _DECAY_SQL,
+                                    tags=("temporal", "scoring")),
 }
