@@ -193,3 +193,33 @@ def test_triangle_plan_no_cartesian_hub_cap_broadcast(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan  # the hub-cap anti-join
     assert plan.count("LeftAnti") >= 1
+
+
+def test_kcore_discriminates_and_is_fixpoint_consistent(spark, sf_correct):
+    """At sf0.01 the K=16 core keeps a proper nonempty subset of
+    suppliers, every survivor's within-core degree honors the floor, and
+    replaying the peeling sequentially over the collected edge set gives
+    the same membership."""
+    from tfm_taxitrips_spark.queries.graph import (
+        KCORE_ITERS,
+        KCORE_K,
+        _cosupply_sym_edges,
+        q_kcore_membership,
+    )
+
+    rows = q_kcore_membership(spark, sf_correct).collect()
+    assert rows
+    got = {r.supp_id: r.core_degree for r in rows}
+    assert all(d >= KCORE_K for d in got.values())
+
+    sym = {(r.u, r.v) for r in _cosupply_sym_edges(spark, sf_correct).collect()}
+    all_nodes = {u for u, _ in sym}
+    assert set(got) < all_nodes  # proper subset: peeling dropped someone
+    for _ in range(KCORE_ITERS):
+        from collections import Counter
+        deg = Counter(u for u, _ in sym)
+        keep = {u for u, d in deg.items() if d >= KCORE_K}
+        sym = {(u, v) for u, v in sym if u in keep and v in keep}
+    from collections import Counter
+    deg = Counter(u for u, _ in sym)
+    assert {u: d for u, d in deg.items() if d >= KCORE_K} == got

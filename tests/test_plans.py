@@ -782,3 +782,18 @@ def test_decayed_engagement_prunes_horizon_before_shuffle(spark, sf_smoke):
     assert "SortMergeJoin" not in plan
     assert "Broadcast" in plan
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4  # anchor + user agg, partial+final
+
+
+def test_seasonal_anomaly_no_window_broadcast_baseline(spark, sf_smoke):
+    """The seasonal fence must be join+codegen only: no Window, no sort,
+    the tiny (type, hour-of-day) baseline broadcast, both aggregations
+    two-phase."""
+    import re
+
+    from tfm_taxitrips_spark.queries.temporal import q_seasonal_anomaly
+
+    plan = explain_formatted(q_seasonal_anomaly(spark, sf_smoke))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4

@@ -341,6 +341,104 @@ FROM nodes GROUP BY node
 """
 
 
+KCORE_K = 16      # degree floor
+KCORE_ITERS = 4   # fixed peeling rounds (unrolled in the oracle)
+
+
+def _cosupply_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric (u, v) adjacency of the hub-capped co-supply graph —
+    the same edge construction as q_triangle_count, doubled for degree
+    counting."""
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    hub = (
+        ps.groupBy("p").agg(F.count(F.lit(1)).alias("d_p"))
+        .where(F.col("d_p") > TRI_PART_CAP)
+        .select("p")
+    )
+    kept = ps.join(F.broadcast(hub), "p", "left_anti")
+    ka, kb = kept.alias("ka"), kept.alias("kb")
+    eg = (
+        ka.join(kb, (F.col("ka.p") == F.col("kb.p"))
+                & (F.col("ka.s") < F.col("kb.s")))
+        .select(F.col("ka.s").alias("a"), F.col("kb.s").alias("b"))
+        .distinct()
+    )
+    return (
+        eg.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(eg.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint(eager=False)
+    )
+
+
+def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core after {KCORE_ITERS} peeling rounds on the co-supply graph:
+    iteratively drop suppliers with fewer than {KCORE_K} co-supply
+    neighbors, then report the survivors with their within-core degree —
+    the cohesion filter that separates a dense supplier community from
+    its periphery (the well-connectedness criterion crawl/source
+    pipelines use above `pagerank`'s popularity and `triangle_count`'s
+    local density).
+
+    Fixed-iteration semantics (like `pagerank_fixed_iters`): "the core
+    after N peels" is the defined result, identical in the unrolled-CTE
+    oracle, so cross-engine equality is exact-integer by construction.
+    At sf0.001 the 10-node co-supply graph is near-complete and the
+    K={KCORE_K} core is empty — the discriminating fixture is sf0.01
+    (83/100 suppliers survive), pinned in tests/test_graph.py.
+
+    Scale shape: each peel is one map-side-combined degree count plus two
+    semi-joins keyed on the node id (AQE-splittable); the edge list is
+    checkpointed once and only SHRINKS per round, so per-iteration cost
+    is bounded by the first. No windows, no sorts, no cartesian.
+    """
+    sym = _cosupply_sym_edges(spark, sf_dir)
+    surv = sym
+    for _ in range(KCORE_ITERS):
+        deg = surv.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= KCORE_K).select("u")
+        surv = (
+            surv.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+        )
+    return (
+        surv.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .where(F.col("core_degree") >= KCORE_K)
+        .select(F.col("u").alias("supp_id"), "core_degree")
+    )
+
+
+def _kcore_sql() -> str:
+    s = f"""
+WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+keep AS (SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= {TRI_PART_CAP}),
+eg AS (
+  SELECT DISTINCT a.s AS a, b.s AS b
+  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+  WHERE a.p IN (SELECT p FROM keep)
+),
+sym0 AS (SELECT a AS u, b AS v FROM eg UNION ALL SELECT b, a FROM eg)"""
+    prev = "sym0"
+    for i in range(1, KCORE_ITERS + 1):
+        s += f""",
+deg{i} AS (SELECT u, COUNT(*) AS d FROM {prev} GROUP BY u),
+keepn{i} AS (SELECT u FROM deg{i} WHERE d >= {KCORE_K}),
+sym{i} AS (
+  SELECT s.u, s.v FROM {prev} s
+  WHERE s.u IN (SELECT u FROM keepn{i})
+    AND s.v IN (SELECT u FROM keepn{i})
+)"""
+        prev = f"sym{i}"
+    s += f"""
+SELECT u AS supp_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM {prev} GROUP BY 1 HAVING COUNT(*) >= {KCORE_K}"""
+    return s
+
+
 QUERIES: dict[str, QuerySpec] = {
     "pagerank_fixed_iters": QuerySpec(
         q_pagerank_fixed, _PAGERANK_SQL,
@@ -349,5 +447,9 @@ QUERIES: dict[str, QuerySpec] = {
     "triangle_count": QuerySpec(
         q_triangle_count, _TRIANGLE_SQL,
         tags=("graph", "pipeline"),
+    ),
+    "kcore_membership": QuerySpec(
+        q_kcore_membership, _kcore_sql(),
+        tags=("graph", "iterative", "pipeline"),
     ),
 }

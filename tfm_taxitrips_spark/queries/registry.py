@@ -101,6 +101,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "stream_transitions",   # likewise (stateful streaming markov feed)
     "fk_integrity_audit",   # likewise (star-schema orphan audit)
     "decayed_engagement",   # likewise (exact power-of-two recency score)
+    "kcore_membership",     # likewise (fixed-peel k-core on co-supply)
+    "seasonal_anomaly",     # likewise (hour-of-day baseline 3-sigma)
 )
 
 

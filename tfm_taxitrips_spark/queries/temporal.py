@@ -1129,6 +1129,83 @@ GROUP BY 1
 """
 
 
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: each hour's count is judged
+    against the hour-of-day baseline for its event type (all Mondays 9am
+    behave alike), catching the "normal for 3am, broken for 9am" case
+    that both the trailing-window z-test (`event_count_anomaly`) and the
+    drift monitor (`cusum_drift`) miss by construction.
+
+    Integer-exact: per-(type, hour-of-day) sufficient statistics
+    (n, Σc, Σc²) broadcast back onto the series (≤ |types|·24 rows), the
+    residual is the n-scaled ``n·x − Σc`` (which is also the exact
+    leave-one-out deviation, scaled), and the 3σ fence is the familiar
+    cross-multiplied ``(n−1)·resid² > 9·n·(n·Q − S²)`` on BIGINTs.
+    Buckets with < 10 observations abstain.
+
+    Scale shape: two map-side-combined aggregations (series, then the
+    tiny baseline) and one broadcast join — no window, no sort; the
+    per-hour verdict is pure codegen on the joined row.
+    """
+    events = table(spark, sf_dir, "events")
+    hc = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn("hidx", F.expr("unix_micros(h) div 3600000000"))
+        .withColumn("hod", F.expr("hidx % 24"))
+    )
+    base = hc.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("cnt").cast("bigint").alias("tot_b"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("q_b"),
+    )
+    j = hc.join(F.broadcast(base), ["event_type", "hod"])
+    resid = F.col("n_b") * F.col("cnt") - F.col("tot_b")
+    return j.select(
+        "event_type",
+        F.col("h").alias("window_start"),
+        F.col("hod").cast("int").alias("hour_of_day"),
+        "cnt",
+        resid.alias("resid_scaled"),
+        (
+            (F.col("n_b") >= 10)
+            & (
+                (F.col("n_b") - 1) * resid * resid
+                > 9 * F.col("n_b")
+                * (F.col("n_b") * F.col("q_b") - F.col("tot_b") * F.col("tot_b"))
+            )
+        ).alias("is_seasonal_anomaly"),
+    )
+
+
+_SEASONAL_SQL = """
+WITH hc AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, h, cnt,
+         (epoch_us(h) // 3600000000) % 24 AS hod
+  FROM hc
+),
+base AS (
+  SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n_b,
+         CAST(SUM(cnt) AS BIGINT) AS tot_b,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS q_b
+  FROM w GROUP BY 1, 2
+)
+SELECT event_type, h AS window_start, CAST(hod AS INT) AS hour_of_day, cnt,
+       n_b * cnt - tot_b AS resid_scaled,
+       (n_b >= 10 AND
+        (n_b - 1) * (n_b * cnt - tot_b) * (n_b * cnt - tot_b)
+          > 9 * n_b * (n_b * q_b - tot_b * tot_b)) AS is_seasonal_anomaly
+FROM w JOIN base USING (event_type, hod)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "event_range_join": QuerySpec(q_range_join, _RANGE_SQL, tags=("temporal", "range_join")),
     "event_sessionization": QuerySpec(q_sessionization, _SESSION_SQL, bench=True,
@@ -1163,4 +1240,6 @@ QUERIES: dict[str, QuerySpec] = {
                                    tags=("temporal", "attribution")),
     "decayed_engagement": QuerySpec(q_decayed_engagement, _DECAY_SQL,
                                     tags=("temporal", "scoring")),
+    "seasonal_anomaly": QuerySpec(q_seasonal_anomaly, _SEASONAL_SQL,
+                                  tags=("temporal", "monitoring")),
 }
