@@ -797,3 +797,16 @@ def test_seasonal_anomaly_no_window_broadcast_baseline(spark, sf_smoke):
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4
+
+
+def test_pmi_collocations_floor_before_joins_topk_distributed(spark, sf_smoke):
+    """The frequency floor must prune the bigram tail BEFORE the unigram
+    joins, and the final top-k must be TakeOrderedAndProject, not a
+    global sort."""
+    from tfm_taxitrips_spark.queries.text import q_pmi_collocations
+
+    plan = explain_formatted(q_pmi_collocations(spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # floor is a post-aggregation filter on c_xy upstream of the joins
+    assert "c_xy" in plan and ">= 5" in plan

@@ -103,6 +103,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "decayed_engagement",   # likewise (exact power-of-two recency score)
     "kcore_membership",     # likewise (fixed-peel k-core on co-supply)
     "seasonal_anomaly",     # likewise (hour-of-day baseline 3-sigma)
+    "pmi_collocations",     # likewise (log-free PMI phrase mining)
 )
 
 

@@ -1321,6 +1321,80 @@ FROM scored GROUP BY doc_id
 """
 
 
+PMI_MIN_COUNT = 5   # collocation frequency floor
+PMI_TOPK = 100
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: the corpus's top-{PMI_TOPK} word bigrams
+    by pointwise mutual information with a frequency floor — the
+    phrase-mining pass (multi-word entities, fixed expressions) a
+    tokenizer/vocab pipeline runs before merges are chosen.
+
+    Log-free PMI ranking: PMI = ln(c_xy·N²/(N_bg·c_x·c_y)) is MONOTONE
+    in ``c_xy/(c_x·c_y)`` because N and N_bg are corpus constants — so
+    the ranking key is the exact integer ``(1e9·c_xy) div (c_x·c_y)``
+    and no transcendental ever runs (stronger than the micro-nat
+    rounding `bigram_logprob_score` needs, because ranking doesn't
+    require the calibrated value). Ties break on the bigram text.
+
+    Scale shape: bigram explode is map-side; both count tables are
+    map-side-combined groupBys; the scoring joins are hash joins on the
+    word keys (AQE-splittable, same shape as the LM scorer); the floor
+    prunes the long tail BEFORE the joins; final top-k is distributed
+    TakeOrderedAndProject.
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    bg = docs.select(
+        F.explode(shingles(F.lower(F.col("text")), 2)).alias("bg")
+    ).select(
+        "bg",
+        F.split(F.col("bg"), " ")[0].alias("w1"),
+        F.split(F.col("bg"), " ")[1].alias("w2"),
+    )
+    cb = (
+        bg.groupBy("bg", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+        .where(F.col("c_xy") >= PMI_MIN_COUNT)
+    )
+    cu = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    scored = (
+        cb.join(cu.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(cu.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .select(
+            "w1", "w2", "c_xy", "c_x", "c_y",
+            F.expr(f"({10**9} * c_xy) div (c_x * c_y)").alias("pmi_score_ppb"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_score_ppb").desc(), F.col("w1"), F.col("w2")
+    ).limit(PMI_TOPK)
+
+
+_PMI_SQL = f"""
+WITH bg AS (
+  SELECT unnest({shingles_sql('lower(text)', 2)}) AS bg FROM documents
+),
+sp AS (SELECT bg, string_split(bg, ' ') AS ws FROM bg),
+cb AS (
+  SELECT ws[1] AS w1, ws[2] AS w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM sp GROUP BY 1, 2
+  HAVING COUNT(*) >= {PMI_MIN_COUNT}
+),
+tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1)
+SELECT cb.w1, cb.w2, cb.c_xy, cx.c AS c_x, cy.c AS c_y,
+       ({10**9} * cb.c_xy) // (cx.c * cy.c) AS pmi_score_ppb
+FROM cb JOIN cu cx ON cb.w1 = cx.w JOIN cu cy ON cb.w2 = cy.w
+ORDER BY pmi_score_ppb DESC, w1, w2
+LIMIT {PMI_TOPK}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "tfidf_distinctive_terms": QuerySpec(q_tfidf_distinctive_terms, _TFIDF_SQL,
                                          tags=("text", "vocab", "topk")),
@@ -1338,6 +1412,8 @@ QUERIES: dict[str, QuerySpec] = {
                                    tags=("text", "dedup", "sample", "pipeline")),
     "text_token_count": QuerySpec(q_token_count, _TOKEN_COUNT_SQL, tags=("text",)),
     "text_bpe_tokens": QuerySpec(q_bpe_tokens, _BPE_SQL, tags=("text",)),
+    "pmi_collocations": QuerySpec(q_pmi_collocations, _PMI_SQL,
+                                  tags=("text", "vocab", "topk")),
     "token_vocab_top200": QuerySpec(q_token_vocab, _VOCAB_SQL,
                                     tags=("text", "vocab", "topk")),
     "simhash_dup_pairs": QuerySpec(q_simhash_dup_pairs, _SIMHASH_PAIRS_SQL,
