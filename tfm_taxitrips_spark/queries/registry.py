@@ -104,6 +104,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "kcore_membership",     # likewise (fixed-peel k-core on co-supply)
     "seasonal_anomaly",     # likewise (hour-of-day baseline 3-sigma)
     "pmi_collocations",     # likewise (log-free PMI phrase mining)
+    "retrieval_mrr_eval",   # likewise (label-relevance MRR gate)
 )
 
 

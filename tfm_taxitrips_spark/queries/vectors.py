@@ -940,6 +940,66 @@ LEFT JOIN pr ON pr.cid = m.cid
 """
 
 
+def q_retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-relevance retrieval eval: per probe, the mean-reciprocal-rank
+    statistic of the exact cosine top-k, treating "same label as the
+    probe" as relevance — the second acceptance gate (after recall@k)
+    a similarity deployment reports, because recall measures agreement
+    with brute force while MRR measures whether the ranking surfaces
+    RELEVANT items at all.
+
+    Composes the already-oracle-proven q_ann_bruteforce ranking; the eval
+    adds one broadcast probe-label join and a per-qid aggregate. All
+    outputs integer (mrr_ppm = 1e6 div first_hit_rank, 0 when no hit in
+    the top-k), so the driver hash compare is exact. On the uniform
+    random fixture labels are independent of geometry, so MRR hovers
+    near the by-chance level — like the LSH recall gate, the honest
+    reading IS the gate's value.
+    """
+    brute = q_ann_bruteforce(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("probe_label")
+    )
+    j = brute.join(F.broadcast(probes), "qid")
+    per_q = j.groupBy("qid", "probe_label").agg(
+        F.min(F.when(F.col("label") == F.col("probe_label"), F.col("rnk")))
+        .cast("int").alias("first_hit_rank"),
+        F.count(F.when(F.col("label") == F.col("probe_label"), F.lit(1)))
+        .cast("bigint").alias("n_label_hits"),
+    )
+    return per_q.select(
+        "qid",
+        "probe_label",
+        "first_hit_rank",
+        "n_label_hits",
+        F.coalesce(
+            F.expr(f"{10**6} div first_hit_rank"), F.lit(0)
+        ).cast("bigint").alias("mrr_ppm"),
+    )
+
+
+_MRR_SQL = f"""
+WITH base AS ({_ANN_BRUTE_SQL}),
+probes AS (
+  SELECT vec_id AS qid, label AS probe_label FROM embeddings
+  WHERE vec_id < {N_QUERY_VECS}
+),
+per_q AS (
+  SELECT b.qid, p.probe_label,
+         CAST(MIN(CASE WHEN b.label = p.probe_label THEN b.rnk END) AS INT)
+           AS first_hit_rank,
+         CAST(COUNT(CASE WHEN b.label = p.probe_label THEN 1 END) AS BIGINT)
+           AS n_label_hits
+  FROM base b JOIN probes p ON b.qid = p.qid
+  GROUP BY 1, 2
+)
+SELECT qid, probe_label, first_hit_rank, n_label_hits,
+       CAST(COALESCE({10**6} // first_hit_rank, 0) AS BIGINT) AS mrr_ppm
+FROM per_q
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "random_projection_sketch": QuerySpec(
         q_random_projection, _RANDOM_PROJECTION_SQL,
@@ -956,6 +1016,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "ann_recall_eval_ivf": QuerySpec(
         q_ann_recall_eval_ivf, _ANN_RECALL_IVF_SQL, tags=("vector", "eval")
+    ),
+    "retrieval_mrr_eval": QuerySpec(
+        q_retrieval_mrr_eval, _MRR_SQL, tags=("vector", "eval")
     ),
     "embedding_norms": QuerySpec(q_embedding_norms, _NORMS_SQL, tags=("vector",)),
     "label_centroids": QuerySpec(q_label_centroids, _CENTROIDS_SQL,
