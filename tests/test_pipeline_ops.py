@@ -445,3 +445,25 @@ def test_decayed_engagement_is_exact_bitshift_sum(spark, sf_smoke):
     rows = q_decayed_engagement(spark, sf_smoke).collect()
     assert {r.user_id: r.score for r in rows} == dict(expect)
     assert {r.user_id: r.n_recent for r in rows} == dict(n_rec)
+
+
+def test_corpus_prep_waterfall_drops_at_each_stage(spark):
+    """On a constructed corpus the report must drop the gate failure at
+    stage 1, the exact duplicate at stage 2 (canonical = min doc_id),
+    and place every survivor in exactly one split."""
+    from tfm_taxitrips_spark.queries.dataprep import corpus_prep_report
+
+    good = " ".join(f"word{i}" for i in range(30))  # passes the gate
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", good),
+            (2, "s1", good),            # exact dup of doc 1 -> dropped
+            (3, "s1", "too short"),     # fails the word-count gate
+            (4, "s1", good + " tail"),  # distinct survivor
+        ],
+        "doc_id long, source string, text string",
+    )
+    [r] = corpus_prep_report(docs).collect()
+    assert (r.n_raw, r.n_quality, r.n_dedup) == (4, 3, 2)
+    assert r.n_train + r.n_val + r.n_test == r.n_dedup
+    assert r.tok_final == 30 + 31

@@ -810,3 +810,18 @@ def test_pmi_collocations_floor_before_joins_topk_distributed(spark, sf_smoke):
     assert "CartesianProduct" not in plan
     # floor is a post-aggregation filter on c_xy upstream of the joins
     assert "c_xy" in plan and ">= 5" in plan
+
+
+def test_corpus_prep_single_scan_one_window_one_agg(spark, sf_smoke):
+    """The whole prep chain must stay one plan: a single documents scan,
+    one window stage (the content-hash canonicalization), one final
+    aggregation, and no joins — the gate, hashes, and split label are
+    all map-side expressions."""
+    import re
+
+    from tfm_taxitrips_spark.queries.dataprep import q_corpus_prep_pipeline
+
+    plan = explain_formatted(q_corpus_prep_pipeline(spark, sf_smoke))
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1

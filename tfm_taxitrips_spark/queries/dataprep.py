@@ -1349,7 +1349,156 @@ WHERE 100 * cum_before < {TOP_P_PCT} * total
 """
 
 
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pretraining-corpus prep chain as ONE plan: Gopher
+    quality gate → exact dedup (canonical = min doc_id per text hash,
+    among gate survivors) → deterministic train/val/test assignment →
+    per-source waterfall + split audit. This is the capstone
+    composition: a user runs the whole prep as a single query and gets
+    the filter-ablation table (how many docs each stage dropped) plus
+    the final split masses — the artifact a data-curation review reads.
+
+    Reuses the proven stages verbatim: `retrieval.quality_flags` (the
+    gate builder shared with the batch query and the streaming gate),
+    `hash60` content hashing (the `dedup_exact_docs` key), and the
+    `dataset_split_assign` bucket hash — so each stage's semantics stay
+    pinned by its own oracle while this query pins their composition.
+
+    Scale shape: the gate and both hashes are map-side on one scan; the
+    dedup canonicalization is ONE window over the content-hash
+    partitioning (survivors only); every stage count is a conditional
+    aggregate in a SINGLE groupBy(source) — the waterfall costs one
+    shuffle more than the dedup itself.
+    """
+    return corpus_prep_report(table(spark, sf_dir, "documents"))
+
+
+def corpus_prep_report(docs: DataFrame) -> DataFrame:
+    """The pipeline body over any (doc_id, source, text, ...) frame —
+    factored out so tests can feed synthetic corpora (the driver fixture
+    contains no exact-dup texts, so the dedup stage's drop branch is
+    proven on constructed input; see tests/test_pipeline_ops.py)."""
+    from tfm_taxitrips_spark.queries.retrieval import quality_flags
+
+    flagged = quality_flags(docs, carry=("source", "text")).select(
+        "doc_id", "source", "text", "keep"
+    )
+    # rejected docs get a unique synthetic key (-doc_id-1) so they never
+    # funnel into one NULL-hash window partition — a skew hazard at scale
+    h = hash60(F.col("text"))
+    w = Window.partitionBy("th").orderBy("doc_id")
+    staged = (
+        flagged.withColumn(
+            "th", F.when(F.col("keep"), h).otherwise(-F.col("doc_id") - 1)
+        )
+        .withColumn(
+            "canon",
+            F.when(F.col("keep"),
+                   F.row_number().over(w) == 1).otherwise(F.lit(False)),
+        )
+    )
+    bucket = F.pmod(
+        hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < _SPLIT_TRAIN_END, F.lit("train"))
+        .when(bucket < _SPLIT_VAL_END, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    final = F.col("keep") & F.col("canon")
+    return (
+        staged.select(
+            "source",
+            "keep",
+            "canon",
+            split.alias("split"),
+            token_count("text").cast("bigint").alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+            F.count(F.when(F.col("keep"), 1)).cast("bigint")
+            .alias("n_quality"),
+            F.count(F.when(final, 1)).cast("bigint").alias("n_dedup"),
+            F.count(F.when(final & (F.col("split") == "train"), 1))
+            .cast("bigint").alias("n_train"),
+            F.count(F.when(final & (F.col("split") == "val"), 1))
+            .cast("bigint").alias("n_val"),
+            F.count(F.when(final & (F.col("split") == "test"), 1))
+            .cast("bigint").alias("n_test"),
+            F.sum(F.when(final, F.col("n_tok")).otherwise(F.lit(0)))
+            .cast("bigint").alias("tok_final"),
+        )
+    )
+
+
+def _corpus_prep_sql() -> str:
+    from tfm_taxitrips_spark.queries.retrieval import (
+        MAX_MEAN_WORD_LEN,
+        MAX_STOP_RATIO,
+        MAX_WORDS,
+        MIN_MEAN_WORD_LEN,
+        MIN_WORDS,
+        _STOP_LIST,
+    )
+
+    return f"""
+WITH sig AS (
+  SELECT doc_id, source, text,
+         len(string_split(lower(text), ' ')) AS n_words,
+         len(list_filter(string_split(lower(text), ' '),
+                         t -> t IN ({_STOP_LIST}))) AS n_stop,
+         length(text) AS n_chars
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id, source, text,
+         (n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}
+          AND CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words
+                >= {MIN_MEAN_WORD_LEN}
+          AND CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words
+                <= {MAX_MEAN_WORD_LEN}
+          AND CAST(n_stop AS DOUBLE) / n_words <= {MAX_STOP_RATIO}) AS keep
+  FROM sig
+),
+staged AS (
+  SELECT *,
+         CASE WHEN keep THEN
+           ROW_NUMBER() OVER (
+             PARTITION BY CASE WHEN keep THEN {hash60_sql('text')}
+                          ELSE -doc_id - 1 END
+             ORDER BY doc_id) = 1
+         ELSE FALSE END AS canon,
+         CASE
+           WHEN {hash60_sql("concat('split:', CAST(doc_id AS VARCHAR))")}
+                % 100 < {_SPLIT_TRAIN_END} THEN 'train'
+           WHEN {hash60_sql("concat('split:', CAST(doc_id AS VARCHAR))")}
+                % 100 < {_SPLIT_VAL_END} THEN 'val'
+           ELSE 'test' END AS split,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM flagged
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_quality,
+       CAST(COUNT(*) FILTER (WHERE keep AND canon) AS BIGINT) AS n_dedup,
+       CAST(COUNT(*) FILTER (WHERE keep AND canon AND split = 'train')
+            AS BIGINT) AS n_train,
+       CAST(COUNT(*) FILTER (WHERE keep AND canon AND split = 'val')
+            AS BIGINT) AS n_val,
+       CAST(COUNT(*) FILTER (WHERE keep AND canon AND split = 'test')
+            AS BIGINT) AS n_test,
+       CAST(COALESCE(SUM(n_tok) FILTER (WHERE keep AND canon), 0) AS BIGINT)
+         AS tok_final
+FROM staged GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "corpus_prep_pipeline": QuerySpec(
+        q_corpus_prep_pipeline, _corpus_prep_sql(),
+        tags=("text", "dedup", "pipeline", "capstone")),
     "feature_hashing": QuerySpec(
         q_feature_hashing, _FEATURE_HASHING_SQL, tags=("pipeline", "features"),
     ),

@@ -105,6 +105,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "seasonal_anomaly",     # likewise (hour-of-day baseline 3-sigma)
     "pmi_collocations",     # likewise (log-free PMI phrase mining)
     "retrieval_mrr_eval",   # likewise (label-relevance MRR gate)
+    "corpus_prep_pipeline", # likewise (gate->dedup->split capstone)
 )
 
 

@@ -273,12 +273,15 @@ MAX_STOP_RATIO = 0.15
 _STOP_TERMS = ("the", "a")
 
 
-def quality_flags(docs: DataFrame) -> DataFrame:
+def quality_flags(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """The gate's signal computation as a pure ``DataFrame → DataFrame``
-    map — shared VERBATIM by the batch query below and the streaming form
-    (queries.streamq.q_stream_quality_gate): map-only transformations are
-    the class Structured Streaming runs unchanged, and sharing one
-    builder is what guarantees batch/stream parity by construction."""
+    map — shared VERBATIM by the batch query below, the streaming form
+    (queries.streamq.q_stream_quality_gate), and the end-to-end prep
+    pipeline (queries.dataprep.q_corpus_prep_pipeline): map-only
+    transformations are the class Structured Streaming runs unchanged,
+    and sharing one builder is what guarantees batch/stream/pipeline
+    parity by construction. ``carry`` lists extra input columns to pass
+    through (e.g. source/text for downstream stages)."""
     toks = F.split(F.lower(F.col("text")), " ")
     n_words = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOP_TERMS)))
@@ -294,6 +297,7 @@ def quality_flags(docs: DataFrame) -> DataFrame:
     stop_ok = stop_ratio <= MAX_STOP_RATIO
     return docs.select(
         "doc_id",
+        *carry,
         n_words.cast("long").alias("n_words"),
         words_ok.alias("words_ok"),
         word_len_ok.alias("word_len_ok"),
