@@ -367,8 +367,7 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     items = (
-        li.join(F.broadcast(part), li.l_orderkey.isNotNull()
-                & (li.l_partkey == part.p_partkey))
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
     )
@@ -534,12 +533,15 @@ q AS (
          (({(1 << Z_BITS) - 1} * (x - minx)) // GREATEST(1, maxx - minx)) AS qx,
          (({(1 << Z_BITS) - 1} * (y - miny)) // GREATEST(1, maxy - miny)) AS qy
   FROM o CROSS JOIN mm
+),
+z AS (
+  SELECT o_orderkey,
+         CAST({_interleave_duckdb('qx', 'qy')} AS BIGINT) AS zval
+  FROM q
 )
-SELECT o_orderkey,
-       CAST({_interleave_duckdb('qx', 'qy')} AS BIGINT) AS zval,
-       CAST(CAST({_interleave_duckdb('qx', 'qy')} AS BIGINT)
-            // {(1 << (2 * Z_BITS)) // Z_BUCKETS} AS INT) AS file_bucket
-FROM q
+SELECT o_orderkey, zval,
+       CAST(zval // {(1 << (2 * Z_BITS)) // Z_BUCKETS} AS INT) AS file_bucket
+FROM z
 """
 
 
@@ -776,24 +778,34 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Children are counted in their own scan and orphans via NOT EXISTS —
+# a LEFT JOIN + COUNT(*) would fan out (and miscount) if a corrupted
+# ingest double-writes a parent key, which is exactly the scenario the
+# audit exists to catch; this mirrors the Spark anti-join shape.
 _FK_AUDIT_SQL = """
 SELECT 'lineitem->orders' AS relationship,
-       CAST(COUNT(*) AS BIGINT) AS n_child,
-       CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
-         AS n_orphans
-FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
 UNION ALL
-SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT),
-       CAST(COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
-FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+SELECT 'lineitem->part',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
 UNION ALL
-SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT),
-       CAST(COUNT(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT)
-FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+SELECT 'lineitem->supplier',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey))
 UNION ALL
-SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT),
-       CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
-FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+SELECT 'orders->customer',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
 """
 
 

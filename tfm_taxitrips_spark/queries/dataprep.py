@@ -1048,6 +1048,22 @@ _SPLIT_TRAIN_END = 90
 _SPLIT_VAL_END = 95
 
 
+def split_label(doc_id_col: F.Column) -> F.Column:
+    """The deterministic train/val/test label for a document id — the ONE
+    bucket-hash + boundary rule, shared by `q_dataset_split` and the
+    prep-chain capstone so the two can never assign a doc to different
+    splits (eval-set contamination with no failing test)."""
+    bucket = F.pmod(
+        hash60(F.concat(F.lit("split:"), doc_id_col.cast("string"))),
+        F.lit(100),
+    )
+    return (
+        F.when(bucket < _SPLIT_TRAIN_END, F.lit("train"))
+        .when(bucket < _SPLIT_VAL_END, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split assignment: every document draws
     a stable 0-99 bucket from md5(doc_id) and lands in exactly one split
@@ -1067,19 +1083,10 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned-by-split; the assignment itself never shuffles.
     """
     docs = table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
-        F.lit(100),
-    )
-    split = (
-        F.when(bucket < _SPLIT_TRAIN_END, F.lit("train"))
-        .when(bucket < _SPLIT_VAL_END, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
         docs.select(
             "source",
-            split.alias("split"),
+            split_label(F.col("doc_id")).alias("split"),
             "doc_id",
             token_count("text").cast("bigint").alias("n_tok"),
         )
@@ -1397,22 +1404,13 @@ def corpus_prep_report(docs: DataFrame) -> DataFrame:
                    F.row_number().over(w) == 1).otherwise(F.lit(False)),
         )
     )
-    bucket = F.pmod(
-        hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
-        F.lit(100),
-    )
-    split = (
-        F.when(bucket < _SPLIT_TRAIN_END, F.lit("train"))
-        .when(bucket < _SPLIT_VAL_END, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     final = F.col("keep") & F.col("canon")
     return (
         staged.select(
             "source",
             "keep",
             "canon",
-            split.alias("split"),
+            split_label(F.col("doc_id")).alias("split"),
             token_count("text").cast("bigint").alias("n_tok"),
         )
         .groupBy("source")

@@ -278,6 +278,31 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return nodes.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("tri_cnt"))
 
 
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (a < b) edges of the hub-capped co-supply graph —
+    the ONE edge derivation shared by q_triangle_count and
+    kcore_membership so a cap/dedup change can never de-synchronize
+    the two graph operators."""
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    hub = (
+        ps.groupBy("p").agg(F.count(F.lit(1)).alias("d_p"))
+        .where(F.col("d_p") > TRI_PART_CAP)
+        .select("p")
+    )
+    kept = ps.join(F.broadcast(hub), "p", "left_anti")
+    ka, kb = kept.alias("ka"), kept.alias("kb")
+    return (
+        ka.join(kb, (F.col("ka.p") == F.col("kb.p"))
+                & (F.col("ka.s") < F.col("kb.s")))
+        .select(F.col("ka.s").alias("a"), F.col("kb.s").alias("b"))
+        .distinct()
+    )
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier triangle counts on the co-supply graph: suppliers are
     adjacent iff they ship the same part (lineitem projection, hub parts
@@ -291,24 +316,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably yields the identical triangle set, which is the point: the
     degree-oriented Spark plan is pure optimization, not semantics.
     """
-    ps = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    hub = (
-        ps.groupBy("p").agg(F.count(F.lit(1)).alias("d_p"))
-        .where(F.col("d_p") > TRI_PART_CAP)
-        .select("p")
-    )
-    kept = ps.join(F.broadcast(hub), "p", "left_anti")
-    ka, kb = kept.alias("ka"), kept.alias("kb")
-    edges = (
-        ka.join(kb, (F.col("ka.p") == F.col("kb.p")) & (F.col("ka.s") < F.col("kb.s")))
-        .select(F.col("ka.s").alias("a"), F.col("kb.s").alias("b"))
-        .distinct()
-    )
-    return triangle_counts(edges).select(
+    return triangle_counts(_cosupply_edges(spark, sf_dir)).select(
         F.col("node").alias("supp_id"), "tri_cnt"
     )
 
@@ -347,26 +355,8 @@ KCORE_ITERS = 4   # fixed peeling rounds (unrolled in the oracle)
 
 def _cosupply_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric (u, v) adjacency of the hub-capped co-supply graph —
-    the same edge construction as q_triangle_count, doubled for degree
-    counting."""
-    ps = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    hub = (
-        ps.groupBy("p").agg(F.count(F.lit(1)).alias("d_p"))
-        .where(F.col("d_p") > TRI_PART_CAP)
-        .select("p")
-    )
-    kept = ps.join(F.broadcast(hub), "p", "left_anti")
-    ka, kb = kept.alias("ka"), kept.alias("kb")
-    eg = (
-        ka.join(kb, (F.col("ka.p") == F.col("kb.p"))
-                & (F.col("ka.s") < F.col("kb.s")))
-        .select(F.col("ka.s").alias("a"), F.col("kb.s").alias("b"))
-        .distinct()
-    )
+    `_cosupply_edges` doubled for degree counting."""
+    eg = _cosupply_edges(spark, sf_dir)
     return (
         eg.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(eg.select(F.col("b").alias("u"), F.col("a").alias("v")))

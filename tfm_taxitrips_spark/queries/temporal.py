@@ -683,7 +683,6 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("src_type", "dst_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_trans")
     )
-    row_w = Window.partitionBy("src_type")
     return counts.select(
         "src_type",
         "dst_type",

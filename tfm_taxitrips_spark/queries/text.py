@@ -1358,7 +1358,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_xy") >= PMI_MIN_COUNT)
     )
     cu = (
-        docs.select(F.explode(tokens("text")).alias("w"))
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )

@@ -89,7 +89,7 @@ _TRANS_OUT_SCHEMA = (
     "user_id bigint, event_id bigint, us bigint, "
     "src_type string, dst_type string"
 )
-_TRANS_STATE_SCHEMA = "last_us bigint, last_id bigint, last_type string"
+_TRANS_STATE_SCHEMA = "last_type string"
 
 
 def streaming_transitions(
@@ -103,11 +103,14 @@ def streaming_transitions(
     type of the SAME user's previous event — the incremental feed behind
     `queries.temporal.q_markov_transitions`' matrix, maintained live.
 
-    State = the user's last (us, event_id, event_type); a transition that
-    straddles a micro-batch boundary is recovered from state, which is
-    the property the batch `lag` window cannot give an incremental
-    pipeline. One hash shuffle on the user key, Arrow-batched per key per
-    micro-batch. First-ever event per user emits src_type NULL (the
+    State = the user's last event_type (one string per user — the only
+    field the transition needs; under the availableNow ordered-replay
+    parity contract shared with `streaming_sessionize`, batches arrive
+    in event-time order, so no timestamp guard is kept). A transition
+    that straddles a micro-batch boundary is recovered from state, which
+    is the property the batch `lag` window cannot give an incremental
+    pipeline. One hash shuffle on the user key, Arrow-batched per key
+    per micro-batch. First-ever event per user emits src_type NULL (the
     matrix consumer drops it, same as `lag`'s leading NULL).
     """
 
@@ -117,18 +120,14 @@ def streaming_transitions(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        last_us, last_id, last_type = (
-            state.get if state.exists else (None, None, None)
-        )
+        (last_type,) = state.get if state.exists else (None,)
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["us", "event_id"], ignore_index=True)
         srcs = []
         for etype in rows["event_type"]:
             srcs.append(last_type)
             last_type = etype
-        last_us = int(rows["us"].iloc[-1])
-        last_id = int(rows["event_id"].iloc[-1])
-        state.update((last_us, last_id, str(rows["event_type"].iloc[-1])))
+        state.update((str(rows["event_type"].iloc[-1]),))
         yield pd.DataFrame(
             {
                 "user_id": user_id,
