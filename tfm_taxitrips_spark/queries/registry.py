@@ -106,6 +106,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "pmi_collocations",     # likewise (log-free PMI phrase mining)
     "retrieval_mrr_eval",   # likewise (label-relevance MRR gate)
     "corpus_prep_pipeline", # likewise (gate->dedup->split capstone)
+    "sink_compaction_roundtrip",  # likewise (small-files compaction)
+    "stream_orphan_gate",   # likewise (streaming referential quarantine)
 )
 
 

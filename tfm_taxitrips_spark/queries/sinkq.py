@@ -230,7 +230,96 @@ def _matrix_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+COMPACT_MAX_RECORDS = 7  # artificially tiny => a guaranteed small-files mess
+
+
+def q_sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — THE steady-state ops task of a streaming
+    lakehouse (the reference batches 15-minute triggers for exactly this
+    reason, StreamingTaxiTrips.py:156-163): a fragmented write
+    (``maxRecordsPerFile={COMPACT_MAX_RECORDS}`` simulating many tiny
+    micro-batch outputs) is compacted by clustering rows to their
+    partition key BEFORE the partitioned rewrite, collapsing each
+    source's fragments to ONE file.
+
+    Both file populations are counted from the actual directory listing,
+    and the oracle predicts them exactly from the data: fragmented =
+    Σ ceil(docs_per_source / {COMPACT_MAX_RECORDS}), compacted =
+    |sources| (repartition("source") maps each source to exactly one
+    task, so partitionBy emits one file per source). Row parity across
+    the rewrite rides the same count. At 100 TB the pattern is identical
+    with a byte-size target instead of one-file-per-partition:
+    cluster-by-key, rewrite, swap.
+    """
+    frag = tempfile.mkdtemp(prefix="tfm_sink_frag_")
+    comp = tempfile.mkdtemp(prefix="tfm_sink_comp_")
+    try:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        (
+            docs.write.mode("overwrite")
+            .option("maxRecordsPerFile", COMPACT_MAX_RECORDS)
+            .partitionBy("source")
+            .parquet(frag)
+        )
+        n_frag = _count_parquet_files(frag)
+        (
+            spark.read.parquet(frag)
+            .repartition("source")
+            .write.mode("overwrite")
+            .partitionBy("source")
+            .parquet(comp)
+        )
+        n_comp = _count_parquet_files(comp)
+        back = spark.read.parquet(comp)
+        result = back.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            F.sum("n_chars").cast("bigint").alias("char_checksum"),
+        ).select(
+            F.lit(n_frag).cast("bigint").alias("n_files_fragmented"),
+            F.lit(n_comp).cast("bigint").alias("n_files_compacted"),
+            "n_rows",
+            "n_sources",
+            "char_checksum",
+        )
+        return _materialize(spark, result)
+    finally:
+        shutil.rmtree(frag, ignore_errors=True)
+        shutil.rmtree(comp, ignore_errors=True)
+
+
+def _count_parquet_files(base: str) -> int:
+    import os
+
+    return sum(
+        1
+        for root, _dirs, files in os.walk(base)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+_COMPACT_SQL = f"""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+)
+SELECT CAST(SUM((n + {COMPACT_MAX_RECORDS - 1}) // {COMPACT_MAX_RECORDS})
+            AS BIGINT) AS n_files_fragmented,
+       CAST(COUNT(*) AS BIGINT) AS n_files_compacted,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       (SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents)
+         AS char_checksum
+FROM per_source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sink_compaction_roundtrip": QuerySpec(
+        q_sink_compaction_roundtrip, _COMPACT_SQL,
+        tags=("sink", "K1", "compaction")),
     "sink_format_matrix": QuerySpec(
         q_sink_format_matrix, _matrix_sql(), tags=("sink", "formats")
     ),

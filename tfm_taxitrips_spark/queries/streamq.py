@@ -438,12 +438,48 @@ FROM events
 """
 
 
+def q_stream_orphan_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming referential gate: events whose ``user_id`` has no row in
+    the supplier registry (the batch `fk_integrity_audit`'s orphan check
+    running ON THE STREAM) are routed out as quarantine rows instead of
+    silently vanishing in a downstream inner join.
+
+    Stream-static anti-join semantics via the streaming-supported
+    left_outer + IS NULL filter (bare left_anti is not a supported
+    stream-static join type); the static dim side broadcasts, so the
+    gate adds no shuffle to the stream. Oracle: the batch anti-join.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    dim = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("dim_key")
+    )
+    gated = (
+        stream.join(
+            F.broadcast(dim),
+            stream["user_id"] == dim["dim_key"],
+            "left_outer",
+        )
+        .where(F.col("dim_key").isNull())
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_to_memory(gated, spark, output_mode="append")
+
+
+_STREAM_ORPHAN_SQL = """
+SELECT event_id, user_id, event_type
+FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = e.user_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_funnel": QuerySpec(q_stream_funnel, _stream_funnel_sql(),
                                tags=("streaming", "funnel", "stateful")),
     "stream_transitions": QuerySpec(q_stream_transitions, _STREAM_TRANS_SQL,
                                     tags=("streaming", "stateful",
                                           "sequence")),
+    "stream_orphan_gate": QuerySpec(q_stream_orphan_gate, _STREAM_ORPHAN_SQL,
+                                    tags=("streaming", "quality", "join")),
     "stream_quality_gate": QuerySpec(q_stream_quality_gate, _stream_gate_sql(),
                                      tags=("streaming", "quality", "pipeline")),
     "stream_topk": QuerySpec(q_stream_topk, _STREAM_TOPK_SQL,
