@@ -90,3 +90,32 @@ def test_kmeans_lineage_truncation(spark, sf_smoke):
     bounded = plan_size(kmeans_clustering(spark, sf_smoke, iters=10,
                                           truncate_every=2))
     assert bounded < grown, (bounded, grown)
+
+
+def test_centroid_shift_matches_float_reference(spark, sf_smoke):
+    """The exact-rational shift_num must equal a naive float computation
+    of the milli-quantized centroid distance, scaled by (n_a*n_b)^2 —
+    recomputed per label from collected vectors."""
+    from collections import defaultdict
+
+    from tfm_taxitrips_spark.queries.vectors import q_centroid_shift
+    from tfm_taxitrips_spark.sources.readers import table
+    import math
+
+    emb = table(spark, sf_smoke, "embeddings").collect()
+    sums = defaultdict(lambda: [0, None, 0, None])  # n_a, s_a[], n_b, s_b[]
+    for r in emb:
+        milli = [math.floor(float(x) * 1000.0) for x in r.embedding]
+        slot = 0 if r.vec_id % 2 == 0 else 2
+        rec = sums[r.label]
+        rec[slot] += 1
+        if rec[slot + 1] is None:
+            rec[slot + 1] = [0] * len(milli)
+        rec[slot + 1] = [a + b for a, b in zip(rec[slot + 1], milli)]
+    rows = q_centroid_shift(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        n_a, s_a, n_b, s_b = sums[r.label]
+        assert (r.n_a, r.n_b) == (n_a, n_b)
+        expect = sum((sa * n_b - sb * n_a) ** 2 for sa, sb in zip(s_a, s_b))
+        assert r.shift_num == expect

@@ -108,6 +108,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "corpus_prep_pipeline", # likewise (gate->dedup->split capstone)
     "sink_compaction_roundtrip",  # likewise (small-files compaction)
     "stream_orphan_gate",   # likewise (streaming referential quarantine)
+    "centroid_shift",       # likewise (embedding drift, exact rationals)
 )
 
 

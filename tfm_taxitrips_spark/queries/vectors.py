@@ -1000,6 +1000,80 @@ FROM per_q
 """
 
 
+def q_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution-shift monitor: per label, the squared
+    distance between the centroids of the corpus's two halves (vec_id
+    parity stands in for before/after ingestion batches) — the drift
+    check an embedding pipeline runs before trusting that a re-ingested
+    or re-encoded corpus still lands where the old one did.
+
+    Integer-exact comparison of two RATIONAL centroids: with per-half
+    per-dim sums s and counts n (milli-quantized coordinates — floor
+    (x·1e3), chosen so the cross-multiplied squares stay inside BIGINT
+    at 64 dims), the per-dim difference (s_a/n_a − s_b/n_b) cross-
+    multiplies to (s_a·n_b − s_b·n_a), and ``shift_num = Σ_d (s_a·n_b −
+    s_b·n_a)²`` is an exact integer whose normalized value is
+    shift_num/(n_a·n_b)²·1e-6 in coordinate units². No division ever
+    happens, so no rounding boundary exists to disagree across engines.
+
+    Scale shape: posexplode is map-side and the ONE aggregation's
+    partial combine reduces each task to |labels|·dim rows before the
+    single exchange (the `label_centroids` shape); both halves come from
+    conditional aggregation — no self-join. Labels present in only one
+    half are excluded (no centroid to compare).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    coords = emb.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("is_a"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    milli = F.floor(F.col("x").cast("double") * F.lit(1000.0)).cast("long")
+    per_dim = coords.groupBy("label", "dim").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_a"),
+        F.coalesce(F.sum(F.when(F.col("is_a"), milli)), F.lit(0))
+        .cast("bigint").alias("s_a"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("n_b"),
+        F.coalesce(F.sum(F.when(~F.col("is_a"), milli)), F.lit(0))
+        .cast("bigint").alias("s_b"),
+    )
+    d = F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")
+    return (
+        per_dim.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .groupBy("label")
+        .agg(
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+            F.sum(d * d).cast("bigint").alias("shift_num"),
+        )
+    )
+
+
+_CENTROID_SHIFT_SQL = """
+WITH coords AS (
+  SELECT label, vec_id % 2 = 0 AS is_a, CAST(i AS INT) - 1 AS dim,
+         CAST(FLOOR(embedding[i]::DOUBLE * 1000.0) AS BIGINT) AS milli
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+per_dim AS (
+  SELECT label, dim,
+         CAST(COUNT(*) FILTER (WHERE is_a) AS BIGINT) AS n_a,
+         CAST(COALESCE(SUM(milli) FILTER (WHERE is_a), 0) AS BIGINT) AS s_a,
+         CAST(COUNT(*) FILTER (WHERE NOT is_a) AS BIGINT) AS n_b,
+         CAST(COALESCE(SUM(milli) FILTER (WHERE NOT is_a), 0) AS BIGINT) AS s_b
+  FROM coords GROUP BY 1, 2
+)
+SELECT label,
+       CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_b) AS BIGINT) AS n_b,
+       CAST(SUM((s_a * n_b - s_b * n_a) * (s_a * n_b - s_b * n_a))
+            AS BIGINT) AS shift_num
+FROM per_dim
+WHERE n_a > 0 AND n_b > 0
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "random_projection_sketch": QuerySpec(
         q_random_projection, _RANDOM_PROJECTION_SQL,
@@ -1019,6 +1093,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "retrieval_mrr_eval": QuerySpec(
         q_retrieval_mrr_eval, _MRR_SQL, tags=("vector", "eval")
+    ),
+    "centroid_shift": QuerySpec(
+        q_centroid_shift, _CENTROID_SHIFT_SQL, tags=("vector", "monitoring")
     ),
     "embedding_norms": QuerySpec(q_embedding_norms, _NORMS_SQL, tags=("vector",)),
     "label_centroids": QuerySpec(q_label_centroids, _CENTROIDS_SQL,
