@@ -1,0 +1,103 @@
+"""Behavioral tests for the audit/governance operators added late in
+round 4: snapshot reconciliation, k-anonymity suppression, CMS join-size
+estimation, and the join-key skew audit. Oracle parity is covered by the
+registry-wide differential sweep; these pin the semantics the hash compare
+alone can't express (class/wave correspondence, the k guarantee,
+never-underestimate, and agreement with an independent pandas reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tfm_taxitrips_spark.functions.text import hash60
+from tfm_taxitrips_spark.queries.analytics import q_key_skew_audit
+from tfm_taxitrips_spark.queries.dataprep import (
+    _KANON_K,
+    q_k_anonymize,
+    q_snapshot_diff,
+)
+from tfm_taxitrips_spark.queries.sketches import q_cms_join_size
+from tfm_taxitrips_spark.sources.readers import table
+
+
+def test_snapshot_diff_classes_match_wave_predicates(spark, sf_smoke):
+    """Each diff class must equal the size of the hash wave that
+    synthesized it — removed==wave0, changed==wave1, added==wave2,
+    unchanged==the rest — and the class totals must conserve both
+    snapshots' cardinalities."""
+    h = F.pmod(
+        hash60(F.concat(F.lit("snap:"), F.col("o_orderkey").cast("string"))),
+        F.lit(10),
+    )
+    waves = (
+        table(spark, sf_smoke, "orders")
+        .groupBy(h.alias("h")).count().collect()
+    )
+    n = {r["h"]: r["count"] for r in waves}
+    total = sum(n.values())
+    got = {
+        r["diff_class"]: r["n_rows"]
+        for r in q_snapshot_diff(spark, sf_smoke).collect()
+    }
+    assert got["removed"] == n.get(0, 0)
+    assert got["changed"] == n.get(1, 0)
+    assert got["added"] == n.get(2, 0)
+    assert got["unchanged"] == total - n.get(0, 0) - n.get(1, 0)
+    # old snapshot = removed+changed+unchanged; new adds the insert wave
+    assert sum(got.values()) == total + n.get(2, 0)
+
+
+def test_k_anonymize_guarantees_k_and_conserves_rows(spark, sf_smoke):
+    rows = q_k_anonymize(spark, sf_smoke).collect()
+    n_cust = table(spark, sf_smoke, "customer").count()
+    # conservation: every customer lands in exactly one emitted group
+    assert sum(r["n_rows"] for r in rows) == n_cust
+    for r in rows:
+        if r["level"] < 2:
+            # the k guarantee: no released group smaller than k
+            assert r["n_rows"] >= _KANON_K
+        # the ladder nulls exactly the generalized-away identifiers
+        if r["level"] == 0:
+            assert r["c_nationkey"] is not None
+            assert r["c_mktsegment"] is not None
+        elif r["level"] == 1:
+            assert r["c_nationkey"] is not None
+            assert r["c_mktsegment"] is None
+        else:
+            assert r["c_nationkey"] is None
+            assert r["c_mktsegment"] is None
+    # at most one suppressed bucket
+    assert sum(1 for r in rows if r["level"] == 2) <= 1
+
+
+def test_cms_join_size_contracts_and_exact_reference(spark, sf_smoke):
+    row = q_cms_join_size(spark, sf_smoke).collect()[0]
+    assert row["cms_never_underestimates"]
+    assert row["cms_within_bound"]
+    ev = table(spark, sf_smoke, "events").select("event_id", "user_id").toPandas()
+    a = ev[ev.event_id % 2 == 0].user_id.value_counts()
+    b = ev[ev.event_id % 2 == 1].user_id.value_counts()
+    exact = int((a * b).dropna().sum())
+    assert row["exact_join_rows"] == exact
+
+
+def test_key_skew_audit_matches_pandas_reference(spark, sf_smoke):
+    rows = {r["key_column"]: r for r in q_key_skew_audit(spark, sf_smoke).collect()}
+    assert set(rows) == {
+        "lineitem.l_partkey", "lineitem.l_suppkey",
+        "orders.o_custkey", "events.user_id",
+    }
+    vc = (
+        table(spark, sf_smoke, "events").select("user_id")
+        .toPandas().user_id.value_counts()
+    )
+    n_rows = int(vc.sum())
+    r = rows["events.user_id"]
+    assert r["n_rows"] == n_rows
+    assert r["n_keys"] == int(vc.size)
+    assert r["top1_ppm"] == (int(vc.iloc[0]) * 1_000_000) // n_rows
+    # top-10 by count: tie-break can differ but boundary counts are equal,
+    # so the SUM is tie-break-independent
+    assert r["top10_ppm"] == (int(vc.iloc[:10].sum()) * 1_000_000) // n_rows
+    assert bool(r["skewed"]) == (int(vc.iloc[0]) * int(vc.size) > 100 * n_rows)

@@ -825,3 +825,61 @@ def test_corpus_prep_single_scan_one_window_one_agg(spark, sf_smoke):
     assert plan.count("documents.parquet") == 1
     assert "Join" not in plan
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_snapshot_diff_single_full_outer_merge(spark, sf_smoke):
+    """The reconciliation must be ONE co-partitionable full-outer merge on
+    the primary key — classification is a map-side CASE, the summary a
+    two-phase aggregate, and no other join exists in the plan."""
+    import re
+
+    from tfm_taxitrips_spark.queries.dataprep import q_snapshot_diff
+
+    plan = explain_formatted(q_snapshot_diff(spark, sf_smoke))
+    assert len(re.findall(r"SortMergeJoin FullOuter", plan)) == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2
+
+
+def test_k_anonymize_ladder_join_and_window_free(spark, sf_smoke):
+    """The generalization ladder must be pure aggregation: no join, no
+    window; branches re-aggregate the checkpointed level-0 group counts
+    (bounded by the quasi-id domain), never the customer scan."""
+    from tfm_taxitrips_spark.queries.dataprep import q_k_anonymize
+
+    plan = explain_formatted(q_k_anonymize(spark, sf_smoke))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Union" in plan
+
+
+def test_cms_join_size_grids_broadcast_raw_never_key_shuffled(spark, sf_smoke):
+    """The sketch path must scan raw events exactly twice (once per side),
+    shuffle only d*w-bounded grids, and join the grids by broadcast; the
+    exact baseline rides the checkpointed per-key counts, so no raw-side
+    SortMergeJoin may appear."""
+    import re
+
+    from tfm_taxitrips_spark.queries.sketches import q_cms_join_size
+
+    plan = explain_formatted(q_cms_join_size(spark, sf_smoke))
+    assert "BroadcastHashJoin Inner" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+
+
+def test_key_skew_audit_topn_on_collapsed_counts_no_global_sort(spark, sf_smoke):
+    """Top-10 shares must come from TakeOrderedAndProject over the
+    checkpointed per-key counts — never a global Sort — and the audits
+    combine with broadcast-only (1-row) joins."""
+    import re
+
+    from tfm_taxitrips_spark.queries.analytics import q_key_skew_audit
+
+    plan = explain_formatted(q_key_skew_audit(spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"\(\d+\) Sort\b", plan)

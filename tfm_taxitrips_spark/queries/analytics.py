@@ -809,7 +809,91 @@ SELECT 'orders->customer',
 """
 
 
+def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — per candidate join/aggregation key, the
+    concentration numbers that decide the physical strategy BEFORE a
+    1000-executor job hits a hot partition: row count, distinct keys,
+    top-1 and top-10 key share (ppm, exact integer division), and a skew
+    flag (top key carries >100× the mean per-key load, integer
+    cross-multiplied — no float threshold). This is the planning
+    companion to ``salted_skew_join`` / AQE skew handling: the audit says
+    WHICH keys need salting; SCALE.md §Joins says when.
+
+    Scale shape per column: one pruned single-column scan → one
+    map-side-combined groupBy (the only shuffle, carrying |keys| partial
+    rows); top-1 is ``max`` over the collapsed counts, top-10 a
+    ``TakeOrderedAndProject`` over |keys| rows — never a global sort, and
+    ties at the cut are count-equal so the sum is deterministic under
+    either engine's tie-break. The collapsed per-key counts are
+    materialized once per column via lazy ``localCheckpoint`` (two
+    consumers — totals and top-10 — would otherwise each replay the fact
+    scan). The four audits union driver-free.
+    """
+
+    def audit(df: DataFrame, col: str, label: str) -> DataFrame:
+        counts = (df.groupBy(F.col(col).alias("k"))
+                  .agg(F.count(F.lit(1)).alias("cnt"))
+                  .localCheckpoint(eager=False))
+        stats = counts.agg(
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("cnt").cast("bigint").alias("_top1"),
+        )
+        top10 = (
+            counts.orderBy(F.col("cnt").desc(), F.col("k").asc())
+            .limit(10)
+            .agg(F.sum("cnt").cast("bigint").alias("_top10"))
+        )
+        return stats.crossJoin(F.broadcast(top10)).select(
+            F.lit(label).alias("key_column"),
+            "n_rows",
+            "n_keys",
+            F.expr("(_top1 * 1000000) div n_rows").alias("top1_ppm"),
+            F.expr("(_top10 * 1000000) div n_rows").alias("top10_ppm"),
+            (F.col("_top1") * F.col("n_keys") > F.lit(100) * F.col("n_rows"))
+            .alias("skewed"),
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    ev = table(spark, sf_dir, "events")
+    return (
+        audit(li, "l_partkey", "lineitem.l_partkey")
+        .unionByName(audit(li, "l_suppkey", "lineitem.l_suppkey"))
+        .unionByName(audit(orders, "o_custkey", "orders.o_custkey"))
+        .unionByName(audit(ev, "user_id", "events.user_id"))
+    )
+
+
+def _skew_audit_sql(tbl: str, col: str) -> str:
+    return f"""
+SELECT '{tbl}.{col}' AS key_column,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST((MAX(cnt) * 1000000) // CAST(SUM(cnt) AS BIGINT)
+            AS BIGINT) AS top1_ppm,
+       CAST(((SELECT CAST(SUM(cnt) AS BIGINT) FROM (
+           SELECT cnt FROM (SELECT {col} AS k, COUNT(*) AS cnt
+                            FROM {tbl} GROUP BY 1)
+           ORDER BY cnt DESC, k ASC LIMIT 10)) * 1000000)
+           // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS top10_ppm,
+       MAX(cnt) * COUNT(*) > 100 * SUM(cnt) AS skewed
+FROM (SELECT {col} AS k, COUNT(*) AS cnt FROM {tbl} GROUP BY 1)
+"""
+
+
+_KEY_SKEW_SQL = " UNION ALL ".join([
+    _skew_audit_sql("lineitem", "l_partkey"),
+    _skew_audit_sql("lineitem", "l_suppkey"),
+    _skew_audit_sql("orders", "o_custkey"),
+    _skew_audit_sql("events", "user_id"),
+])
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "key_skew_audit": QuerySpec(
+        q_key_skew_audit, _KEY_SKEW_SQL, tags=("analytics", "skew", "profiling")
+    ),
     "column_profile": QuerySpec(
         q_column_profile, _COLUMN_PROFILE_SQL, tags=("analytics", "profiling")
     ),

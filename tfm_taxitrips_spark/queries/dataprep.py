@@ -1493,7 +1493,215 @@ FROM staged GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# snapshot reconciliation: classify added / removed / changed / unchanged
+# --------------------------------------------------------------------------
+
+_SNAP_OFFSET = 1_000_000_000
+
+
+def _snap_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = F.pmod(
+        hash60(F.concat(F.lit("snap:"), F.col("o_orderkey").cast("string"))),
+        F.lit(10),
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        h.alias("_h"),
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation report — classify every key across two
+    table versions as added / removed / changed / unchanged and emit
+    per-class row counts with an order-independent key checksum. The
+    read side of the merge family: :func:`q_incremental_merge` applies a
+    delta, :func:`q_cdc_apply` replays a log; this op *derives* the delta
+    two full snapshots imply (the backfill-audit / replica-drift primitive,
+    pairing with :func:`q_table_fingerprint` — the fingerprint tells you
+    THAT replicas diverged, the diff tells you WHERE).
+
+    The "new" snapshot is synthesized deterministically from ``orders``
+    (hash-gated: 1/10 of keys deleted, 1/10 payload-mutated, 1/10 re-keyed
+    beyond the key domain as inserts), so all four classes occur at any SF.
+
+    Scale shape: ONE full-outer shuffle join on the primary key — both
+    sides big, so this is the honest co-partitioned merge (bucket both
+    snapshots on the key at 100 TB and the exchange disappears); the
+    classification is a map-side CASE over the joined row, and the output
+    collapses to 4 rows via a map-side-combined aggregate. Payload
+    comparison happens in DECIMAL, never raw double. At 100 TB you'd
+    first prune unchanged partitions with per-partition fingerprints and
+    full-outer-join only the partitions whose fingerprints differ.
+    """
+    base = _snap_base(spark, sf_dir)
+    old = base.select("o_orderkey", "o_orderstatus", "price",
+                      F.lit(1).alias("_o"))
+    mut = F.col("_h") == 1
+    new = (
+        base.where(F.col("_h") != 0)
+        .select(
+            "o_orderkey",
+            F.when(mut, F.concat(F.lit("X"), F.col("o_orderstatus")))
+            .otherwise(F.col("o_orderstatus")).alias("n_status"),
+            F.when(mut, F.col("price") + F.lit(1).cast("decimal(18,2)"))
+            .otherwise(F.col("price")).cast("decimal(19,2)").alias("n_price"),
+        )
+        .unionByName(
+            base.where(F.col("_h") == 2).select(
+                (F.col("o_orderkey") + F.lit(_SNAP_OFFSET)).alias("o_orderkey"),
+                F.col("o_orderstatus").alias("n_status"),
+                F.col("price").cast("decimal(19,2)").alias("n_price"),
+            )
+        )
+        .withColumn("_n", F.lit(1))
+    )
+    joined = old.join(new, "o_orderkey", "full_outer")
+    classified = joined.select(
+        "o_orderkey",
+        F.when(F.col("_o").isNull(), F.lit("added"))
+        .when(F.col("_n").isNull(), F.lit("removed"))
+        .when(
+            (F.col("o_orderstatus") != F.col("n_status"))
+            | (F.col("price").cast("decimal(19,2)") != F.col("n_price")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("diff_class"),
+    )
+    return classified.groupBy("diff_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.bit_xor(hash60(F.col("o_orderkey").cast("string")))
+        .alias("key_checksum"),
+    )
+
+
+_SNAP_HASH = hash60_sql("concat('snap:', CAST(o_orderkey AS VARCHAR))")
+
+_SNAPSHOT_DIFF_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         {_SNAP_HASH} % 10 AS h
+  FROM orders
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN h = 1 THEN 'X' || o_orderstatus
+              ELSE o_orderstatus END AS n_status,
+         CAST(CASE WHEN h = 1 THEN price + CAST(1 AS DECIMAL(18,2))
+              ELSE price END AS DECIMAL(19,2)) AS n_price
+  FROM base WHERE h <> 0
+  UNION ALL
+  SELECT o_orderkey + {_SNAP_OFFSET}, o_orderstatus,
+         CAST(price AS DECIMAL(19,2))
+  FROM base WHERE h = 2
+),
+d AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_orderstatus <> n.n_status
+                   OR CAST(o.price AS DECIMAL(19,2)) <> n.n_price
+                THEN 'changed'
+              ELSE 'unchanged' END AS diff_class
+  FROM base o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT diff_class, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       bit_xor({hash60_sql("CAST(k AS VARCHAR)")}) AS key_checksum
+FROM d GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# k-anonymity suppression over a generalization ladder
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity grouping over customer quasi-identifiers with a
+    generalization ladder — the privacy gate a training-data pipeline
+    runs before releasing per-group statistics. Level 0 keeps
+    (nation, market segment) groups with at least k={_k} members; records
+    in smaller groups generalize to level 1 (nation only); nations still
+    under k collapse into one suppressed bucket (level 2) rather than leak
+    a small-group count. Emits (level, quasi-ids, n_rows) — every
+    non-suppressed row is guaranteed n_rows >= k by construction.
+
+    Scale shape: one scan, one map-side-combined exchange on the level-0
+    quasi-id pair; everything after operates on GROUP counts (bounded by
+    |nations| x |segments|, never by |customers|), so the ladder re-aggs
+    are driver-free single-row-ish plans. No window, no join. The
+    collapsed level-0 relation is materialized ONCE via lazy
+    ``localCheckpoint`` — three ladder branches read it, and without the
+    checkpoint each branch would replay the customer scan.
+    """
+    k = F.lit(_KANON_K)
+    g0 = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .localCheckpoint(eager=False)
+    )
+    lvl0 = g0.where(F.col("n_rows") >= k).select(
+        F.lit(0).alias("level"), "c_nationkey", "c_mktsegment", "n_rows"
+    )
+    g1 = (
+        g0.where(F.col("n_rows") < k)
+        .groupBy("c_nationkey")
+        .agg(F.sum("n_rows").cast("bigint").alias("n_rows"))
+    )
+    lvl1 = g1.where(F.col("n_rows") >= k).select(
+        F.lit(1).alias("level"), "c_nationkey",
+        F.lit(None).cast("string").alias("c_mktsegment"), "n_rows",
+    )
+    lvl2 = (
+        g1.where(F.col("n_rows") < k)
+        .agg(F.sum("n_rows").cast("bigint").alias("n_rows"))
+        .where(F.col("n_rows").isNotNull())
+        .select(
+            F.lit(2).alias("level"),
+            F.lit(None).cast("bigint").alias("c_nationkey"),
+            F.lit(None).cast("string").alias("c_mktsegment"), "n_rows",
+        )
+    )
+    return lvl0.unionByName(lvl1).unionByName(lvl2)
+
+
+q_k_anonymize.__doc__ = q_k_anonymize.__doc__.replace("{_k}", str(_KANON_K))
+
+_K_ANONYMIZE_SQL = f"""
+WITH g0 AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM customer GROUP BY 1, 2
+),
+g1 AS (
+  SELECT c_nationkey, CAST(SUM(n_rows) AS BIGINT) AS n_rows
+  FROM g0 WHERE n_rows < {_KANON_K} GROUP BY 1
+)
+SELECT 0 AS level, c_nationkey, c_mktsegment, n_rows
+FROM g0 WHERE n_rows >= {_KANON_K}
+UNION ALL
+SELECT 1, c_nationkey, NULL, n_rows FROM g1 WHERE n_rows >= {_KANON_K}
+UNION ALL
+SELECT 2, NULL, NULL, CAST(SUM(n_rows) AS BIGINT)
+FROM g1 WHERE n_rows < {_KANON_K}
+HAVING SUM(n_rows) IS NOT NULL
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "snapshot_diff": QuerySpec(
+        q_snapshot_diff, _SNAPSHOT_DIFF_SQL,
+        tags=("merge", "integrity", "pipeline"),
+    ),
+    "k_anonymize": QuerySpec(
+        q_k_anonymize, _K_ANONYMIZE_SQL, tags=("privacy", "pipeline"),
+    ),
     "corpus_prep_pipeline": QuerySpec(
         q_corpus_prep_pipeline, _corpus_prep_sql(),
         tags=("text", "dedup", "pipeline", "capstone")),

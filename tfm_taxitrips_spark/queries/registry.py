@@ -109,6 +109,10 @@ PENDING_ROTATION: tuple[str, ...] = (
     "sink_compaction_roundtrip",  # likewise (small-files compaction)
     "stream_orphan_gate",   # likewise (streaming referential quarantine)
     "centroid_shift",       # likewise (embedding drift, exact rationals)
+    "snapshot_diff",        # likewise (full-outer reconciliation report)
+    "k_anonymize",          # likewise (generalization-ladder privacy gate)
+    "cms_join_size_estimate",  # likewise (sketch inner-product cardinality)
+    "key_skew_audit",       # likewise (join-key concentration planner)
 )
 
 

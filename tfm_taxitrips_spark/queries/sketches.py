@@ -292,7 +292,85 @@ SELECT
 """
 
 
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from Count-Min sketch inner products
+    (Cormode & Muthukrishnan 2005, §4.2) — the optimizer-style "how big
+    would A ⋈ B be?" answered WITHOUT running the join. Each side is
+    sketched into a d×w counter grid in one map-side-combined pass;
+    ``est = min_d Σ_b cntA[d,b]·cntB[d,b]`` touches only the two 8 k-cell
+    grids. The estimate NEVER undershoots (hash collisions only add
+    cross-terms), and overshoots by at most ``2e·|A|·|B|/w`` per row with
+    probability ≤ (2e)⁻ᵈ — the pre-flight check that tells you a join will
+    explode before you shuffle 100 TB to find out.
+
+    The two sides are the event stream split by event_id parity, joined on
+    ``user_id`` — a genuinely multiplicity-on-both-sides join (join size =
+    Σ_u cntA(u)·cntB(u), not a FK count). The exact size rides along for
+    the oracle (computed from per-key counts, NOT by materializing the
+    join), plus the two accuracy-contract booleans per the module
+    docstring's oracle strategy.
+
+    Scale shape: the CMS path is two scans → two d×w-bounded
+    map-side-combined aggregations — it never shuffles on the join key
+    (that being the point); the grid-grid join is broadcast (both sides
+    ≤ d·w rows by construction, any data scale). The exact baseline
+    shuffles per-key COUNTS (|keys| rows, not |rows|), materialized once
+    per side via lazy ``localCheckpoint`` so the size totals reuse them
+    instead of replaying the event scans; at 100 TB you'd skip the
+    baseline and trust the sketch.
+    """
+    ev = table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0).select(
+        F.col("user_id").cast("string").alias("k"))
+    b = ev.where(F.col("event_id") % 2 == 1).select(
+        F.col("user_id").cast("string").alias("k"))
+
+    def grid(side: DataFrame) -> DataFrame:
+        return (
+            side.select(F.explode(_cms_cells(F.col("k"))).alias("c"))
+            .groupBy(F.col("c.d").alias("d"), F.col("c.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    est = (
+        grid(a).withColumnRenamed("cnt", "ca")
+        .join(F.broadcast(grid(b).withColumnRenamed("cnt", "cb")), ["d", "b"])
+        .groupBy("d").agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+        .agg(F.min("ip").alias("_est"))
+    )
+    ka = (a.groupBy("k").agg(F.count(F.lit(1)).alias("ca"))
+          .localCheckpoint(eager=False))
+    kb = (b.groupBy("k").agg(F.count(F.lit(1)).alias("cb"))
+          .localCheckpoint(eager=False))
+    exact = ka.join(kb, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("exact_join_rows")
+    )
+    sizes = ka.agg(F.sum("ca").alias("_na")).crossJoin(
+        kb.agg(F.sum("cb").alias("_nb")))
+    eps = 2.0 * math.e / _CMS_W
+    return exact.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(sizes)).select(
+        "exact_join_rows",
+        (F.col("_est") >= F.col("exact_join_rows"))
+        .alias("cms_never_underestimates"),
+        (F.col("_est") <= F.col("exact_join_rows")
+         + eps * F.col("_na") * F.col("_nb")).alias("cms_within_bound"),
+    )
+
+
+_CMS_JOIN_SQL = """
+WITH a AS (SELECT user_id AS k FROM events WHERE event_id % 2 = 0),
+b AS (SELECT user_id AS k FROM events WHERE event_id % 2 = 1),
+ka AS (SELECT k, COUNT(*) AS ca FROM a GROUP BY 1),
+kb AS (SELECT k, COUNT(*) AS cb FROM b GROUP BY 1)
+SELECT CAST(SUM(ka.ca * kb.cb) AS BIGINT) AS exact_join_rows,
+       TRUE AS cms_never_underestimates, TRUE AS cms_within_bound
+FROM ka JOIN kb USING (k)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "cms_join_size_estimate": QuerySpec(
+        q_cms_join_size, _CMS_JOIN_SQL, tags=("sketch", "cardinality")),
     "hll_distinct_bounds": QuerySpec(
         q_hll_distinct_bounds, _HLL_SQL, tags=("sketch", "A4")),
     "quantile_sketch_bounds": QuerySpec(
