@@ -1,9 +1,11 @@
-"""Behavioral tests for the audit/governance operators added late in
+"""Behavioral tests for the audit/governance/eval operators added late in
 round 4: snapshot reconciliation, k-anonymity suppression, CMS join-size
-estimation, and the join-key skew audit. Oracle parity is covered by the
+estimation, the join-key skew audit, token-budget corpus sampling, and the
+integer Mann-Whitney AUC gate. Oracle parity is covered by the
 registry-wide differential sweep; these pin the semantics the hash compare
 alone can't express (class/wave correspondence, the k guarantee,
-never-underestimate, and agreement with an independent pandas reference).
+never-underestimate, greedy-boundary equivalence, and agreement with
+independent pandas references).
 """
 
 from __future__ import annotations
@@ -101,3 +103,59 @@ def test_key_skew_audit_matches_pandas_reference(spark, sf_smoke):
     # so the SUM is tie-break-independent
     assert r["top10_ppm"] == (int(vc.iloc[:10].sum()) * 1_000_000) // n_rows
     assert bool(r["skewed"]) == (int(vc.iloc[0]) * int(vc.size) > 100 * n_rows)
+
+
+def test_token_budget_mix_greedy_boundary_and_pandas_reference(spark, sf_smoke):
+    """The two-phase prefix-sum selection must equal the naive greedy:
+    selected docs are exactly those whose prior-token cumsum (in
+    hash-priority order) is under the source's quarter-token budget."""
+    from tfm_taxitrips_spark.queries.dataprep import q_token_budget_mix
+
+    got = {r["source"]: r for r in q_token_budget_mix(spark, sf_smoke).collect()}
+    docs = (
+        table(spark, sf_smoke, "documents")
+        .select(
+            "source", "doc_id",
+            hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+            .alias("pr"),
+            F.size(F.split("text", " ")).cast("long").alias("nt"),
+        )
+        .toPandas()
+    )
+    for src, grp in docs.groupby("source"):
+        grp = grp.sort_values(["pr", "doc_id"])
+        budget = int(grp.nt.sum()) // 4
+        before = grp.nt.cumsum().shift(fill_value=0)
+        sel = grp[before < budget]
+        r = got[src]
+        assert r["n_docs"] == len(grp)
+        assert r["n_selected"] == len(sel)
+        assert r["tok_budget"] == budget
+        assert r["tok_selected"] == int(sel.nt.sum())
+        # greedy boundary: overflow bounded by the last admitted doc
+        assert budget <= r["tok_selected"] < budget + int(sel.nt.max())
+
+
+def test_auc_score_eval_matches_rank_based_reference(spark, sf_smoke):
+    """The collapsed-score integer U must equal the classic midrank AUC
+    computed with pandas average ranks (float reference, ppm-floored)."""
+    from tfm_taxitrips_spark.queries.retrieval import q_auc_score_eval
+
+    got = {r["source"]: r for r in q_auc_score_eval(spark, sf_smoke).collect()}
+    docs = (
+        table(spark, sf_smoke, "documents")
+        .select("source", "lang", "n_chars").toPandas()
+    )
+    for src, grp in docs.groupby("source"):
+        pos = grp.lang == "en"
+        n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+        if n_pos == 0 or n_neg == 0:
+            assert src not in got
+            continue
+        ranks = grp.n_chars.rank(method="average")
+        u = float(ranks[pos].sum()) - n_pos * (n_pos + 1) / 2
+        ref_ppm = int(u * 1_000_000) // (n_pos * n_neg)
+        r = got[src]
+        assert r["n_pos"] == n_pos and r["n_neg"] == n_neg
+        assert abs(r["auc_ppm"] - ref_ppm) <= 1  # float-reference ulp slack
+        assert r["discriminates"] == (r["auc_ppm"] >= 500_000)

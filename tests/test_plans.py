@@ -883,3 +883,36 @@ def test_key_skew_audit_topn_on_collapsed_counts_no_global_sort(spark, sf_smoke)
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert not re.search(r"\(\d+\) Sort\b", plan)
+
+
+def test_token_budget_mix_heavy_window_rides_range_buckets(spark, sf_smoke):
+    """The corpus-sized running total must be windowed on (source, rng) —
+    the two-phase split — never on source alone; offsets and budgets join
+    back by broadcast (no SortMergeJoin)."""
+    import re
+
+    from tfm_taxitrips_spark.queries.dataprep import q_token_budget_mix
+
+    plan = explain_formatted(q_token_budget_mix(spark, sf_smoke))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    win_args = [
+        l for l in plan.splitlines()
+        if "windowspecdefinition" in l and "pr#" in l
+    ]
+    assert win_args and all("rng#" in l for l in win_args)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2  # offsets + local
+
+
+def test_auc_eval_windows_collapsed_scores_only(spark, sf_smoke):
+    """AUC must rank the collapsed (source, score) relation: the groupBy
+    collapse precedes the one window (two-phase agg before it), and the
+    plan is join-free."""
+    import re
+
+    from tfm_taxitrips_spark.queries.retrieval import q_auc_score_eval
+
+    plan = explain_formatted(q_auc_score_eval(spark, sf_smoke))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4

@@ -1694,7 +1694,121 @@ HAVING SUM(n_rows) IS NOT NULL
 """
 
 
+# --------------------------------------------------------------------------
+# token-budget corpus sampling via a distributed two-phase prefix sum
+# --------------------------------------------------------------------------
+
+_MIX_BUCKETS = 16
+_MIX_BUCKET_SPAN = (1 << 60) // _MIX_BUCKETS  # priority domain / buckets
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus sampling: per source, admit documents in
+    deterministic hash-priority order until 1/4 of the source's tokens
+    are selected — the TOKEN-weighted companion to
+    :func:`q_corpus_mix_rebalance` (training mixes are token budgets, not
+    doc counts). Greedy boundary convention matches
+    :func:`q_sequence_packing`: a doc is admitted iff the tokens BEFORE
+    it are under budget, so the last pack may overflow by one doc.
+
+    The interesting part is HOW the running total is computed. A naive
+    per-source window is one sort per source — and a source is exactly
+    the kind of key that goes hot (half of 100 TB can be one crawl). This
+    is the distributed TWO-PHASE PREFIX SUM instead: the 60-bit priority
+    domain splits into {nb} contiguous ranges, (1) per-(source, range)
+    token sums collapse map-side into a |sources|×{nb} relation whose
+    prefix offsets come from a window over THAT tiny relation, (2) each
+    (source, range) partition computes its local running total
+    independently and adds the broadcast offset. The heavy window's
+    partition key gains {nb}× the parallelism, the global sort never
+    happens, and the per-range local sort is AQE-splittable. The oracle
+    states the naive one-window-per-source form — the differential proves
+    the rewrite exactly.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pr = hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    base = (
+        docs.select(
+            "source", "doc_id", pr.alias("pr"),
+            token_count("text").cast("bigint").alias("nt"),
+        )
+        # integer div — a float division would lose 60-bit precision
+        .withColumn("rng", F.expr(f"pr div {_MIX_BUCKET_SPAN}"))
+        .localCheckpoint(eager=False)
+    )
+    rng_sums = base.groupBy("source", "rng").agg(
+        F.sum("nt").alias("rt"))
+    w_off = (Window.partitionBy("source").orderBy("rng")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = rng_sums.select(
+        "source", "rng",
+        F.coalesce(F.sum("rt").over(w_off), F.lit(0)).alias("off"),
+    )
+    budgets = base.groupBy("source").agg(
+        F.expr("sum(nt) div 4").alias("budget"),
+        F.sum("nt").alias("tok_total"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    w_loc = (Window.partitionBy("source", "rng").orderBy("pr", "doc_id")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    with_before = (
+        base.join(F.broadcast(offsets), ["source", "rng"])
+        .withColumn(
+            "before",
+            F.col("off") + F.coalesce(F.sum("nt").over(w_loc), F.lit(0)),
+        )
+    )
+    sel = with_before.join(F.broadcast(budgets), "source").where(
+        F.col("before") < F.col("budget"))
+    return sel.groupBy("source").agg(
+        F.max("n_docs").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+        F.max("tok_total").cast("bigint").alias("tok_total"),
+        F.max("budget").cast("bigint").alias("tok_budget"),
+        F.sum("nt").cast("bigint").alias("tok_selected"),
+    )
+
+
+_MIX_PR = hash60_sql("concat('mix:', CAST(doc_id AS VARCHAR))")
+
+_TOKEN_BUDGET_SQL = f"""
+WITH base AS (
+  SELECT source, doc_id, {_MIX_PR} AS pr,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents
+),
+cum AS (
+  SELECT source, doc_id, nt,
+         COALESCE(SUM(nt) OVER (PARTITION BY source ORDER BY pr, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS before
+  FROM base
+),
+tot AS (
+  SELECT source, CAST(SUM(nt) AS BIGINT) // 4 AS budget,
+         CAST(SUM(nt) AS BIGINT) AS tok_total,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM base GROUP BY 1
+)
+SELECT c.source, MAX(t.n_docs) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_selected,
+       MAX(t.tok_total) AS tok_total,
+       MAX(t.budget) AS tok_budget,
+       CAST(SUM(c.nt) AS BIGINT) AS tok_selected
+FROM cum c JOIN tot t USING (source)
+WHERE c.before < t.budget
+GROUP BY 1
+"""
+
+q_token_budget_mix.__doc__ = q_token_budget_mix.__doc__.replace(
+    "{nb}", str(_MIX_BUCKETS))
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "token_budget_mix": QuerySpec(
+        q_token_budget_mix, _TOKEN_BUDGET_SQL,
+        tags=("text", "sample", "pipeline", "window"),
+    ),
     "snapshot_diff": QuerySpec(
         q_snapshot_diff, _SNAPSHOT_DIFF_SQL,
         tags=("merge", "integrity", "pipeline"),

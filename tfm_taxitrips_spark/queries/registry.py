@@ -113,6 +113,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "k_anonymize",          # likewise (generalization-ladder privacy gate)
     "cms_join_size_estimate",  # likewise (sketch inner-product cardinality)
     "key_skew_audit",       # likewise (join-key concentration planner)
+    "token_budget_mix",     # likewise (two-phase prefix-sum token sampler)
+    "auc_score_eval",       # likewise (integer Mann-Whitney AUC gate)
 )
 
 

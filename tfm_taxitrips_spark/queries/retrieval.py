@@ -404,7 +404,86 @@ SELECT term, df, rnk, doc_id, tf FROM (
 """
 
 
+def q_auc_score_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC per source, integer-only: does the length score
+    (``n_chars``) discriminate English documents from the rest? The
+    classifier-eval gate every filter-model iteration needs (is the new
+    quality score better than the old one?), computed as the
+    Mann-Whitney U statistic with exact tie handling.
+
+    Exactness + scale come from the same trick: instead of ranking every
+    document (a global sort per source — AUC's usual cost), the corpus
+    first collapses to per-(source, score) positive/negative counts via
+    a map-side-combined groupBy; U then needs only a window over that
+    collapsed relation — |distinct scores| rows per source, bounded by
+    the score DOMAIN rather than the corpus (at 100 TB you quantize the
+    score to fix the domain; with integer scores, zero approximation).
+    Ties contribute the exact half-credit via the doubled form
+    ``2U = Σ_s pos_s · (2·neg_below_s + neg_s)`` — all BIGINT, no
+    0.5 float ever exists, so the ppm AUC is bit-identical across
+    engines and partitionings.
+    """
+    docs = table(spark, sf_dir, "documents")
+    pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    by_score = docs.groupBy("source", F.col("n_chars").alias("score")).agg(
+        F.sum(pos).cast("bigint").alias("pos"),
+        F.sum(1 - pos).cast("bigint").alias("neg"),
+    )
+    w = (Window.partitionBy("source").orderBy("score")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    agg = (
+        by_score
+        .withColumn("below", F.coalesce(F.sum("neg").over(w), F.lit(0)))
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("pos") * (2 * F.col("below") + F.col("neg")))
+            .alias("u2"),
+            F.sum("pos").alias("n_pos"),
+            F.sum("neg").alias("n_neg"),
+        )
+        .where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    )
+    return agg.select(
+        "source",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.expr("(u2 * 1000000) div (2 * n_pos * n_neg)").alias("auc_ppm"),
+        (F.expr("(u2 * 1000000) div (2 * n_pos * n_neg)") >= 500000)
+        .alias("discriminates"),
+    )
+
+
+_AUC_SQL = """
+WITH by_score AS (
+  SELECT source, n_chars AS score,
+         CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS pos,
+         CAST(COUNT(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS neg
+  FROM documents GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, pos, neg,
+         CAST(COALESCE(SUM(neg) OVER (
+           PARTITION BY source ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS below
+  FROM by_score
+),
+agg AS (
+  SELECT source, CAST(SUM(pos * (2 * below + neg)) AS BIGINT) AS u2,
+         CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg
+  FROM cum GROUP BY 1
+)
+SELECT source, n_pos, n_neg,
+       CAST((u2 * 1000000) // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm,
+       (u2 * 1000000) // (2 * n_pos * n_neg) >= 500000 AS discriminates
+FROM agg WHERE n_pos > 0 AND n_neg > 0
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "auc_score_eval": QuerySpec(
+        q_auc_score_eval, _AUC_SQL, tags=("eval", "quality", "window")
+    ),
     "bm25_search": QuerySpec(
         q_bm25_search, _BM25_SQL, tags=("text", "retrieval", "topk")
     ),
