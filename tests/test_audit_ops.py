@@ -1,7 +1,8 @@
 """Behavioral tests for the audit/governance/eval operators added late in
 round 4: snapshot reconciliation, k-anonymity suppression, CMS join-size
-estimation, the join-key skew audit, token-budget corpus sampling, and the
-integer Mann-Whitney AUC gate. Oracle parity is covered by the
+estimation, the join-key skew audit, token-budget corpus sampling, the
+integer Mann-Whitney AUC gate, and the sweep-line concurrency profile.
+Oracle parity is covered by the
 registry-wide differential sweep; these pin the semantics the hash compare
 alone can't express (class/wave correspondence, the k guarantee,
 never-underestimate, greedy-boundary equivalence, and agreement with
@@ -159,3 +160,48 @@ def test_auc_score_eval_matches_rank_based_reference(spark, sf_smoke):
         assert r["n_pos"] == n_pos and r["n_neg"] == n_neg
         assert abs(r["auc_ppm"] - ref_ppm) <= 1  # float-reference ulp slack
         assert r["discriminates"] == (r["auc_ppm"] >= 500_000)
+
+
+def test_concurrency_profile_matches_naive_sweep(spark, sf_smoke):
+    """The two-phase per-day assembly must reproduce the naive global
+    sweep line: sessions -> +/-1 boundaries -> one global cumsum ->
+    per-day max, computed here in pandas from the (already
+    differential-proven) session_window sessions."""
+    import pandas as pd
+
+    from tfm_taxitrips_spark.queries.temporal import (
+        _DAY_US,
+        GAP,
+        q_concurrency_profile,
+    )
+
+    sess = (
+        table(spark, sf_smoke, "events")
+        .groupBy("user_id", F.session_window("ts", GAP).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros("sw.start").alias("s"),
+            F.unix_micros("sw.end").alias("e"),
+        )
+        .toPandas()
+    )
+    b = pd.concat([
+        pd.DataFrame({"us": sess.s, "delta": 1}),
+        pd.DataFrame({"us": sess.e, "delta": -1}),
+    ]).sort_values(["us", "delta"], kind="mergesort")
+    b["conc"] = b.delta.cumsum()
+    b["day"] = b.us // _DAY_US
+    ref = b.groupby("day").agg(
+        max_concurrent=("conc", "max"),
+        n_boundaries=("conc", "size"),
+        n_starts=("delta", lambda d: int((d == 1).sum())),
+    )
+    got = {r["day_idx"]: r for r in q_concurrency_profile(spark, sf_smoke).collect()}
+    assert set(got) == set(ref.index)
+    for day, row in ref.iterrows():
+        r = got[day]
+        assert r["max_concurrent"] == int(row.max_concurrent)
+        assert r["n_boundaries"] == int(row.n_boundaries)
+        assert r["n_starts"] == int(row.n_starts)
+    # sweep sanity: concurrency returns to zero after the last boundary
+    assert int(b.conc.iloc[-1]) == 0

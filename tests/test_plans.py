@@ -916,3 +916,22 @@ def test_auc_eval_windows_collapsed_scores_only(spark, sf_smoke):
     assert "Join" not in plan
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4
+
+
+def test_concurrency_profile_sweep_rides_day_partitions(spark, sf_smoke):
+    """The corpus-sized running sum must be windowed per epoch-day (the
+    two-phase split); only the |days|-row offset window is global, the
+    offsets join back by broadcast, and no SortMergeJoin appears."""
+    import re
+
+    from tfm_taxitrips_spark.queries.temporal import q_concurrency_profile
+
+    plan = explain_formatted(q_concurrency_profile(spark, sf_smoke))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    win_args = [
+        l for l in plan.splitlines()
+        if "windowspecdefinition" in l and "us#" in l
+    ]
+    assert win_args and all("day_idx#" in l for l in win_args)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2

@@ -115,6 +115,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "key_skew_audit",       # likewise (join-key concentration planner)
     "token_budget_mix",     # likewise (two-phase prefix-sum token sampler)
     "auc_score_eval",       # likewise (integer Mann-Whitney AUC gate)
+    "concurrency_profile",  # likewise (sweep-line peak concurrent sessions)
 )
 
 

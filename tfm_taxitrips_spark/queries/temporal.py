@@ -1205,7 +1205,118 @@ FROM w JOIN base USING (event_type, hod)
 """
 
 
+_DAY_US = 86_400_000_000
+
+
+def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per epoch-day — the interval-algebra
+    sweep line (+1 at each session start, -1 at each end, running sum =
+    live sessions) that answers the capacity question no groupBy can:
+    how many sessions OVERLAP, not how many occur. Sessions come from the
+    same built-in ``session_window`` construct as
+    :func:`q_session_window_agg`.
+
+    Scale shape: the sweep's running sum is a global ordered prefix — at
+    100 TB you never global-sort it; this is the distributed TWO-PHASE
+    PREFIX SUM on the natural time split: per-day boundary-delta sums
+    collapse map-side into a |days|-row relation whose prior-day offsets
+    come from a window over THAT (cardinality-collapsed single-partition
+    window — a deliberate bounded choice, like the Pareto frontier's);
+    each day's partition then computes its local running sum
+    independently and adds its broadcast offset. Day keys are pure
+    integer epoch-day division (``us div 86400e6``) — no timezone
+    anywhere. The per-day maximum is invariant to tie order within equal
+    (instant, delta) groups (equal deltas yield the same partial-sum
+    multiset), so the result is deterministic under any shuffle, and the
+    oracle states the naive global-cumsum form — the differential proves
+    the rewrite.
+    """
+    events = table(spark, sf_dir, "events")
+    sessions = (
+        events.groupBy("user_id", F.session_window("ts", GAP).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros("sw.start").alias("s_us"),
+            F.unix_micros("sw.end").alias("e_us"),
+        )
+    )
+    bounds = (
+        sessions.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("s_us").alias("us"), F.lit(1).alias("delta")),
+                    F.struct(F.col("e_us").alias("us"), F.lit(-1).alias("delta")),
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.us").alias("us"), F.col("b.delta").alias("delta"))
+        .withColumn("day_idx", F.expr(f"us div {_DAY_US}"))
+        .localCheckpoint(eager=False)
+    )
+    day_sums = bounds.groupBy("day_idx").agg(F.sum("delta").alias("dsum"))
+    w_off = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = day_sums.select(
+        "day_idx", F.coalesce(F.sum("dsum").over(w_off), F.lit(0)).alias("off")
+    )
+    w_loc = (
+        Window.partitionBy("day_idx").orderBy("us", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    conc = bounds.join(F.broadcast(offsets), "day_idx").withColumn(
+        "conc", F.col("off") + F.sum("delta").over(w_loc)
+    )
+    return conc.groupBy("day_idx").agg(
+        F.max("conc").cast("bigint").alias("max_concurrent"),
+        F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n_starts"),
+    )
+
+
+_CONCURRENCY_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+x AS (
+  SELECT *,
+         CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w >= {GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM x
+),
+sess AS (
+  SELECT MIN(us) AS s_us, MAX(us) + {GAP_US} AS e_us
+  FROM s GROUP BY user_id, sid
+),
+b AS (
+  SELECT s_us AS us, 1 AS delta FROM sess
+  UNION ALL
+  SELECT e_us AS us, -1 AS delta FROM sess
+),
+c AS (
+  SELECT us, delta, us // {_DAY_US} AS day_idx,
+         CAST(SUM(delta) OVER (ORDER BY us, delta
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+  FROM b
+)
+SELECT day_idx,
+       CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+       CAST(COUNT(*) AS BIGINT) AS n_boundaries,
+       CAST(COUNT(*) FILTER (WHERE delta = 1) AS BIGINT) AS n_starts
+FROM c GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "concurrency_profile": QuerySpec(
+        q_concurrency_profile, _CONCURRENCY_SQL,
+        tags=("temporal", "interval", "window")),
     "event_range_join": QuerySpec(q_range_join, _RANGE_SQL, tags=("temporal", "range_join")),
     "event_sessionization": QuerySpec(q_sessionization, _SESSION_SQL, bench=True,
                                       tags=("temporal",)),
