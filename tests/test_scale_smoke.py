@@ -73,6 +73,11 @@ HEADLINE = (
     # densified-grid pair join behind the correlation matrix
     "copurchase_lift",
     "type_correlation",
+    # two-phase prefix-sum ops: replication grows each source's doc list
+    # and each day's boundary list ~10x — the heavy windows must stay on
+    # their (source, range) / day split, not a global sort
+    "token_budget_mix",
+    "concurrency_profile",
 )
 
 STRAGGLER_FACTOR = 4.0

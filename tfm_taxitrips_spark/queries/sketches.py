@@ -352,8 +352,11 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_join_rows",
         (F.col("_est") >= F.col("exact_join_rows"))
         .alias("cms_never_underestimates"),
+        # cast before the product: |A|·|B| in BIGINT would overflow long
+        # before the double-domain bound does
         (F.col("_est") <= F.col("exact_join_rows")
-         + eps * F.col("_na") * F.col("_nb")).alias("cms_within_bound"),
+         + eps * F.col("_na").cast("double") * F.col("_nb").cast("double"))
+        .alias("cms_within_bound"),
     )
 
 
