@@ -164,9 +164,10 @@ def test_auc_score_eval_matches_rank_based_reference(spark, sf_smoke):
 
 def test_concurrency_profile_matches_naive_sweep(spark, sf_smoke):
     """The two-phase per-day assembly must reproduce the naive global
-    sweep line: sessions -> +/-1 boundaries -> one global cumsum ->
-    per-day max, computed here in pandas from the (already
-    differential-proven) session_window sessions."""
+    sweep line — sessions -> +/-1 boundaries -> one global cumsum ->
+    per-day peak INCLUDING the concurrency carried over midnight, quiet
+    days inheriting their carry — computed here in pandas from the
+    (already differential-proven) session_window sessions."""
     import pandas as pd
 
     from tfm_taxitrips_spark.queries.temporal import (
@@ -191,17 +192,18 @@ def test_concurrency_profile_matches_naive_sweep(spark, sf_smoke):
     ]).sort_values(["us", "delta"], kind="mergesort")
     b["conc"] = b.delta.cumsum()
     b["day"] = b.us // _DAY_US
-    ref = b.groupby("day").agg(
-        max_concurrent=("conc", "max"),
-        n_boundaries=("conc", "size"),
-        n_starts=("delta", lambda d: int((d == 1).sum())),
-    )
     got = {r["day_idx"]: r for r in q_concurrency_profile(spark, sf_smoke).collect()}
-    assert set(got) == set(ref.index)
-    for day, row in ref.iterrows():
+    days = range(int(b.day.min()), int(b.day.max()) + 1)
+    assert set(got) == set(days)
+    carry = 0
+    for day in days:
+        rows = b[b.day == day]
+        peak = max([carry] + rows.conc.tolist())
         r = got[day]
-        assert r["max_concurrent"] == int(row.max_concurrent)
-        assert r["n_boundaries"] == int(row.n_boundaries)
-        assert r["n_starts"] == int(row.n_starts)
+        assert r["max_concurrent"] == peak
+        assert r["n_boundaries"] == len(rows)
+        assert r["n_starts"] == int((rows.delta == 1).sum())
+        if len(rows):
+            carry = int(rows.conc.iloc[-1])
     # sweep sanity: concurrency returns to zero after the last boundary
-    assert int(b.conc.iloc[-1]) == 0
+    assert int(b.conc.iloc[-1]) == 0 and carry == 0

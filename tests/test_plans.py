@@ -830,14 +830,16 @@ def test_corpus_prep_single_scan_one_window_one_agg(spark, sf_smoke):
 def test_snapshot_diff_single_full_outer_merge(spark, sf_smoke):
     """The reconciliation must be ONE co-partitionable full-outer merge on
     the primary key — classification is a map-side CASE, the summary a
-    two-phase aggregate, and no other join exists in the plan."""
+    two-phase aggregate. The only other join is the 1-row max-key shift
+    broadcast (insert re-keying past the observed domain)."""
     import re
 
     from tfm_taxitrips_spark.queries.dataprep import q_snapshot_diff
 
     plan = explain_formatted(q_snapshot_diff(spark, sf_smoke))
     assert len(re.findall(r"SortMergeJoin FullOuter", plan)) == 1
-    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly the one 1-row cross for the max-key shift — nothing else
+    assert len(re.findall(r"BroadcastNestedLoopJoin Cross", plan)) == 1
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2
 
@@ -934,4 +936,5 @@ def test_concurrency_profile_sweep_rides_day_partitions(spark, sf_smoke):
         if "windowspecdefinition" in l and "us#" in l
     ]
     assert win_args and all("day_idx#" in l for l in win_args)
-    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    # offsets + boundary-local sweep + the |days|-row carry window
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 3

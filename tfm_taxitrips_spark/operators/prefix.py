@@ -1,0 +1,78 @@
+"""Distributed two-phase prefix sum — running totals without a global sort.
+
+A running sum over a total order is inherently sequential; at 100 TB the
+naive form (one window over the whole ordering, or per hot key) funnels
+every row through one sort partition. When the leading component of the
+order admits a COARSE MONOTONE BUCKET key (contiguous hash-priority
+ranges, epoch days, file offsets), the prefix decomposes:
+
+1. per-bucket sums collapse map-side into a |partitions × buckets|-row
+   relation (tiny by construction — the caller picks the bucket grain);
+2. each bucket's offset (sum of all prior buckets) comes from a window
+   over THAT relation only;
+3. every bucket partition computes its local running sum independently
+   and adds its broadcast offset.
+
+The heavy window's partition key gains |buckets|× parallelism, nothing
+global is ever sorted, and hot partitions stay AQE-splittable. Used by
+``token_budget_mix`` (hash-priority ranges within source) and
+``concurrency_profile`` (epoch days); the paired DuckDB oracles state the
+naive one-window form, so the registry differential proves the rewrite
+exact on every run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def two_phase_prefix_sum(
+    df: DataFrame,
+    *,
+    bucket_col: str,
+    order_cols: Sequence[str],
+    val_col: str,
+    out_col: str,
+    partition_cols: Sequence[str] = (),
+    inclusive: bool = True,
+) -> DataFrame:
+    """Add ``out_col`` = running sum of ``val_col`` over the total order
+    (``partition_cols``, ``bucket_col`` ASC, ``order_cols``) within each
+    partition, via the two-phase decomposition above.
+
+    ``bucket_col`` MUST be monotone in the intended order (rows of a
+    smaller bucket all precede rows of a larger one) — that is what lets
+    phase 1 collapse. With ``inclusive=False`` the sum excludes the
+    current row (the "tokens before me" form). The offsets window runs
+    single-partition when ``partition_cols`` is empty — bounded by the
+    bucket-relation size, a deliberate cardinality-collapsed choice.
+    """
+    pc = list(partition_cols)
+    bucket_sums = df.groupBy(*pc, bucket_col).agg(
+        F.sum(val_col).alias("_tpps_sum")
+    )
+    w_off = (
+        Window.partitionBy(*pc).orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_sums.select(
+        *pc, bucket_col,
+        F.coalesce(F.sum("_tpps_sum").over(w_off), F.lit(0)).alias("_tpps_off"),
+    )
+    upper = 0 if inclusive else -1
+    w_loc = (
+        Window.partitionBy(*pc, bucket_col).orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    return (
+        df.join(F.broadcast(offsets), pc + [bucket_col])
+        .withColumn(
+            out_col,
+            F.col("_tpps_off")
+            + F.coalesce(F.sum(val_col).over(w_loc), F.lit(0)),
+        )
+        .drop("_tpps_off")
+    )

@@ -850,7 +850,10 @@ def q_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_keys",
             F.expr("(_top1 * 1000000) div n_rows").alias("top1_ppm"),
             F.expr("(_top10 * 1000000) div n_rows").alias("top10_ppm"),
-            (F.col("_top1") * F.col("n_keys") > F.lit(100) * F.col("n_rows"))
+            # decimal domain: top1*n_keys in BIGINT would wrap at ~1e19
+            # and silently clear the flag on exactly the hottest keys
+            (F.col("_top1").cast("decimal(38,0)") * F.col("n_keys")
+             > F.lit(100).cast("decimal(38,0)") * F.col("n_rows"))
             .alias("skewed"),
         )
 
@@ -877,7 +880,8 @@ SELECT '{tbl}.{col}' AS key_column,
                             FROM {tbl} GROUP BY 1)
            ORDER BY cnt DESC, k ASC LIMIT 10)) * 1000000)
            // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS top10_ppm,
-       MAX(cnt) * COUNT(*) > 100 * SUM(cnt) AS skewed
+       CAST(MAX(cnt) AS HUGEINT) * COUNT(*)
+         > 100 * CAST(SUM(cnt) AS HUGEINT) AS skewed
 FROM (SELECT {col} AS k, COUNT(*) AS cnt FROM {tbl} GROUP BY 1)
 """
 

@@ -29,6 +29,7 @@ from tfm_taxitrips_spark.functions.text import (
 from tfm_taxitrips_spark.operators.analytics import cdc_collapse
 from tfm_taxitrips_spark.operators.clustering import connected_components
 from tfm_taxitrips_spark.operators.partitioning import fan_out
+from tfm_taxitrips_spark.operators.prefix import two_phase_prefix_sum
 from tfm_taxitrips_spark.queries.registry import QuerySpec
 from tfm_taxitrips_spark.queries.text import (
     _MINHASH_LSH_SQL,
@@ -1497,8 +1498,6 @@ FROM staged GROUP BY 1
 # snapshot reconciliation: classify added / removed / changed / unchanged
 # --------------------------------------------------------------------------
 
-_SNAP_OFFSET = 1_000_000_000
-
 
 def _snap_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.pmod(
@@ -1525,7 +1524,9 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The "new" snapshot is synthesized deterministically from ``orders``
     (hash-gated: 1/10 of keys deleted, 1/10 payload-mutated, 1/10 re-keyed
-    beyond the key domain as inserts), so all four classes occur at any SF.
+    as inserts shifted past the OBSERVED max key — a 1-row broadcast, so
+    insert keys cannot collide with live keys at any SF), so all four
+    classes occur at any scale.
 
     Scale shape: ONE full-outer shuffle join on the primary key — both
     sides big, so this is the honest co-partitioned merge (bucket both
@@ -1550,8 +1551,12 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("price")).cast("decimal(19,2)").alias("n_price"),
         )
         .unionByName(
-            base.where(F.col("_h") == 2).select(
-                (F.col("o_orderkey") + F.lit(_SNAP_OFFSET)).alias("o_orderkey"),
+            base.where(F.col("_h") == 2)
+            .crossJoin(F.broadcast(
+                base.agg((F.max("o_orderkey") + 1).alias("_shift"))
+            ))
+            .select(
+                (F.col("o_orderkey") + F.col("_shift")).alias("o_orderkey"),
                 F.col("o_orderstatus").alias("n_status"),
                 F.col("price").cast("decimal(19,2)").alias("n_price"),
             )
@@ -1595,8 +1600,8 @@ new AS (
               ELSE price END AS DECIMAL(19,2)) AS n_price
   FROM base WHERE h <> 0
   UNION ALL
-  SELECT o_orderkey + {_SNAP_OFFSET}, o_orderstatus,
-         CAST(price AS DECIMAL(19,2))
+  SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+         o_orderstatus, CAST(price AS DECIMAL(19,2))
   FROM base WHERE h = 2
 ),
 d AS (
@@ -1672,7 +1677,9 @@ def q_k_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lvl0.unionByName(lvl1).unionByName(lvl2)
 
 
-q_k_anonymize.__doc__ = q_k_anonymize.__doc__.replace("{_k}", str(_KANON_K))
+if q_k_anonymize.__doc__:  # absent under python -OO
+    q_k_anonymize.__doc__ = q_k_anonymize.__doc__.replace(
+        "{_k}", str(_KANON_K))
 
 _K_ANONYMIZE_SQL = f"""
 WITH g0 AS (
@@ -1713,17 +1720,18 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The interesting part is HOW the running total is computed. A naive
     per-source window is one sort per source — and a source is exactly
-    the kind of key that goes hot (half of 100 TB can be one crawl). This
-    is the distributed TWO-PHASE PREFIX SUM instead: the 60-bit priority
-    domain splits into {nb} contiguous ranges, (1) per-(source, range)
-    token sums collapse map-side into a |sources|×{nb} relation whose
-    prefix offsets come from a window over THAT tiny relation, (2) each
-    (source, range) partition computes its local running total
-    independently and adds the broadcast offset. The heavy window's
-    partition key gains {nb}× the parallelism, the global sort never
-    happens, and the per-range local sort is AQE-splittable. The oracle
-    states the naive one-window-per-source form — the differential proves
-    the rewrite exactly.
+    the kind of key that goes hot (half of 100 TB can be one crawl).
+    This rides
+    :func:`~tfm_taxitrips_spark.operators.prefix.two_phase_prefix_sum`
+    instead: the 60-bit priority domain splits into {nb} contiguous
+    ranges, per-(source, range) token sums collapse map-side into a
+    |sources|×{nb} relation whose prefix offsets come from a window over
+    THAT tiny relation, and each (source, range) partition computes its
+    local running total independently plus the broadcast offset. The
+    heavy window's partition key gains {nb}× the parallelism, the global
+    sort never happens, and the per-range local sort is AQE-splittable.
+    The oracle states the naive one-window-per-source form — the
+    differential proves the rewrite exactly.
     """
     docs = table(spark, sf_dir, "documents")
     pr = hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
@@ -1736,27 +1744,15 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rng", F.expr(f"pr div {_MIX_BUCKET_SPAN}"))
         .localCheckpoint(eager=False)
     )
-    rng_sums = base.groupBy("source", "rng").agg(
-        F.sum("nt").alias("rt"))
-    w_off = (Window.partitionBy("source").orderBy("rng")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = rng_sums.select(
-        "source", "rng",
-        F.coalesce(F.sum("rt").over(w_off), F.lit(0)).alias("off"),
-    )
     budgets = base.groupBy("source").agg(
         F.expr("sum(nt) div 4").alias("budget"),
         F.sum("nt").alias("tok_total"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    w_loc = (Window.partitionBy("source", "rng").orderBy("pr", "doc_id")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    with_before = (
-        base.join(F.broadcast(offsets), ["source", "rng"])
-        .withColumn(
-            "before",
-            F.col("off") + F.coalesce(F.sum("nt").over(w_loc), F.lit(0)),
-        )
+    with_before = two_phase_prefix_sum(
+        base, partition_cols=("source",), bucket_col="rng",
+        order_cols=("pr", "doc_id"), val_col="nt", out_col="before",
+        inclusive=False,
     )
     sel = with_before.join(F.broadcast(budgets), "source").where(
         F.col("before") < F.col("budget"))
@@ -1800,8 +1796,9 @@ WHERE c.before < t.budget
 GROUP BY 1
 """
 
-q_token_budget_mix.__doc__ = q_token_budget_mix.__doc__.replace(
-    "{nb}", str(_MIX_BUCKETS))
+if q_token_budget_mix.__doc__:  # absent under python -OO
+    q_token_budget_mix.__doc__ = q_token_budget_mix.__doc__.replace(
+        "{nb}", str(_MIX_BUCKETS))
 
 
 QUERIES: dict[str, QuerySpec] = {

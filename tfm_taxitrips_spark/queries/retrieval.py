@@ -424,10 +424,13 @@ def q_auc_score_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines and partitionings.
     """
     docs = table(spark, sf_dir, "documents")
+    # NULL lang belongs to NEITHER class (mirrors the oracle's FILTER
+    # semantics, where NULL <> 'en' is NULL and the row is excluded)
     pos = F.when(F.col("lang") == "en", 1).otherwise(0)
+    neg = F.when(F.col("lang") != "en", 1).otherwise(0)
     by_score = docs.groupBy("source", F.col("n_chars").alias("score")).agg(
         F.sum(pos).cast("bigint").alias("pos"),
-        F.sum(1 - pos).cast("bigint").alias("neg"),
+        F.sum(neg).cast("bigint").alias("neg"),
     )
     w = (Window.partitionBy("source").orderBy("score")
          .rowsBetween(Window.unboundedPreceding, -1))
@@ -443,13 +446,18 @@ def q_auc_score_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
     )
-    return agg.select(
+    # decimal domain: u2*1e6 (and 2·n_pos·n_neg) would wrap BIGINT once a
+    # source holds ~2M docs per class — exactly the 100 TB regime
+    ppm = F.expr(
+        "CAST((CAST(u2 AS DECIMAL(38,0)) * 1000000) div "
+        "(2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
+    )
+    return agg.withColumn("auc_ppm", ppm).select(
         "source",
         F.col("n_pos").cast("bigint").alias("n_pos"),
         F.col("n_neg").cast("bigint").alias("n_neg"),
-        F.expr("(u2 * 1000000) div (2 * n_pos * n_neg)").alias("auc_ppm"),
-        (F.expr("(u2 * 1000000) div (2 * n_pos * n_neg)") >= 500000)
-        .alias("discriminates"),
+        "auc_ppm",
+        (F.col("auc_ppm") >= 500000).alias("discriminates"),
     )
 
 
@@ -474,8 +482,10 @@ agg AS (
   FROM cum GROUP BY 1
 )
 SELECT source, n_pos, n_neg,
-       CAST((u2 * 1000000) // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm,
-       (u2 * 1000000) // (2 * n_pos * n_neg) >= 500000 AS discriminates
+       CAST((CAST(u2 AS HUGEINT) * 1000000)
+            // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS auc_ppm,
+       (CAST(u2 AS HUGEINT) * 1000000)
+         // (2 * CAST(n_pos AS HUGEINT) * n_neg) >= 500000 AS discriminates
 FROM agg WHERE n_pos > 0 AND n_neg > 0
 """
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
+from tfm_taxitrips_spark.operators.prefix import two_phase_prefix_sum
 from tfm_taxitrips_spark.operators.temporal import (
     asof_forward_join,
     asof_join,
@@ -1217,19 +1218,21 @@ def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`q_session_window_agg`.
 
     Scale shape: the sweep's running sum is a global ordered prefix — at
-    100 TB you never global-sort it; this is the distributed TWO-PHASE
-    PREFIX SUM on the natural time split: per-day boundary-delta sums
-    collapse map-side into a |days|-row relation whose prior-day offsets
-    come from a window over THAT (cardinality-collapsed single-partition
-    window — a deliberate bounded choice, like the Pareto frontier's);
-    each day's partition then computes its local running sum
-    independently and adds its broadcast offset. Day keys are pure
-    integer epoch-day division (``us div 86400e6``) — no timezone
-    anywhere. The per-day maximum is invariant to tie order within equal
-    (instant, delta) groups (equal deltas yield the same partial-sum
-    multiset), so the result is deterministic under any shuffle, and the
-    oracle states the naive global-cumsum form — the differential proves
-    the rewrite.
+    100 TB you never global-sort it; this is
+    :func:`~tfm_taxitrips_spark.operators.prefix.two_phase_prefix_sum`
+    on the natural time split (epoch days as buckets), the same operator
+    ``token_budget_mix`` rides. Day keys are pure integer epoch-day
+    division (``us div 86400e6``) — no timezone anywhere. A day's true
+    peak includes the concurrency CARRIED OVER MIDNIGHT (sessions open
+    at day start), so the report takes ``greatest(carry_in, day max)``,
+    and a quiet day wholly inside open sessions (no boundaries at all)
+    still appears, inheriting its carry — both assembled from the tiny
+    per-day relation (a dense day scaffold + one cardinality-collapsed
+    window, like the Pareto frontier's). The per-day maximum is
+    invariant to tie order within equal (instant, delta) groups (equal
+    deltas yield the same partial-sum multiset), so the result is
+    deterministic under any shuffle, and the oracle states the naive
+    global-cumsum form — the differential proves the rewrite.
     """
     events = table(spark, sf_dir, "events")
     sessions = (
@@ -1253,23 +1256,35 @@ def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("day_idx", F.expr(f"us div {_DAY_US}"))
         .localCheckpoint(eager=False)
     )
-    day_sums = bounds.groupBy("day_idx").agg(F.sum("delta").alias("dsum"))
-    w_off = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = day_sums.select(
-        "day_idx", F.coalesce(F.sum("dsum").over(w_off), F.lit(0)).alias("off")
+    conc = two_phase_prefix_sum(
+        bounds, bucket_col="day_idx", order_cols=("us", "delta"),
+        val_col="delta", out_col="conc",
     )
-    w_loc = (
-        Window.partitionBy("day_idx").orderBy("us", "delta")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    conc = bounds.join(F.broadcast(offsets), "day_idx").withColumn(
-        "conc", F.col("off") + F.sum("delta").over(w_loc)
-    )
-    return conc.groupBy("day_idx").agg(
-        F.max("conc").cast("bigint").alias("max_concurrent"),
-        F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
+    per_day = conc.groupBy("day_idx").agg(
+        F.max("conc").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
         F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
-        .cast("bigint").alias("n_starts"),
+        .cast("bigint").alias("ns"),
+        F.sum("delta").alias("dsum"),
+    )
+    # scaffold bounds come from the CHECKPOINTED boundary relation, not
+    # from per_day — keeps per_day single-consumer so the sweep runs once
+    scaffold = (
+        bounds.agg(F.min("day_idx").alias("lo"), F.max("day_idx").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day_idx"))
+    )
+    w_carry = Window.orderBy("day_idx").rowsBetween(
+        Window.unboundedPreceding, -1)
+    dense = (
+        scaffold.join(F.broadcast(per_day), "day_idx", "left")
+        .withColumn("carry", F.coalesce(F.sum("dsum").over(w_carry), F.lit(0)))
+    )
+    return dense.select(
+        "day_idx",
+        F.greatest(F.col("carry"), F.coalesce(F.col("mx"), F.col("carry")))
+        .cast("bigint").alias("max_concurrent"),
+        F.coalesce(F.col("nb"), F.lit(0)).cast("bigint").alias("n_boundaries"),
+        F.coalesce(F.col("ns"), F.lit(0)).cast("bigint").alias("n_starts"),
     )
 
 
@@ -1304,12 +1319,32 @@ c AS (
          CAST(SUM(delta) OVER (ORDER BY us, delta
                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
   FROM b
+),
+d AS (
+  SELECT day_idx, MAX(conc) AS mx, COUNT(*) AS nb,
+         COUNT(*) FILTER (WHERE delta = 1) AS ns,
+         SUM(delta) AS dsum
+  FROM c GROUP BY 1
+),
+dense AS (
+  SELECT t.day_idx, d.mx, d.nb, d.ns, d.dsum
+  FROM (SELECT UNNEST(generate_series(
+          (SELECT MIN(day_idx) FROM d),
+          (SELECT MAX(day_idx) FROM d))) AS day_idx) t
+  LEFT JOIN d USING (day_idx)
+),
+k AS (
+  SELECT day_idx, mx, nb, ns,
+         CAST(COALESCE(SUM(dsum) OVER (ORDER BY day_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS carry
+  FROM dense
 )
 SELECT day_idx,
-       CAST(MAX(conc) AS BIGINT) AS max_concurrent,
-       CAST(COUNT(*) AS BIGINT) AS n_boundaries,
-       CAST(COUNT(*) FILTER (WHERE delta = 1) AS BIGINT) AS n_starts
-FROM c GROUP BY 1
+       CAST(GREATEST(carry, COALESCE(mx, carry)) AS BIGINT) AS max_concurrent,
+       CAST(COALESCE(nb, 0) AS BIGINT) AS n_boundaries,
+       CAST(COALESCE(ns, 0) AS BIGINT) AS n_starts
+FROM k
 """
 
 
