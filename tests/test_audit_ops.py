@@ -14,7 +14,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.text import hash60
-from tfm_taxitrips_spark.queries.analytics import q_key_skew_audit
+from tfm_taxitrips_spark.queries.analytics import (
+    q_data_contract_audit,
+    q_key_skew_audit,
+)
 from tfm_taxitrips_spark.queries.dataprep import (
     _KANON_K,
     q_k_anonymize,
@@ -207,3 +210,61 @@ def test_concurrency_profile_matches_naive_sweep(spark, sf_smoke):
             carry = int(rows.conc.iloc[-1])
     # sweep sanity: concurrency returns to zero after the last boundary
     assert int(b.conc.iloc[-1]) == 0 and carry == 0
+
+
+def test_embedding_covariance_stats_match_pandas(spark, sf_smoke):
+    """Sufficient statistics must equal a floor-quantized pandas
+    reference; the pair grid is the complete upper triangle with a
+    constant n_vecs, and diagonal cells have sum_i == sum_j."""
+    import math
+
+    from tfm_taxitrips_spark.queries.vectors import (
+        _COV_DIMS,
+        _COV_SCALE,
+        q_embedding_covariance,
+    )
+
+    rows = q_embedding_covariance(spark, sf_smoke).collect()
+    assert len(rows) == _COV_DIMS * (_COV_DIMS + 1) // 2
+    assert len({r["n_vecs"] for r in rows}) == 1
+    emb = table(spark, sf_smoke, "embeddings").select("embedding").toPandas()
+    q = [
+        [int(math.floor(float(v) * _COV_SCALE)) for v in e[:_COV_DIMS]]
+        for e in emb.embedding
+    ]
+    by_pair = {(r["i"], r["j"]): r for r in rows}
+    for i in range(_COV_DIMS):
+        for j in range(i, _COV_DIMS):
+            r = by_pair[(i, j)]
+            assert r["n_vecs"] == len(q)
+            assert r["sum_i"] == sum(row[i] for row in q)
+            assert r["sum_j"] == sum(row[j] for row in q)
+            assert r["sum_ij"] == sum(row[i] * row[j] for row in q)
+            if i == j:
+                assert r["sum_i"] == r["sum_j"]
+
+
+def test_data_contract_audit_rules_match_pandas(spark, sf_smoke):
+    """Each rule's violation count must match an independent pandas
+    evaluation of the same predicate, and ppm is the exact integer
+    division of that count."""
+    rows = {
+        (r["table_name"], r["rule_id"]): r
+        for r in q_data_contract_audit(spark, sf_smoke).collect()
+    }
+    li = table(spark, sf_smoke, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax").toPandas()
+    n = len(li)
+    checks = {
+        "quantity_range": int(((li.l_quantity < 1) | (li.l_quantity > 50)).sum()),
+        "discount_range": int(((li.l_discount < 0) | (li.l_discount > 0.1)).sum()),
+        "tax_range": int(((li.l_tax < 0) | (li.l_tax > 0.08)).sum()),
+    }
+    for rid, nv in checks.items():
+        r = rows[("lineitem", rid)]
+        assert r["n_checked"] == n
+        assert r["n_violations"] == nv
+        assert r["violation_ppm"] == (nv * 1_000_000) // n
+    # every registered rule row is present
+    assert {t for t, _ in rows} == {"orders", "lineitem", "events"}
+    assert len(rows) == 8

@@ -938,3 +938,30 @@ def test_concurrency_profile_sweep_rides_day_partitions(spark, sf_smoke):
     assert win_args and all("day_idx#" in l for l in win_args)
     # offsets + boundary-local sweep + the |days|-row carry window
     assert len(re.findall(r"\(\d+\) Window", plan)) == 3
+
+
+def test_embedding_covariance_single_scan_map_side_pairs(spark, sf_smoke):
+    """The 36 pair cells must explode map-side and collapse in one
+    two-phase aggregate: a single embeddings scan, no join, no window."""
+    import re
+
+    from tfm_taxitrips_spark.queries.vectors import q_embedding_covariance
+
+    plan = explain_formatted(q_embedding_covariance(spark, sf_smoke))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2
+
+
+def test_data_contract_audit_one_pass_per_table(spark, sf_smoke):
+    """All of a table's rules ride one conditional-sum aggregate: exactly
+    three scans (orders, lineitem, events), join- and window-free."""
+    import re
+
+    from tfm_taxitrips_spark.queries.analytics import q_data_contract_audit
+
+    plan = explain_formatted(q_data_contract_audit(spark, sf_smoke))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3

@@ -522,3 +522,47 @@ def test_doc_chunking_covers_every_token(spark, tmp_path_factory, n_tokens):
     # the previous chunk's reach; assert the real invariant directly
     missing = expected - covered
     assert not missing, f"orphaned tokens: {sorted(missing)[:5]} (n={n_tokens})"
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1),      # partition key
+            st.integers(0, 3),      # bucket (coarse monotone split)
+            st.integers(0, 5),      # within-bucket order key (dups allowed)
+            st.integers(-100, 100), # value
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    inclusive=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_two_phase_prefix_sum_equals_naive_cumsum(spark, rows, inclusive):
+    """The two-phase decomposition is order-exact on any distribution —
+    empty buckets, dup order keys, everything-in-one-bucket — against a
+    naive Python running sum over the same total order. Rows get a unique
+    id as the window tie-break so both sides walk the identical order."""
+    from tfm_taxitrips_spark.operators.prefix import two_phase_prefix_sum
+
+    data = [(p, b, o, v, i) for i, (p, b, o, v) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "p int, b int, o int, v long, rid int"
+    )
+    got = {
+        r.rid: r.run
+        for r in two_phase_prefix_sum(
+            df, partition_cols=("p",), bucket_col="b",
+            order_cols=("o", "rid"), val_col="v", out_col="run",
+            inclusive=inclusive,
+        ).collect()
+    }
+    ref: dict[int, int] = {}
+    for p in {r[0] for r in data}:
+        acc = 0
+        for (_, _, _, v, rid) in sorted(
+            (r for r in data if r[0] == p), key=lambda r: (r[1], r[2], r[4])
+        ):
+            ref[rid] = (acc + v) if inclusive else acc
+            acc += v
+    assert got == ref

@@ -11,7 +11,7 @@ has a total tie-break key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
@@ -894,7 +894,114 @@ _KEY_SKEW_SQL = " UNION ALL ".join([
 ])
 
 
+def q_data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract audit (the dbt-test / expectations
+    analog): each rule is a violation predicate evaluated in ONE pass
+    over its table, reported as (table, rule, n_checked, n_violations,
+    violation_ppm). The ingest gate a pipeline runs before promoting a
+    batch — :func:`q_column_profile` describes the data, this ASSERTS it.
+
+    NULL discipline is explicit: a rule counts a row only when its
+    violation predicate is TRUE (SQL three-valued logic — NULLs fall to
+    not-violated), mirrored exactly by the oracle's ``FILTER`` clauses;
+    rules that must catch NULLs say ``IS NULL`` in the predicate.
+
+    Scale shape: one scan per table computes ALL of that table's rules
+    as conditional sums in a single map-side-combined aggregate (adding
+    a rule adds a column, not a pass); the per-rule rows unpivot from
+    the 1-row aggregate driver-free, and the three audits union. No
+    join, no window, no second scan however many rules a table carries.
+    """
+
+    def audit(df: DataFrame, tname: str, rules: dict[str, Column]) -> DataFrame:
+        agg = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            *[
+                F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(rid)
+                for rid, cond in rules.items()
+            ],
+        )
+        arr = F.array(*[
+            F.struct(F.lit(rid).alias("rule_id"), F.col(rid).alias("nv"))
+            for rid in rules
+        ])
+        return agg.select(
+            F.lit(tname).alias("table_name"),
+            F.explode(arr).alias("r"),
+            F.col("_n").alias("n_checked"),
+        ).select(
+            "table_name",
+            F.col("r.rule_id").alias("rule_id"),
+            "n_checked",
+            F.col("r.nv").alias("n_violations"),
+            F.expr("(r.nv * 1000000) div n_checked").alias("violation_ppm"),
+        )
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ev = table(spark, sf_dir, "events")
+    d = F.col  # brevity
+    return (
+        audit(orders, "orders", {
+            "price_nonpositive": d("o_totalprice") <= 0,
+            "status_domain":
+                ~d("o_orderstatus").isin("O", "F", "P"),
+            "date_window":
+                (d("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                | (d("o_orderdate") > F.lit("1998-12-31").cast("date")),
+        })
+        .unionByName(audit(li, "lineitem", {
+            "quantity_range": (d("l_quantity") < 1) | (d("l_quantity") > 50),
+            "discount_range": (d("l_discount") < 0) | (d("l_discount") > 0.1),
+            "tax_range": (d("l_tax") < 0) | (d("l_tax") > 0.08),
+        }))
+        .unionByName(audit(ev, "events", {
+            "value_null": d("value").isNull(),
+            "type_domain":
+                ~d("event_type").isin("view", "click", "purchase"),
+        }))
+    )
+
+
+def _contract_sql(tbl: str, rules: dict[str, str]) -> str:
+    rows = []
+    for rid, pred in rules.items():
+        rows.append(
+            f"SELECT '{tbl}' AS table_name, '{rid}' AS rule_id,\n"
+            f"       CAST(COUNT(*) AS BIGINT) AS n_checked,\n"
+            f"       CAST(COUNT(*) FILTER (WHERE {pred}) AS BIGINT)\n"
+            f"         AS n_violations,\n"
+            f"       CAST((COUNT(*) FILTER (WHERE {pred}) * 1000000)\n"
+            f"         // COUNT(*) AS BIGINT) AS violation_ppm\n"
+            f"FROM {tbl}"
+        )
+    return "\nUNION ALL\n".join(rows)
+
+
+_CONTRACT_SQL = "\nUNION ALL\n".join([
+    _contract_sql("orders", {
+        "price_nonpositive": "o_totalprice <= 0",
+        "status_domain": "NOT (o_orderstatus IN ('O', 'F', 'P'))",
+        "date_window": ("o_orderdate < DATE '1992-01-01'"
+                        " OR o_orderdate > DATE '1998-12-31'"),
+    }),
+    _contract_sql("lineitem", {
+        "quantity_range": "l_quantity < 1 OR l_quantity > 50",
+        "discount_range": "l_discount < 0 OR l_discount > 0.1",
+        "tax_range": "l_tax < 0 OR l_tax > 0.08",
+    }),
+    _contract_sql("events", {
+        "value_null": "value IS NULL",
+        "type_domain": "NOT (event_type IN ('view', 'click', 'purchase'))",
+    }),
+])
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "data_contract_audit": QuerySpec(
+        q_data_contract_audit, _CONTRACT_SQL,
+        tags=("analytics", "quality", "contract"),
+    ),
     "key_skew_audit": QuerySpec(
         q_key_skew_audit, _KEY_SKEW_SQL, tags=("analytics", "skew", "profiling")
     ),

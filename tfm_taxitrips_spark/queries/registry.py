@@ -116,6 +116,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "token_budget_mix",     # likewise (two-phase prefix-sum token sampler)
     "auc_score_eval",       # likewise (integer Mann-Whitney AUC gate)
     "concurrency_profile",  # likewise (sweep-line peak concurrent sessions)
+    "embedding_covariance", # likewise (mergeable integer whitening stats)
+    "data_contract_audit",  # likewise (declarative expectations gate)
 )
 
 

@@ -1074,7 +1074,82 @@ GROUP BY 1
 """
 
 
+_COV_DIMS = 8
+_COV_SCALE = 1_000_000.0
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE covariance sufficient statistics for the embedding
+    table's leading 8-dimension block — the whitening / PCA input
+    (n, Σxᵢ, Σxⱼ, Σxᵢxⱼ per dimension pair) computed exactly in integer
+    micro-units (``floor(x·1e6)``, the repo's standard quantization).
+    Emitting SUFFICIENT STATISTICS rather than the covariance itself is
+    the 100 TB contract: the per-pair partials are associative integer
+    sums, so per-partition states merge across any repartitioning, new
+    data folds in without a re-scan, and no float accumulation order can
+    flip a bit. Deriving the covariance is one driver-side division per
+    pair (36 of them) — never a data-side operation.
+
+    Scale shape: ONE scan; the 36 pair cells explode map-side and
+    collapse immediately in the map-side-combined aggregate, so the only
+    shuffle carries ≤ 36 partial rows per task regardless of corpus
+    size. No join, no window. (A full d×d Gram at higher dimension would
+    go through a BLAS-backed ``mapInPandas`` accumulating per-batch
+    outer products — same mergeable-partials contract, documented here
+    as the scale-out path; the exact-integer form is the leading-block
+    gate both engines can verify bit-for-bit.)
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        F.slice("embedding", 1, _COV_DIMS),
+        lambda x: F.floor(x.cast("double") * F.lit(_COV_SCALE)).cast("long"),
+    )
+    base = emb.select(micro.alias("q"))
+    cells = []
+    for i in range(_COV_DIMS):
+        for j in range(i, _COV_DIMS):
+            qi = F.element_at("q", i + 1)
+            qj = F.element_at("q", j + 1)
+            cells.append(F.struct(
+                F.lit(i).alias("i"), F.lit(j).alias("j"),
+                qi.alias("qi"), qj.alias("qj"),
+            ))
+    ex = base.select(F.explode(F.array(*cells)).alias("c")).select(
+        "c.i", "c.j", "c.qi", "c.qj")
+    return ex.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("qi").cast("bigint").alias("sum_i"),
+        F.sum("qj").cast("bigint").alias("sum_j"),
+        F.sum(F.col("qi") * F.col("qj")).cast("bigint").alias("sum_ij"),
+    )
+
+
+_EMB_COV_SQL = f"""
+WITH q AS (
+  SELECT list_transform(embedding[1:{_COV_DIMS}],
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_COV_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+p AS (
+  SELECT CAST(ti.x AS INTEGER) AS i, CAST(tj.x AS INTEGER) AS j,
+         q[CAST(ti.x AS INTEGER) + 1] AS qi,
+         q[CAST(tj.x AS INTEGER) + 1] AS qj
+  FROM q, range({_COV_DIMS}) ti(x), range({_COV_DIMS}) tj(x)
+  WHERE tj.x >= ti.x
+)
+SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(qi) AS BIGINT) AS sum_i,
+       CAST(SUM(qj) AS BIGINT) AS sum_j,
+       CAST(SUM(qi * qj) AS BIGINT) AS sum_ij
+FROM p GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "embedding_covariance": QuerySpec(
+        q_embedding_covariance, _EMB_COV_SQL,
+        tags=("vector", "stats", "pipeline"),
+    ),
     "random_projection_sketch": QuerySpec(
         q_random_projection, _RANDOM_PROJECTION_SQL,
         tags=("vector", "compression", "pipeline"),
