@@ -268,3 +268,50 @@ def test_data_contract_audit_rules_match_pandas(spark, sf_smoke):
     # every registered rule row is present
     assert {t for t, _ in rows} == {"orders", "lineitem", "events"}
     assert len(rows) == 8
+
+
+def test_bpe_merge_induction_matches_python_replay(spark, sf_smoke):
+    """The distributed merges must equal a pure-Python BPE trainer run on
+    the same word-frequency table: greedy left-to-right merging, winner =
+    (count DESC, lhs ASC, rhs ASC)."""
+    from collections import Counter
+
+    from tfm_taxitrips_spark.queries.text import (
+        _BPE_MERGES,
+        q_bpe_merge_induction,
+    )
+
+    got = [
+        (r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in q_bpe_merge_induction(spark, sf_smoke)
+        .orderBy("merge_rank").collect()
+    ]
+    toks = (
+        table(spark, sf_smoke, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w").count().collect()
+    )
+    vocab = {tuple(r["w"]): r["count"] for r in toks}
+    ref = []
+    for rank in range(1, _BPE_MERGES + 1):
+        counts: Counter = Counter()
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += freq
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        ref.append((rank, lhs, rhs, cnt))
+        merged_vocab = {}
+        for syms, freq in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged_vocab[tuple(out)] = merged_vocab.get(tuple(out), 0) + freq
+        vocab = merged_vocab
+    assert got == ref

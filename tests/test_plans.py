@@ -965,3 +965,41 @@ def test_data_contract_audit_one_pass_per_table(spark, sf_smoke):
     assert "Join" not in plan
     assert "Window" not in plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 3
+
+
+def test_bpe_induction_iterates_on_collapsed_vocab(spark, sf_smoke):
+    """After the one corpus collapse (checkpointed word-frequency table),
+    no merge round re-scans documents (the registered plan reads only
+    checkpointed relations), and a round's winner selection — pinned here
+    on the un-checkpointed round shape — reduces via
+    TakeOrderedAndProject over the collapsed vocab, never a global sort."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tfm_taxitrips_spark.functions.text import tokens
+    from tfm_taxitrips_spark.queries.text import (
+        _bpe_pair_counts,
+        q_bpe_merge_induction,
+    )
+    from tfm_taxitrips_spark.sources.readers import table
+
+    final = explain_formatted(q_bpe_merge_induction(spark, sf_smoke))
+    assert final.count("documents.parquet") == 0  # rounds ride the checkpoint
+    assert "SortMergeJoin" not in final
+
+    words = (
+        table(spark, sf_smoke, "documents")
+        .select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 "))
+                .alias("s"), "freq")
+    )
+    round_plan = explain_formatted(
+        _bpe_pair_counts(words)
+        .orderBy(F.col("pair_count").desc(), F.col("lhs").asc(),
+                 F.col("rhs").asc()).limit(1)
+    )
+    assert "TakeOrderedAndProject" in round_plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", round_plan)) == 1
+    assert len(re.findall(r"\(\d+\) HashAggregate", round_plan)) >= 4

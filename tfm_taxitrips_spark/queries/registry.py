@@ -118,6 +118,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "concurrency_profile",  # likewise (sweep-line peak concurrent sessions)
     "embedding_covariance", # likewise (mergeable integer whitening stats)
     "data_contract_audit",  # likewise (declarative expectations gate)
+    "bpe_merge_induction",  # likewise (iterative tokenizer training)
 )
 
 

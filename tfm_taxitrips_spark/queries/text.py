@@ -1395,7 +1395,143 @@ LIMIT {PMI_TOPK}
 """
 
 
+_BPE_MERGES = 3
+
+
+def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """Corpus-weighted adjacent-symbol-pair counts from the (symbol
+    string, word freq) relation. Symbol strings are space-delimited with
+    sentinel spaces at both ends (`" b a t c h "`)."""
+    arr = F.filter(F.split("s", " "), lambda x: x != "")
+    # guard the single-symbol word: Spark's sequence(1, 0) DESCENDS
+    # instead of being empty (the shingles() lesson)
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("lhs"),
+                F.element_at(arr, (i + 1).cast("int")).alias("rhs"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<lhs:string,rhs:string>>"))
+    return (
+        words.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+    )
+
+
+def q_bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARN byte-pair-encoding merges from the corpus — the tokenizer
+    TRAINING step (Sennrich et al. 2016), not just tokenization: 3
+    iterations of (count adjacent symbol pairs weighted by word
+    frequency → merge the most frequent pair everywhere), emitting the
+    learned merge table (rank, lhs, rhs, pair_count).
+
+    The scale trick is the classic one: BPE training never touches the
+    raw corpus after ONE pass — the first aggregation collapses 100 TB
+    of text into the word-FREQUENCY table (bounded by the vocabulary,
+    not the corpus), and every merge iteration rides that collapsed
+    relation: pair counting is a map-side-combined aggregate over
+    |vocab| rows, the winning pair is a 1-row broadcast, and the merge
+    itself is one ``replace`` over |vocab| symbol strings. Engine-exact
+    by construction: ``replace`` is non-overlapping left-to-right in
+    both engines (greedy BPE semantics, verified: ``" a a a "`` merges
+    to ``" aa a "``), and the winner's tie-break is the total order
+    (count DESC, lhs ASC, rhs ASC). The oracle unrolls the three rounds
+    as CTEs, like the k-means oracle.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")
+            ).alias("s"),
+            "freq",
+        )
+        .localCheckpoint(eager=False)  # the collapsed relation all rounds ride
+    )
+    merges = []
+    for rank in range(1, _BPE_MERGES + 1):
+        best = (
+            _bpe_pair_counts(words)
+            .orderBy(F.col("pair_count").desc(), F.col("lhs").asc(),
+                     F.col("rhs").asc())
+            .limit(1)
+            .localCheckpoint(eager=False)  # 1 row; winner + merge both read it
+        )
+        merges.append(best.select(
+            F.lit(rank).alias("merge_rank"), "lhs", "rhs", "pair_count"))
+        words = (
+            words.crossJoin(F.broadcast(best.select("lhs", "rhs")))
+            .select(
+                F.replace(
+                    "s",
+                    F.concat(F.lit(" "), "lhs", F.lit(" "), "rhs", F.lit(" ")),
+                    F.concat(F.lit(" "), "lhs", "rhs", F.lit(" ")),
+                ).alias("s"),
+                "freq",
+            )
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_sql() -> str:
+    def pairs(w: str) -> str:
+        return f"""
+  SELECT arr[t.i] AS lhs, arr[t.i + 1] AS rhs,
+         CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS arr, freq
+        FROM {w}),
+       UNNEST(range(1, len(arr))) t(i)
+  GROUP BY 1, 2
+"""
+
+    def best(p: str) -> str:
+        return (f"SELECT lhs, rhs, pair_count FROM {p} "
+                f"ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1")
+
+    def merged(w: str, b: str) -> str:
+        return f"""
+  SELECT replace(s, ' ' || (SELECT lhs FROM {b}) || ' '
+                    || (SELECT rhs FROM {b}) || ' ',
+                 ' ' || (SELECT lhs FROM {b})
+                    || (SELECT rhs FROM {b}) || ' ') AS s, freq
+  FROM {w}
+"""
+
+    ctes = ["""w1 AS (
+  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+)"""]
+    for r in range(1, _BPE_MERGES + 1):
+        ctes.append(f"p{r} AS ({pairs(f'w{r}')})")
+        ctes.append(f"b{r} AS ({best(f'p{r}')})")
+        if r < _BPE_MERGES:
+            ctes.append(f"w{r + 1} AS ({merged(f'w{r}', f'b{r}')})")
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, lhs, rhs, pair_count FROM b{r}"
+        for r in range(1, _BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
+_BPE_MERGE_SQL = _bpe_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bpe_merge_induction": QuerySpec(
+        q_bpe_merge_induction, _BPE_MERGE_SQL,
+        tags=("text", "vocab", "iterative", "pipeline")),
     "tfidf_distinctive_terms": QuerySpec(q_tfidf_distinctive_terms, _TFIDF_SQL,
                                          tags=("text", "vocab", "topk")),
     "doc_repetition_stats": QuerySpec(q_doc_repetition, _DOC_REPETITION_SQL,
