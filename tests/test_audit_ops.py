@@ -315,3 +315,55 @@ def test_bpe_merge_induction_matches_python_replay(spark, sf_smoke):
             merged_vocab[tuple(out)] = merged_vocab.get(tuple(out), 0) + freq
         vocab = merged_vocab
     assert got == ref
+
+
+def test_vocab_coverage_curve_matches_pandas(spark, sf_smoke):
+    """Coverage at each cut must equal the pandas cumulative frequency
+    in (freq DESC, word ASC) order, and the curve is monotone."""
+    from tfm_taxitrips_spark.queries.text import (
+        _VOCAB_CURVE_NS,
+        q_vocab_coverage_curve,
+    )
+
+    got = {r["vocab_topn"]: r for r in q_vocab_coverage_curve(spark, sf_smoke).collect()}
+    toks = (
+        table(spark, sf_smoke, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .toPandas().w
+    )
+    vc = toks.value_counts().reset_index()
+    vc.columns = ["w", "freq"]
+    vc = vc.sort_values(["freq", "w"], ascending=[False, True])
+    total = int(vc.freq.sum())
+    cum = vc.freq.cumsum().tolist()
+    prev = -1
+    for n in _VOCAB_CURVE_NS:
+        if n > len(vc):
+            assert n not in got
+            continue
+        r = got[n]
+        assert r["covered_tokens"] == int(cum[n - 1])
+        assert r["total_tokens"] == total
+        assert r["covered_ppm"] == (int(cum[n - 1]) * 1_000_000) // total
+        assert r["covered_ppm"] > prev
+        prev = r["covered_ppm"]
+
+
+def test_exact_grouped_median_matches_pandas(spark, sf_smoke):
+    """The sort-free counting median must equal 2x the pandas median of
+    the floor-cents values per type (the doubled form is exact even when
+    the median is a .5)."""
+    from tfm_taxitrips_spark.queries.analytics import q_exact_grouped_median
+
+    got = {r["event_type"]: r for r in q_exact_grouped_median(spark, sf_smoke).collect()}
+    ev = (
+        table(spark, sf_smoke, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", F.floor(F.col("value") * 100)
+                .cast("long").alias("cents"))
+        .toPandas()
+    )
+    for etype, grp in ev.groupby("event_type"):
+        r = got[etype]
+        assert r["n_values"] == len(grp)
+        assert r["median2_cents"] == int(2 * grp.cents.median())

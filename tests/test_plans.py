@@ -1003,3 +1003,19 @@ def test_bpe_induction_iterates_on_collapsed_vocab(spark, sf_smoke):
     assert "TakeOrderedAndProject" in round_plan
     assert len(re.findall(r"\(\d+\) Scan parquet", round_plan)) == 1
     assert len(re.findall(r"\(\d+\) HashAggregate", round_plan)) >= 4
+
+
+def test_exact_median_counting_no_per_group_sort(spark, sf_smoke):
+    """The median must come from rank lookups over the collapsed count
+    relation: the only windows ride (event_type, rng) partitions, the
+    rank joins broadcast, and no SortMergeJoin appears."""
+    from tfm_taxitrips_spark.queries.analytics import q_exact_grouped_median
+
+    plan = explain_formatted(q_exact_grouped_median(spark, sf_smoke))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    win_args = [
+        l for l in plan.splitlines()
+        if "windowspecdefinition" in l and "cents#" in l
+    ]
+    assert all("rng#" in l for l in win_args)

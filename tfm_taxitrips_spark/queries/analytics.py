@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
 from tfm_taxitrips_spark.operators.analytics import skyline_2d
+from tfm_taxitrips_spark.operators.prefix import two_phase_prefix_sum
 from tfm_taxitrips_spark.queries.registry import QuerySpec
 from tfm_taxitrips_spark.sources.readers import table
 
@@ -997,7 +998,100 @@ _CONTRACT_SQL = "\nUNION ALL\n".join([
 ])
 
 
+_MED_BUCKET = 4096  # cents-domain range width for the two-phase cumsum
+
+
+def q_exact_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type median of the event value WITHOUT sorting the
+    data — the scale path the MAD fence's docstring promises: medians by
+    counting, not ordering. Values floor to cents and collapse to
+    per-(type, cents) counts (map-side combine, bounded by the VALUE
+    DOMAIN, not the row count); the cumulative count then rides
+    :func:`~tfm_taxitrips_spark.operators.prefix.two_phase_prefix_sum`
+    over contiguous cents ranges, and the median is a rank lookup: the
+    smallest value whose running count reaches rank (n+1)//2 (and
+    n//2+1 — both middles, so the emitted ``median2_cents`` is the exact
+    doubled median, integer even when the true median is a .5, same
+    convention as the MAD op).
+
+    Scale shape: one scan → one map-side-combined collapse → windows
+    over (type, range) partitions of the collapsed relation → two
+    rank-filter aggregates joined back by broadcast (per-type rows). No
+    global sort at any point, no per-group sort either — the thing that
+    makes exact medians tractable when one group holds half the data.
+    The oracle states the naive one-window-per-type cumulative form.
+    """
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    collapsed = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rng", F.expr(f"cents div {_MED_BUCKET}"))
+        .localCheckpoint(eager=False)  # cumsum + totals both read it
+    )
+    cum = two_phase_prefix_sum(
+        collapsed, partition_cols=("event_type",), bucket_col="rng",
+        order_cols=("cents",), val_col="cnt", out_col="cum_le",
+    ).localCheckpoint(eager=False)  # two rank lookups read it
+    totals = collapsed.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_values"))
+
+    def value_at(rank_expr, alias):
+        ranks = totals.select(
+            "event_type", rank_expr.cast("bigint").alias("_r"))
+        return (
+            cum.join(F.broadcast(ranks), "event_type")
+            .where(F.col("cum_le") >= F.col("_r"))
+            .groupBy("event_type")
+            .agg(F.min("cents").alias(alias))
+        )
+    lo = value_at(F.expr("(n_values + 1) div 2"), "_lo")
+    hi = value_at(F.expr("n_values div 2 + 1"), "_hi")
+    return (
+        totals.join(lo, "event_type").join(hi, "event_type")
+        .select(
+            "event_type", "n_values",
+            (F.col("_lo") + F.col("_hi")).cast("bigint")
+            .alias("median2_cents"),
+        )
+    )
+
+
+_EXACT_MEDIAN_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+         COUNT(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, cents,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_le
+  FROM c
+),
+t AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_values
+  FROM c GROUP BY 1
+)
+SELECT t.event_type, t.n_values,
+       (SELECT MIN(cents) FROM cum
+        WHERE cum.event_type = t.event_type
+          AND cum_le >= (t.n_values + 1) // 2)
+     + (SELECT MIN(cents) FROM cum
+        WHERE cum.event_type = t.event_type
+          AND cum_le >= t.n_values // 2 + 1) AS median2_cents
+FROM t
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "exact_grouped_median": QuerySpec(
+        q_exact_grouped_median, _EXACT_MEDIAN_SQL,
+        tags=("analytics", "robust", "window"),
+    ),
     "data_contract_audit": QuerySpec(
         q_data_contract_audit, _CONTRACT_SQL,
         tags=("analytics", "quality", "contract"),

@@ -119,6 +119,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "embedding_covariance", # likewise (mergeable integer whitening stats)
     "data_contract_audit",  # likewise (declarative expectations gate)
     "bpe_merge_induction",  # likewise (iterative tokenizer training)
+    "vocab_coverage_curve", # likewise (top-N token coverage ppm)
+    "exact_grouped_median", # likewise (sort-free exact median by counting)
 )
 
 

@@ -1528,7 +1528,73 @@ def _bpe_sql() -> str:
 _BPE_MERGE_SQL = _bpe_sql()
 
 
+_VOCAB_CURVE_NS = (5, 10, 20, 30)
+
+
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — what fraction of all corpus tokens do
+    the top-N most frequent words cover, at N ∈ {5, 10, 20, 30}
+    (cut points sized to the fixture's 31-word synthetic vocabulary; at a
+    real corpus they'd be 1k/8k/32k/128k — only literals change)? The
+    tokenizer-sizing diagnostic (how big must the vocab be before OOV
+    is negligible), and `bpe_merge_induction`'s sizing companion.
+
+    Scale shape: the corpus collapses once into the word-frequency
+    table (vocabulary-bounded — the same collapse every vocab op rides);
+    the ranking window then runs over |vocab| rows
+    (cardinality-collapsed single-partition window, the deliberate
+    bounded choice). Coverage is exact integer ppm; the (freq DESC,
+    word ASC) total order makes every cut deterministic under ties.
+    """
+    docs = table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .localCheckpoint(eager=False)  # ranked curve + total both read it
+    )
+    order = [F.col("freq").desc(), F.col("w").asc()]
+    w_rank = Window.orderBy(*order)
+    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = freq.select(
+        F.row_number().over(w_rank).alias("vocab_topn"),
+        F.sum("freq").over(w_cum).alias("covered_tokens"),
+    ).where(F.col("vocab_topn").isin(*_VOCAB_CURVE_NS))
+    total = freq.agg(F.sum("freq").cast("bigint").alias("total_tokens"))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "vocab_topn",
+        F.col("covered_tokens").cast("bigint").alias("covered_tokens"),
+        "total_tokens",
+        F.expr("(covered_tokens * 1000000) div total_tokens")
+        .alias("covered_ppm"),
+    )
+
+
+_VOCAB_CURVE_SQL = f"""
+WITH f AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1
+),
+r AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, w ASC) AS vocab_topn,
+         CAST(SUM(freq) OVER (ORDER BY freq DESC, w ASC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS covered_tokens
+  FROM f
+)
+SELECT CAST(vocab_topn AS INT) AS vocab_topn, covered_tokens,
+       (SELECT CAST(SUM(freq) AS BIGINT) FROM f) AS total_tokens,
+       CAST((covered_tokens * 1000000)
+            // (SELECT CAST(SUM(freq) AS BIGINT) FROM f) AS BIGINT)
+         AS covered_ppm
+FROM r WHERE vocab_topn IN {_VOCAB_CURVE_NS}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "vocab_coverage_curve": QuerySpec(
+        q_vocab_coverage_curve, _VOCAB_CURVE_SQL,
+        tags=("text", "vocab", "window")),
     "bpe_merge_induction": QuerySpec(
         q_bpe_merge_induction, _BPE_MERGE_SQL,
         tags=("text", "vocab", "iterative", "pipeline")),
