@@ -128,7 +128,21 @@ def test_rotation_planner_matches_invariant():
     assert len(rows) == 50
     recommended = [n for n, _ in rows]
     never = [n for n in _ALL if n not in latest]
-    assert set(never) <= set(recommended)
+    if len(never) <= len(recommended):
+        assert set(never) <= set(recommended)
+    else:
+        # more hard debt than one window absorbs: the window must be spent
+        # ENTIRELY on never-graded queries, and every spilled one must
+        # carry an IOU (PENDING_ROTATION) or already sit in the frozen
+        # round window (GRADING_PRIORITY) for the upcoming grading
+        from tfm_taxitrips_spark.queries.registry import (
+            GRADING_PRIORITY,
+            PENDING_ROTATION,
+        )
+
+        assert set(recommended) <= set(never)
+        spilled = set(never) - set(recommended)
+        assert spilled <= set(PENDING_ROTATION) | set(GRADING_PRIORITY)
     # stalest-first: latest-round sequence is non-decreasing
     rounds = [r for _, r in rows]
     assert rounds == sorted(rounds)
