@@ -367,3 +367,58 @@ def test_exact_grouped_median_matches_pandas(spark, sf_smoke):
         r = got[etype]
         assert r["n_values"] == len(grp)
         assert r["median2_cents"] == int(2 * grp.cents.median())
+
+
+def test_hard_negative_mining_label_and_ordering_invariants(spark, sf_smoke):
+    """Every mined negative must carry a different label than its probe,
+    ranks are dense 1..TOP_K per probe, and similarity is non-increasing
+    in rank."""
+    from tfm_taxitrips_spark.queries.vectors import (
+        N_QUERY_VECS,
+        TOP_K,
+        q_hard_negative_mining,
+    )
+
+    rows = q_hard_negative_mining(spark, sf_smoke).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["neg_label"] != r["q_label"]
+        by_q.setdefault(r["qid"], []).append(r)
+    assert len(by_q) == N_QUERY_VECS
+    for _, lst in by_q.items():
+        lst.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in lst] == list(range(1, TOP_K + 1))
+        sims = [r["cosine_sim"] for r in lst]
+        assert all(a >= b for a, b in zip(sims, sims[1:]))
+
+
+def test_survivorship_covers_corpus_with_field_rules(spark, sf_smoke):
+    """Golden records must cover every document exactly once; the anchor
+    is the cluster minimum; majority language matches a pandas vote with
+    the same (count DESC, lang ASC) tie-break."""
+    from tfm_taxitrips_spark.queries.dataprep import (
+        q_dedup_cluster_canonical,
+        q_dedup_survivorship,
+    )
+
+    rows = q_dedup_survivorship(spark, sf_smoke).collect()
+    docs = table(spark, sf_smoke, "documents").select(
+        "doc_id", "lang", "n_chars").toPandas()
+    assert sum(r["n_members"] for r in rows) == len(docs)
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in q_dedup_cluster_canonical(spark, sf_smoke).collect()
+    }
+    docs["cluster"] = docs.doc_id.map(lambda d: comp.get(d, d))
+    by_cluster = {r["cluster_id"]: r for r in rows}
+    for cid, grp in docs.groupby("cluster"):
+        r = by_cluster[cid]
+        assert r["golden_doc_id"] == int(grp.doc_id.min()) == cid
+        assert r["n_members"] == len(grp)
+        assert r["max_chars"] == int(grp.n_chars.max())
+        longest = grp.sort_values(["n_chars", "doc_id"],
+                                  ascending=[False, True]).iloc[0]
+        assert r["longest_doc_id"] == int(longest.doc_id)
+        votes = grp.groupby("lang").size().reset_index(name="c")
+        votes = votes.sort_values(["c", "lang"], ascending=[False, True])
+        assert r["majority_lang"] == votes.iloc[0].lang

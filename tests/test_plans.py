@@ -1019,3 +1019,15 @@ def test_exact_median_counting_no_per_group_sort(spark, sf_smoke):
         if "windowspecdefinition" in l and "cents#" in l
     ]
     assert all("rng#" in l for l in win_args)
+
+
+def test_hard_negatives_broadcast_probes_only(spark, sf_smoke):
+    """The miner rides the capped exact path: probes broadcast (the
+    documented BNLJ), the store is never shuffled, and the label filter
+    sits in the join condition, not after the rank."""
+    from tfm_taxitrips_spark.queries.vectors import q_hard_negative_mining
+
+    plan = explain_formatted(q_hard_negative_mining(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "NOT (label" in plan or "NOT (q_label" in plan or "= q_label" in plan

@@ -1801,7 +1801,110 @@ if q_token_budget_mix.__doc__:  # absent under python -OO
         "{nb}", str(_MIX_BUCKETS))
 
 
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge (the MDM "golden record"): near-dup clusters
+    don't just pick ONE surviving row (:func:`q_dedup_cluster_canonical`
+    does that) — each golden field follows its own rule, combined across
+    the cluster: anchor id = MIN member, text provenance = LONGEST
+    member (ties to the smaller id), language = MAJORITY vote (ties to
+    the lexicographically smallest), completeness = MAX length.
+    Singleton documents are their own golden record, so the output
+    covers the whole corpus.
+
+    Scale shape: clusters come from the proven LSH→connected-components
+    path; field rules are per-cluster windows/aggregates with TOTAL
+    tie-break orders (deterministic under any shuffle). The two
+    row_number windows partition by cluster — near-dup clusters are
+    small by construction (LSH buckets are salted/bounded upstream), so
+    no window partition scales with the corpus; the three collapsed
+    relations join back on the cluster key.
+    """
+    docs = table(spark, sf_dir, "documents")
+    comp = q_dedup_cluster_canonical(spark, sf_dir).select(
+        "doc_id", "cluster_id")
+    base = (
+        docs.join(comp, "doc_id", "left")
+        .select(
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "doc_id", "lang", "n_chars",
+        )
+        .localCheckpoint(eager=False)  # three field-rule consumers
+    )
+    main = base.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("doc_id").alias("golden_doc_id"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+    w_len = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc())
+    longest = (
+        base.withColumn("rn", F.row_number().over(w_len))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("longest_doc_id"))
+    )
+    lang_counts = base.groupBy("cluster_id", "lang").agg(
+        F.count(F.lit(1)).alias("c"))
+    w_lang = Window.partitionBy("cluster_id").orderBy(
+        F.col("c").desc(), F.col("lang").asc())
+    majority = (
+        lang_counts.withColumn("rn", F.row_number().over(w_lang))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", F.col("lang").alias("majority_lang"))
+    )
+    return main.join(longest, "cluster_id").join(majority, "cluster_id")
+
+
+_SURVIVORSHIP_SQL = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_LSH_SQL}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u AND e.v <> r.u
+),
+comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+),
+members AS (
+  SELECT COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         d.doc_id, d.lang, d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+main AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         MIN(doc_id) AS golden_doc_id,
+         CAST(MAX(n_chars) AS BIGINT) AS max_chars
+  FROM members GROUP BY 1
+),
+longest AS (
+  SELECT cluster_id, doc_id AS longest_doc_id FROM (
+    SELECT cluster_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+             ORDER BY n_chars DESC, doc_id ASC) AS rn
+    FROM members) WHERE rn = 1
+),
+maj AS (
+  SELECT cluster_id, lang AS majority_lang FROM (
+    SELECT cluster_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+             ORDER BY COUNT(*) DESC, lang ASC) AS rn
+    FROM members GROUP BY cluster_id, lang) WHERE rn = 1
+)
+SELECT m.cluster_id, m.n_members, m.golden_doc_id, l.longest_doc_id,
+       j.majority_lang, m.max_chars
+FROM main m JOIN longest l USING (cluster_id) JOIN maj j USING (cluster_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_survivorship_merge": QuerySpec(
+        q_dedup_survivorship, _SURVIVORSHIP_SQL,
+        tags=("dedup", "merge", "pipeline"),
+    ),
     "token_budget_mix": QuerySpec(
         q_token_budget_mix, _TOKEN_BUDGET_SQL,
         tags=("text", "sample", "pipeline", "window"),

@@ -121,6 +121,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "bpe_merge_induction",  # likewise (iterative tokenizer training)
     "vocab_coverage_curve", # likewise (top-N token coverage ppm)
     "exact_grouped_median", # likewise (sort-free exact median by counting)
+    "hard_negative_mining", # likewise (contrastive near-miss negatives)
+    "dedup_survivorship_merge",  # likewise (MDM golden-record field rules)
 )
 
 

@@ -1145,7 +1145,81 @@ FROM p GROUP BY 1, 2
 """
 
 
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe
+    vector, the TOP_K most-similar embeddings with a DIFFERENT label —
+    the near-misses that make embedding models learn (random negatives
+    are trivially separable; hard negatives carry the gradient signal).
+
+    Composition of proven parts: the capped brute-force cosine shape of
+    :func:`q_ann_bruteforce` (broadcast probes, one store pass, the
+    deliberate capped BNLJ) plus a label-disagreement predicate IN the
+    join condition — the filter prunes pairs before scoring, not after
+    ranking, so a label-skewed store never wastes rank slots. At corpus
+    scale the same label filter composes with the LSH/IVF bucket
+    equi-joins (mine negatives inside each bucket), exactly like the
+    exact-vs-bucketed split for ANN; this registered form is the exact
+    path the bucketed miner is validated against.
+    """
+    if N_QUERY_VECS > MAX_PROBE_VECS:
+        raise ValueError("probe batch exceeds MAX_PROBE_VECS")
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_embedding"),
+        l2_norm(as_double("embedding")).alias("q_nrm"),
+    )
+    cands = emb.select(
+        "vec_id", "label", "embedding",
+        l2_norm(as_double("embedding")).alias("nrm"),
+    )
+    joined = cands.join(
+        F.broadcast(queries),
+        (F.col("vec_id") != F.col("qid"))
+        & (F.col("label") != F.col("q_label")),
+    )
+    scored = joined.select(
+        "qid", "q_label", "vec_id",
+        F.col("label").alias("neg_label"),
+        (
+            dot(as_double("q_embedding"), as_double("embedding"))
+            / (F.col("q_nrm") * F.col("nrm"))
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn(
+        "rnk", F.row_number().over(w)).where(F.col("rnk") <= TOP_K)
+
+
+_HARD_NEG_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, label AS q_label, embedding AS q_embedding
+  FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+),
+scored AS (
+  SELECT q.qid, q.q_label, e.vec_id, e.label AS neg_label,
+         list_dot_product(q.q_embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.q_embedding::DOUBLE[], q.q_embedding::DOUBLE[]))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS cosine_sim
+  FROM embeddings e
+  JOIN q ON e.vec_id <> q.qid AND e.label <> q.q_label
+)
+SELECT * FROM (
+  SELECT qid, q_label, vec_id, neg_label, cosine_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY cosine_sim DESC, vec_id ASC) AS INT) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "hard_negative_mining": QuerySpec(
+        q_hard_negative_mining, _HARD_NEG_SQL,
+        tags=("vector", "training", "topk"),
+    ),
     "embedding_covariance": QuerySpec(
         q_embedding_covariance, _EMB_COV_SQL,
         tags=("vector", "stats", "pipeline"),
