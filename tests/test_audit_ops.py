@@ -422,3 +422,39 @@ def test_survivorship_covers_corpus_with_field_rules(spark, sf_smoke):
         votes = grp.groupby("lang").size().reset_index(name="c")
         votes = votes.sort_values(["c", "lang"], ascending=[False, True])
         assert r["majority_lang"] == votes.iloc[0].lang
+
+
+def test_equi_depth_histogram_matches_discrete_quantiles(spark, sf_smoke):
+    """Each boundary must equal the pandas discrete quantile (sorted
+    value at rank ceil(b*n/10)), boundaries are non-decreasing, and the
+    last boundary is the maximum value."""
+    import math
+
+    from tfm_taxitrips_spark.queries.analytics import (
+        _HIST_BUCKETS,
+        q_equi_depth_histogram,
+    )
+
+    rows = q_equi_depth_histogram(spark, sf_smoke).collect()
+    ev = (
+        table(spark, sf_smoke, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type",
+                F.floor(F.col("value") * 100).cast("long").alias("cents"))
+        .toPandas()
+    )
+    by_key = {(r["event_type"], r["bucket"]): r for r in rows}
+    for etype, grp in ev.groupby("event_type"):
+        vals = sorted(grp.cents.tolist())
+        n = len(vals)
+        prev = None
+        for b in range(1, _HIST_BUCKETS + 1):
+            r = by_key[(etype, b)]
+            rk = math.ceil(b * n / _HIST_BUCKETS)
+            assert r["n_values"] == n
+            assert r["rank_target"] == rk
+            assert r["upper_cents"] == vals[rk - 1]
+            if prev is not None:
+                assert r["upper_cents"] >= prev
+            prev = r["upper_cents"]
+        assert prev == vals[-1]

@@ -1001,6 +1001,34 @@ _CONTRACT_SQL = "\nUNION ALL\n".join([
 _MED_BUCKET = 4096  # cents-domain range width for the two-phase cumsum
 
 
+def _event_value_cum(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared counting-quantile machinery: the per-(type, cents) count
+    relation with its two-phase cumulative count, plus per-type totals.
+    Both rank-lookup consumers (`exact_grouped_median`,
+    `equi_depth_histogram`) ride this; the collapsed relations are
+    lazily checkpointed so consumers never replay the event scan."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    collapsed = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rng", F.expr(f"cents div {_MED_BUCKET}"))
+        .localCheckpoint(eager=False)
+    )
+    cum = two_phase_prefix_sum(
+        collapsed, partition_cols=("event_type",), bucket_col="rng",
+        order_cols=("cents",), val_col="cnt", out_col="cum_le",
+    ).localCheckpoint(eager=False)
+    totals = collapsed.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_values"))
+    return cum, totals
+
+
 def q_exact_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-type median of the event value WITHOUT sorting the
     data — the scale path the MAD fence's docstring promises: medians by
@@ -1021,23 +1049,7 @@ def q_exact_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes exact medians tractable when one group holds half the data.
     The oracle states the naive one-window-per-type cumulative form.
     """
-    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
-    collapsed = (
-        ev.select(
-            "event_type",
-            F.floor(F.col("value") * 100).cast("long").alias("cents"),
-        )
-        .groupBy("event_type", "cents")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rng", F.expr(f"cents div {_MED_BUCKET}"))
-        .localCheckpoint(eager=False)  # cumsum + totals both read it
-    )
-    cum = two_phase_prefix_sum(
-        collapsed, partition_cols=("event_type",), bucket_col="rng",
-        order_cols=("cents",), val_col="cnt", out_col="cum_le",
-    ).localCheckpoint(eager=False)  # two rank lookups read it
-    totals = collapsed.groupBy("event_type").agg(
-        F.sum("cnt").cast("bigint").alias("n_values"))
+    cum, totals = _event_value_cum(spark, sf_dir)
 
     def value_at(rank_expr, alias):
         ranks = totals.select(
@@ -1087,7 +1099,78 @@ FROM t
 """
 
 
+_HIST_BUCKETS = 10
+
+
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth histogram boundaries per type — the
+    cost-based-optimizer statistic (equal ROW counts per bucket, so
+    selectivity estimates stay accurate under skew, where equi-WIDTH
+    buckets collapse into one hot bin). Boundary b = the smallest value
+    whose cumulative count reaches ``ceil(b·n/10)`` — the discrete
+    quantile, exact, from the same counting machinery as
+    :func:`q_exact_grouped_median`: collapsed per-(type, cents) counts,
+    the shared two-phase cumulative sum, then 10 rank lookups per type
+    (a broadcast of the |types|×10 rank targets against the collapsed
+    relation). No sort at any scale; the oracle states the naive
+    one-window cumulative form with correlated-subquery lookups.
+    """
+    cum, totals = _event_value_cum(spark, sf_dir)
+    buckets = spark.range(1, _HIST_BUCKETS + 1).select(
+        F.col("id").cast("int").alias("bucket"))
+    ranks = totals.crossJoin(F.broadcast(buckets)).select(
+        "event_type", "bucket", "n_values",
+        F.expr(f"(bucket * n_values + {_HIST_BUCKETS - 1}) "
+               f"div {_HIST_BUCKETS}").alias("_r"),
+    )
+    return (
+        cum.join(F.broadcast(ranks), "event_type")
+        .where(F.col("cum_le") >= F.col("_r"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.max("n_values").alias("n_values"),
+            F.max("_r").cast("bigint").alias("rank_target"),
+            F.min("cents").alias("upper_cents"),
+        )
+    )
+
+
+_EQUI_DEPTH_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+         COUNT(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, cents,
+         CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_le
+  FROM c
+),
+t AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_values
+  FROM c GROUP BY 1
+),
+r AS (
+  SELECT t.event_type, CAST(b.bucket AS INT) AS bucket, t.n_values,
+         (b.bucket * t.n_values + {_HIST_BUCKETS - 1}) // {_HIST_BUCKETS}
+           AS rk
+  FROM t, (SELECT UNNEST(range(1, {_HIST_BUCKETS + 1})) AS bucket) b
+)
+SELECT r.event_type, r.bucket, r.n_values,
+       CAST(r.rk AS BIGINT) AS rank_target,
+       (SELECT MIN(cents) FROM cum
+        WHERE cum.event_type = r.event_type AND cum.cum_le >= r.rk)
+         AS upper_cents
+FROM r
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "equi_depth_histogram": QuerySpec(
+        q_equi_depth_histogram, _EQUI_DEPTH_SQL,
+        tags=("analytics", "stats", "cbo"),
+    ),
     "exact_grouped_median": QuerySpec(
         q_exact_grouped_median, _EXACT_MEDIAN_SQL,
         tags=("analytics", "robust", "window"),

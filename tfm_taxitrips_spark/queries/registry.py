@@ -123,6 +123,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "exact_grouped_median", # likewise (sort-free exact median by counting)
     "hard_negative_mining", # likewise (contrastive near-miss negatives)
     "dedup_survivorship_merge",  # likewise (MDM golden-record field rules)
+    "equi_depth_histogram", # likewise (exact CBO statistics by counting)
 )
 
 
