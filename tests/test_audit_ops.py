@@ -237,9 +237,9 @@ def test_embedding_covariance_stats_match_pandas(spark, sf_smoke):
         for j in range(i, _COV_DIMS):
             r = by_pair[(i, j)]
             assert r["n_vecs"] == len(q)
-            assert r["sum_i"] == sum(row[i] for row in q)
-            assert r["sum_j"] == sum(row[j] for row in q)
-            assert r["sum_ij"] == sum(row[i] * row[j] for row in q)
+            assert int(r["sum_i"]) == sum(row[i] for row in q)
+            assert int(r["sum_j"]) == sum(row[j] for row in q)
+            assert int(r["sum_ij"]) == sum(row[i] * row[j] for row in q)
             if i == j:
                 assert r["sum_i"] == r["sum_j"]
 
@@ -458,3 +458,72 @@ def test_equi_depth_histogram_matches_discrete_quantiles(spark, sf_smoke):
                 assert r["upper_cents"] >= prev
             prev = r["upper_cents"]
         assert prev == vals[-1]
+
+
+def test_embedding_covariance_partials_merge(spark, sf_smoke):
+    """The mergeability contract the op's docstring promises: summing the
+    sufficient statistics of two disjoint halves equals computing them
+    over the whole table — the property that lets per-partition states
+    fold across any repartitioning or incremental load."""
+    import math
+
+    from tfm_taxitrips_spark.queries.vectors import (
+        _COV_DIMS,
+        _COV_SCALE,
+        q_embedding_covariance,
+    )
+
+    whole = {(r["i"], r["j"]): r for r in q_embedding_covariance(spark, sf_smoke).collect()}
+    emb = table(spark, sf_smoke, "embeddings").select("vec_id", "embedding").toPandas()
+    halves = [emb[emb.vec_id % 2 == p] for p in (0, 1)]
+    for i in range(_COV_DIMS):
+        for j in range(i, _COV_DIMS):
+            merged_n = merged_si = merged_sj = merged_ij = 0
+            for h in halves:
+                q = [
+                    [int(math.floor(float(v) * _COV_SCALE)) for v in e[:_COV_DIMS]]
+                    for e in h.embedding
+                ]
+                merged_n += len(q)
+                merged_si += sum(r[i] for r in q)
+                merged_sj += sum(r[j] for r in q)
+                merged_ij += sum(r[i] * r[j] for r in q)
+            r = whole[(i, j)]
+            assert (r["n_vecs"], int(r["sum_i"]), int(r["sum_j"]),
+                    int(r["sum_ij"])) == (
+                merged_n, merged_si, merged_sj, merged_ij)
+
+
+def test_bpe_merge_expr_is_canonical_on_runs(spark):
+    """The double-delimiter merge must equal the canonical left-to-right
+    list scan on the adversarial shapes the fixture never produces:
+    same-symbol runs and back-to-back pair occurrences."""
+    from tfm_taxitrips_spark.queries.text import bpe_merge_expr
+
+    def canonical(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    cases = [("aaaa", "a", "a"), ("aaaaa", "a", "a"), ("aaaaaa", "a", "a"),
+             ("erer", "e", "r"), ("ererer", "e", "r"),
+             ("wanderer", "e", "r"), ("batch", "a", "t"),
+             ("baaab", "a", "a")]
+    df = spark.createDataFrame(
+        [("  " + "  ".join(w) + "  ", l, r) for w, l, r in cases],
+        "s string, l string, r string",
+    )
+    got = [
+        [t for t in r.m.split(" ") if t]
+        for r in df.select(
+            bpe_merge_expr("s", F.col("l"), F.col("r")).alias("m")
+        ).collect()
+    ]
+    want = [canonical(list(w), l, r) for w, l, r in cases]
+    assert got == want

@@ -918,7 +918,9 @@ def q_data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = df.agg(
             F.count(F.lit(1)).cast("bigint").alias("_n"),
             *[
-                F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(rid)
+                # count(when(...)) not sum(when(...)): an EMPTY table must
+                # report 0 violations, not NULL (the oracle's FILTER does)
+                F.count(F.when(cond, 1)).cast("bigint").alias(rid)
                 for rid, cond in rules.items()
             ],
         )

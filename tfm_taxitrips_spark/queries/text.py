@@ -1398,6 +1398,19 @@ LIMIT {PMI_TOPK}
 _BPE_MERGES = 3
 
 
+def bpe_merge_expr(s, lhs, rhs):
+    """One canonical-greedy BPE merge over a DOUBLE-space-delimited
+    symbol string: the pattern consumes one space from each side, so the
+    boundary invariant survives and consecutive occurrences (including
+    same-symbol runs) merge exactly as the left-to-right list scan
+    would."""
+    return F.replace(
+        s,
+        F.concat(F.lit(" "), lhs, F.lit("  "), rhs, F.lit(" ")),
+        F.concat(F.lit(" "), lhs, rhs, F.lit(" ")),
+    )
+
+
 def _bpe_pair_counts(words: DataFrame) -> DataFrame:
     """Corpus-weighted adjacent-symbol-pair counts from the (symbol
     string, word freq) relation. Symbol strings are space-delimited with
@@ -1436,11 +1449,15 @@ def q_bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation: pair counting is a map-side-combined aggregate over
     |vocab| rows, the winning pair is a 1-row broadcast, and the merge
     itself is one ``replace`` over |vocab| symbol strings. Engine-exact
-    by construction: ``replace`` is non-overlapping left-to-right in
-    both engines (greedy BPE semantics, verified: ``" a a a "`` merges
-    to ``" aa a "``), and the winner's tie-break is the total order
-    (count DESC, lhs ASC, rhs ASC). The oracle unrolls the three rounds
-    as CTEs, like the k-means oracle.
+    by construction: symbols are joined with DOUBLE-space boundaries and
+    the merge pattern consumes one space from each side, so consecutive
+    occurrences never fight over a shared delimiter — plain
+    non-overlapping left-to-right ``replace`` (identical in both
+    engines) then equals canonical greedy BPE on every input, including
+    same-symbol runs (``a a a a a`` → ``aa aa a``, review-verified
+    against a list-based reference). The winner's tie-break is the total
+    order (count DESC, lhs ASC, rhs ASC). The oracle unrolls the three
+    rounds as CTEs, like the k-means oracle.
     """
     docs = table(spark, sf_dir, "documents")
     words = (
@@ -1448,8 +1465,9 @@ def q_bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .select(
+            # double-space boundaries: '  b  a  t  c  h  ' — see docstring
             F.concat(
-                F.lit(" "), F.regexp_replace("w", "(.)", "$1 ")
+                F.lit("  "), F.regexp_replace("w", "(.)", "$1  ")
             ).alias("s"),
             "freq",
         )
@@ -1469,11 +1487,7 @@ def q_bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         words = (
             words.crossJoin(F.broadcast(best.select("lhs", "rhs")))
             .select(
-                F.replace(
-                    "s",
-                    F.concat(F.lit(" "), "lhs", F.lit(" "), "rhs", F.lit(" ")),
-                    F.concat(F.lit(" "), "lhs", "rhs", F.lit(" ")),
-                ).alias("s"),
+                bpe_merge_expr("s", F.col("lhs"), F.col("rhs")).alias("s"),
                 "freq",
             )
         )
@@ -1500,7 +1514,7 @@ def _bpe_sql() -> str:
 
     def merged(w: str, b: str) -> str:
         return f"""
-  SELECT replace(s, ' ' || (SELECT lhs FROM {b}) || ' '
+  SELECT replace(s, ' ' || (SELECT lhs FROM {b}) || '  '
                     || (SELECT rhs FROM {b}) || ' ',
                  ' ' || (SELECT lhs FROM {b})
                     || (SELECT rhs FROM {b}) || ' ') AS s, freq
@@ -1508,7 +1522,7 @@ def _bpe_sql() -> str:
 """
 
     ctes = ["""w1 AS (
-  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s,
+  SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s,
          CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
   GROUP BY w

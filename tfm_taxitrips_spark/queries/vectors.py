@@ -58,27 +58,44 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     |store| × |probes|; recall-bounded large-batch serving goes through
     the LSH/IVF bucket equi-joins instead. Plan pinned by
     tests/test_plans.py::test_ann_broadcasts_queries."""
+    scored = _brute_force_scored(spark, sf_dir).select(
+        "qid", "vec_id", "label", "cosine_sim")
+    w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= TOP_K)
+
+
+def _brute_force_scored(
+    spark: SparkSession, sf_dir: str, *, negatives_only: bool = False
+) -> DataFrame:
+    """Shared capped exact-path scorer (broadcast probes, one store
+    pass): norms are computed ONCE per row before the join (store side)
+    / per query (broadcast side), so the per-pair work is a single dot
+    fold — the identical ``dot/(n_q·n_e)`` expression tree as
+    ``cosine()``, keeping oracle hashes stable. With ``negatives_only``
+    the label-disagreement predicate joins the pair filter, pruning
+    before scoring (the hard-negative miner's form)."""
     if N_QUERY_VECS > MAX_PROBE_VECS:
         raise ValueError(
             f"brute-force probe batch {N_QUERY_VECS} exceeds MAX_PROBE_VECS="
             f"{MAX_PROBE_VECS}; use q_ann_lsh/q_ann_ivf for large batches"
         )
-    # norms are computed ONCE per row before the join (store side) / per
-    # query (broadcast side): the per-pair work is a single dot fold, not
-    # three. Same doubles as cosine() — dot/(n_q*n_e) is the identical
-    # expression tree — so the oracle hash is unchanged.
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
         F.col("embedding").alias("q_embedding"),
         l2_norm(as_double("embedding")).alias("q_nrm"),
     )
     cands = emb.select(
         "vec_id", "label", "embedding", l2_norm(as_double("embedding")).alias("nrm")
     )
-    joined = cands.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
-    scored = joined.select(
+    pred = F.col("vec_id") != F.col("qid")
+    if negatives_only:
+        pred = pred & (F.col("label") != F.col("q_label"))
+    joined = cands.join(F.broadcast(queries), pred)
+    return joined.select(
         "qid",
+        "q_label",
         "vec_id",
         "label",
         (
@@ -86,8 +103,6 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("q_nrm") * F.col("nrm"))
         ).alias("cosine_sim"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
-    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= TOP_K)
 
 
 _ANN_BRUTE_SQL = f"""
@@ -1116,11 +1131,19 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ))
     ex = base.select(F.explode(F.array(*cells)).alias("c")).select(
         "c.i", "c.j", "c.qi", "c.qj")
+    # DECIMAL(38,0) accumulators rendered as exact integer STRINGS:
+    # Σqᵢqⱼ exceeds int64 past ~1e7 rows of unit-scale micro products
+    # (the silent-wrap regime the exactness claim must survive), and
+    # >18-digit decimals lose exactness through pandas/Arrow as numbers
+    # — the string form is the lossless wire format on both engines
+    # (DuckDB mirrors with HUGEINT sums cast to VARCHAR).
+    d38 = "decimal(38,0)"
     return ex.groupBy("i", "j").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-        F.sum("qi").cast("bigint").alias("sum_i"),
-        F.sum("qj").cast("bigint").alias("sum_j"),
-        F.sum(F.col("qi") * F.col("qj")).cast("bigint").alias("sum_ij"),
+        F.sum(F.col("qi").cast(d38)).cast(d38).cast("string").alias("sum_i"),
+        F.sum(F.col("qj").cast(d38)).cast(d38).cast("string").alias("sum_j"),
+        F.sum((F.col("qi") * F.col("qj")).cast(d38)).cast(d38).cast("string")
+        .alias("sum_ij"),
     )
 
 
@@ -1138,9 +1161,9 @@ p AS (
   WHERE tj.x >= ti.x
 )
 SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-       CAST(SUM(qi) AS BIGINT) AS sum_i,
-       CAST(SUM(qj) AS BIGINT) AS sum_j,
-       CAST(SUM(qi * qj) AS BIGINT) AS sum_ij
+       CAST(CAST(SUM(qi) AS HUGEINT) AS VARCHAR) AS sum_i,
+       CAST(CAST(SUM(qj) AS HUGEINT) AS VARCHAR) AS sum_j,
+       CAST(CAST(SUM(qi * qj) AS HUGEINT) AS VARCHAR) AS sum_ij
 FROM p GROUP BY 1, 2
 """
 
@@ -1161,31 +1184,9 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-vs-bucketed split for ANN; this registered form is the exact
     path the bucketed miner is validated against.
     """
-    if N_QUERY_VECS > MAX_PROBE_VECS:
-        raise ValueError("probe batch exceeds MAX_PROBE_VECS")
-    emb = table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("q_label"),
-        F.col("embedding").alias("q_embedding"),
-        l2_norm(as_double("embedding")).alias("q_nrm"),
-    )
-    cands = emb.select(
-        "vec_id", "label", "embedding",
-        l2_norm(as_double("embedding")).alias("nrm"),
-    )
-    joined = cands.join(
-        F.broadcast(queries),
-        (F.col("vec_id") != F.col("qid"))
-        & (F.col("label") != F.col("q_label")),
-    )
-    scored = joined.select(
+    scored = _brute_force_scored(spark, sf_dir, negatives_only=True).select(
         "qid", "q_label", "vec_id",
-        F.col("label").alias("neg_label"),
-        (
-            dot(as_double("q_embedding"), as_double("embedding"))
-            / (F.col("q_nrm") * F.col("nrm"))
-        ).alias("cosine_sim"),
+        F.col("label").alias("neg_label"), "cosine_sim",
     )
     w = Window.partitionBy("qid").orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id").asc())
