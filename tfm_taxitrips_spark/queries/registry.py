@@ -124,6 +124,8 @@ PENDING_ROTATION: tuple[str, ...] = (
     "hard_negative_mining", # likewise (contrastive near-miss negatives)
     "dedup_survivorship_merge",  # likewise (MDM golden-record field rules)
     "equi_depth_histogram", # likewise (exact CBO statistics by counting)
+    "langid_confusion_eval",   # likewise (classifier confusion matrix)
+    "ngram_containment_pairs", # likewise (asymmetric subset-copy detector)
 )
 
 

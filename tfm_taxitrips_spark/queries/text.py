@@ -119,6 +119,63 @@ FROM t
 """
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval confusion matrix for the lang-ID heuristic
+    (:func:`q_lang_id`'s stopword-ratio predictor vs the dataset label):
+    per (label, prediction) cell count with exact integer recall ppm
+    (cell / label total) and precision ppm (cell / prediction total) —
+    the eval report every filter-model iteration reads before swapping
+    classifiers (which languages leak through, which get over-flagged).
+
+    Scale shape: one scan collapses the corpus into the
+    |labels|×|predictions| matrix (map-side combine); both marginals are
+    re-aggregations of the checkpointed matrix joined back by broadcast.
+    No window, no second scan; the division is exact integer ppm.
+    """
+    docs = table(spark, sf_dir, "documents")
+    ratio = (stopword_count("text").cast("double")
+             / F.size(tokens("text")).cast("double"))
+    pred = F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("und"))
+    m = (
+        docs.groupBy(F.col("lang").alias("lang_label"),
+                     pred.alias("lang_pred"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .localCheckpoint(eager=False)  # matrix + two marginals read it
+    )
+    lt = m.groupBy("lang_label").agg(F.sum("n_docs").alias("_lt"))
+    pt = m.groupBy("lang_pred").agg(F.sum("n_docs").alias("_pt"))
+    return (
+        m.join(F.broadcast(lt), "lang_label")
+        .join(F.broadcast(pt), "lang_pred")
+        .select(
+            "lang_label", "lang_pred", "n_docs",
+            F.expr("(n_docs * 1000000) div _lt").alias("recall_ppm"),
+            F.expr("(n_docs * 1000000) div _pt").alias("precision_ppm"),
+        )
+    )
+
+
+_LANGID_CONFUSION_SQL = f"""
+WITH p AS (
+  SELECT lang AS lang_label,
+         CASE WHEN CAST({stopword_count_sql('text')} AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.03
+              THEN 'en' ELSE 'und' END AS lang_pred
+  FROM documents
+),
+m AS (
+  SELECT lang_label, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM p GROUP BY 1, 2
+),
+lt AS (SELECT lang_label, CAST(SUM(n_docs) AS BIGINT) AS lt FROM m GROUP BY 1),
+pt AS (SELECT lang_pred, CAST(SUM(n_docs) AS BIGINT) AS pt FROM m GROUP BY 1)
+SELECT m.lang_label, m.lang_pred, m.n_docs,
+       CAST((m.n_docs * 1000000) // lt.lt AS BIGINT) AS recall_ppm,
+       CAST((m.n_docs * 1000000) // pt.pt AS BIGINT) AS precision_ppm
+FROM m JOIN lt USING (lang_label) JOIN pt USING (lang_pred)
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: md5 of normalized text + min-shingle-hash
     (winnowing-style content fingerprint, robust to local edits)."""
@@ -203,6 +260,19 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline remains `minhash_lsh_candidates` composition; this form is
     the exact-Jaccard fallback that can no longer blow up.
     """
+    joined = _capped_shingle_inter(spark, sf_dir)
+    jac = joined.withColumn(
+        "jaccard",
+        F.col("n_inter").cast("double")
+        / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+    )
+    return jac.where(F.col("jaccard") >= 0.2).select("doc_a", "doc_b", "n_inter", "jaccard")
+
+
+def _capped_shingle_inter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared df-capped shingle-pair machinery (see q_ngram_jaccard_pairs'
+    docstring for the scale argument): candidate pairs with |∩| and both
+    set sizes, over the capped distinct 3-gram universe."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     sets = docs.select(
         "doc_id", F.explode(shingles(F.lower(F.col("text")), 3)).alias("s")
@@ -223,15 +293,33 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
-        )
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment for candidate pairs — ``|A∩B| / |A|`` and
+    ``|A∩B| / |B|`` — the quote/subset-copy detector Jaccard structurally
+    misses: a short document wholly quoted inside a long one has tiny
+    Jaccard (the union is dominated by the long doc) but containment ≈ 1
+    on the short side. Standard curation practice (e.g. boilerplate and
+    quotation mining) keeps BOTH directions; the emitted pairs are those
+    where either direction reaches 0.5.
+
+    Rides the same df-capped shingle machinery as
+    :func:`q_ngram_jaccard_pairs` (one shared builder — the cap bounds
+    the pair join identically), so the scale argument is inherited, and
+    the ratios are single IEEE divisions of exact ints.
+    """
+    joined = _capped_shingle_inter(spark, sf_dir)
+    c = joined.select(
+        "doc_a", "doc_b", "n_inter",
+        (F.col("n_inter").cast("double") / F.col("sz_a").cast("double"))
+        .alias("containment_a_in_b"),
+        (F.col("n_inter").cast("double") / F.col("sz_b").cast("double"))
+        .alias("containment_b_in_a"),
     )
-    return jac.where(F.col("jaccard") >= 0.2).select("doc_a", "doc_b", "n_inter", "jaccard")
+    return c.where(
+        F.greatest("containment_a_in_b", "containment_b_in_a") >= 0.5)
 
 
 _NGRAM_JACCARD_SQL = f"""
@@ -256,6 +344,32 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.2
+"""
+
+_NGRAM_CONTAINMENT_SQL = f"""
+WITH sets AS (
+  SELECT DISTINCT doc_id, unnest({shingles_sql('lower(text)')}) AS s
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df_s FROM sets
+  ) WHERE df_s <= {NGRAM_DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       CAST(n_inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment_a_in_b,
+       CAST(n_inter AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS containment_b_in_a
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE GREATEST(CAST(n_inter AS DOUBLE) / CAST(sa.sz AS DOUBLE),
+               CAST(n_inter AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= 0.5
 """
 
 
@@ -1636,6 +1750,11 @@ QUERIES: dict[str, QuerySpec] = {
                                    tags=("text", "dedup", "simhash")),
     "text_quality_score": QuerySpec(q_quality_score, _QUALITY_SQL, tags=("text",)),
     "text_lang_id": QuerySpec(q_lang_id, _LANG_ID_SQL, tags=("text",)),
+    "langid_confusion_eval": QuerySpec(
+        q_langid_confusion, _LANGID_CONFUSION_SQL, tags=("text", "eval")),
+    "ngram_containment_pairs": QuerySpec(
+        q_ngram_containment, _NGRAM_CONTAINMENT_SQL,
+        tags=("text", "dedup")),
     "text_fingerprint": QuerySpec(q_fingerprint, _FINGERPRINT_SQL, tags=("text",)),
     "dedup_exact_docs": QuerySpec(q_dedup_exact_docs, _DEDUP_EXACT_SQL, bench=True,
                                   tags=("dedup",)),
