@@ -126,6 +126,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "equi_depth_histogram", # likewise (exact CBO statistics by counting)
     "langid_confusion_eval",   # likewise (classifier confusion matrix)
     "ngram_containment_pairs", # likewise (asymmetric subset-copy detector)
+    "mmr_diverse_rerank",   # likewise (greedy diversity re-ranking)
 )
 
 

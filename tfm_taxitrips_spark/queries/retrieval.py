@@ -490,7 +490,144 @@ FROM agg WHERE n_pos > 0 AND n_neg > 0
 """
 
 
+MMR_LAMBDA = 0.7
+MMR_CANDIDATES = 10
+MMR_PICKS = 3
+MMR_PROBE = 0  # vec_id of the probe vector
+
+
+def q_mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick {picks} results from the probe's top-{cands}
+    cosine candidates, each round maximizing ``λ·relevance − (1−λ)·max
+    similarity to the already-selected`` — the diversity stage between
+    retrieval and the context window (near-duplicate top hits waste
+    prompt tokens; MMR spends them on coverage).
+
+    Iterative like k-means/BPE: round 1 reduces to pure relevance;
+    rounds 2-3 join the candidate slice (a broadcast of ≤{cands} rows)
+    against the selected set, fold the max pairwise cosine, and take the
+    arg-max with a vec_id tie-break. Every per-round relation is
+    candidate-sized — the corpus is touched once, by the candidate
+    generator (the proven capped brute-force scorer). Float discipline:
+    the MMR score is the identical ``λ·rel − (1−λ)·maxsim`` expression
+    tree in both engines over the same cosine doubles, and every
+    ordering carries the vec_id tie-break. The oracle unrolls the rounds
+    as CTEs.
+    """
+    from tfm_taxitrips_spark.queries.vectors import _brute_force_scored
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("c_emb"))
+    cands = (
+        _brute_force_scored(spark, sf_dir)
+        .where(F.col("qid") == MMR_PROBE)
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(MMR_CANDIDATES)
+        .select("vec_id", F.col("cosine_sim").alias("rel"))
+        .join(F.broadcast(emb), "vec_id")
+        .localCheckpoint(eager=False)  # every round reads the slice
+    )
+    lam = F.lit(MMR_LAMBDA)
+    picked = []
+    remaining = cands
+    for rank in range(1, MMR_PICKS + 1):
+        if rank == 1:
+            scored = remaining.select(
+                "vec_id", "rel", "c_emb",
+                (lam * F.col("rel")).alias("mmr_score"),
+            )
+        else:
+            sel = picked_df.select(F.col("c_emb").alias("s_emb"))
+            sims = (
+                remaining.crossJoin(F.broadcast(sel))
+                .select(
+                    "vec_id", "rel", "c_emb",
+                    (dot(as_double("c_emb"), as_double("s_emb"))
+                     / (l2_norm(as_double("c_emb"))
+                        * l2_norm(as_double("s_emb")))).alias("_sim"),
+                )
+                .groupBy("vec_id", "rel", "c_emb")
+                .agg(F.max("_sim").alias("_maxsim"))
+            )
+            scored = sims.select(
+                "vec_id", "rel", "c_emb",
+                (lam * F.col("rel")
+                 - (F.lit(1.0) - lam) * F.col("_maxsim")).alias("mmr_score"),
+            )
+        pick = (
+            scored.orderBy(F.col("mmr_score").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .localCheckpoint(eager=False)  # read by output + next round
+        )
+        picked.append(pick.select(
+            F.lit(rank).alias("pick_rank"), "vec_id", "rel", "mmr_score"))
+        picked_df = pick if rank == 1 else picked_df.unionByName(pick)
+        remaining = remaining.join(
+            F.broadcast(pick.select("vec_id")), "vec_id", "left_anti")
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+if q_mmr_diverse_rerank.__doc__:  # absent under python -OO
+    q_mmr_diverse_rerank.__doc__ = (
+        q_mmr_diverse_rerank.__doc__
+        .replace("{picks}", str(MMR_PICKS))
+        .replace("{cands}", str(MMR_CANDIDATES))
+    )
+
+
+def _mmr_sql() -> str:
+    cos = (
+        "list_dot_product(c.c_emb::DOUBLE[], s.c_emb::DOUBLE[])"
+        " / (sqrt(list_dot_product(c.c_emb::DOUBLE[], c.c_emb::DOUBLE[]))"
+        " * sqrt(list_dot_product(s.c_emb::DOUBLE[], s.c_emb::DOUBLE[])))"
+    )
+    parts = [f"""cand AS (
+  SELECT e.vec_id, e.embedding AS c_emb,
+         list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS rel
+  FROM embeddings e,
+       (SELECT embedding FROM embeddings WHERE vec_id = {MMR_PROBE}) q
+  WHERE e.vec_id <> {MMR_PROBE}
+  ORDER BY rel DESC, e.vec_id ASC LIMIT {MMR_CANDIDATES}
+),
+p1 AS (
+  SELECT vec_id, c_emb, rel, {MMR_LAMBDA} * rel AS mmr_score
+  FROM cand ORDER BY {MMR_LAMBDA} * rel DESC, vec_id ASC LIMIT 1
+)"""]
+    for r in range(2, MMR_PICKS + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT vec_id, c_emb FROM p{i}" for i in range(1, r))
+        parts.append(f"""s{r} AS ({sel_union}),
+m{r} AS (
+  SELECT c.vec_id, c.c_emb, c.rel, MAX({cos}) AS maxsim
+  FROM cand c, s{r} s
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM s{r})
+  GROUP BY c.vec_id, c.c_emb, c.rel
+),
+p{r} AS (
+  SELECT vec_id, c_emb, rel,
+         {MMR_LAMBDA} * rel - (1.0 - {MMR_LAMBDA}) * maxsim AS mmr_score
+  FROM m{r}
+  ORDER BY mmr_score DESC, vec_id ASC LIMIT 1
+)""")
+    selects = " UNION ALL ".join(
+        f"SELECT {r} AS pick_rank, vec_id, rel, mmr_score FROM p{r}"
+        for r in range(1, MMR_PICKS + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+_MMR_SQL = _mmr_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "mmr_diverse_rerank": QuerySpec(
+        q_mmr_diverse_rerank, _MMR_SQL, tags=("retrieval", "iterative")),
     "auc_score_eval": QuerySpec(
         q_auc_score_eval, _AUC_SQL, tags=("eval", "quality", "window")
     ),
