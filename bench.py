@@ -23,6 +23,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tfm_taxitrips_spark.queries.registry import all_queries  # noqa: E402
 from tfm_taxitrips_spark.session import get_spark  # noqa: E402
 
+# Calibration workload — FROZEN. ``value_per_calibration`` is only
+# comparable across rounds while this definition never changes, so it is
+# pinned by tests/test_bench_contract.py (which asserts these literals and
+# the derived ``calibration_id``). Change them and the test fails — if a
+# change is ever genuinely needed, bump the id suffix so consumers see the
+# series break instead of silently comparing different units.
+CALIBRATION_ROWS = 200_000_000
+CALIBRATION_EXPR = "sum(id * 2654435761 % 1000003) v"
+CALIBRATION_ID = f"range({CALIBRATION_ROWS}):{CALIBRATION_EXPR}"
+
+
+def calibration_df(spark):
+    """The fixed engine-independent workload timed for host normalization."""
+    return spark.range(CALIBRATION_ROWS).selectExpr(CALIBRATION_EXPR)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -180,9 +195,7 @@ def main() -> None:
     calibs = []
     for _ in range(REPS):
         calib_start = time.perf_counter()
-        spark.range(200_000_000).selectExpr(
-            "sum(id * 2654435761 % 1000003) v"
-        ).write.format("noop").mode("overwrite").save()
+        calibration_df(spark).write.format("noop").mode("overwrite").save()
         calibs.append(time.perf_counter() - calib_start)
     calib = round(median(calibs), 3)
 
@@ -198,8 +211,12 @@ def main() -> None:
                 "reps": REPS,
                 "calibration_sec": calib,
                 # total in units of the calibration workload: the
-                # host-speed-independent number to compare across rounds
+                # host-speed-independent number to compare across rounds.
+                # Only rows sharing `calibration_id` are comparable — the
+                # id names the frozen workload definition (pinned by
+                # tests/test_bench_contract.py).
                 "value_per_calibration": round(total / calib, 2) if calib else None,
+                "calibration_id": CALIBRATION_ID,
                 "errors": errors,
                 "sf": sf,
             }

@@ -1,0 +1,35 @@
+"""Bench continuity contract (r4 verdict item #7).
+
+``bench.py``'s ``value_per_calibration`` series is the round-over-round
+performance signal; it is only apples-to-apples while the calibration
+workload definition never changes. These tests freeze that definition —
+editing the workload fails here, forcing an explicit ``calibration_id``
+series break instead of a silent unit change.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def test_calibration_definition_frozen():
+    # the literal values BENCH_r04-era rounds normalized against
+    assert bench.CALIBRATION_ROWS == 200_000_000
+    assert bench.CALIBRATION_EXPR == "sum(id * 2654435761 % 1000003) v"
+    assert bench.CALIBRATION_ID == (
+        "range(200000000):sum(id * 2654435761 % 1000003) v"
+    )
+
+
+def test_calibration_df_is_the_frozen_workload(spark):
+    df = bench.calibration_df(spark)
+    # one aggregate row, derived only from the frozen range + expression
+    assert df.columns == ["v"]
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "Range (0, 200000000" in plan
+    assert "2654435761" in plan and "1000003" in plan

@@ -1031,3 +1031,53 @@ def test_hard_negatives_broadcast_probes_only(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "NOT (label" in plan or "NOT (q_label" in plan or "= q_label" in plan
+
+
+def test_mmr_broadcasts_candidate_slice_not_corpus(spark, sf_smoke):
+    """The MMR vector-attach must broadcast the ≤MMR_CANDIDATES-row
+    candidate slice onto the streamed corpus-sized embeddings scan —
+    never the reverse (r4 verdict: the corpus-side hint is an executor
+    OOM at 100 TB). Pinned shape: the only BroadcastExchanges are the
+    1-row probe (inside the brute-force scorer) and the slice, whose
+    direct child is the TakeOrderedAndProject limit; no exchange wraps a
+    bare embeddings scan."""
+    import re
+
+    from tfm_taxitrips_spark.queries.retrieval import _mmr_candidates
+
+    plan = explain_formatted(_mmr_candidates(spark, sf_smoke))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree  # the vec_id attach join
+    # exactly two broadcasts: probe + candidate slice
+    assert tree.count("BroadcastExchange") == 2
+    assert "ShuffleExchange" not in tree and "SortMergeJoin" not in tree
+    # the slice broadcast sits DIRECTLY above its limit — the corpus-side
+    # form (BroadcastExchange over Project/Filter/Scan) has no such pair
+    assert re.search(
+        r"BroadcastExchange \(\d+\)\n\s*\+- TakeOrderedAndProject", tree
+    ), tree
+
+
+def test_sf_scaling_sides_auto_broadcast_no_hard_hint(spark, sf_smoke):
+    """customer/part grow with SF, so their joins carry NO F.broadcast
+    hint (SCALE.md §Joins, "SF-scaling sides"). Two properties: (a) at
+    fixture scale the size-statistics threshold still broadcasts them —
+    nothing regressed by dropping the hint; (b) the decision genuinely
+    follows the threshold (a hard hint would ignore it), so past
+    autoBroadcastJoinThreshold the same plan degrades to a shuffle join
+    instead of an executor OOM."""
+    from tfm_taxitrips_spark.queries.analytics import q_copurchase_lift
+    from tfm_taxitrips_spark.queries.relational import q_running_revenue
+
+    assert "BroadcastHashJoin" in explain_formatted(
+        q_running_revenue(spark, sf_smoke))
+    assert "BroadcastHashJoin" in explain_formatted(
+        q_copurchase_lift(spark, sf_smoke))
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        constrained = explain_formatted(q_running_revenue(spark, sf_smoke))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert "SortMergeJoin" in constrained or "ShuffledHashJoin" in constrained

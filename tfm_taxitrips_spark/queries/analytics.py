@@ -367,8 +367,11 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # part scales with SF — no hard broadcast hint; the size-statistics
+    # threshold broadcasts at small SF and AQE re-plans past it
+    # (SCALE.md §Joins, "SF-scaling sides")
     items = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
     )

@@ -561,8 +561,12 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition key, an in-partition sort, no self-join."""
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
+    # customer scales with SF (unlike nation / the taxi role dims) — no
+    # hard broadcast hint: Spark's size-statistics threshold broadcasts it
+    # at small SF (plan-pinned) and falls back to a shuffle join past
+    # autoBroadcastJoinThreshold.  SCALE.md §Joins, "SF-scaling sides".
     monthly = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy(
             F.col("c_mktsegment"),
             F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),

@@ -419,9 +419,11 @@ def q_auc_score_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the score DOMAIN rather than the corpus (at 100 TB you quantize the
     score to fix the domain; with integer scores, zero approximation).
     Ties contribute the exact half-credit via the doubled form
-    ``2U = Σ_s pos_s · (2·neg_below_s + neg_s)`` — all BIGINT, no
-    0.5 float ever exists, so the ppm AUC is bit-identical across
-    engines and partitionings.
+    ``2U = Σ_s pos_s · (2·neg_below_s + neg_s)`` — exact integers end to
+    end (the U sum and the ppm division both run in DECIMAL(38,0) /
+    HUGEINT, so neither wraps int64 even at ~1e9 docs per class), no 0.5
+    float ever exists, and the ppm AUC is bit-identical across engines
+    and partitionings.
     """
     docs = table(spark, sf_dir, "documents")
     # NULL lang belongs to NEITHER class (mirrors the oracle's FILTER
@@ -439,7 +441,12 @@ def q_auc_score_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("below", F.coalesce(F.sum("neg").over(w), F.lit(0)))
         .groupBy("source")
         .agg(
-            F.sum(F.col("pos") * (2 * F.col("below") + F.col("neg")))
+            # accumulate in DECIMAL(38,0) (mirrors the oracle's HUGEINT):
+            # 2U approaches 2·n_pos·n_neg, which wraps int64 once a source
+            # holds ~2.1e9 docs per class — the guard must cover the SUM
+            # itself, not just the later ppm division
+            F.sum(F.col("pos").cast("decimal(38,0)")
+                  * (2 * F.col("below") + F.col("neg")))
             .alias("u2"),
             F.sum("pos").alias("n_pos"),
             F.sum("neg").alias("n_neg"),
@@ -477,7 +484,7 @@ cum AS (
   FROM by_score
 ),
 agg AS (
-  SELECT source, CAST(SUM(pos * (2 * below + neg)) AS BIGINT) AS u2,
+  SELECT source, SUM(CAST(pos AS HUGEINT) * (2 * below + neg)) AS u2,
          CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg
   FROM cum GROUP BY 1
 )
@@ -494,6 +501,33 @@ MMR_LAMBDA = 0.7
 MMR_CANDIDATES = 10
 MMR_PICKS = 3
 MMR_PROBE = 0  # vec_id of the probe vector
+
+
+def _mmr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``MMR_CANDIDATES`` cosine candidates with their vectors
+    attached. The ≤10-row candidate slice is the BROADCAST side of the
+    vector-attach join and the corpus-sized embeddings scan the streamed
+    side — never the reverse (a corpus broadcast is an executor OOM at
+    scale); pinned in
+    tests/test_plans.py::test_mmr_broadcasts_candidate_slice_not_corpus.
+    Factored out of :func:`q_mmr_diverse_rerank` so the plan is
+    inspectable before the lazy checkpoint hides it behind a LogicalRDD.
+    """
+    from tfm_taxitrips_spark.queries.vectors import _brute_force_scored
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("c_emb"))
+    cand_slice = (
+        _brute_force_scored(spark, sf_dir)
+        .where(F.col("qid") == MMR_PROBE)
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(MMR_CANDIDATES)
+        .select("vec_id", F.col("cosine_sim").alias("rel"))
+    )
+    return (
+        emb.join(F.broadcast(cand_slice), "vec_id")
+        .select("vec_id", "rel", "c_emb")
+    )
 
 
 def q_mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,19 +549,8 @@ def q_mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering carries the vec_id tie-break. The oracle unrolls the rounds
     as CTEs.
     """
-    from tfm_taxitrips_spark.queries.vectors import _brute_force_scored
-
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").alias("c_emb"))
-    cands = (
-        _brute_force_scored(spark, sf_dir)
-        .where(F.col("qid") == MMR_PROBE)
-        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
-        .limit(MMR_CANDIDATES)
-        .select("vec_id", F.col("cosine_sim").alias("rel"))
-        .join(F.broadcast(emb), "vec_id")
-        .localCheckpoint(eager=False)  # every round reads the slice
-    )
+    cands = _mmr_candidates(spark, sf_dir).localCheckpoint(
+        eager=False)  # every round reads the slice
     lam = F.lit(MMR_LAMBDA)
     picked = []
     remaining = cands
@@ -553,7 +576,9 @@ def q_mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             scored = sims.select(
                 "vec_id", "rel", "c_emb",
                 (lam * F.col("rel")
-                 - (F.lit(1.0) - lam) * F.col("_maxsim")).alias("mmr_score"),
+                 # Python-computed double, identical bits to the oracle's
+                 # CAST(0.30000000000000004 AS DOUBLE) constant
+                 - F.lit(1.0 - MMR_LAMBDA) * F.col("_maxsim")).alias("mmr_score"),
             )
         pick = (
             scored.orderBy(F.col("mmr_score").desc(), F.col("vec_id").asc())
@@ -580,6 +605,14 @@ if q_mmr_diverse_rerank.__doc__:  # absent under python -OO
 
 
 def _mmr_sql() -> str:
+    # bit-identical score constants: DuckDB parses bare `0.7` / `(1.0-0.7)`
+    # as exact DECIMALs (0.3), while Spark folds `1.0 - lit(0.7)` in IEEE
+    # doubles (0.30000000000000004) — a one-ulp constant difference that
+    # can flip a greedy pick on a rounding boundary (observed at sf0.01).
+    # Emitting the Python-computed doubles CAST AS DOUBLE pins both
+    # engines to the same bits.
+    lam = f"CAST({MMR_LAMBDA!r} AS DOUBLE)"
+    oml = f"CAST({(1.0 - MMR_LAMBDA)!r} AS DOUBLE)"
     cos = (
         "list_dot_product(c.c_emb::DOUBLE[], s.c_emb::DOUBLE[])"
         " / (sqrt(list_dot_product(c.c_emb::DOUBLE[], c.c_emb::DOUBLE[]))"
@@ -597,8 +630,8 @@ def _mmr_sql() -> str:
   ORDER BY rel DESC, e.vec_id ASC LIMIT {MMR_CANDIDATES}
 ),
 p1 AS (
-  SELECT vec_id, c_emb, rel, {MMR_LAMBDA} * rel AS mmr_score
-  FROM cand ORDER BY {MMR_LAMBDA} * rel DESC, vec_id ASC LIMIT 1
+  SELECT vec_id, c_emb, rel, {lam} * rel AS mmr_score
+  FROM cand ORDER BY {lam} * rel DESC, vec_id ASC LIMIT 1
 )"""]
     for r in range(2, MMR_PICKS + 1):
         sel_union = " UNION ALL ".join(
@@ -612,7 +645,7 @@ m{r} AS (
 ),
 p{r} AS (
   SELECT vec_id, c_emb, rel,
-         {MMR_LAMBDA} * rel - (1.0 - {MMR_LAMBDA}) * maxsim AS mmr_score
+         {lam} * rel - {oml} * maxsim AS mmr_score
   FROM m{r}
   ORDER BY mmr_score DESC, vec_id ASC LIMIT 1
 )""")

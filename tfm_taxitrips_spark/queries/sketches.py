@@ -167,7 +167,7 @@ def _cms_cells(tok: Column) -> Column:
     ])
 
 
-def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cms_heavy_hitters_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch term frequencies, checked against exact counts for
     the corpus's top-20 tokens (Cormode & Muthukrishnan 2005).
 
@@ -180,11 +180,16 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``2e·N/w`` with probability ≤ (2e)⁻ᵈ per query.
 
     Oracle strategy (module docstring): estimates are engine-specific, so
-    the emitted columns are the exact per-token counts plus the two
-    accuracy-contract booleans, computed Spark-side; DuckDB recomputes the
-    exact counts and asserts the booleans TRUE. The heavy-hitter set uses
-    a (count desc, token asc) total order on both engines, so the LIMIT
-    window is deterministic across ties.
+    the emitted columns are the exact per-token counts plus the
+    never-undercounts boolean — a HARD guarantee (min over counters that
+    each include the true count), safe for the oracle to assert TRUE on
+    any fixture. The ε-overshoot bound is PROBABILISTIC (per-probe failure
+    ~(2e)⁻ᵈ, hash-seed and fixture dependent), so it lives in
+    ``cms_heavy_hitters_full`` and is asserted by the behavioral test
+    (tests/test_audit_ops.py), not the differential — a fixture
+    regeneration must not be able to fail a correct implementation. The
+    heavy-hitter set uses a (count desc, token asc) total order on both
+    engines, so the LIMIT window is deterministic across ties.
     """
     docs = fan_out(table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(tokens("text")).alias("tok"))
@@ -217,9 +222,17 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-compared face of :func:`cms_heavy_hitters_full` — the exact
+    counts plus the hard never-undercounts guarantee; the probabilistic
+    ε-bound column stays behavior-test-only (see the full variant's
+    docstring)."""
+    return cms_heavy_hitters_full(spark, sf_dir).drop("cms_within_bound")
+
+
 _CMS_SQL = f"""
 SELECT tok, n_exact,
-       TRUE AS cms_never_undercounts, TRUE AS cms_within_bound
+       TRUE AS cms_never_undercounts
 FROM (
   SELECT t AS tok, CAST(COUNT(*) AS BIGINT) AS n_exact
   FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
@@ -292,7 +305,7 @@ SELECT
 """
 
 
-def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cms_join_size_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation from Count-Min sketch inner products
     (Cormode & Muthukrishnan 2005, §4.2) — the optimizer-style "how big
     would A ⋈ B be?" answered WITHOUT running the join. Each side is
@@ -307,8 +320,11 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``user_id`` — a genuinely multiplicity-on-both-sides join (join size =
     Σ_u cntA(u)·cntB(u), not a FK count). The exact size rides along for
     the oracle (computed from per-key counts, NOT by materializing the
-    join), plus the two accuracy-contract booleans per the module
-    docstring's oracle strategy.
+    join). Contract split per the module docstring: never-underestimates
+    is a hard guarantee and is oracle-compared; the ε-overshoot bound is
+    probabilistic (hash-seed/fixture dependent — a regeneration could
+    flip it on a correct implementation), so it is emitted only by this
+    full variant and asserted in tests/test_audit_ops.py.
 
     Scale shape: the CMS path is two scans → two d×w-bounded
     map-side-combined aggregations — it never shuffles on the join key
@@ -360,13 +376,20 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-compared face of :func:`cms_join_size_full` — exact join
+    size plus the hard never-underestimates guarantee; the probabilistic
+    ε-bound column stays behavior-test-only."""
+    return cms_join_size_full(spark, sf_dir).drop("cms_within_bound")
+
+
 _CMS_JOIN_SQL = """
 WITH a AS (SELECT user_id AS k FROM events WHERE event_id % 2 = 0),
 b AS (SELECT user_id AS k FROM events WHERE event_id % 2 = 1),
 ka AS (SELECT k, COUNT(*) AS ca FROM a GROUP BY 1),
 kb AS (SELECT k, COUNT(*) AS cb FROM b GROUP BY 1)
 SELECT CAST(SUM(ka.ca * kb.cb) AS BIGINT) AS exact_join_rows,
-       TRUE AS cms_never_underestimates, TRUE AS cms_within_bound
+       TRUE AS cms_never_underestimates
 FROM ka JOIN kb USING (k)
 """
 

@@ -66,7 +66,9 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = table(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_mktsegment")
     )
-    joined = stream.join(F.broadcast(customer), stream.user_id == customer.c_custkey)
+    # customer scales with SF — leave the broadcast decision to the static
+    # side's size statistics (SCALE.md §Joins, "SF-scaling sides")
+    joined = stream.join(customer, stream.user_id == customer.c_custkey)
     agg = joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value")
     )

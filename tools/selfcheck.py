@@ -1,0 +1,95 @@
+"""Full-registry driver simulation → SELFCHECK_r{N}.json.
+
+Replicates the grading driver's per-query check (row count + schema +
+order-insensitive value hash, Spark vs DuckDB at sf0.01) over EVERY
+registered query — not just the 50-slot grading window — on a VANILLA
+SparkSession (the driver brings its own, with none of our session-factory
+confs). The committed JSON mirrors the CORRECTNESS_r*.json schema so the
+judge has a machine-checkable signal for the queries outside the window
+(r4 verdict item #4).
+
+Run: ``python tools/selfcheck.py [round_tag] [sf_dir]``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r05"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("selfcheck-driver-sim")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+    from tests.oracle import _canon, duck_connection
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    results: dict[str, dict] = {}
+    t0 = time.time()
+    for i, name in enumerate(qs, 1):
+        rec = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        try:
+            actual = qs[name](spark, sf_dir).toPandas()
+            rec["spark_rows"] = len(actual)
+            if name not in oracles:
+                rec["err"] = "rows-only (no oracle)"
+                rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = None
+                results[name] = rec
+                continue
+            conn = duck_connection(sf_dir)
+            try:
+                expected = conn.sql(oracles[name]).df()
+            finally:
+                conn.close()
+            rec["oracle_rows"] = len(expected)
+            rec["rows_match"] = len(actual) == len(expected)
+            a_cols = sorted(c.lower() for c in actual.columns)
+            e_cols = sorted(c.lower() for c in expected.columns)
+            rec["schema_match"] = a_cols == e_cols
+            if rec["rows_match"] and rec["schema_match"]:
+                actual.columns = [c.lower() for c in actual.columns]
+                expected.columns = [c.lower() for c in expected.columns]
+                rec["hash_match"] = _canon(actual).equals(_canon(expected))
+        except Exception as exc:  # record, keep sweeping
+            rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
+        results[name] = rec
+        status = "MATCH" if rec["hash_match"] else ("SKIP" if rec["hash_match"] is None else "FAIL")
+        print(f"[{i}/{len(qs)}] {name}: {status}", flush=True)
+
+    out = os.path.join(REPO, f"SELFCHECK_{tag}.json")
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=1)
+    n_fail = sum(
+        1 for r in results.values()
+        if r["hash_match"] is False or (r["err"] and r["hash_match"] is not None)
+    )
+    print(f"wrote {out}: {len(results)} queries, {n_fail} failures, "
+          f"{time.time() - t0:.0f}s")
+    if n_fail:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
