@@ -43,6 +43,29 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def compare_result(actual: pd.DataFrame, expected: pd.DataFrame) -> dict:
+    """Non-asserting comparison core: the driver-mirroring contract
+    (row count → schema shape → canonicalized full-value frame compare),
+    shared by the test harness's :func:`compare` and
+    ``tools/selfcheck.py`` so the committed SELFCHECK artifact measures
+    the SAME contract the differential test enforces. Mutates the input
+    frames' column case (callers pass throwaway ``toPandas`` results).
+    """
+    rec = {
+        "rows_match": len(actual) == len(expected),
+        "schema_match": sorted(c.lower() for c in actual.columns)
+        == sorted(c.lower() for c in expected.columns),
+        "hash_match": False,
+        "spark_rows": len(actual),
+        "oracle_rows": len(expected),
+    }
+    if rec["rows_match"] and rec["schema_match"]:
+        actual.columns = [c.lower() for c in actual.columns]
+        expected.columns = [c.lower() for c in expected.columns]
+        rec["hash_match"] = _canon(actual).equals(_canon(expected))
+    return rec
+
+
 def compare(spark_df, sql: str, sf_dir: str, name: str = "query") -> None:
     """Assert the Spark result and the DuckDB oracle agree."""
     conn = duck_connection(sf_dir)
@@ -52,17 +75,16 @@ def compare(spark_df, sql: str, sf_dir: str, name: str = "query") -> None:
         conn.close()
     actual = spark_df.toPandas()
 
-    assert len(actual) == len(expected), (
+    rec = compare_result(actual, expected)
+    assert rec["rows_match"], (
         f"{name}: row count {len(actual)} (spark) != {len(expected)} (duckdb)"
     )
     a_cols = sorted(c.lower() for c in actual.columns)
     e_cols = sorted(c.lower() for c in expected.columns)
     assert a_cols == e_cols, f"{name}: columns {a_cols} != {e_cols}"
 
-    actual.columns = [c.lower() for c in actual.columns]
-    expected.columns = [c.lower() for c in expected.columns]
-    ca, ce = _canon(actual), _canon(expected)
-    if not ca.equals(ce):
+    if not rec["hash_match"]:
+        ca, ce = _canon(actual), _canon(expected)
         neq = ca.ne(ce)
         bad_rows = neq.any(axis=1)
         diff_a = ca[bad_rows].head(5)

@@ -1048,9 +1048,12 @@ def test_mmr_broadcasts_candidate_slice_not_corpus(spark, sf_smoke):
     plan = explain_formatted(_mmr_candidates(spark, sf_smoke))
     tree = plan.split("\n\n")[0]
     assert "BroadcastHashJoin" in tree  # the vec_id attach join
-    # exactly two broadcasts: probe + candidate slice
+    # exactly two broadcasts: probe + candidate slice — and no OTHER
+    # exchange of any kind (every "Exchange" node must be one of the two
+    # BroadcastExchanges; a bare shuffle Exchange would break the equality)
     assert tree.count("BroadcastExchange") == 2
-    assert "ShuffleExchange" not in tree and "SortMergeJoin" not in tree
+    assert tree.count("Exchange") == tree.count("BroadcastExchange")
+    assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree
     # the slice broadcast sits DIRECTLY above its limit — the corpus-side
     # form (BroadcastExchange over Project/Filter/Scan) has no such pair
     assert re.search(

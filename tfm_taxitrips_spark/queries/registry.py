@@ -144,3 +144,9 @@ def all_queries() -> dict[str, QuerySpec]:
     ordered = {n: merged[n] for n in GRADING_PRIORITY}
     ordered.update((n, s) for n, s in merged.items() if n not in ordered)
     return ordered
+
+
+if __name__ == "__main__":  # the README's live registry count
+    qs = all_queries()
+    n_oracle = sum(1 for s in qs.values() if s.oracle is not None)
+    print(f"{len(qs)} registered queries ({n_oracle} oracle-paired)")

@@ -448,8 +448,12 @@ def q_stream_orphan_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Stream-static anti-join semantics via the streaming-supported
     left_outer + IS NULL filter (bare left_anti is not a supported
-    stream-static join type); the static dim side broadcasts, so the
-    gate adds no shuffle to the stream. Oracle: the batch anti-join.
+    stream-static join type). The supplier registry SCALES with the
+    data, so it carries no hard broadcast hint (SCALE.md §Joins,
+    "SF-scaling sides"): the static side's size statistics broadcast it
+    while it fits — the gate then adds no shuffle to the stream — and
+    degrade to a shuffled stream-static join past the threshold instead
+    of an executor OOM. Oracle: the batch anti-join.
     """
     stream = read_events_stream(spark, sf_dir)
     dim = table(spark, sf_dir, "supplier").select(
@@ -457,7 +461,7 @@ def q_stream_orphan_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gated = (
         stream.join(
-            F.broadcast(dim),
+            dim,
             stream["user_id"] == dim["dim_key"],
             "left_outer",
         )

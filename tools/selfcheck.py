@@ -38,7 +38,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry_mod
-    from tests.oracle import _canon, duck_connection
+    from tests.oracle import compare_result, duck_connection
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
@@ -56,22 +56,15 @@ def main() -> None:
             if name not in oracles:
                 rec["err"] = "rows-only (no oracle)"
                 rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = None
-                results[name] = rec
-                continue
-            conn = duck_connection(sf_dir)
-            try:
-                expected = conn.sql(oracles[name]).df()
-            finally:
-                conn.close()
-            rec["oracle_rows"] = len(expected)
-            rec["rows_match"] = len(actual) == len(expected)
-            a_cols = sorted(c.lower() for c in actual.columns)
-            e_cols = sorted(c.lower() for c in expected.columns)
-            rec["schema_match"] = a_cols == e_cols
-            if rec["rows_match"] and rec["schema_match"]:
-                actual.columns = [c.lower() for c in actual.columns]
-                expected.columns = [c.lower() for c in expected.columns]
-                rec["hash_match"] = _canon(actual).equals(_canon(expected))
+            else:
+                conn = duck_connection(sf_dir)
+                try:
+                    expected = conn.sql(oracles[name]).df()
+                finally:
+                    conn.close()
+                # the SAME comparison core the differential test asserts
+                # (tests/oracle.compare) — keep the two in lockstep
+                rec.update(compare_result(actual, expected))
         except Exception as exc:  # record, keep sweeping
             rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
         results[name] = rec
