@@ -146,3 +146,36 @@ def test_rotation_planner_matches_invariant():
     # stalest-first: latest-round sequence is non-decreasing
     rounds = [r for _, r in rows]
     assert rounds == sorted(rounds)
+
+
+def test_compare_result_contract():
+    """The non-asserting comparison core (shared by tests/oracle.compare
+    and tools/selfcheck.py) must gate exactly like the driver: row count
+    first, then case-insensitive column names, then canonicalized values
+    (order-insensitive rows, float canon, NULL sentinel)."""
+    import pandas as pd
+
+    from tests.oracle import compare_result
+
+    def rec(a, b):
+        return compare_result(a.copy(), b.copy())
+
+    base = pd.DataFrame({"K": [1, 2], "v": [1.5, None]})
+    # identical up to column case and row order
+    r = rec(base, pd.DataFrame({"k": [2, 1], "V": [None, 1.5]}))
+    assert (r["rows_match"], r["schema_match"], r["hash_match"]) == (
+        True, True, True)
+    # row-count mismatch short-circuits the hash
+    r = rec(base, pd.DataFrame({"K": [1], "v": [1.5]}))
+    assert r["rows_match"] is False and r["hash_match"] is False
+    assert (r["spark_rows"], r["oracle_rows"]) == (2, 1)
+    # schema mismatch (extra/renamed column)
+    r = rec(base, pd.DataFrame({"K": [1, 2], "w": [1.5, None]}))
+    assert r["schema_match"] is False and r["hash_match"] is False
+    # value mismatch with matching shape
+    r = rec(base, pd.DataFrame({"K": [1, 2], "v": [1.5, 9.0]}))
+    assert (r["rows_match"], r["schema_match"], r["hash_match"]) == (
+        True, True, False)
+    # integral floats canonicalize equal across int-ish representations
+    r = rec(pd.DataFrame({"x": [2.0]}), pd.DataFrame({"x": [2.0]}))
+    assert r["hash_match"] is True
