@@ -78,6 +78,15 @@ HEADLINE = (
     # their (source, range) / day split, not a global sort
     "token_budget_mix",
     "concurrency_profile",
+    # round-5 broadcast-policy change: customer (REPLICATED) lost its hard
+    # broadcast hint, so the optimizer now sizes the join from the scan
+    # statistics. Measured (x80 one-off): the estimate is post-pruning —
+    # a 19 MB customer file projects 2 of 8 columns to ~4 MB, still under
+    # the 10 MB threshold, so it rightly keeps broadcasting far past the
+    # file-size crossing; the threshold-disabled plan test proves the
+    # fallback mechanism. This entry keeps the hint-free form in the
+    # replicated-scale straggler gate.
+    "running_revenue",
 )
 
 STRAGGLER_FACTOR = 4.0
