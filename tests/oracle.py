@@ -51,10 +51,15 @@ def compare_result(actual: pd.DataFrame, expected: pd.DataFrame) -> dict:
     the SAME contract the differential test enforces. Mutates the input
     frames' column case (callers pass throwaway ``toPandas`` results).
     """
+    a_low = sorted(c.lower() for c in actual.columns)
+    e_low = sorted(c.lower() for c in expected.columns)
+    # columns differing only by case would collide after the lowercase
+    # normalization and make pandas raise inside _canon — report that as a
+    # clean schema mismatch instead of crashing the sweep (ADVICE r5)
+    dup_free = len(set(a_low)) == len(a_low) and len(set(e_low)) == len(e_low)
     rec = {
         "rows_match": len(actual) == len(expected),
-        "schema_match": sorted(c.lower() for c in actual.columns)
-        == sorted(c.lower() for c in expected.columns),
+        "schema_match": dup_free and a_low == e_low,
         "hash_match": False,
         "spark_rows": len(actual),
         "oracle_rows": len(expected),

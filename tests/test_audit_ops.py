@@ -108,6 +108,24 @@ def test_cms_heavy_hitters_bound_behavioral(spark, sf_smoke):
     assert "cms_within_bound" not in q_cms_heavy_hitters(spark, sf_smoke).columns
 
 
+def test_hll_intersection_bound_behavioral(spark, sf_smoke):
+    # same split as the two CMS queries (r5 verdict advisory #1): the
+    # probabilistic 10%-of-union bound on the inclusion-exclusion estimate
+    # is asserted HERE on the _full variant, outside the oracle-compared
+    # output — a fixture regeneration may not fail the differential on a
+    # correct implementation
+    from tfm_taxitrips_spark.queries.sketches import (
+        hll_intersection_full,
+        q_hll_intersection,
+    )
+
+    row = hll_intersection_full(spark, sf_smoke).collect()[0]
+    assert row["intersection_within_bound"]
+    assert row["n_overlap_exact"] <= row["n_union_exact"]
+    assert "intersection_within_bound" not in q_hll_intersection(
+        spark, sf_smoke).columns
+
+
 def test_key_skew_audit_matches_pandas_reference(spark, sf_smoke):
     rows = {r["key_column"]: r for r in q_key_skew_audit(spark, sf_smoke).collect()}
     assert set(rows) == {

@@ -185,15 +185,18 @@ def test_selfcheck_artifact_current_and_green():
     """The committed SELFCHECK_r*.json (tools/selfcheck.py output) is the
     judge-facing signal for queries outside the 50-slot grading window.
     Forcing function in the spirit of the rotation test: the LATEST
-    artifact must cover exactly the current registry and contain no
-    failures — registering a query (or changing the registry) without
-    regenerating the artifact fails here."""
+    artifact must cover exactly the current registry, carry a source
+    fingerprint matching CURRENT code (ADVICE r5: a key-set check alone
+    lets an implementation change silently stale the artifact), and
+    contain no failures — including silently-empty rows-only results
+    (ADVICE r5)."""
     import glob
     import json
     import os
     import re
 
     from tfm_taxitrips_spark.queries.registry import all_queries
+    from tools.selfcheck import failed, source_fingerprint
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     files = glob.glob(os.path.join(repo, "SELFCHECK_r*.json"))
@@ -204,11 +207,20 @@ def test_selfcheck_artifact_current_and_green():
     )
     with open(latest) as fh:
         rows = json.load(fh)
+    meta = rows.pop("__meta__", None)
+    assert meta is not None, (
+        f"{os.path.basename(latest)} predates the fingerprint scheme — "
+        "regenerate with tools/selfcheck.py"
+    )
+    assert meta["fingerprint"] == source_fingerprint(), (
+        f"{os.path.basename(latest)} was generated from DIFFERENT source "
+        "code — regenerate with tools/selfcheck.py"
+    )
     assert set(rows) == set(all_queries()), (
         f"{os.path.basename(latest)} out of sync with the registry — "
         "regenerate with tools/selfcheck.py"
     )
     for name, r in rows.items():
-        if r["hash_match"] is None:
-            continue  # rows-only query (no oracle)
-        assert r["err"] is None and r["hash_match"], (name, r)
+        assert not failed(r), (name, r)
+        if r["hash_match"] is not None:
+            assert r["err"] is None and r["hash_match"], (name, r)

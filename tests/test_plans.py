@@ -1051,8 +1051,13 @@ def test_mmr_broadcasts_candidate_slice_not_corpus(spark, sf_smoke):
     # exactly two broadcasts: probe + candidate slice — and no OTHER
     # exchange of any kind (every "Exchange" node must be one of the two
     # BroadcastExchanges; a bare shuffle Exchange would break the equality)
-    assert tree.count("BroadcastExchange") == 2
-    assert tree.count("Exchange") == tree.count("BroadcastExchange")
+    # line-anchored node-name matches (ADVICE r5): raw substring counts
+    # would double-count a ReusedExchange or an AQE wrapper node; `\b`
+    # keeps "ReusedExchange (n)" from matching the plain-Exchange pattern
+    n_bcast = len(re.findall(r"\bBroadcastExchange \(\d+\)", tree))
+    n_exchange_any = len(re.findall(r"\b(?:Broadcast)?Exchange \(\d+\)", tree))
+    assert n_bcast == 2
+    assert n_exchange_any == n_bcast
     assert "SortMergeJoin" not in tree and "ShuffledHashJoin" not in tree
     # the slice broadcast sits DIRECTLY above its limit — the corpus-side
     # form (BroadcastExchange over Project/Filter/Scan) has no such pair

@@ -22,6 +22,40 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def source_fingerprint(repo: str = REPO) -> str:
+    """Stable hash over every source file a query result can depend on —
+    the whole ``tfm_taxitrips_spark`` package plus ``__spark_entry__.py``.
+    Recorded in the artifact's ``__meta__`` and asserted against current
+    code by ``tests/test_differential.py``, so changing an existing
+    query's implementation (not just the registry's name set) forces a
+    regenerated artifact (ADVICE r5). Module-granular on purpose: query
+    fns share helpers across modules, so per-function source hashing
+    would under-approximate the dependency set.
+    """
+    import hashlib
+
+    paths = [os.path.join(REPO, "__spark_entry__.py")]
+    pkg = os.path.join(repo, "tfm_taxitrips_spark")
+    for root, _dirs, files in os.walk(pkg):
+        paths.extend(
+            os.path.join(root, f) for f in files if f.endswith(".py"))
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        h.update(os.path.relpath(p, repo).encode())
+        with open(p, "rb") as fh:
+            h.update(hashlib.sha256(fh.read()).digest())
+    return h.hexdigest()
+
+
+def failed(rec: dict) -> bool:
+    """One definition of per-query failure, shared with the lockstep test:
+    an oracle miss, any error, or — for rows-only queries — a silently
+    empty result (ADVICE r5: zero rows must not pass as 'SKIP')."""
+    if rec["hash_match"] is None:  # rows-only (no oracle)
+        return not rec["spark_rows"]
+    return rec["hash_match"] is False or bool(rec["err"])
+
+
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "r05"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
@@ -68,17 +102,25 @@ def main() -> None:
         except Exception as exc:  # record, keep sweeping
             rec["err"] = f"{type(exc).__name__}: {exc}"[:300]
         results[name] = rec
-        status = "MATCH" if rec["hash_match"] else ("SKIP" if rec["hash_match"] is None else "FAIL")
+        if failed(rec):
+            status = "FAIL"
+        elif rec["hash_match"] is None:
+            status = "SKIP"
+        else:
+            status = "MATCH"
         print(f"[{i}/{len(qs)}] {name}: {status}", flush=True)
 
+    n_fail = sum(1 for r in results.values() if failed(r))
+    results["__meta__"] = {
+        "fingerprint": source_fingerprint(),
+        "sf_dir": sf_dir,
+        "n_queries": len(qs),
+        "n_fail": n_fail,
+    }
     out = os.path.join(REPO, f"SELFCHECK_{tag}.json")
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)
-    n_fail = sum(
-        1 for r in results.values()
-        if r["hash_match"] is False or (r["err"] and r["hash_match"] is not None)
-    )
-    print(f"wrote {out}: {len(results)} queries, {n_fail} failures, "
+    print(f"wrote {out}: {len(qs)} queries, {n_fail} failures, "
           f"{time.time() - t0:.0f}s")
     if n_fail:
         sys.exit(1)
