@@ -30,11 +30,18 @@ def source_fingerprint(repo: str = REPO) -> str:
     query's implementation (not just the registry's name set) forces a
     regenerated artifact (ADVICE r5). Module-granular on purpose: query
     fns share helpers across modules, so per-function source hashing
-    would under-approximate the dependency set.
+    would under-approximate the dependency set. The comparison harness
+    itself (tests/oracle.py) and this tool are included too (ADVICE r6):
+    artifact contents depend on compare semantics, so a harness change
+    must also invalidate a committed artifact.
     """
     import hashlib
 
-    paths = [os.path.join(REPO, "__spark_entry__.py")]
+    paths = [
+        os.path.join(repo, "__spark_entry__.py"),
+        os.path.join(repo, "tests", "oracle.py"),
+        os.path.join(repo, "tools", "selfcheck.py"),
+    ]
     pkg = os.path.join(repo, "tfm_taxitrips_spark")
     for root, _dirs, files in os.walk(pkg):
         paths.extend(
@@ -57,7 +64,11 @@ def failed(rec: dict) -> bool:
 
 
 def main() -> None:
-    tag = sys.argv[1] if len(sys.argv) > 1 else "r05"
+    # The round tag is REQUIRED (r6 verdict item: a hardcoded default
+    # silently overwrites the previous round's artifact).
+    if len(sys.argv) < 2 or not sys.argv[1].startswith("r"):
+        sys.exit("usage: python tools/selfcheck.py rNN [sf_dir]")
+    tag = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
     from pyspark.sql import SparkSession
