@@ -1,0 +1,126 @@
+"""Behavioral tests for the round-7 feature-engineering/audit operators:
+source-pair token TVD, leave-one-out target encoding, the Benford
+first-digit audit, and closed-form two-factor OLS. Oracle parity is
+covered by the registry-wide differential sweep; these pin the semantics
+the hash compare alone can't express (planted-coefficient recovery, the
+leakage-exclusion identity, distance bounds, and the pinned-constant
+table's provenance).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pandas as pd
+
+from tfm_taxitrips_spark.queries.analytics import (
+    _BENFORD_EXP_PPM,
+    q_benford_digit_audit,
+    q_group_ols_two_factor,
+)
+from tfm_taxitrips_spark.queries.dataprep import q_loo_target_encoding
+from tfm_taxitrips_spark.queries.text import q_source_token_tvd
+
+
+def test_benford_constants_are_the_law():
+    """The pinned integer table IS round(log10(1+1/d)·10⁶) — the pin
+    exists to keep transcendentals out of the query, not to drift from
+    the law."""
+    for d, ppm in enumerate(_BENFORD_EXP_PPM, start=1):
+        assert ppm == round(math.log10(1 + 1 / d) * 1_000_000), d
+    assert 999_990 <= sum(_BENFORD_EXP_PPM) <= 1_000_010
+
+
+def test_benford_observed_shares_partition_unity(spark, sf_smoke):
+    """Per segment: digits ∈ 1..9, every row counted once, and the
+    floored ppm shares sum to 10⁶ within the ≤8-ulp flooring loss."""
+    df = q_benford_digit_audit(spark, sf_smoke).toPandas()
+    assert df["digit"].between(1, 9).all()
+    for _seg, g in df.groupby("segment"):
+        s = int(g["obs_ppm"].sum())
+        assert 1_000_000 - 8 <= s <= 1_000_000
+        assert (g["abs_dev_ppm"] == (g["obs_ppm"] - g["exp_ppm"]).abs()).all()
+
+
+def test_loo_encoding_excludes_own_label(spark, sf_smoke):
+    """The leakage identity: against a pandas recomputation from raw
+    orders, each (category, y) row's encoding equals
+    (s − y)·10⁶ div (n − 1) — the row's OWN label excluded — and the
+    collapsed rows conserve the category's cardinality."""
+    got = q_loo_target_encoding(spark, sf_smoke).toPandas()
+    raw = pd.read_parquet(
+        os.path.join(sf_smoke, "orders.parquet"),
+        columns=["o_orderpriority", "o_orderstatus"],
+    )
+    raw["y"] = (raw["o_orderstatus"] == "F").astype(int)
+    ref = raw.groupby("o_orderpriority")["y"].agg(["count", "sum"])
+    for (prio, y), g in got.groupby(["o_orderpriority", "y"]):
+        n, s = int(ref.loc[prio, "count"]), int(ref.loc[prio, "sum"])
+        row = g.iloc[0]
+        assert int(row["n_rows"]) == (s if y == 1 else n - s)
+        assert int(row["loo_enc_ppm"]) == (1_000_000 * (s - y)) // (n - 1)
+    n_back = got.groupby("o_orderpriority")["n_rows"].sum()
+    assert (n_back == ref["count"]).all()
+
+
+def test_source_tvd_bounds_and_reference(spark, sf_smoke):
+    """TVD is a distance: every pair lands in [0, 10⁶] ppm, every
+    unordered source pair appears exactly once, and one pair agrees with
+    a from-scratch pandas computation over the union vocabulary."""
+    got = q_source_token_tvd(spark, sf_smoke).toPandas()
+    assert got["tvd_ppm"].between(0, 1_000_000).all()
+    assert (got["source_a"] < got["source_b"]).all()
+    assert not got.duplicated(["source_a", "source_b"]).any()
+
+    docs = pd.read_parquet(
+        os.path.join(sf_smoke, "documents.parquet"), columns=["source", "text"]
+    )
+    row = got.sort_values(["source_a", "source_b"]).iloc[0]
+    sa, sb = row["source_a"], row["source_b"]
+
+    def counts(src):
+        toks = []
+        for t in docs.loc[docs["source"] == src, "text"]:
+            toks.extend(t.lower().split(" "))
+        return pd.Series(toks).value_counts()
+
+    ca, cb = counts(sa), counts(sb)
+    na, nb = int(ca.sum()), int(cb.sum())
+    vocab = ca.index.union(cb.index)
+    num = sum(
+        abs(int(ca.get(w, 0)) * nb - int(cb.get(w, 0)) * na) for w in vocab
+    )
+    assert int(row["tvd_ppm"]) == (1_000_000 * num) // (2 * na * nb)
+
+
+def test_ols_recovers_planted_coefficients(spark, tmp_path):
+    """On a synthetic fact table built so that cents = 3·qty + 7·pct
+    EXACTLY (non-collinear regressors, zero residual), the closed-form
+    solve must return beta_qty_ppm = 3·10⁶ and beta_disc_ppm = 7·10⁶
+    bit-exactly — the planted-model recovery a hash compare against an
+    oracle that shares the formula could never falsify."""
+    rows = []
+    for qty in range(1, 13):
+        for pct in (0, 2, 5, 8, 10):
+            cents = 3 * qty + 7 * pct
+            rows.append((float(qty), pct / 100.0, cents / 100.0))
+    pdf = pd.DataFrame(
+        rows, columns=["l_quantity", "l_discount", "l_extendedprice"]
+    )
+    # the reader conforms to the full pinned lineitem schema — supply it
+    pdf["l_orderkey"] = pdf.index.astype("int64")
+    pdf["l_partkey"] = 1
+    pdf["l_suppkey"] = 1
+    pdf["l_linenumber"] = pd.array([1] * len(pdf), dtype="int32")
+    pdf["l_tax"] = 0.0
+    pdf["l_returnflag"] = "A"
+    pdf["l_linestatus"] = "F"
+    pdf["l_shipdate"] = pd.Timestamp("2020-01-01")
+    path = os.path.join(tmp_path, "lineitem.parquet")
+    pdf.to_parquet(path)
+    out = q_group_ols_two_factor(spark, str(tmp_path)).toPandas()
+    assert len(out) == 1
+    assert int(out.loc[0, "n_rows"]) == len(pdf)
+    assert int(out.loc[0, "beta_qty_ppm"]) == 3_000_000
+    assert int(out.loc[0, "beta_disc_ppm"]) == 7_000_000

@@ -1171,7 +1171,206 @@ FROM r
 """
 
 
+# Benford first-digit expectations, pinned as INTEGER ppm constants computed
+# once in Python (round(log10(1+1/d)·10⁶)) — no transcendental runs in either
+# engine, so there is no libm-divergence surface (the PMI/log-free discipline).
+_BENFORD_EXP_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992,
+                    51153, 45757)
+
+
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forensic data-quality audit: the observed FIRST-DIGIT distribution
+    of ``l_extendedprice`` per return-flag segment against Benford's-law
+    expectation — the fabricated-data / broken-upstream-generator detector
+    (a synthesized or unit-mistaken feed shows flat or spiked first
+    digits where organic multi-magnitude money data follows Benford).
+
+    Integer-exact: the value is first made an exact integer (cents via
+    DECIMAL(18,2)·100), the leading digit comes from the INTEGER's string
+    form (identical formatting in every engine — no double→string or
+    log10 involved), observed shares are ``(10⁶·n) div total`` ppm, and
+    the deviation is |obs − exp| against the pinned constant table.
+
+    Scale shape: one map-side-combined two-key groupBy (segment × digit,
+    ≤ 9 digits per segment), a segment-total window over the aggregate-
+    sized result, and a 9-row expectation lookup folded as a literal
+    array — per-row work is one decimal cast and a substring at any
+    scale.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    exp_arr = F.array(*[F.lit(v).cast("bigint") for v in _BENFORD_EXP_PPM])
+    digits = li.select(
+        F.col("l_returnflag").alias("segment"),
+        F.substring(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("digit"),
+    )
+    counts = digits.groupBy("segment", "digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return counts.select(
+        "segment",
+        "digit",
+        "n",
+        F.expr("(1000000 * n) div sum(n) over "
+               "(partition by segment)").cast("bigint").alias("obs_ppm"),
+        F.element_at(exp_arr, F.col("digit")).alias("exp_ppm"),
+    ).withColumn(
+        "abs_dev_ppm", F.abs(F.col("obs_ppm") - F.col("exp_ppm"))
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN CAST({v} AS BIGINT)"
+    for d, v in enumerate(_BENFORD_EXP_PPM, start=1)
+)
+
+_BENFORD_SQL = f"""
+WITH digits AS (
+  SELECT l_returnflag AS segment,
+         CAST(substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM lineitem
+),
+counts AS (
+  SELECT segment, digit, CAST(COUNT(*) AS BIGINT) AS n
+  FROM digits GROUP BY 1, 2
+),
+scored AS (
+  SELECT segment, digit, n,
+         CAST((1000000 * n) // SUM(n) OVER (PARTITION BY segment) AS BIGINT)
+           AS obs_ppm,
+         CASE digit {_BENFORD_CASE} END AS exp_ppm
+  FROM counts
+)
+SELECT segment, digit, n, obs_ppm, exp_ppm,
+       abs(obs_ppm - exp_ppm) AS abs_dev_ppm
+FROM scored
+"""
+
+
+def q_group_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment TWO-FACTOR least squares: regress line price (cents)
+    on quantity and discount (percent points) per return flag, solved in
+    CLOSED FORM from sufficient statistics — the multivariate extension
+    of `group_trend_slopes`' single-regressor OLS, i.e. "which driver
+    moves revenue in this segment, volume or discounting?" as one
+    aggregation, no ML library and no iterative solver.
+
+    Integer-exact normal equations: all inputs become exact integers
+    (DECIMAL(18,2) casts ×100), the 9 sufficient statistics accumulate
+    in DECIMAL(38,0), and the centered moments ``m_ab = n·Σab − Σa·Σb``
+    stay exact.  The 2×2 solve emits integer-ppm slopes with explicit
+    sign handling (``sign(num)·((10⁶·|num|) div det)``, the
+    `group_trend_slopes` discipline), so no float exists anywhere in the
+    lineage.  At extreme per-group row counts (≳10¹¹) the cross-moment
+    PRODUCTS outgrow DECIMAL(38,0): the mitigation is recentring x by a
+    first-pass global mean (shrinking Σx toward 0) exactly as
+    `group_trend_slopes` recentres its hour index — kept out of this
+    plan because it costs a second pass the tested scales never need.
+
+    Scale shape: ONE map-side-combined groupBy over the fact table
+    computes every moment; the solve is a 3-row projection.  No window,
+    no join, no sort.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    base = li.select(
+        F.col("l_returnflag").alias("segment"),
+        F.col("l_quantity").cast("decimal(18,2)").cast("bigint")
+        .cast(d38).alias("x1"),
+        (F.col("l_discount").cast("decimal(18,2)") * 100).cast("bigint")
+        .cast(d38).alias("x2"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+        .cast(d38).alias("y"),
+    )
+    st = base.groupBy("segment").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+    )
+    mom = st.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_rows"),
+        (F.col("n") * F.col("sx1x1") - F.col("sx1") * F.col("sx1")).alias("m11"),
+        (F.col("n") * F.col("sx2x2") - F.col("sx2") * F.col("sx2")).alias("m22"),
+        (F.col("n") * F.col("sx1x2") - F.col("sx1") * F.col("sx2")).alias("m12"),
+        (F.col("n") * F.col("sx1y") - F.col("sx1") * F.col("sy")).alias("m1y"),
+        (F.col("n") * F.col("sx2y") - F.col("sx2") * F.col("sy")).alias("m2y"),
+    )
+    num1 = "(m22 * m1y - m12 * m2y)"
+    num2 = "(m11 * m2y - m12 * m1y)"
+    det = "(m11 * m22 - m12 * m12)"
+    return mom.select(
+        "segment",
+        "n_rows",
+        F.expr(f"CASE WHEN {det} > 0 THEN CAST(sign({num1}) AS BIGINT)"
+               f" * CAST((1000000 * abs({num1})) div {det} AS BIGINT) END")
+        .alias("beta_qty_ppm"),
+        F.expr(f"CASE WHEN {det} > 0 THEN CAST(sign({num2}) AS BIGINT)"
+               f" * CAST((1000000 * abs({num2})) div {det} AS BIGINT) END")
+        .alias("beta_disc_ppm"),
+    )
+
+
+_OLS2_SQL = """
+WITH base AS (
+  SELECT l_returnflag AS segment,
+         CAST(CAST(l_quantity AS DECIMAL(18,2)) AS HUGEINT) AS x1,
+         CAST(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+              AS HUGEINT) AS x2,
+         CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              AS HUGEINT) AS y
+  FROM lineitem
+),
+st AS (
+  SELECT segment,
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+         SUM(x1 * x1) AS sx1x1, SUM(x2 * x2) AS sx2x2,
+         SUM(x1 * x2) AS sx1x2, SUM(x1 * y) AS sx1y, SUM(x2 * y) AS sx2y
+  FROM base GROUP BY 1
+),
+mom AS (
+  SELECT segment, CAST(n AS BIGINT) AS n_rows,
+         n * sx1x1 - sx1 * sx1 AS m11,
+         n * sx2x2 - sx2 * sx2 AS m22,
+         n * sx1x2 - sx1 * sx2 AS m12,
+         n * sx1y - sx1 * sy AS m1y,
+         n * sx2y - sx2 * sy AS m2y
+  FROM st
+)
+SELECT segment, n_rows,
+       CASE WHEN (m11 * m22 - m12 * m12) > 0
+            THEN CAST(sign(m22 * m1y - m12 * m2y) AS BIGINT)
+                 * CAST((1000000 * abs(m22 * m1y - m12 * m2y))
+                        // (m11 * m22 - m12 * m12) AS BIGINT) END
+         AS beta_qty_ppm,
+       CASE WHEN (m11 * m22 - m12 * m12) > 0
+            THEN CAST(sign(m11 * m2y - m12 * m1y) AS BIGINT)
+                 * CAST((1000000 * abs(m11 * m2y - m12 * m1y))
+                        // (m11 * m22 - m12 * m12) AS BIGINT) END
+         AS beta_disc_ppm
+FROM mom
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "benford_digit_audit": QuerySpec(
+        q_benford_digit_audit, _BENFORD_SQL,
+        tags=("analytics", "quality", "audit"),
+    ),
+    "group_ols_two_factor": QuerySpec(
+        q_group_ols_two_factor, _OLS2_SQL,
+        tags=("analytics", "stats", "regression"),
+    ),
     "equi_depth_histogram": QuerySpec(
         q_equi_depth_histogram, _EQUI_DEPTH_SQL,
         tags=("analytics", "stats", "cbo"),

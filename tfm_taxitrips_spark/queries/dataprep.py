@@ -1900,7 +1900,86 @@ FROM main m JOIN longest l USING (cluster_id) JOIN maj j USING (cluster_id)
 """
 
 
+def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe categorical feature encoding: LEAVE-ONE-OUT mean
+    target encoding of ``o_orderpriority`` against the binary target
+    "order is fulfilled" (``o_orderstatus = 'F'``) — the standard
+    high-cardinality-categorical encoder for tabular training data,
+    where each row's own label is EXCLUDED from its encoding so the
+    feature can't memorize the target (the leakage plain mean-encoding
+    has).
+
+    Within a category of n rows with s positives, LOO takes exactly TWO
+    values — (s−1)/(n−1) on positive rows, s/(n−1) on negative rows — so
+    the per-ROW encoding collapses losslessly to one row per (category,
+    y) with its row count: the verification surface stays aggregate-
+    sized while the math is the per-row encoder's.  Integer-exact:
+    ``loo_enc_ppm = (10⁶·(s − y)) div (n − 1)``, no float in the
+    lineage.
+
+    Scale shape: ONE map-side-combined groupBy over the fact table
+    (count + conditional count), then a width-2 explode of the
+    aggregate-sized result — the same single-shuffle shape at any scale;
+    the per-row encoded column would be a broadcast hash join of this
+    tiny table back onto the facts.
+    """
+    orders = table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_cat"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint").alias("s_pos"),
+    )
+    per_y = agg.select(
+        "o_orderpriority", "n_rows_cat", "s_pos",
+        F.explode(F.array(F.lit(0).cast("bigint"),
+                          F.lit(1).cast("bigint"))).alias("y"),
+    ).withColumn(
+        "n_rows",
+        F.when(F.col("y") == 1, F.col("s_pos"))
+        .otherwise(F.col("n_rows_cat") - F.col("s_pos")),
+    )
+    return (
+        per_y.where(F.col("n_rows") > 0)
+        .select(
+            "o_orderpriority",
+            "y",
+            "n_rows",
+            F.when(
+                F.col("n_rows_cat") > 1,
+                F.expr("(1000000 * (s_pos - y)) div (n_rows_cat - 1)"),
+            ).cast("bigint").alias("loo_enc_ppm"),
+        )
+    )
+
+
+_LOO_ENCODING_SQL = """
+WITH agg AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_rows_cat,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+           AS s_pos
+  FROM orders GROUP BY 1
+),
+per_y AS (
+  SELECT a.o_orderpriority, a.n_rows_cat, a.s_pos, y.y,
+         CASE WHEN y.y = 1 THEN a.s_pos ELSE a.n_rows_cat - a.s_pos END
+           AS n_rows
+  FROM agg a CROSS JOIN (SELECT CAST(0 AS BIGINT) AS y
+                         UNION ALL SELECT CAST(1 AS BIGINT)) y
+)
+SELECT o_orderpriority, y, n_rows,
+       CASE WHEN n_rows_cat > 1
+            THEN CAST((1000000 * (s_pos - y)) // (n_rows_cat - 1) AS BIGINT)
+       END AS loo_enc_ppm
+FROM per_y WHERE n_rows > 0
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "loo_target_encoding": QuerySpec(
+        q_loo_target_encoding, _LOO_ENCODING_SQL,
+        tags=("dataprep", "feature", "encoding", "pipeline"),
+    ),
     "dedup_survivorship_merge": QuerySpec(
         q_dedup_survivorship, _SURVIVORSHIP_SQL,
         tags=("dedup", "merge", "pipeline"),

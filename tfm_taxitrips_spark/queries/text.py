@@ -1719,6 +1719,103 @@ FROM r WHERE vocab_topn IN {_VOCAB_CURVE_NS}
 """
 
 
+def q_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift matrix: total-variation distance between the unigram
+    token distributions of every PAIR of document sources — the
+    distribution-shift monitor a training-data pipeline runs when a new
+    source (or a re-crawl of an old one) lands, before it is allowed
+    into the mix (companion to `training_data_mix`, which assumes the
+    per-source distributions are already vetted).
+
+    Log-free, integer-exact: TVD = ½·Σ_w |p_w − q_w| over the UNION of
+    both vocabularies.  With integer counts c_w (source a, total Na) and
+    d_w (source b, total Nb) the numerator splits into the matched part
+    Σ|c_w·Nb − d_w·Na| plus the unmatched mass (Na − Σ_matched c)·Nb +
+    (Nb − Σ_matched d)·Na — so ONE inner join on the word key covers the
+    union with no full-outer join, and ``tvd_ppm = (10⁶·num) div
+    (2·Na·Nb)`` never runs a float.  Products route through
+    DECIMAL(38,0) (c·N ~ 10²¹ at trillion-token scale overflows BIGINT).
+
+    Scale shape: per-source counts are one map-side-combined groupBy;
+    the pair join is a hash join keyed on the word (AQE-splittable; hot
+    stopwords are bounded by the number of source PAIRS, not rows); the
+    per-source totals are an aggregate-sized broadcast.  Output is
+    |sources|²/2 rows.
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    # (source, word) counts feed THREE consumers (both pair-join sides and
+    # the totals) — materialized once via lazy localCheckpoint so the
+    # corpus tokenization pass runs once, not three times (the
+    # copurchase_lift/column_profile discipline).
+    wc = (
+        docs.select("source", F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    tot = wc.groupBy("source").agg(F.sum("c").cast("decimal(38,0)").alias("n_tok"))
+    a = wc.join(F.broadcast(tot), "source").select(
+        F.col("source").alias("source_a"), "w",
+        F.col("c").cast("decimal(38,0)").alias("ca"), F.col("n_tok").alias("na"),
+    )
+    b = wc.join(F.broadcast(tot), "source").select(
+        F.col("source").alias("source_b"), "w",
+        F.col("c").cast("decimal(38,0)").alias("cb"), F.col("n_tok").alias("nb"),
+    )
+    m = (
+        a.join(b, "w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+            F.sum(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+            .alias("sum_abs"),
+            F.sum("ca").alias("mca"),
+            F.sum("cb").alias("mcb"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    return m.select(
+        "source_a",
+        "source_b",
+        "n_shared_terms",
+        F.expr(
+            "(1000000 * (sum_abs + (na - mca) * nb + (nb - mcb) * na))"
+            " div (2 * na * nb)"
+        ).cast("bigint").alias("tvd_ppm"),
+    )
+
+
+_SOURCE_TVD_SQL = """
+WITH wc AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents)
+  GROUP BY 1, 2
+),
+tot AS (SELECT source, CAST(SUM(c) AS HUGEINT) AS n_tok FROM wc GROUP BY 1),
+m AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+         SUM(abs(CAST(a.c AS HUGEINT) * tb.n_tok
+                 - CAST(b.c AS HUGEINT) * ta.n_tok)) AS sum_abs,
+         SUM(CAST(a.c AS HUGEINT)) AS mca,
+         SUM(CAST(b.c AS HUGEINT)) AS mcb,
+         MIN(ta.n_tok) AS na, MIN(tb.n_tok) AS nb
+  FROM wc a
+  JOIN wc b ON a.w = b.w AND a.source < b.source
+  JOIN tot ta ON ta.source = a.source
+  JOIN tot tb ON tb.source = b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared_terms,
+       CAST((1000000 * (sum_abs + (na - mca) * nb + (nb - mcb) * na))
+            // (2 * na * nb) AS BIGINT) AS tvd_ppm
+FROM m
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "vocab_coverage_curve": QuerySpec(
         q_vocab_coverage_curve, _VOCAB_CURVE_SQL,
@@ -1775,4 +1872,7 @@ QUERIES: dict[str, QuerySpec] = {
                                     tags=("text", "dedup", "pipeline")),
     "bigram_logprob_score": QuerySpec(q_bigram_logprob, _BIGRAM_LOGPROB_SQL,
                                       tags=("text", "quality", "pipeline")),
+    "source_token_tvd": QuerySpec(
+        q_source_token_tvd, _SOURCE_TVD_SQL,
+        tags=("text", "drift", "curation", "pipeline")),
 }

@@ -1,14 +1,27 @@
 """Strong-scaling experiment: fixed data (~sf1), growing core counts.
 
-Replicates the scale smoke's ×10 dataset once, then times the flagship
-shape on fresh ``local[N]`` sessions for N in 4/8/16/32 and prints a
-speedup table plus per-stage shuffle-write bytes. The point is measured
-evidence for SCALE.md: the engine's headline plan parallelizes with
-cores at fixed data (scale-UP here, the same property that scales OUT
-across executors on a cluster), and its shuffle volume grows with data,
-not with parallelism.
+Replicates the scale smoke's ×10 dataset once, then times THREE plan
+shapes on fresh ``local[N]`` sessions for N in 4/8/16/32 and prints a
+speedup table plus per-stage shuffle-write bytes per shape:
 
-Run: ``python tools/strong_scaling.py [copies]`` (default 10 ≈ sf1).
+- ``flagship``  — fact⨝header shuffle join + broadcast dims + 6-key agg
+  with countDistinct (the headline join+agg shape);
+- ``rollup``    — one-pass 2-grouping-set rollup with per-level distinct
+  counts (shuffle-heavy: the grouping-set expand multiplies shuffle
+  rows, the shape most sensitive to data movement);
+- ``minhash``   — MinHash signature → LSH banding → salted bucketed
+  self-join over ``documents`` (iterative-flavored multi-stage text
+  shape: explode/agg/bucket-join chain; replication duplicates every
+  doc N×, so every LSH bucket guard is exercised).
+
+The point is measured evidence for SCALE.md: each plan parallelizes
+with cores at fixed data (scale-UP here, the same property that scales
+OUT across executors on a cluster), and its shuffle volume grows with
+data, not with parallelism. (r5 verdict item #6 / r6 item #5: the
+flagship-only run left shuffle-heavy and multi-stage shapes unmeasured.)
+
+Run: ``python tools/strong_scaling.py [copies] [shape,...]``
+(default 10 ≈ sf1, all shapes).
 """
 
 from __future__ import annotations
@@ -31,6 +44,10 @@ REPLICATED = {
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
 }
+# documents is replicated by SUFFIXING the string doc_id (copy i keeps the
+# same text → identical MinHash signature → N-wide LSH buckets, stressing
+# the bounded-bucket guard exactly like a near-dup-heavy corpus would).
+REPLICATED_STR = {"documents": ["doc_id"]}
 PASSTHROUGH = ("region", "nation", "supplier", "part")
 CORES = (4, 8, 16, 32)
 REPS = 3
@@ -61,6 +78,16 @@ def build_dataset(copies: int) -> str:
             parts.append(d)
         reduce(DataFrame.unionByName, parts).write.parquet(
             f"{out}/{name}.parquet", mode="overwrite")
+    for name, keys in REPLICATED_STR.items():
+        src = spark.read.parquet(f"{SRC}/{name}.parquet")
+        parts = []
+        for i in range(copies):
+            d = src
+            for k in keys:
+                d = d.withColumn(k, F.concat(F.col(k), F.lit(f"#c{i}")))
+            parts.append(d)
+        reduce(DataFrame.unionByName, parts).write.parquet(
+            f"{out}/{name}.parquet", mode="overwrite")
     for name in PASSTHROUGH:
         spark.read.parquet(f"{SRC}/{name}.parquet").write.parquet(
             f"{out}/{name}.parquet", mode="overwrite")
@@ -78,14 +105,27 @@ def shuffle_write_bytes(spark) -> int:
     return sum(s.get("shuffleWriteBytes", 0) for s in stages)
 
 
-def run_at(cores: int, data_dir: str) -> tuple[float, int]:
+def _shapes() -> dict:
+    from tfm_taxitrips_spark.queries.relational import (
+        q_flagship_view,
+        q_rollup_family,
+    )
+    from tfm_taxitrips_spark.queries.text import q_minhash_lsh_candidates
+
+    return {
+        "flagship": q_flagship_view,
+        "rollup": q_rollup_family,
+        "minhash": q_minhash_lsh_candidates,
+    }
+
+
+def run_at(cores: int, data_dir: str, shape: str) -> tuple[float, int]:
     from pyspark.sql import SparkSession
 
-    from tfm_taxitrips_spark.queries.relational import q_flagship_view
-
+    fn = _shapes()[shape]
     spark = (
         SparkSession.builder.master(f"local[{cores}]")
-        .appName(f"strongscale-{cores}")
+        .appName(f"strongscale-{shape}-{cores}")
         .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "true")
@@ -95,8 +135,7 @@ def run_at(cores: int, data_dir: str) -> tuple[float, int]:
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        q_flagship_view(spark, data_dir).write.format("noop").mode(
-            "overwrite").save()
+        fn(spark, data_dir).write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
     sw = shuffle_write_bytes(spark)
     spark.stop()
@@ -105,19 +144,22 @@ def run_at(cores: int, data_dir: str) -> tuple[float, int]:
 
 def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    shapes = sys.argv[2].split(",") if len(sys.argv) > 2 else list(_shapes())
     data_dir = build_dataset(copies)
     print(f"dataset: {copies}x sf0.1 at {data_dir}")
-    rows = []
-    for c in CORES:
-        best, sw = run_at(c, data_dir)
-        rows.append((c, best, sw))
-        print(f"local[{c:>2}]: best {best:6.2f} s   "
-              f"shuffle-write {sw/1e6:8.1f} MB (cumulative over reps)",
-              flush=True)
-    base = rows[0][1]
-    print("\ncores  time_s  speedup_vs_4")
-    for c, t, _ in rows:
-        print(f"{c:>5}  {t:6.2f}  {base / t:10.2f}x")
+    for shape in shapes:
+        rows = []
+        for c in CORES:
+            best, sw = run_at(c, data_dir, shape)
+            rows.append((c, best, sw))
+            print(f"[{shape}] local[{c:>2}]: best {best:6.2f} s   "
+                  f"shuffle-write {sw/1e6:8.1f} MB (cumulative over reps)",
+                  flush=True)
+        base = rows[0][1]
+        print(f"\n[{shape}] cores  time_s  speedup_vs_4")
+        for c, t, _ in rows:
+            print(f"{c:>5}  {t:6.2f}  {base / t:10.2f}x")
+        print(flush=True)
 
 
 if __name__ == "__main__":
