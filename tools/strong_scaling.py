@@ -39,15 +39,16 @@ sys.path.insert(0, REPO)
 
 SRC = "/root/testdata/sf0.1"
 OFFSET = 100_000_000
+# documents replicates like the fact tables (doc_id is pinned BIGINT);
+# copy i keeps the same text → identical MinHash signature → N-wide LSH
+# buckets, stressing the bounded-bucket guard exactly like a
+# near-dup-heavy corpus would.
 REPLICATED = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
+    "documents": ["doc_id"],
 }
-# documents is replicated by SUFFIXING the string doc_id (copy i keeps the
-# same text → identical MinHash signature → N-wide LSH buckets, stressing
-# the bounded-bucket guard exactly like a near-dup-heavy corpus would).
-REPLICATED_STR = {"documents": ["doc_id"]}
 PASSTHROUGH = ("region", "nation", "supplier", "part")
 CORES = (4, 8, 16, 32)
 REPS = 3
@@ -75,16 +76,6 @@ def build_dataset(copies: int) -> str:
             d = src
             for k in keys:
                 d = d.withColumn(k, F.col(k) + F.lit(i * OFFSET))
-            parts.append(d)
-        reduce(DataFrame.unionByName, parts).write.parquet(
-            f"{out}/{name}.parquet", mode="overwrite")
-    for name, keys in REPLICATED_STR.items():
-        src = spark.read.parquet(f"{SRC}/{name}.parquet")
-        parts = []
-        for i in range(copies):
-            d = src
-            for k in keys:
-                d = d.withColumn(k, F.concat(F.col(k), F.lit(f"#c{i}")))
             parts.append(d)
         reduce(DataFrame.unionByName, parts).write.parquet(
             f"{out}/{name}.parquet", mode="overwrite")
