@@ -1089,3 +1089,66 @@ def test_sf_scaling_sides_auto_broadcast_no_hard_hint(spark, sf_smoke):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     assert "SortMergeJoin" in constrained or "ShuffledHashJoin" in constrained
+
+
+def test_ols_two_factor_single_shuffle_pruned_scan(spark, sf_smoke):
+    """group_ols_two_factor's whole plan is ONE map-side-combined hash
+    aggregate: exactly one shuffle Exchange (the segment groupBy), no
+    SortAggregate, and the lineitem scan pruned to exactly the four
+    columns the regression touches — the 2×2 solve is a projection over
+    the aggregate-sized result, so nothing else may move data."""
+    import re
+
+    from tfm_taxitrips_spark.queries.analytics import q_group_ols_two_factor
+
+    plan = explain_formatted(q_group_ols_two_factor(spark, sf_smoke))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"\b(?:Broadcast|Reused)?Exchange \(\d+\)", tree)) == 1
+    assert len(re.findall(r"\bHashAggregate \(\d+\)", tree)) == 2  # partial+final
+    assert "SortAggregate" not in tree
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
+    assert cols == [
+        "l_discount", "l_extendedprice", "l_quantity", "l_returnflag"]
+
+
+def test_benford_exchanges_are_aggregate_sized(spark, sf_smoke):
+    """benford_digit_audit may shuffle exactly twice — the
+    (segment, digit) groupBy and the segment Window repartition — and
+    BOTH sit above the partial aggregate, so every row crossing the wire
+    is one of ≤9 digit-count rows per segment, never raw lineitem. Scan
+    pruned to the two touched columns."""
+    import re
+
+    from tfm_taxitrips_spark.queries.analytics import q_benford_digit_audit
+
+    plan = explain_formatted(q_benford_digit_audit(spark, sf_smoke))
+    tree = plan.split("\n\n")[0]
+    exchanges = re.findall(r"\b(?:Broadcast|Reused)?Exchange \(\d+\)", tree)
+    assert len(exchanges) == 2
+    assert len(re.findall(r"\bWindow \(\d+\)", tree)) == 1
+    # the partial HashAggregate is BELOW both exchanges: the first
+    # Exchange's plan id must be higher (deeper) than the final agg's
+    assert len(re.findall(r"\bHashAggregate \(\d+\)", tree)) == 2
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(",") if c)
+    assert cols == ["l_extendedprice", "l_returnflag"]
+
+
+def test_loo_encoding_single_shuffle_then_generate(spark, sf_smoke):
+    """loo_target_encoding: one shuffle Exchange (the category groupBy),
+    and the width-2 label explode (Generate) runs on the AGGREGATE-sized
+    result — above the final aggregate, never on raw orders rows."""
+    import re
+
+    from tfm_taxitrips_spark.queries.dataprep import q_loo_target_encoding
+
+    plan = explain_formatted(q_loo_target_encoding(spark, sf_smoke))
+    tree = plan.split("\n\n")[0]
+    assert len(re.findall(r"\b(?:Broadcast|Reused)?Exchange \(\d+\)", tree)) == 1
+    assert len(re.findall(r"\bGenerate \(\d+\)", tree)) == 1
+    # Generate sits ABOVE the final HashAggregate in the operator listing
+    # (formatted plans list parents before children)
+    gen_pos = tree.index("Generate")
+    agg_pos = tree.index("HashAggregate")
+    assert gen_pos < agg_pos
