@@ -85,6 +85,12 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from tests.oracle import compare_result, duck_connection
 
+    # Fingerprint BEFORE the sweep: the artifact must describe the code
+    # that PRODUCED the results. If a source file changes while the sweep
+    # runs, the end-of-run check below refuses to write a stamped-but-
+    # stale artifact instead of silently mixing code states.
+    fp_start = source_fingerprint()
+
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
@@ -121,9 +127,12 @@ def main() -> None:
             status = "MATCH"
         print(f"[{i}/{len(qs)}] {name}: {status}", flush=True)
 
+    if source_fingerprint() != fp_start:
+        sys.exit("source changed while the sweep ran — results and "
+                 "fingerprint would disagree; re-run on settled code")
     n_fail = sum(1 for r in results.values() if failed(r))
     results["__meta__"] = {
-        "fingerprint": source_fingerprint(),
+        "fingerprint": fp_start,
         "sf_dir": sf_dir,
         "n_queries": len(qs),
         "n_fail": n_fail,
