@@ -87,6 +87,11 @@ HEADLINE = (
     # fallback mechanism. This entry keeps the hint-free form in the
     # replicated-scale straggler gate.
     "running_revenue",
+    # round-7 addition: replication multiplies every (source, word) count
+    # ~10x and the duplicated docs keep the vocabulary fixed — the pair
+    # join's fan-out must stay bounded by |sources|^2 and the tokenization
+    # pass must run ONCE (lazy localCheckpoint), not per consumer
+    "source_token_tvd",
 )
 
 STRAGGLER_FACTOR = 4.0
