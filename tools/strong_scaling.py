@@ -97,6 +97,7 @@ def shuffle_write_bytes(spark) -> int:
 
 
 def _shapes() -> dict:
+    from tfm_taxitrips_spark.queries.graph import q_pagerank_fixed
     from tfm_taxitrips_spark.queries.relational import (
         q_flagship_view,
         q_rollup_family,
@@ -107,6 +108,12 @@ def _shapes() -> dict:
         "flagship": q_flagship_view,
         "rollup": q_rollup_family,
         "minhash": q_minhash_lsh_candidates,
+        # truly ITERATIVE shape: fixed-iteration PageRank re-joins the
+        # rank frame against the cached edge list every round, with
+        # periodic localCheckpoint lineage truncation — measures whether
+        # per-iteration scheduling overhead (the cluster's per-stage
+        # fixed cost) swamps the per-core speedup
+        "pagerank": q_pagerank_fixed,
     }
 
 
