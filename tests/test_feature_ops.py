@@ -94,6 +94,36 @@ def test_source_tvd_bounds_and_reference(spark, sf_smoke):
     assert int(row["tvd_ppm"]) == (1_000_000 * num) // (2 * na * nb)
 
 
+def test_ks_split_drift_matches_ecdf_reference(spark, sf_smoke):
+    """The KS statistic must equal a from-scratch pandas ECDF
+    computation (max over the merged value domain of the
+    cross-multiplied deviation), the argmax value must be the SMALLEST
+    value attaining the max, and the statistic must sit in [0, 10⁶]."""
+    from tfm_taxitrips_spark.queries.analytics import q_ks_split_drift
+
+    got = q_ks_split_drift(spark, sf_smoke).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert 0 <= int(row["ks_ppm"]) <= 1_000_000
+
+    raw = pd.read_parquet(
+        os.path.join(sf_smoke, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+    raw = raw[raw["l_returnflag"].isin(["A", "R"])]
+    cents = (raw["l_extendedprice"].round(2) * 100).round().astype("int64")
+    a = cents[raw["l_returnflag"] == "A"].value_counts().sort_index()
+    b = cents[raw["l_returnflag"] == "R"].value_counts().sort_index()
+    na, nb = int(a.sum()), int(b.sum())
+    dom = a.index.union(b.index)
+    cuma = a.reindex(dom, fill_value=0).cumsum()
+    cumb = b.reindex(dom, fill_value=0).cumsum()
+    dev = (cuma * nb - cumb * na).abs()
+    assert int(row["n_a"]) == na and int(row["n_b"]) == nb
+    assert int(row["ks_ppm"]) == (1_000_000 * int(dev.max())) // (na * nb)
+    assert int(row["ks_at_cents"]) == int(dev[dev == dev.max()].index.min())
+
+
 def test_ols_recovers_planted_coefficients(spark, tmp_path):
     """On a synthetic fact table built so that cents = 3·qty + 7·pct
     EXACTLY (non-collinear regressors, zero residual), the closed-form

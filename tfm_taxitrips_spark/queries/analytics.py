@@ -1362,7 +1362,114 @@ FROM mom
 """
 
 
+def q_ks_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    `l_extendedprice` distributions of the 'A' and 'R' return-flag
+    populations — the NUMERIC-distribution drift gate (max ECDF
+    deviation) completing `source_token_tvd`'s categorical one: the
+    pre-deploy check that a feature's distribution didn't shift between
+    two splits/snapshots/cohorts.
+
+    Integer-exact: values collapse to exact cents, per-value counts to
+    one map-side-combined groupBy, and the deviation is computed on the
+    CROSS-MULTIPLIED form |cumA·nB − cumB·nA| (never a float CDF);
+    ``ks_ppm = (10⁶·max dev) div (nA·nB)`` with DECIMAL(38,0) products
+    (cum·N reaches ~10²⁴ at 10¹² rows). The argmax value reports WHERE
+    the distributions diverge most (ties → smallest value).
+
+    Scale shape: the raw scan collapses to the |distinct cents| value
+    domain FIRST; both cumulative counts run through the two-phase
+    distributed prefix sum (`operators/prefix.py`) on a coarse monotone
+    value bucket — no global sort, the heavy windows keep |buckets|×
+    parallelism; totals and the max are aggregate-sized broadcasts. The
+    oracle states the naive one-window form, proving the rewrite exact.
+    """
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    # each frame below fans out to 2+ consumers (two_phase_prefix_sum
+    # itself reads its input twice: bucket sums + the offset join), so
+    # without materialization the scan/groupBy subtree re-executes 16× —
+    # lazy localCheckpoint at every fan-out point keeps it to one pass
+    # (the token_budget_mix/copurchase_lift discipline)
+    vals = (
+        li.select(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").alias("v"),
+            F.col("l_returnflag").alias("flag"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("flag") == "A", 1).otherwise(0))
+            .cast("decimal(38,0)").alias("ca"),
+            F.sum(F.when(F.col("flag") == "R", 1).otherwise(0))
+            .cast("decimal(38,0)").alias("cb"),
+        )
+        .withColumn("vb", F.expr("v div 1000000"))  # ~$10k monotone buckets
+        .localCheckpoint(eager=False)
+    )
+    cum = two_phase_prefix_sum(
+        vals, bucket_col="vb", order_cols=["v"], val_col="ca", out_col="cuma")
+    cum = two_phase_prefix_sum(
+        cum, bucket_col="vb", order_cols=["v"], val_col="cb", out_col="cumb"
+    ).localCheckpoint(eager=False)
+    tot = cum.agg(
+        F.sum("ca").cast("decimal(38,0)").alias("na"),
+        F.sum("cb").cast("decimal(38,0)").alias("nb"),
+    )
+    dev = cum.crossJoin(F.broadcast(tot)).select(
+        "v", "na", "nb",
+        F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+        .alias("dev"),
+    ).localCheckpoint(eager=False)
+    maxd = dev.agg(F.max("dev").alias("maxdev"))
+    return (
+        dev.crossJoin(F.broadcast(maxd))
+        .where(F.col("dev") == F.col("maxdev"))
+        .agg(
+            F.first("na").cast("bigint").alias("n_a"),
+            F.first("nb").cast("bigint").alias("n_b"),
+            F.expr("CAST((1000000 * first(maxdev)) div (first(na) * first(nb))"
+                   " AS BIGINT)").alias("ks_ppm"),
+            F.min("v").alias("ks_at_cents"),
+        )
+    )
+
+
+_KS_SQL = """
+WITH vals AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+              AS HUGEINT) AS ca,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS HUGEINT) AS cb
+  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1
+),
+tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM vals),
+cum AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v) AS cuma,
+         SUM(cb) OVER (ORDER BY v) AS cumb
+  FROM vals
+),
+d AS (
+  SELECT v, abs(cuma * nb - cumb * na) AS dev
+  FROM cum CROSS JOIN tot
+)
+SELECT CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
+       CAST((SELECT nb FROM tot) AS BIGINT) AS n_b,
+       CAST((1000000 * (SELECT MAX(dev) FROM d))
+            // (SELECT na * nb FROM tot) AS BIGINT) AS ks_ppm,
+       MIN(v) AS ks_at_cents
+FROM d WHERE dev = (SELECT MAX(dev) FROM d)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "ks_split_drift": QuerySpec(
+        q_ks_split_drift, _KS_SQL,
+        tags=("analytics", "drift", "stats", "prefix"),
+    ),
     "benford_digit_audit": QuerySpec(
         q_benford_digit_audit, _BENFORD_SQL,
         tags=("analytics", "quality", "audit"),
