@@ -92,6 +92,14 @@ HEADLINE = (
     # join's fan-out must stay bounded by |sources|^2 and the tokenization
     # pass must run ONCE (lazy localCheckpoint), not per consumer
     "source_token_tvd",
+    # round-7 prefix-sum addition: replicated lineitem repeats the same
+    # prices, so the distinct-cents value domain stays FIXED while per-
+    # value counts grow ~10x — the two-phase prefix sum must keep its
+    # windows on the (bucket, value) split and the four lazy
+    # localCheckpoints must hold the scan to one pass (without them the
+    # fan-out re-executes the scan 16x, which at this scale reads as a
+    # multi-minute stall, not a subtle slowdown)
+    "ks_split_drift",
 )
 
 STRAGGLER_FACTOR = 4.0
