@@ -49,6 +49,14 @@ def two_phase_prefix_sum(
     current row (the "tokens before me" form). The offsets window runs
     single-partition when ``partition_cols`` is empty — bounded by the
     bucket-relation size, a deliberate cardinality-collapsed choice.
+
+    CALLER CONTRACT: ``df`` is referenced TWICE in the returned plan
+    (phase-1 bucket sums + the offset join), so an expensive upstream
+    lineage re-executes once per reference — and COMPOUNDS under nested
+    calls (two stacked sums re-run the first's input 4×; the
+    ``ks_split_drift`` audit caught a 16-scan blowup this way). Callers
+    must ``localCheckpoint(eager=False)`` any non-trivial input before
+    calling — every in-repo call site does.
     """
     pc = list(partition_cols)
     bucket_sums = df.groupBy(*pc, bucket_col).agg(
