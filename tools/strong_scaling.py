@@ -48,6 +48,11 @@ REPLICATED = {
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
     "documents": ["doc_id"],
+    # events replicates with the SAME timestamps (copies offset only the
+    # ids) — the event-time windows get 10x denser rather than longer,
+    # which is what a higher ingest rate looks like to the streaming
+    # rollup's watermarked state store
+    "events": ["event_id", "user_id"],
 }
 PASSTHROUGH = ("region", "nation", "supplier", "part")
 CORES = (4, 8, 16, 32)
@@ -102,6 +107,7 @@ def _shapes() -> dict:
         q_flagship_view,
         q_rollup_family,
     )
+    from tfm_taxitrips_spark.queries.streamq import q_stream_window_rollup
     from tfm_taxitrips_spark.queries.text import q_minhash_lsh_candidates
 
     return {
@@ -114,6 +120,13 @@ def _shapes() -> dict:
         # per-iteration scheduling overhead (the cluster's per-stage
         # fixed cost) swamps the per-core speedup
         "pagerank": q_pagerank_fixed,
+        # STREAMING stateful shape: the availableNow drain of the
+        # watermarked windowed rollup (A5). AQE is off in streaming, the
+        # state store partitioning is fixed at plan time, and the drain
+        # pays micro-batch scheduling — the question this leg answers is
+        # whether the streaming path still parallelizes with cores or is
+        # serialized on the state store / sink
+        "stream": q_stream_window_rollup,
     }
 
 
