@@ -1262,13 +1262,27 @@ def q_group_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DECIMAL(18,2) casts ×100), the 9 sufficient statistics accumulate
     in DECIMAL(38,0), and the centered moments ``m_ab = n·Σab − Σa·Σb``
     stay exact.  The 2×2 solve emits integer-ppm slopes with explicit
-    sign handling (``sign(num)·((10⁶·|num|) div det)``, the
-    `group_trend_slopes` discipline), so no float exists anywhere in the
-    lineage.  At extreme per-group row counts (≳10¹¹) the cross-moment
-    PRODUCTS outgrow DECIMAL(38,0): the mitigation is recentring x by a
-    first-pass global mean (shrinking Σx toward 0) exactly as
-    `group_trend_slopes` recentres its hour index — kept out of this
-    plan because it costs a second pass the tested scales never need.
+    sign handling and the ppm scaling applied AFTER the division via the
+    exact identity ``(10⁶·|num|) div det = 10⁶·(|num| div det) +
+    (10⁶·(|num| mod det)) div det`` — only the sub-``det`` remainder is
+    ever multiplied by 10⁶, so the scaling itself can never overflow.
+    No float exists anywhere in the lineage.
+
+    Overflow horizon (honest): the 9 sufficient statistics stay inside
+    DECIMAL(38,0) past 10¹¹ rows/group, but the 2×2 solve's products
+    ``m_ab·m_cd`` grow ~n⁴.  At this table's column-domain maxima
+    (x1 ≤ 50, x2 ≤ 10, y ≤ 1.05×10⁷ cents) the CRUDE adversarial bound
+    ``|num₂| ≤ 2n⁴·X1²·X2·Y`` caps the safe per-group row count at
+    ~3.7×10⁶ (~sf1.9); on the MEASURED sf0.1 covariance structure
+    (num ~10²⁷·⁹, det ~10²⁴·⁵ at n≈2×10⁵) the binding term is
+    10⁶·(num mod det) and the extrapolated horizon is ~1.5×10⁷
+    rows/group (~sf7).  `tests/test_feature_ops.py` pins both bounds
+    against the tested group sizes.  Recentring does NOT extend the
+    horizon: the central moments are shift-invariant, so recentring
+    shrinks only the raw sums (never the binding n⁴ products).  Past
+    the horizon the escalation is sharding each segment by a secondary
+    key and combining the shards' moments by weighted addition — a
+    plan shape the tested scales never need.
 
     Scale shape: ONE map-side-combined groupBy over the fact table
     computes every moment; the solve is a 3-row projection.  No window,
@@ -1308,15 +1322,24 @@ def q_group_ols_two_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     num1 = "(m22 * m1y - m12 * m2y)"
     num2 = "(m11 * m2y - m12 * m1y)"
     det = "(m11 * m22 - m12 * m12)"
+
+    def _beta_ppm(num: str) -> str:
+        # (10⁶·|num|) div det, computed WITHOUT forming 10⁶·|num|:
+        # 10⁶·(|num| div det) + (10⁶·(|num| mod det)) div det — exact by
+        # the division algorithm (|num| = q·det + r, r < det), so only
+        # the sub-det remainder meets the 10⁶ factor.
+        return (
+            f"CASE WHEN {det} > 0 THEN CAST(sign({num}) AS BIGINT)"
+            f" * (1000000 * CAST(abs({num}) div {det} AS BIGINT)"
+            f"    + CAST((1000000 * (abs({num}) % {det})) div {det}"
+            f"           AS BIGINT)) END"
+        )
+
     return mom.select(
         "segment",
         "n_rows",
-        F.expr(f"CASE WHEN {det} > 0 THEN CAST(sign({num1}) AS BIGINT)"
-               f" * CAST((1000000 * abs({num1})) div {det} AS BIGINT) END")
-        .alias("beta_qty_ppm"),
-        F.expr(f"CASE WHEN {det} > 0 THEN CAST(sign({num2}) AS BIGINT)"
-               f" * CAST((1000000 * abs({num2})) div {det} AS BIGINT) END")
-        .alias("beta_disc_ppm"),
+        F.expr(_beta_ppm(num1)).alias("beta_qty_ppm"),
+        F.expr(_beta_ppm(num2)).alias("beta_disc_ppm"),
     )
 
 
@@ -1350,13 +1373,19 @@ mom AS (
 SELECT segment, n_rows,
        CASE WHEN (m11 * m22 - m12 * m12) > 0
             THEN CAST(sign(m22 * m1y - m12 * m2y) AS BIGINT)
-                 * CAST((1000000 * abs(m22 * m1y - m12 * m2y))
-                        // (m11 * m22 - m12 * m12) AS BIGINT) END
+                 * (1000000 * CAST(abs(m22 * m1y - m12 * m2y)
+                        // (m11 * m22 - m12 * m12) AS BIGINT)
+                    + CAST((1000000 * (abs(m22 * m1y - m12 * m2y)
+                                       % (m11 * m22 - m12 * m12)))
+                           // (m11 * m22 - m12 * m12) AS BIGINT)) END
          AS beta_qty_ppm,
        CASE WHEN (m11 * m22 - m12 * m12) > 0
             THEN CAST(sign(m11 * m2y - m12 * m1y) AS BIGINT)
-                 * CAST((1000000 * abs(m11 * m2y - m12 * m1y))
-                        // (m11 * m22 - m12 * m12) AS BIGINT) END
+                 * (1000000 * CAST(abs(m11 * m2y - m12 * m1y)
+                        // (m11 * m22 - m12 * m12) AS BIGINT)
+                    + CAST((1000000 * (abs(m11 * m2y - m12 * m1y)
+                                       % (m11 * m22 - m12 * m12)))
+                           // (m11 * m22 - m12 * m12) AS BIGINT)) END
          AS beta_disc_ppm
 FROM mom
 """
@@ -1408,8 +1437,14 @@ def q_ks_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("vb", F.expr("v div 1000000"))  # ~$10k monotone buckets
         .localCheckpoint(eager=False)
     )
+    # each prefix-sum output is itself read twice by the NEXT consumer
+    # (the second prefix-sum call / the dev projection), so checkpoint
+    # BETWEEN the nested calls too — the operators/prefix.py caller
+    # contract: an un-checkpointed first prefix would re-execute its two
+    # windows once per reference downstream.
     cum = two_phase_prefix_sum(
-        vals, bucket_col="vb", order_cols=["v"], val_col="ca", out_col="cuma")
+        vals, bucket_col="vb", order_cols=["v"], val_col="ca", out_col="cuma"
+    ).localCheckpoint(eager=False)
     cum = two_phase_prefix_sum(
         cum, bucket_col="vb", order_cols=["v"], val_col="cb", out_col="cumb"
     ).localCheckpoint(eager=False)

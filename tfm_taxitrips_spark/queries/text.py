@@ -1735,6 +1735,11 @@ def q_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     union with no full-outer join, and ``tvd_ppm = (10⁶·num) div
     (2·Na·Nb)`` never runs a float.  Products route through
     DECIMAL(38,0) (c·N ~ 10²¹ at trillion-token scale overflows BIGINT).
+    A row is emitted for EVERY source pair, including pairs sharing zero
+    vocabulary (tvd_ppm = 10⁶ exactly): the matched-mass aggregate is
+    LEFT-joined onto the tiny all-pairs frame built from the per-source
+    totals (unmatched sums coalesce to 0), so a fully-disjoint pair
+    cannot silently vanish from the drift matrix.
 
     Scale shape: per-source counts are one map-side-combined groupBy;
     the pair join is a hash join keyed on the word (AQE-splittable; hot
@@ -1772,18 +1777,41 @@ def q_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_abs"),
             F.sum("ca").alias("mca"),
             F.sum("cb").alias("mcb"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
         )
     )
-    return m.select(
-        "source_a",
-        "source_b",
-        "n_shared_terms",
-        F.expr(
-            "(1000000 * (sum_abs + (na - mca) * nb + (nb - mcb) * na))"
-            " div (2 * na * nb)"
-        ).cast("bigint").alias("tvd_ppm"),
+    # all-pairs frame from the per-source totals (|sources|² rows — tiny
+    # at any corpus scale), so zero-shared-vocabulary pairs still emit a
+    # row (their TVD is exactly 1, i.e. 10⁶ ppm); the matched aggregate
+    # joins back broadcast (bounded by the pair count, never by rows).
+    pairs = (
+        tot.select(F.col("source").alias("source_a"), F.col("n_tok").alias("na"))
+        .crossJoin(tot.select(F.col("source").alias("source_b"),
+                              F.col("n_tok").alias("nb")))
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    return (
+        pairs.join(F.broadcast(m), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce(F.col("n_shared_terms"), F.lit(0).cast("bigint"))
+            .alias("n_shared_terms"),
+            F.coalesce(F.col("sum_abs"), zero).alias("sum_abs"),
+            F.coalesce(F.col("mca"), zero).alias("mca"),
+            F.coalesce(F.col("mcb"), zero).alias("mcb"),
+            "na",
+            "nb",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_terms",
+            F.expr(
+                "(1000000 * (sum_abs + (na - mca) * nb + (nb - mcb) * na))"
+                " div (2 * na * nb)"
+            ).cast("bigint").alias("tvd_ppm"),
+        )
     )
 
 
@@ -1801,18 +1829,26 @@ m AS (
          SUM(abs(CAST(a.c AS HUGEINT) * tb.n_tok
                  - CAST(b.c AS HUGEINT) * ta.n_tok)) AS sum_abs,
          SUM(CAST(a.c AS HUGEINT)) AS mca,
-         SUM(CAST(b.c AS HUGEINT)) AS mcb,
-         MIN(ta.n_tok) AS na, MIN(tb.n_tok) AS nb
+         SUM(CAST(b.c AS HUGEINT)) AS mcb
   FROM wc a
   JOIN wc b ON a.w = b.w AND a.source < b.source
   JOIN tot ta ON ta.source = a.source
   JOIN tot tb ON tb.source = b.source
   GROUP BY 1, 2
+),
+pairs AS (
+  SELECT ta.source AS source_a, tb.source AS source_b,
+         ta.n_tok AS na, tb.n_tok AS nb
+  FROM tot ta JOIN tot tb ON ta.source < tb.source
 )
-SELECT source_a, source_b, n_shared_terms,
-       CAST((1000000 * (sum_abs + (na - mca) * nb + (nb - mcb) * na))
-            // (2 * na * nb) AS BIGINT) AS tvd_ppm
-FROM m
+SELECT p.source_a, p.source_b,
+       COALESCE(m.n_shared_terms, 0) AS n_shared_terms,
+       CAST((1000000 * (COALESCE(m.sum_abs, 0)
+                        + (p.na - COALESCE(m.mca, 0)) * p.nb
+                        + (p.nb - COALESCE(m.mcb, 0)) * p.na))
+            // (2 * p.na * p.nb) AS BIGINT) AS tvd_ppm
+FROM pairs p
+LEFT JOIN m ON m.source_a = p.source_a AND m.source_b = p.source_b
 """
 
 

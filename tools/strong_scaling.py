@@ -1,6 +1,6 @@
 """Strong-scaling experiment: fixed data (~sf1), growing core counts.
 
-Replicates the scale smoke's ×10 dataset once, then times THREE plan
+Replicates the scale smoke's ×10 dataset once, then times SIX plan
 shapes on fresh ``local[N]`` sessions for N in 4/8/16/32 and prints a
 speedup table plus per-stage shuffle-write bytes per shape:
 
@@ -12,13 +12,23 @@ speedup table plus per-stage shuffle-write bytes per shape:
 - ``minhash``   — MinHash signature → LSH banding → salted bucketed
   self-join over ``documents`` (iterative-flavored multi-stage text
   shape: explode/agg/bucket-join chain; replication duplicates every
-  doc N×, so every LSH bucket guard is exercised).
+  doc N×, so every LSH bucket guard is exercised);
+- ``pagerank``  — fixed-iteration PageRank (truly iterative: per-round
+  join + agg with localCheckpoint lineage truncation);
+- ``stream``    — availableNow drain of the watermarked windowed
+  rollup (stateful Structured Streaming; AQE off, fixed state-store
+  partitioning);
+- ``prefix``    — exact two-sample KS via the two-phase distributed
+  prefix sum (``operators/prefix.py``): value-domain collapse, two
+  nested prefix sums on coarse monotone buckets, broadcast extrema —
+  the engine's signature sort-free cumulative rewrite (r7 verdict
+  item #5: the one plan shape still missing a measured curve).
 
 The point is measured evidence for SCALE.md: each plan parallelizes
 with cores at fixed data (scale-UP here, the same property that scales
 OUT across executors on a cluster), and its shuffle volume grows with
-data, not with parallelism. (r5 verdict item #6 / r6 item #5: the
-flagship-only run left shuffle-heavy and multi-stage shapes unmeasured.)
+data, not with parallelism. (r5 verdict item #6 / r6 item #5 / r7
+item #5 extended the covered shapes.)
 
 Run: ``python tools/strong_scaling.py [copies] [shape,...]``
 (default 10 ≈ sf1, all shapes).
@@ -102,6 +112,7 @@ def shuffle_write_bytes(spark) -> int:
 
 
 def _shapes() -> dict:
+    from tfm_taxitrips_spark.queries.analytics import q_ks_split_drift
     from tfm_taxitrips_spark.queries.graph import q_pagerank_fixed
     from tfm_taxitrips_spark.queries.relational import (
         q_flagship_view,
@@ -127,6 +138,13 @@ def _shapes() -> dict:
         # whether the streaming path still parallelizes with cores or is
         # serialized on the state store / sink
         "stream": q_stream_window_rollup,
+        # PREFIX-SUM shape: replicated lineitem multiplies per-value
+        # counts ~N× while the distinct-cents value domain stays fixed,
+        # so the nested two-phase prefix sums run on a constant-size
+        # collapsed relation — the leg measures whether the heavy part
+        # (the raw scan + value-domain groupBy) parallelizes and the
+        # bucket-window phase stays off the critical path
+        "prefix": q_ks_split_drift,
     }
 
 
