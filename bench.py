@@ -33,10 +33,43 @@ CALIBRATION_ROWS = 200_000_000
 CALIBRATION_EXPR = "sum(id * 2654435761 % 1000003) v"
 CALIBRATION_ID = f"range({CALIBRATION_ROWS}):{CALIBRATION_EXPR}"
 
+# Second calibration shape — FROZEN like the first (same contract test).
+# The CPU-bound range:sum shape under-corrected 15-20% swings on the
+# shuffle/IO-heavy headline queries two rounds running (r6/r7 verdicts):
+# co-tenant interference that hits the shuffle/scan path barely moves a
+# whole-stage-codegen loop over an in-memory range. This shape times the
+# OTHER resource profile — a parquet scan feeding a real exchange
+# (20M rows into ~1M groups: map-side partial aggregation barely
+# combines, so nearly every row crosses the shuffle) — over synthetic
+# data written once per run (the write is untimed).
+CALIBRATION2_ROWS = 20_000_000
+CALIBRATION2_KEYS = 1_000_003
+CALIBRATION2_ID = (
+    f"parquet({CALIBRATION2_ROWS}):groupBy(id % {CALIBRATION2_KEYS})"
+    f":sum,count"
+)
+
 
 def calibration_df(spark):
     """The fixed engine-independent workload timed for host normalization."""
     return spark.range(CALIBRATION_ROWS).selectExpr(CALIBRATION_EXPR)
+
+
+def calibration2_build(spark, path: str) -> None:
+    """Write the second calibration's synthetic parquet (NOT timed)."""
+    spark.range(CALIBRATION2_ROWS).selectExpr(
+        f"id % {CALIBRATION2_KEYS} k",
+        "id * 2654435761 % 1000003 v",
+    ).write.parquet(path, mode="overwrite")
+
+
+def calibration2_df(spark, path: str):
+    """The timed part: parquet scan → shuffle exchange → hash aggregate."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("k")
+        .agg({"v": "sum", "*": "count"})
+    )
 
 
 def main() -> None:
@@ -166,12 +199,25 @@ def main() -> None:
     # plus calibration normalization are what make round-over-round
     # deltas signal (round-3 verdict item #5).
     REPS = 3
+    # queries whose round-over-round medians have historically swung ≥20%
+    # on untouched code (r6/r7 verdicts) get 2 extra reps — a 5-sample
+    # median tolerates two corrupted reps instead of one (r7 verdict
+    # item #3's optional leg)
+    HIGH_VARIANCE = {
+        "sql_q1_pricing_summary", "sql_q3_shipping_priority",
+        "sql_q5_local_supplier", "stream_window_rollup",
+        "minhash_signature", "windowed_agg_batch", "ann_lsh",
+        "ann_bruteforce",
+    }
+    EXTRA_REPS = 2
     runs: dict[str, list[float]] = {n: [] for n in specs}
     errors: dict[str, str] = {}
-    for _ in range(REPS):
+    for rep in range(REPS + EXTRA_REPS):
         for name in sorted(specs):
             if name in errors:
                 continue  # failed once: don't retry, don't kill the bench
+            if rep >= REPS and name not in HIGH_VARIANCE:
+                continue
             start = time.perf_counter()
             try:
                 df = specs[name].fn(spark, sf_dir)
@@ -189,15 +235,31 @@ def main() -> None:
 
     timings = {n: round(median(v), 3) for n, v in runs.items()}
 
-    # Fixed engine-independent workload (same REPS/median treatment),
+    # Fixed engine-independent workloads (same REPS/median treatment),
     # reported alongside the query timings so round-over-round comparisons
     # can be normalized for machine drift. Not part of `value`.
-    calibs = []
+    # Two shapes, two resource profiles: the CPU-bound codegen loop and
+    # the shuffle+scan exchange — a round-over-round drift that shows in
+    # the queries but in NEITHER calibration is code; drift matching one
+    # of them is host, attributed to the resource that calibration times.
+    import shutil
+    import tempfile
+
+    calib2_dir = os.path.join(tempfile.mkdtemp(prefix="bench_calib2_"), "t")
+    calibration2_build(spark, calib2_dir)  # untimed one-off write
+    calibs: list[float] = []
+    calibs2: list[float] = []
     for _ in range(REPS):
         calib_start = time.perf_counter()
         calibration_df(spark).write.format("noop").mode("overwrite").save()
         calibs.append(time.perf_counter() - calib_start)
+        calib_start = time.perf_counter()
+        calibration2_df(spark, calib2_dir).write.format("noop").mode(
+            "overwrite").save()
+        calibs2.append(time.perf_counter() - calib_start)
     calib = round(median(calibs), 3)
+    calib2 = round(median(calibs2), 3)
+    shutil.rmtree(os.path.dirname(calib2_dir), ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -217,6 +279,12 @@ def main() -> None:
                 # tests/test_bench_contract.py).
                 "value_per_calibration": round(total / calib, 2) if calib else None,
                 "calibration_id": CALIBRATION_ID,
+                # second normalization: total in units of the shuffle+scan
+                # calibration — compare the two normalized series to tell
+                # CPU-side host drift from shuffle/IO-side host drift.
+                "calibration2_sec": calib2,
+                "value_per_calibration2": round(total / calib2, 2) if calib2 else None,
+                "calibration2_id": CALIBRATION2_ID,
                 "errors": errors,
                 "sf": sf,
             }

@@ -33,3 +33,34 @@ def test_calibration_df_is_the_frozen_workload(spark):
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "Range (0, 200000000" in plan
     assert "2654435761" in plan and "1000003" in plan
+
+
+def test_calibration2_definition_frozen():
+    # the shuffle+scan calibration added in round 8 (r7 verdict item #3):
+    # the literal values every BENCH_r08+ `value_per_calibration2`
+    # normalizes against
+    assert bench.CALIBRATION2_ROWS == 20_000_000
+    assert bench.CALIBRATION2_KEYS == 1_000_003
+    assert bench.CALIBRATION2_ID == (
+        "parquet(20000000):groupBy(id % 1000003):sum,count"
+    )
+
+
+def test_calibration2_df_is_scan_plus_exchange(spark, tmp_path):
+    """The second calibration must actually exercise the resource profile
+    it claims to time: a parquet scan feeding a shuffle exchange into a
+    hash aggregate (not a range source, not a broadcast, not a sort)."""
+    path = os.path.join(tmp_path, "calib2")
+    # a 1k-row miniature with the same plan shape (rows don't change the
+    # physical operators, only their runtime)
+    spark.range(1000).selectExpr(
+        f"id % {bench.CALIBRATION2_KEYS} k",
+        "id * 2654435761 % 1000003 v",
+    ).write.parquet(path)
+    plan = (
+        bench.calibration2_df(spark, path)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning(k" in plan
+    assert "FileScan parquet" in plan
+    assert "HashAggregate" in plan
