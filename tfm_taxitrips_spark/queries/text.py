@@ -1758,7 +1758,15 @@ def q_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .localCheckpoint(eager=False)
     )
-    tot = wc.groupBy("source").agg(F.sum("c").cast("decimal(38,0)").alias("n_tok"))
+    # tot now has FOUR consumers (both pair-join broadcasts + both sides
+    # of the all-pairs frame) — checkpoint the |sources|-row aggregate so
+    # each consumer reads the tiny materialized result instead of
+    # re-scanning the full (source, word) relation per reference
+    tot = (
+        wc.groupBy("source")
+        .agg(F.sum("c").cast("decimal(38,0)").alias("n_tok"))
+        .localCheckpoint(eager=False)
+    )
     a = wc.join(F.broadcast(tot), "source").select(
         F.col("source").alias("source_a"), "w",
         F.col("c").cast("decimal(38,0)").alias("ca"), F.col("n_tok").alias("na"),
