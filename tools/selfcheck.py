@@ -8,7 +8,19 @@ confs). The committed JSON mirrors the CORRECTNESS_r*.json schema so the
 judge has a machine-checkable signal for the queries outside the window
 (r4 verdict item #4).
 
-Run: ``python tools/selfcheck.py [round_tag] [sf_dir]``
+Run: ``python tools/selfcheck.py [round_tag] [sf_dir] [--only a,b,c]``
+
+``--only`` (r7 verdict advisory: the ~4-5 min full sweep serializes
+small commits) re-verifies ONLY the named queries and splices them into
+the existing same-tag artifact, recomputing the global fingerprint. The
+splice is sound exactly when the code delta since the base artifact
+touches nothing the un-rerun queries execute — the tool cannot prove
+that (the fingerprint is global by design), so it (a) refuses unless the
+base artifact's query set matches the current registry, and (b) records
+the splice provenance (``__meta__.incremental``: re-verified names +
+the base fingerprint) so a reviewer can audit the claim against the
+diff. When in doubt — any shared-helper, oracle-harness, or registry
+change — run the full sweep.
 """
 
 from __future__ import annotations
@@ -66,10 +78,19 @@ def failed(rec: dict) -> bool:
 def main() -> None:
     # The round tag is REQUIRED (r6 verdict item: a hardcoded default
     # silently overwrites the previous round's artifact).
-    if len(sys.argv) < 2 or not sys.argv[1].startswith("r"):
-        sys.exit("usage: python tools/selfcheck.py rNN [sf_dir]")
-    tag = sys.argv[1]
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    args = list(sys.argv[1:])
+    only: list[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        try:
+            only = [n for n in args[i + 1].split(",") if n]
+        except IndexError:
+            sys.exit("--only requires a comma-separated query-name list")
+        del args[i:i + 2]
+    if not args or not args[0].startswith("r"):
+        sys.exit("usage: python tools/selfcheck.py rNN [sf_dir] [--only a,b]")
+    tag = args[0]
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
 
     from pyspark.sql import SparkSession
 
@@ -95,8 +116,31 @@ def main() -> None:
     oracles = entry_mod.oracle_sql()
 
     results: dict[str, dict] = {}
+    base_meta: dict | None = None
+    out = os.path.join(REPO, f"SELFCHECK_{tag}.json")
+    if only is not None:
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            sys.exit(f"--only names not in the registry: {unknown}")
+        if not os.path.exists(out):
+            sys.exit(f"--only needs an existing {os.path.basename(out)} to "
+                     "splice into — run the full sweep first")
+        with open(out) as fh:
+            base = json.load(fh)
+        base_meta = base.pop("__meta__", None)
+        if base_meta is None or set(base) != set(qs):
+            sys.exit("base artifact's query set doesn't match the current "
+                     "registry — a splice can't cover added/removed "
+                     "queries; run the full sweep")
+        # preserve the base artifact's records (and sf_dir consistency)
+        if base_meta.get("sf_dir") != sf_dir:
+            sys.exit(f"base artifact used sf_dir={base_meta.get('sf_dir')} "
+                     f"— splicing {sf_dir} results would mix scales")
+        results.update(base)
+
+    sweep = list(qs) if only is None else only
     t0 = time.time()
-    for i, name in enumerate(qs, 1):
+    for i, name in enumerate(sweep, 1):
         rec = {
             "rows_match": False, "schema_match": False, "hash_match": False,
             "spark_rows": None, "oracle_rows": None, "err": None,
@@ -125,11 +169,14 @@ def main() -> None:
             status = "SKIP"
         else:
             status = "MATCH"
-        print(f"[{i}/{len(qs)}] {name}: {status}", flush=True)
+        print(f"[{i}/{len(sweep)}] {name}: {status}", flush=True)
 
     if source_fingerprint() != fp_start:
         sys.exit("source changed while the sweep ran — results and "
                  "fingerprint would disagree; re-run on settled code")
+    # re-emit in current registry order so full and spliced artifacts
+    # diff cleanly against each other
+    results = {name: results[name] for name in qs}
     n_fail = sum(1 for r in results.values() if failed(r))
     results["__meta__"] = {
         "fingerprint": fp_start,
@@ -137,11 +184,18 @@ def main() -> None:
         "n_queries": len(qs),
         "n_fail": n_fail,
     }
-    out = os.path.join(REPO, f"SELFCHECK_{tag}.json")
+    if only is not None:
+        # splice provenance: which rows are fresh at THIS fingerprint and
+        # what the rest were verified at — auditable against the diff
+        results["__meta__"]["incremental"] = {
+            "reverified": sorted(only),
+            "base_fingerprint": base_meta["fingerprint"],
+        }
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)
-    print(f"wrote {out}: {len(qs)} queries, {n_fail} failures, "
-          f"{time.time() - t0:.0f}s")
+    mode = f"spliced {len(sweep)}/{len(qs)}" if only is not None else \
+        f"{len(qs)} queries"
+    print(f"wrote {out}: {mode}, {n_fail} failures, {time.time() - t0:.0f}s")
     if n_fail:
         sys.exit(1)
 
