@@ -220,6 +220,23 @@ def _assert_no_stragglers(scale_spark, new_stages: set[int], label: str):
     )
 
 
+def _assert_data_flowed(scale_spark, new_stages: set[int], label: str):
+    """Vacuousness guard: a query whose source resolves to ZERO files
+    (round-8 finding: the stream reader's pathGlobFilter matched leaf
+    file names only, so directory-form events tables streamed empty)
+    completes, writes an empty sink, and sails through the straggler
+    gate — its stages just have no records. Require that SOME new stage
+    actually read data at the replicated scale."""
+    total = 0
+    for s in _api(scale_spark, "/stages?status=complete"):
+        if s["stageId"] in new_stages:
+            total += s.get("inputRecords", 0) + s.get("shuffleReadRecords", 0)
+    assert total > 0, (
+        f"{label}: no records flowed through any of its {len(new_stages)} "
+        "stages — the source resolved to nothing (vacuous pass)"
+    )
+
+
 @pytest.mark.parametrize("name", HEADLINE)
 def test_headline_completes_without_stragglers(scale_spark, scale_dir, name):
     from tfm_taxitrips_spark.queries.registry import all_queries
@@ -230,4 +247,5 @@ def test_headline_completes_without_stragglers(scale_spark, scale_dir, name):
         "overwrite"
     ).save()
     after = _completed_stage_ids(scale_spark)
+    _assert_data_flowed(scale_spark, after - before, name)
     _assert_no_stragglers(scale_spark, after - before, name)

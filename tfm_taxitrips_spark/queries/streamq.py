@@ -19,6 +19,7 @@ from tfm_taxitrips_spark.sources.readers import table
 from tfm_taxitrips_spark.streaming.pipeline import (
     read_events_stream,
     run_to_memory,
+    stream_table,
     windowed_rollup,
 )
 
@@ -351,11 +352,7 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tfm_taxitrips_spark.queries.retrieval import quality_flags
 
     raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = stream_table(spark, sf_dir, "documents", raw_schema)
     flagged = quality_flags(stream)
     grid = flagged.groupBy(
         "words_ok", "word_len_ok", "stop_ok", "keep"

@@ -20,6 +20,33 @@ from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.aggregates import dsum
 
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str, schema) -> DataFrame:
+    """Streaming parquet scan of one table that handles BOTH on-disk
+    layouts a table ships in: a single file named ``<name>.parquet``
+    (the driver fixtures) or a directory of part files under
+    ``<name>.parquet/`` (every Spark-written dataset — sinks, the
+    replicated scale fixtures, real deployments).
+
+    The old single-layout form (``pathGlobFilter=<name>.parquet`` over
+    ``sf_dir``) matched LEAF FILE names only, so a directory-form table
+    streamed ZERO rows — silently: the drain completes, the sink holds an
+    empty table, and only a non-emptiness assertion downstream can notice
+    (found by the round-8 strong-scaling stream leg finishing a ×10 drain
+    in 0.29 s with zero shuffle). Directory-form tables stream from the
+    table root directly, which also keeps partitioned layouts readable.
+    """
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    # single-file fixture: the file source requires a directory, so scan
+    # the parent glob-filtered to the one leaf file
+    return reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming scan of the events table (file source stands in for Kafka,
     SURVEY.md §2.1 S5).
@@ -44,12 +71,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     raw, raw_ts = _read_events_raw(spark, f"{sf_dir}/events.parquet")
-    src = (
-        spark.readStream.schema(raw.schema)
-        # the file source requires a directory; glob-filter to the one table
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    src = stream_table(spark, sf_dir, "events", raw.schema)
     return conform_to_pinned(
         normalize_event_ts(src, raw_ts), schemas.DRIVER_TABLES["events"], "events"
     )

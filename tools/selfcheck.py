@@ -185,11 +185,18 @@ def main() -> None:
         "n_fail": n_fail,
     }
     if only is not None:
-        # splice provenance: which rows are fresh at THIS fingerprint and
-        # what the rest were verified at — auditable against the diff
+        # splice provenance, CUMULATIVE since the last full sweep: the
+        # union of every name re-verified since that sweep, plus the full
+        # sweep's fingerprint — the reviewer audits "the diff from the
+        # full-sweep commit to HEAD only touches code these names cover".
+        # Successive splices chain (a prior splice's base_fingerprint is
+        # inherited, not overwritten).
+        prior = base_meta.get("incremental")
+        names = set(only) | set(prior["reverified"] if prior else ())
         results["__meta__"]["incremental"] = {
-            "reverified": sorted(only),
-            "base_fingerprint": base_meta["fingerprint"],
+            "reverified": sorted(names),
+            "base_fingerprint": prior["base_fingerprint"]
+            if prior else base_meta["fingerprint"],
         }
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)
