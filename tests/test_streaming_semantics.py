@@ -469,3 +469,35 @@ def test_stream_transitions_state_survives_batch_boundary(spark, tmp_path):
         2: ("view", "click"),
         3: ("click", "purchase"),  # src recovered from carried state
     }
+
+
+def test_stream_table_reads_both_table_layouts(spark, sf_smoke, tmp_path):
+    """Regression for the round-8 zero-rows bug: the streaming file
+    source's old pathGlobFilter form matched leaf FILE names only, so a
+    table stored as a DIRECTORY of part files (every Spark-written
+    dataset: sinks, replicated scale fixtures, real deployments) streamed
+    empty — silently, because an empty drain still completes. Both
+    layouts must yield the same row count as the batch reader."""
+    from tfm_taxitrips_spark.streaming.pipeline import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from tfm_taxitrips_spark.sources.readers import read_events
+
+    expected = read_events(spark, f"{sf_smoke}/events.parquet").count()
+    assert expected > 0
+
+    def drained_count(sf_dir: str) -> int:
+        out = run_to_memory(
+            read_events_stream(spark, sf_dir).groupBy().count(), spark
+        )
+        return out.collect()[0][0]
+
+    # single-file layout (the driver fixtures)
+    assert drained_count(sf_smoke) == expected
+    # directory-of-part-files layout (Spark-written)
+    dir_form = str(tmp_path)
+    spark.read.parquet(f"{sf_smoke}/events.parquet").write.parquet(
+        f"{dir_form}/events.parquet"
+    )
+    assert drained_count(dir_form) == expected
