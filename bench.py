@@ -271,6 +271,8 @@ def main() -> None:
                 "queries": timings,
                 "queries_min": {n: round(min(v), 3) for n, v in runs.items()},
                 "reps": REPS,
+                "reps_high_variance": REPS + EXTRA_REPS,
+                "high_variance_queries": sorted(HIGH_VARIANCE & set(runs)),
                 "calibration_sec": calib,
                 # total in units of the calibration workload: the
                 # host-speed-independent number to compare across rounds.
