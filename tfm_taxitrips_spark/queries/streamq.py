@@ -85,7 +85,10 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value")
     )
-    return run_to_memory(agg, spark)
+    # per-segment state (a handful of rows) — size the state store to the
+    # STATE, not the session shuffle default (ROLLUP_STATE_PARTITIONS note)
+    return run_to_memory(agg, spark,
+                         state_partitions=ROLLUP_STATE_PARTITIONS)
 
 
 _STREAM_JOIN_SQL = f"""
@@ -251,7 +254,11 @@ def q_stream_window_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "_hll"
         )
     )
-    streamed = run_to_memory(agg, spark)
+    # windows x event_types of fixed-size HLL registers — aggregate-sized
+    # state; on a default-200-partition session the per-partition state
+    # commits dominated the drain ~20x (measured r8)
+    streamed = run_to_memory(agg, spark,
+                             state_partitions=ROLLUP_STATE_PARTITIONS)
     ev = table(spark, sf_dir, "events")
     exact = ev.groupBy(
         F.window("ts", "15 minutes").alias("w"), "event_type"
@@ -357,7 +364,9 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = flagged.groupBy(
         "words_ok", "word_len_ok", "stop_ok", "keep"
     ).agg(F.count(F.lit(1)).alias("n_docs"))
-    return run_to_memory(grid, spark)
+    # the state is the rule-outcome grid (<= 2^4 rows): aggregate-sized
+    return run_to_memory(grid, spark,
+                         state_partitions=ROLLUP_STATE_PARTITIONS)
 
 
 def _stream_gate_sql() -> str:
@@ -400,7 +409,9 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return run_to_memory(bars, spark)
+    # hourly windows x event_types — time-linear, aggregate-sized state
+    return run_to_memory(bars, spark,
+                         state_partitions=ROLLUP_STATE_PARTITIONS)
 
 
 _STREAM_OHLC_SQL = """
