@@ -210,7 +210,9 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled = windowed_rollup(stream)
     base = tempfile.mkdtemp(prefix="tfm_serving_")
     try:
-        run_topk_serving(rolled, f"{base}/table", f"{base}/chk")
+        # same aggregate-sized rollup state as the A5 drain
+        run_topk_serving(rolled, f"{base}/table", f"{base}/chk",
+                         state_partitions=ROLLUP_STATE_PARTITIONS)
         view = topk_view(spark, f"{base}/table", STREAM_TOPK_K)
         # materialize the k rows BEFORE removing the serving dir (the view
         # is lazy over its parquet files); k is small by construction, so

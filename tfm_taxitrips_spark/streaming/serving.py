@@ -56,19 +56,37 @@ def upsert_to_serving(serving_path: str):
 
 
 def run_topk_serving(
-    rolled: DataFrame, serving_path: str, checkpoint: str
+    rolled: DataFrame,
+    serving_path: str,
+    checkpoint: str,
+    state_partitions: int | None = None,
 ) -> None:
     """Drain a watermarked windowed rollup (availableNow) through the
     update-mode upsert into ``serving_path``. Production would ``start()``
-    without awaiting; the finite-replay form is what the oracle checks."""
-    q = (
-        rolled.writeStream.outputMode("update")
-        .foreachBatch(upsert_to_serving(serving_path))
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    without awaiting; the finite-replay form is what the oracle checks.
+
+    ``state_partitions`` sizes the rollup's state store like
+    ``pipeline.run_to_memory`` does (set before ``start()``, restored
+    after; fresh checkpoint per call): the rollup state is windows × dims
+    — time-linear, aggregate-sized — so inheriting a fact-scan shuffle
+    default pays per-partition state commits for nothing."""
+    spark = rolled.sparkSession
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            rolled.writeStream.outputMode("update")
+            .foreachBatch(upsert_to_serving(serving_path))
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def topk_view(
