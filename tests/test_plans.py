@@ -1152,3 +1152,69 @@ def test_loo_encoding_single_shuffle_then_generate(spark, sf_smoke):
     gen_pos = tree.index("Generate")
     agg_pos = tree.index("HashAggregate")
     assert gen_pos < agg_pos
+
+
+def test_label_leakage_anti_join_broadcasts_hot_set(spark, sf_smoke):
+    """label_leakage_audit: the over-cap shingle stop-list and the
+    per-eval-doc totals must BROADCAST (anti-join + containment join);
+    the only non-broadcast join is the shingle-keyed pair join, and no
+    plan node may be a cartesian/nested-loop scan of the pair space."""
+    from tfm_taxitrips_spark.queries.dataprep import q_label_leakage_audit
+
+    plan = explain_formatted(q_label_leakage_audit(spark, sf_smoke))
+    assert "LeftAnti" in plan  # the DF-cap stop-list exclusion
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_per_source_dedup_broadcasts_candidates(spark, sf_smoke):
+    """per_source_dedup_rate: the simhash pair set is checkpointed (its
+    band join must not re-execute per consumer) and broadcasts into the
+    corpus projections; the corpus itself is never nested-loop joined."""
+    from tfm_taxitrips_spark.queries.text import q_per_source_dedup_rate
+
+    plan = explain_formatted(q_per_source_dedup_rate(spark, sf_smoke))
+    assert "Scan ExistingRDD" in plan  # checkpointed pair set
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_drift_single_raw_scan(spark, sf_smoke):
+    """quantile_drift_gate: only the GK sketch leg reads raw lineitem —
+    the exact leg rides the checkpointed value-domain collapse, so the
+    final plan holds exactly ONE parquet scan; the rank lookups join the
+    4-row target frame by broadcast."""
+    from tfm_taxitrips_spark.queries.sketches import q_quantile_drift_gate
+
+    plan = explain_formatted(q_quantile_drift_gate(spark, sf_smoke))
+    assert plan.count("lineitem.parquet") == 1  # GK leg only
+    assert "Scan ExistingRDD" in plan  # checkpointed collapse/targets
+    assert "CartesianProduct" not in plan
+
+
+def test_zipf_fit_single_scan(spark, sf_smoke):
+    """zipf_vocab_fit: one documents scan feeding the vocabulary
+    collapse (map-side partial aggregation), windows only over collapsed
+    relations."""
+    from tfm_taxitrips_spark.queries.text import q_zipf_vocab_fit
+
+    plan = explain_formatted(q_zipf_vocab_fit(spark, sf_smoke))
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final collapse
+    assert "CartesianProduct" not in plan
+
+
+def test_whitening_stats_checkpointed_single_pass(spark, sf_smoke):
+    """embedding_whitening_stats: the 36-cell aggregate is checkpointed,
+    so neither the diagonal slice nor the offender ranking re-scans the
+    embeddings parquet in the final plan."""
+    from tfm_taxitrips_spark.queries.vectors import (
+        q_embedding_whitening_stats,
+    )
+
+    plan = explain_formatted(q_embedding_whitening_stats(spark, sf_smoke))
+    assert "embeddings.parquet" not in plan  # hidden behind the checkpoint
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan

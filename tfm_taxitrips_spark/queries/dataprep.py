@@ -357,6 +357,134 @@ GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# label leakage: pair-level train/eval contamination
+# --------------------------------------------------------------------------
+
+#: shingles occurring in more than this many TRAIN documents are excluded
+#: from leakage matching — the same Zipf-head rationale as
+#: ``text.NGRAM_DF_CAP``: a 5-gram present in thousands of documents is
+#: boilerplate, not evidence that one specific train doc leaks one
+#: specific eval doc, and it is exactly the hot key that would make the
+#: pair join quadratic. Mirrored bit-exactly in the oracle.
+LEAK_DF_CAP = 64
+
+#: a (eval, train) pair is reported when ≥ this fraction (ppm) of the
+#: eval doc's distinct shingles occur in that ONE train doc
+LEAK_THRESHOLD_PPM = 500_000
+
+
+def q_label_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination at the PAIR level: for every (eval doc,
+    train doc) pair, the fraction of the eval doc's distinct 5-gram
+    shingles contained in that single train doc, reported when it
+    crosses ``LEAK_THRESHOLD_PPM`` — the audit that answers not just
+    "is this eval doc contaminated" (`contamination_overlap`'s
+    corpus-level answer) but "WHICH train document leaks it", the row a
+    curation pipeline needs to actually delete something.
+
+    Semantics: shingles with train document-frequency > ``LEAK_DF_CAP``
+    are excluded from MATCHING (numerator) — standard decontamination
+    practice (rare n-grams carry the signal) — while the denominator
+    stays the eval doc's full distinct-shingle count, so boilerplate
+    can never push a pair over the threshold.
+
+    Scale shape (the reason the pair form stays linear at 100 TB): both
+    splits shingle map-side into 60-bit ints and collapse distinct; the
+    over-cap shingle set is a computed stop-list (bounded by the
+    vocabulary head, broadcast anti-join); every surviving shingle joins
+    to ≤ LEAK_DF_CAP train docs, so the pair join output is provably
+    ≤ cap × |eval shingle rows|. Per-eval-doc totals broadcast (the
+    eval split is a benchmark set — small by construction).
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    sh = F.explode(shingles(F.lower(F.col("text")), _CONTAM_N)).alias("s")
+    is_eval = F.col("source").isin(*_EVAL_SOURCES)
+    # each distinct-shingle relation feeds TWO consumers (totals/df-count
+    # + the pair join) — lazy localCheckpoint so the shingle explode and
+    # distinct-shuffle run once per split (the prefix.py discipline)
+    eval_sh = (
+        docs.where(is_eval)
+        .select("doc_id", sh)
+        .select("doc_id", hash60(F.col("s")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    train_sh = (
+        docs.where(~is_eval)
+        .select("doc_id", sh)
+        .select("doc_id", hash60(F.col("s")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # train_sh is distinct on (doc_id, h) so COUNT(*) per h IS the doc
+    # frequency; map-side partial agg collapses hot shingles before the
+    # wire, and the over-cap head broadcasts into an anti-join (the
+    # ngram_jaccard_pairs rationale — never a window over raw rows)
+    hot = (
+        train_sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > LEAK_DF_CAP)
+        .select("h")
+    )
+    train_kept = train_sh.join(F.broadcast(hot), "h", "left_anti")
+    tot = eval_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_eval_shingles")
+    )
+    common = (
+        eval_sh.withColumnRenamed("doc_id", "eval_doc_id")
+        .join(train_kept.withColumnRenamed("doc_id", "train_doc_id"), "h")
+        .groupBy("eval_doc_id", "train_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(tot.withColumnRenamed("doc_id", "eval_doc_id")),
+            "eval_doc_id",
+        )
+        .withColumn(
+            "containment_ppm",
+            F.expr("(1000000 * n_common) div n_eval_shingles"),
+        )
+        .where(F.col("containment_ppm") >= LEAK_THRESHOLD_PPM)
+        .select(
+            "eval_doc_id", "train_doc_id", "n_common", "n_eval_shingles",
+            "containment_ppm",
+        )
+    )
+
+
+_LEAK_SQL = f"""
+WITH eval_sh AS (
+  SELECT DISTINCT doc_id, {hash60_sql('s')} AS h
+  FROM (SELECT doc_id, unnest({shingles_sql('lower(text)', _CONTAM_N)}) AS s
+        FROM documents WHERE {_EVAL_PRED})
+),
+train_sh AS (
+  SELECT DISTINCT doc_id, {hash60_sql('s')} AS h
+  FROM (SELECT doc_id, unnest({shingles_sql('lower(text)', _CONTAM_N)}) AS s
+        FROM documents WHERE NOT ({_EVAL_PRED}))
+),
+kept AS (
+  SELECT doc_id, h FROM train_sh
+  WHERE h NOT IN (SELECT h FROM train_sh GROUP BY h
+                  HAVING COUNT(*) > {LEAK_DF_CAP})
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_eval_shingles FROM eval_sh GROUP BY 1),
+common AS (
+  SELECT e.doc_id AS eval_doc_id, k.doc_id AS train_doc_id,
+         COUNT(*) AS n_common
+  FROM eval_sh e JOIN kept k ON e.h = k.h
+  GROUP BY 1, 2
+)
+SELECT eval_doc_id, train_doc_id, n_common, n_eval_shingles,
+       CAST((1000000 * n_common) // n_eval_shingles AS BIGINT)
+         AS containment_ppm
+FROM common JOIN tot ON tot.doc_id = common.eval_doc_id
+WHERE (1000000 * n_common) // n_eval_shingles >= {LEAK_THRESHOLD_PPM}
+"""
+
+
+# --------------------------------------------------------------------------
 # sequence packing: fixed-token-budget packs per shard
 # --------------------------------------------------------------------------
 
@@ -2030,6 +2158,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "contamination_overlap": QuerySpec(
         q_contamination_overlap, _CONTAM_SQL, tags=("text", "dedup", "pipeline"),
+    ),
+    "label_leakage_audit": QuerySpec(
+        q_label_leakage_audit, _LEAK_SQL,
+        tags=("text", "dedup", "pipeline", "audit"),
     ),
     "sequence_packing": QuerySpec(
         q_sequence_packing, _SEQ_PACK_SQL, tags=("text", "pipeline", "window"),

@@ -411,6 +411,188 @@ FROM ka JOIN kb USING (k)
 """
 
 
+# --------------------------------------------------------------------------
+# quantile drift gate: GK-sketch deltas between two snapshots, exact-checked
+# --------------------------------------------------------------------------
+
+#: snapshot pivot: rows shipped before this date are the "old" snapshot
+_DRIFT_PIVOT = "1998-07-01"
+#: monitored quantiles, in ppm (p25 / p50 / p75 / p90)
+_DRIFT_QS_PPM = (250_000, 500_000, 750_000, 900_000)
+#: drift gate: flag a quantile that moved more than 2% between snapshots
+_DRIFT_GATE_PPM = 20_000
+
+
+def q_quantile_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-distribution drift gate at SKETCH cost: per monitored
+    quantile (p25/p50/p75/p90), the exact type-1 quantile of
+    ``l_extendedprice`` in two snapshots (shipped before/after
+    ``_DRIFT_PIVOT``), the integer-ppm drift between them, the >2% gate
+    decision, and the accuracy-contract booleans asserting the GK sketch
+    (``percentile_approx``, the production one-pass path) lands within
+    2% of each exact value. Completes `ks_split_drift` the way GK
+    complements the exact counting medians: KS is the exact
+    whole-distribution statistic; this is the per-quantile dashboard a
+    pipeline runs every batch, with the sketch path VALIDATED against
+    the exact path in the same relation.
+
+    Integer-exact: values collapse to cents; the exact quantile is
+    rank-based (smallest value whose running count reaches
+    ``ceil(p·n)`` — no interpolation, engine-agnostic); ``drift_ppm =
+    (10⁶·|q_new − q_old|) div q_old``. GK estimates are engine-specific,
+    so per the module's oracle strategy they surface only through the
+    within-bound booleans (GK returns an observed value with rank error
+    ≤ n/1000, far inside 2% value error on this price distribution).
+
+    Scale shape: one scan collapses to the |distinct cents| value
+    domain with BOTH snapshot counts (map-side combine); cumulatives
+    ride the two-phase distributed prefix sum on a coarse monotone
+    value bucket — no global sort; the 4 rank targets broadcast into
+    rank-lookup filters (the `exact_grouped_median` shape). The GK leg
+    is one independent map-side-combined pass (bounded sketch state),
+    exactly what it costs in production.
+    """
+    from tfm_taxitrips_spark.operators.prefix import two_phase_prefix_sum
+
+    li = table(spark, sf_dir, "lineitem")
+    is_old = F.col("l_shipdate") < F.lit(_DRIFT_PIVOT).cast("timestamp")
+    # value-domain collapse feeds the prefix sums (each reads its input
+    # twice — operators/prefix.py caller contract) → lazy checkpoints at
+    # every fan-out, the ks_split_drift discipline
+    vals = (
+        li.select(
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").alias("v"),
+            is_old.alias("is_old"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("is_old"), 1).otherwise(0))
+            .cast("decimal(38,0)").alias("c_old"),
+            F.sum(F.when(~F.col("is_old"), 1).otherwise(0))
+            .cast("decimal(38,0)").alias("c_new"),
+        )
+        .withColumn("vb", F.expr("v div 1000000"))  # ~$10k monotone buckets
+        .localCheckpoint(eager=False)
+    )
+    cum = two_phase_prefix_sum(
+        vals, bucket_col="vb", order_cols=["v"], val_col="c_old",
+        out_col="cum_old",
+    ).localCheckpoint(eager=False)
+    cum = two_phase_prefix_sum(
+        cum, bucket_col="vb", order_cols=["v"], val_col="c_new",
+        out_col="cum_new",
+    ).localCheckpoint(eager=False)
+    tot = cum.agg(
+        F.sum("c_old").cast("decimal(38,0)").alias("n_old"),
+        F.sum("c_new").cast("decimal(38,0)").alias("n_new"),
+    )
+    qs = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(_DRIFT_QS_PPM)], "pos int, q_ppm bigint"
+    )
+    # rank = ceil(p·n) in exact integers: (p_ppm·n + 999999) div 10⁶
+    targets = qs.crossJoin(F.broadcast(tot)).select(
+        "pos", "q_ppm", "n_old", "n_new",
+        F.expr("(q_ppm * n_old + 999999) div 1000000").alias("r_old"),
+        F.expr("(q_ppm * n_new + 999999) div 1000000").alias("r_new"),
+    ).localCheckpoint(eager=False)  # 4 rows; both rank lookups read it
+
+    def value_at(cum_col: str, rank_col: str, alias: str):
+        return (
+            cum.crossJoin(F.broadcast(targets.select("q_ppm", rank_col)))
+            .where(F.col(cum_col) >= F.col(rank_col))
+            .groupBy("q_ppm")
+            .agg(F.min("v").alias(alias))
+        )
+
+    q_old = value_at("cum_old", "r_old", "q_old_cents")
+    q_new = value_at("cum_new", "r_new", "q_new_cents")
+    # GK leg: one raw pass, nulls (other snapshot) ignored by the sketch
+    ps = [p / 1_000_000 for p in _DRIFT_QS_PPM]
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
+    gk1 = li.select(cents.alias("v"), is_old.alias("is_old")).agg(
+        F.percentile_approx(F.when(F.col("is_old"), F.col("v")), ps, 1000)
+        .alias("go"),
+        F.percentile_approx(F.when(~F.col("is_old"), F.col("v")), ps, 1000)
+        .alias("gn"),
+    )
+    gk = gk1.select(
+        F.posexplode(F.arrays_zip(F.col("go"), F.col("gn"))).alias("pos", "z")
+    ).select("pos", F.col("z.go").alias("gk_old"), F.col("z.gn").alias("gk_new"))
+    return (
+        targets.join(q_old, "q_ppm").join(q_new, "q_ppm")
+        .join(F.broadcast(gk), "pos")
+        .select(
+            "q_ppm",
+            F.col("n_old").cast("bigint").alias("n_old"),
+            F.col("n_new").cast("bigint").alias("n_new"),
+            "q_old_cents", "q_new_cents",
+            F.expr(
+                "CAST((1000000 * abs(q_new_cents - q_old_cents)) "
+                "div q_old_cents AS BIGINT)"
+            ).alias("drift_ppm"),
+            F.expr(
+                f"(1000000 * abs(q_new_cents - q_old_cents)) div q_old_cents"
+                f" > {_DRIFT_GATE_PPM}"
+            ).alias("drift_exceeds_2pct"),
+            (F.abs(F.col("gk_old") - F.col("q_old_cents")) * 100
+             <= F.col("q_old_cents") * 2).alias("gk_old_within_2pct"),
+            (F.abs(F.col("gk_new") - F.col("q_new_cents")) * 100
+             <= F.col("q_new_cents") * 2).alias("gk_new_within_2pct"),
+        )
+    )
+
+
+_DRIFT_SQL = f"""
+WITH c AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         (l_shipdate < TIMESTAMP '{_DRIFT_PIVOT}') AS is_old
+  FROM lineitem
+),
+g AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN is_old THEN 1 ELSE 0 END) AS HUGEINT) AS c_old,
+         CAST(SUM(CASE WHEN is_old THEN 0 ELSE 1 END) AS HUGEINT) AS c_new
+  FROM c GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         SUM(c_old) OVER (ORDER BY v) AS cum_old,
+         SUM(c_new) OVER (ORDER BY v) AS cum_new
+  FROM g
+),
+t AS (SELECT SUM(c_old) AS n_old, SUM(c_new) AS n_new FROM g),
+q AS (SELECT unnest({list(_DRIFT_QS_PPM)}) AS q_ppm),
+tgt AS (
+  SELECT q_ppm, n_old, n_new,
+         (q_ppm * n_old + 999999) // 1000000 AS r_old,
+         (q_ppm * n_new + 999999) // 1000000 AS r_new
+  FROM q, t
+),
+qo AS (
+  SELECT t.q_ppm, MIN(c.v) AS q_old_cents
+  FROM tgt t JOIN cum c ON c.cum_old >= t.r_old GROUP BY 1
+),
+qn AS (
+  SELECT t.q_ppm, MIN(c.v) AS q_new_cents
+  FROM tgt t JOIN cum c ON c.cum_new >= t.r_new GROUP BY 1
+)
+SELECT CAST(t.q_ppm AS BIGINT) AS q_ppm,
+       CAST(t.n_old AS BIGINT) AS n_old,
+       CAST(t.n_new AS BIGINT) AS n_new,
+       qo.q_old_cents, qn.q_new_cents,
+       CAST((1000000 * abs(qn.q_new_cents - qo.q_old_cents))
+            // qo.q_old_cents AS BIGINT) AS drift_ppm,
+       ((1000000 * abs(qn.q_new_cents - qo.q_old_cents))
+            // qo.q_old_cents) > {_DRIFT_GATE_PPM} AS drift_exceeds_2pct,
+       TRUE AS gk_old_within_2pct,
+       TRUE AS gk_new_within_2pct
+FROM tgt t
+JOIN qo ON qo.q_ppm = t.q_ppm
+JOIN qn ON qn.q_ppm = t.q_ppm
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cms_join_size_estimate": QuerySpec(
         q_cms_join_size, _CMS_JOIN_SQL, tags=("sketch", "cardinality")),
@@ -424,4 +606,6 @@ QUERIES: dict[str, QuerySpec] = {
         q_cms_heavy_hitters, _CMS_SQL, tags=("sketch", "heavy-hitters")),
     "hll_intersection_estimate": QuerySpec(
         q_hll_intersection, _HLL_INTERSECT_SQL, tags=("sketch", "set-algebra")),
+    "quantile_drift_gate": QuerySpec(
+        q_quantile_drift_gate, _DRIFT_SQL, tags=("sketch", "drift", "audit")),
 }

@@ -788,6 +788,135 @@ WHERE bit_count(xor(a.simhash16, b.simhash16)) <= {SIMHASH_HAMMING_MAX}
 _SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
 
 
+def per_source_dedup_rate_frame(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Frame-level core of :func:`q_per_source_dedup_rate` — takes any
+    documents-shaped frame (doc_id, source, text) plus a near-dup pair
+    frame (doc_a, doc_b) so the exact-dup path is unit-testable with
+    injected duplicates (the committed fixture has zero identical texts,
+    so only a constructed frame can exercise n_exact_dup > 0)."""
+    ids = docs.select("doc_id", "source")
+    # exact dups: md5 groupBy (shuffle key = 32-char hash, never the
+    # body), over-1 groups semi-join back — both exchanges ride the hash
+    h = docs.select("doc_id", "source", F.md5("text").alias("ch"))
+    dup_h = (
+        h.groupBy("ch").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1).select("ch")
+    )
+    exact = (
+        h.join(dup_h, "ch", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_exact_dup"))
+    )
+    # near dups: the candidate pair set is LSH/band-bounded (≪ corpus),
+    # so it BROADCASTS into the (doc_id, source) projection — the corpus
+    # is never shuffled (the cross_source_dup_matrix shape); per-doc
+    # flags collapse pairs to ≤1 row per member doc before counting
+    sided = pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("partner")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("partner"))
+    )
+    lab = ids.join(F.broadcast(sided), "doc_id").select(
+        "doc_id", F.col("source").alias("src"), "partner"
+    )
+    part = ids.select(
+        F.col("doc_id").alias("partner"), F.col("source").alias("partner_src")
+    )
+    lab2 = part.join(F.broadcast(lab), "partner").select(
+        "doc_id", "src", "partner_src"
+    )
+    flags = lab2.groupBy("doc_id", "src").agg(
+        F.max(F.when(F.col("partner_src") != F.col("src"), 1).otherwise(0))
+        .alias("is_cross")
+    )
+    near = flags.groupBy(F.col("src").alias("source")).agg(
+        F.count(F.lit(1)).alias("n_near_dup"),
+        F.sum("is_cross").cast("bigint").alias("n_cross_near_dup"),
+    )
+    totals = ids.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    z = F.lit(0).cast("bigint")
+    return (
+        totals.join(exact, "source", "left")
+        .join(near, "source", "left")
+        .select(
+            "source", "n_docs",
+            F.coalesce("n_exact_dup", z).alias("n_exact_dup"),
+            F.coalesce("n_near_dup", z).alias("n_near_dup"),
+            F.coalesce("n_cross_near_dup", z).alias("n_cross_near_dup"),
+            F.expr("(1000000 * coalesce(n_exact_dup, 0)) div n_docs")
+            .alias("exact_dup_ppm"),
+            F.expr("(1000000 * coalesce(n_near_dup, 0)) div n_docs")
+            .alias("near_dup_ppm"),
+        )
+    )
+
+
+def q_per_source_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation dashboard's main table: per document source, how many
+    docs are exact duplicates (identical text anywhere in the corpus) and
+    how many are near-duplicates (a SimHash hamming-≤1 partner), with the
+    cross-source near-dup count (partner lives in a DIFFERENT source — the
+    re-crawl / mirror signal) and integer-ppm rates. Every source emits a
+    row even with zero dups (left joins off the per-source totals), so a
+    clean source is visible, not absent. Categories are independent: an
+    exact dup is normally also a near dup; the columns answer different
+    questions (delete-now vs investigate).
+
+    Composes the registered exact (md5 groupBy, `dedup_exact_docs`) and
+    near (`simhash_dup_pairs` band machinery) paths; the per-source-PAIR
+    view of the same signal is `cross_source_dup_matrix`. Scale shape in
+    :func:`per_source_dedup_rate_frame`.
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    # the pair set is read twice (both directions of `sided`) — tiny, but
+    # recomputing it re-runs the whole simhash band join; checkpoint
+    pairs = q_simhash_dup_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    return per_source_dedup_rate_frame(docs, pairs)
+
+
+_PER_SOURCE_DEDUP_SQL = f"""
+WITH pairs AS ({_SIMHASH_PAIRS_SQL}),
+dup_h AS (
+  SELECT md5(text) AS ch FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+),
+exact AS (
+  SELECT source, COUNT(*) AS n_exact_dup
+  FROM documents WHERE md5(text) IN (SELECT ch FROM dup_h)
+  GROUP BY 1
+),
+sided AS (
+  SELECT doc_a AS doc_id, doc_b AS partner FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS partner FROM pairs
+),
+flags AS (
+  SELECT d.doc_id, d.source,
+         MAX(CASE WHEN pd.source <> d.source THEN 1 ELSE 0 END) AS is_cross
+  FROM sided s
+  JOIN documents d ON d.doc_id = s.doc_id
+  JOIN documents pd ON pd.doc_id = s.partner
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT source, COUNT(*) AS n_near_dup,
+         CAST(SUM(is_cross) AS BIGINT) AS n_cross_near_dup
+  FROM flags GROUP BY 1
+),
+totals AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+SELECT t.source, t.n_docs,
+       COALESCE(e.n_exact_dup, 0) AS n_exact_dup,
+       COALESCE(n.n_near_dup, 0) AS n_near_dup,
+       COALESCE(n.n_cross_near_dup, 0) AS n_cross_near_dup,
+       CAST((1000000 * COALESCE(e.n_exact_dup, 0)) // t.n_docs AS BIGINT)
+         AS exact_dup_ppm,
+       CAST((1000000 * COALESCE(n.n_near_dup, 0)) // t.n_docs AS BIGINT)
+         AS near_dup_ppm
+FROM totals t
+LEFT JOIN exact e ON e.source = t.source
+LEFT JOIN near n ON n.source = t.source
+"""
+
+
 def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-200 BPE-ish tokens by term frequency with doc
     frequency — the counting pass a BPE/vocab trainer runs over the corpus.
@@ -1719,6 +1848,86 @@ FROM r WHERE vocab_topn IN {_VOCAB_CURVE_NS}
 """
 
 
+def q_zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile of the corpus vocabulary, log-free:
+    words rank by frequency, ranks group into OCTAVE buckets
+    (``floor(log2(rank))`` via bit length — no transcendental anywhere),
+    and each bucket emits its word count, total token mass, and the
+    integer-ppm mass ratio to the NEXT octave. Under a perfect Zipf
+    s = 1 every octave carries equal mass (Σ 1/r over [2^b, 2^{b+1}) ≈
+    ln 2), so ``mass_ratio_ppm ≈ 10⁶`` flat; a heavier slope reads as
+    ratios > 10⁶ growing with the bucket — the corpus-health gate that
+    catches boilerplate floods (head too heavy) or tokenizer damage
+    (tail mass missing) without ever running a log. The octave ratios
+    ARE the fit: slope over an octave is log2 of the ratio, a monotone
+    rendering downstream can threshold in ppm directly.
+
+    Scale shape: the corpus collapses ONCE into the word-frequency table
+    (vocabulary-bounded — the same collapse `vocab_coverage_curve` and
+    the BPE trainer ride); the ranking window runs over |vocab| rows
+    (cardinality-collapsed single-partition window, the documented
+    bounded choice); the octave aggregate is ≤ log2|vocab| ≈ 25 rows,
+    and the lead/ratio window rides THAT. ``length(bin(rank)) - 1`` is
+    exact floor-log2 in both engines (verified: no zero padding).
+    """
+    docs = table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    w_rank = Window.orderBy(F.col("freq").desc(), F.col("w").asc())
+    ranked = freq.select(
+        F.row_number().over(w_rank).cast("bigint").alias("rank"), "freq"
+    )
+    buckets = (
+        ranked.withColumn(
+            "bucket", (F.length(F.bin("rank")) - 1).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.min("rank").alias("min_rank"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("freq").cast("bigint").alias("bucket_mass"),
+        )
+    )
+    w_next = Window.orderBy("bucket")
+    return buckets.select(
+        "bucket", "min_rank", "n_words", "bucket_mass",
+        F.expr(
+            "CAST((1000000 * bucket_mass) div lead(bucket_mass) "
+            "OVER (ORDER BY bucket) AS BIGINT)"
+        ).alias("mass_ratio_ppm"),
+    )
+
+
+_ZIPF_SQL = """
+WITH f AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1
+),
+r AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, w ASC) AS BIGINT)
+           AS rank,
+         freq
+  FROM f
+),
+b AS (
+  SELECT CAST(length(bin(rank)) - 1 AS INT) AS bucket,
+         CAST(MIN(rank) AS BIGINT) AS min_rank,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(freq) AS BIGINT) AS bucket_mass
+  FROM r GROUP BY 1
+)
+SELECT bucket, min_rank, n_words, bucket_mass,
+       CAST((1000000 * bucket_mass)
+            // LEAD(bucket_mass) OVER (ORDER BY bucket) AS BIGINT)
+         AS mass_ratio_ppm
+FROM b
+"""
+
+
 def q_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-drift matrix: total-variation distance between the unigram
     token distributions of every PAIR of document sources — the
@@ -1919,4 +2128,10 @@ QUERIES: dict[str, QuerySpec] = {
     "source_token_tvd": QuerySpec(
         q_source_token_tvd, _SOURCE_TVD_SQL,
         tags=("text", "drift", "curation", "pipeline")),
+    "per_source_dedup_rate": QuerySpec(
+        q_per_source_dedup_rate, _PER_SOURCE_DEDUP_SQL,
+        tags=("text", "dedup", "curation", "audit")),
+    "zipf_vocab_fit": QuerySpec(
+        q_zipf_vocab_fit, _ZIPF_SQL,
+        tags=("text", "vocab", "drift", "window")),
 }

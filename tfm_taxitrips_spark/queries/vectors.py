@@ -1168,6 +1168,127 @@ FROM p GROUP BY 1, 2
 """
 
 
+_WHITEN_TOP_OFFENDERS = 3
+
+
+def q_embedding_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision layer a whitening / PCA-preprocessing step runs over
+    `embedding_covariance`'s sufficient statistics: every DIAGONAL cell
+    (the per-dimension mean/variance inputs — n, Σxᵢ, Σxᵢ²) plus the
+    top-3 OFF-DIAGONAL offenders by |covariance numerator|
+    ``n·Σxᵢxⱼ − Σxᵢ·Σxⱼ`` — the dimension pairs most in need of
+    decorrelation before an index build treats dimensions as
+    independent. Same integer micro-unit quantization and DECIMAL(38,0)
+    accumulators (rendered as exact strings — the lossless wire format);
+    the cov numerator is the n²-scaled covariance, sign-exact, so the
+    offender ranking never runs a float. Overflow headroom: |q| ≤ 10⁶,
+    n ≤ 10¹² ⇒ Σqᵢqⱼ ≤ 10²⁴ and n·Σqᵢqⱼ ≤ 10³⁶ < 10³⁸ (DECIMAL(38,0)
+    Spark-side, HUGEINT < 1.7·10³⁸ DuckDB-side).
+
+    Scale shape: identical to `embedding_covariance` — ONE scan, 36 pair
+    cells explode map-side and collapse in the map-side-combined
+    aggregate (≤ 36 partial rows per task on the wire); the offender
+    ranking window then runs over the 28-row off-diagonal relation
+    (aggregate-sized, the deliberate cardinality-collapsed choice).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    micro = F.transform(
+        F.slice("embedding", 1, _COV_DIMS),
+        lambda x: F.floor(x.cast("double") * F.lit(_COV_SCALE)).cast("long"),
+    )
+    base = emb.select(micro.alias("q"))
+    cells = []
+    for i in range(_COV_DIMS):
+        for j in range(i, _COV_DIMS):
+            qi = F.element_at("q", i + 1)
+            qj = F.element_at("q", j + 1)
+            cells.append(F.struct(
+                F.lit(i).alias("i"), F.lit(j).alias("j"),
+                qi.alias("qi"), qj.alias("qj"),
+            ))
+    ex = base.select(F.explode(F.array(*cells)).alias("c")).select(
+        "c.i", "c.j", "c.qi", "c.qj")
+    d38 = "decimal(38,0)"
+    stats = (
+        ex.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.col("qi").cast(d38)).cast(d38).alias("si"),
+            F.sum(F.col("qj").cast(d38)).cast(d38).alias("sj"),
+            F.sum((F.col("qi") * F.col("qj")).cast(d38)).cast(d38).alias("sij"),
+        )
+        .withColumn(
+            "cov_num",
+            (F.col("n_vecs").cast(d38) * F.col("sij")
+             - F.col("si") * F.col("sj")).cast(d38),
+        )
+        # 36-row aggregate feeds two consumers (diagonal slice + ranked
+        # off-diagonals) — checkpoint so the scan runs once
+        .localCheckpoint(eager=False)
+    )
+    diag = stats.where(F.col("i") == F.col("j"))
+    w = Window.orderBy(
+        F.abs(F.col("cov_num")).desc(), F.col("i").asc(), F.col("j").asc())
+    offenders = (
+        stats.where(F.col("i") != F.col("j"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= _WHITEN_TOP_OFFENDERS)
+        .drop("_rn")
+    )
+
+    def render(df: DataFrame, is_diag: int) -> DataFrame:
+        return df.select(
+            "i", "j", "n_vecs",
+            F.col("si").cast("string").alias("sum_i"),
+            F.col("sj").cast("string").alias("sum_j"),
+            F.col("sij").cast("string").alias("sum_ij"),
+            F.col("cov_num").cast("string").alias("cov_num"),
+            F.lit(is_diag).alias("is_diagonal"),
+        )
+
+    return render(diag, 1).unionByName(render(offenders, 0))
+
+
+_WHITEN_SQL = f"""
+WITH q AS (
+  SELECT list_transform(embedding[1:{_COV_DIMS}],
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_COV_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+p AS (
+  SELECT CAST(ti.x AS INTEGER) AS i, CAST(tj.x AS INTEGER) AS j,
+         q[CAST(ti.x AS INTEGER) + 1] AS qi,
+         q[CAST(tj.x AS INTEGER) + 1] AS qj
+  FROM q, range({_COV_DIMS}) ti(x), range({_COV_DIMS}) tj(x)
+  WHERE tj.x >= ti.x
+),
+s AS (
+  SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(qi) AS HUGEINT) AS si,
+         CAST(SUM(qj) AS HUGEINT) AS sj,
+         CAST(SUM(qi * qj) AS HUGEINT) AS sij
+  FROM p GROUP BY 1, 2
+),
+x AS (
+  SELECT *, CAST(n_vecs AS HUGEINT) * sij - si * sj AS cov_num FROM s
+),
+offenders AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY abs(cov_num) DESC, i ASC, j ASC)
+              AS rn
+  FROM x WHERE i <> j
+)
+SELECT i, j, n_vecs,
+       CAST(si AS VARCHAR) AS sum_i, CAST(sj AS VARCHAR) AS sum_j,
+       CAST(sij AS VARCHAR) AS sum_ij, CAST(cov_num AS VARCHAR) AS cov_num,
+       1 AS is_diagonal
+FROM x WHERE i = j
+UNION ALL
+SELECT i, j, n_vecs, CAST(si AS VARCHAR), CAST(sj AS VARCHAR),
+       CAST(sij AS VARCHAR), CAST(cov_num AS VARCHAR), 0 AS is_diagonal
+FROM offenders WHERE rn <= {_WHITEN_TOP_OFFENDERS}
+"""
+
+
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: for each probe
     vector, the TOP_K most-similar embeddings with a DIFFERENT label —
@@ -1221,6 +1342,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_hard_negative_mining, _HARD_NEG_SQL,
         tags=("vector", "training", "topk"),
     ),
+    "embedding_whitening_stats": QuerySpec(
+        q_embedding_whitening_stats, _WHITEN_SQL,
+        tags=("vectors", "stats", "audit")),
     "embedding_covariance": QuerySpec(
         q_embedding_covariance, _EMB_COV_SQL,
         tags=("vector", "stats", "pipeline"),
