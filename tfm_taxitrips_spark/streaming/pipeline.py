@@ -13,12 +13,74 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+import threading
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.aggregates import dsum
+
+#: serializes the scoped shuffle-partition override below: the override
+#: mutates a SESSION-global conf, so two concurrent drains (a threaded
+#: bench, a parallel test plugin) would otherwise race it and silently
+#: plan each other's queries with the wrong partition count
+_SHUFFLE_SCOPE_LOCK = threading.Lock()
+
+
+@contextmanager
+def _scoped_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Temporarily set ``spark.sql.shuffle.partitions`` for one streaming
+    drain (r8 verdict advisory #1 / ADVICE r8). ``None`` = no override.
+
+    What the guard does and does not close: the non-blocking lock turns
+    the silent-plan-degradation race between two concurrent DRAINS in
+    this process into a loud error. A concurrent BATCH plan built on the
+    same session from another thread while a drain holds the override is
+    still exposed — the conf is session-global by Spark's design — which
+    is why the invariant stays documented at every call seam: one
+    planning query at a time per session; full isolation requires
+    ``SparkSession.newSession()`` per drain (not the default because the
+    memory-sink result table registers in the session that reads it).
+    """
+    if n is None:
+        yield
+        return
+    if not _SHUFFLE_SCOPE_LOCK.acquire(blocking=False):
+        raise RuntimeError(
+            "concurrent scoped shuffle-partition overrides on one session: "
+            "a drain holding the override is already in flight — serialize "
+            "drains, or isolate with SparkSession.newSession() per drain"
+        )
+    try:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    finally:
+        _SHUFFLE_SCOPE_LOCK.release()
+
+
+def _path_is_directory(spark: SparkSession, path: str) -> bool:
+    """Layout-resolve ``path`` through the Hadoop FileSystem API, so the
+    answer is correct for ANY scheme the cluster can read (s3://, hdfs://,
+    file:/) — ``os.path.isdir`` sees only driver-local paths, and a remote
+    directory-form table misclassified as single-file would stream zero
+    rows, the exact silent-empty class this module exists to prevent
+    (ADVICE r8). A missing table raises loudly instead of returning an
+    empty stream."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise FileNotFoundError(
+            f"stream source {path!r} does not exist — a missing table must "
+            "fail the pipeline, not stream zero rows"
+        )
+    return fs.getFileStatus(hpath).isDirectory()
 
 
 def stream_table(spark: SparkSession, sf_dir: str, name: str, schema) -> DataFrame:
@@ -26,7 +88,10 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str, schema) -> DataFra
     layouts a table ships in: a single file named ``<name>.parquet``
     (the driver fixtures) or a directory of part files under
     ``<name>.parquet/`` (every Spark-written dataset — sinks, the
-    replicated scale fixtures, real deployments).
+    replicated scale fixtures, real deployments). Layout detection goes
+    through the Hadoop FileSystem API (:func:`_path_is_directory`), so
+    remote URIs resolve correctly and a missing table raises instead of
+    silently streaming nothing.
 
     The old single-layout form (``pathGlobFilter=<name>.parquet`` over
     ``sf_dir``) matched LEAF FILE names only, so a directory-form table
@@ -36,11 +101,9 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str, schema) -> DataFra
     in 0.29 s with zero shuffle). Directory-form tables stream from the
     table root directly, which also keeps partitioned layouts readable.
     """
-    import os
-
     path = f"{sf_dir}/{name}.parquet"
     reader = spark.readStream.schema(schema)
-    if os.path.isdir(path):
+    if _path_is_directory(spark, path):
         return reader.parquet(path)
     # single-file fixture: the file source requires a directory, so scan
     # the parent glob-filtered to the one leaf file
@@ -119,16 +182,14 @@ def run_to_memory(
     drain ~2× faster than 32 (median 1.09 s vs 1.57 s, 4-rep
     round-robin).  Leave ``None`` for streams whose state scales with
     keys (dedup on event_id, sessionization), where the inherited
-    session/default count is the right order.  The temporary conf is
-    session-visible; entry points here run queries sequentially, so no
-    concurrent batch plan can observe it (restored in ``finally``)."""
+    session/default count is the right order.  The override rides
+    :func:`_scoped_shuffle_partitions` — the conf is session-visible, the
+    entry points here run queries sequentially, and the scope's
+    non-blocking lock turns any future concurrent drain into a loud
+    error instead of a silently mis-planned query (r8 advisory #1)."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
     chk = tempfile.mkdtemp(prefix="tfm_chk_")
-    prev_parts = None
-    if state_partitions is not None:
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    with _scoped_shuffle_partitions(spark, state_partitions):
         query = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -138,9 +199,6 @@ def run_to_memory(
             .start()
         )
         query.awaitTermination()
-    finally:
-        if prev_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # the drain is complete: the checkpoint (offsets/state WAL) has no
     # further reader — remove it rather than leaking one dir per call
     shutil.rmtree(chk, ignore_errors=True)

@@ -5,16 +5,32 @@ queries over the Druid rollup (/root/reference/README.md:10-11); the
 engine owns that serving layer natively:
 
 stream → watermarked windowed rollup (update mode) → ``foreachBatch``
-upsert into a parquet serving table → batch ``ORDER BY ... LIMIT`` view.
+merge-upsert into a parquet serving table → batch ``ORDER BY ... LIMIT``
+view.
 
-Scale design: update mode emits only the (window, event_type) rows CHANGED
-in each micro-batch (bounded by the watermark), and the upsert uses dynamic
-partition overwrite on exactly that aggregation key — each refresh rewrites
-only the touched (window_id, event_type) partitions, never the whole
-history. The overwrite unit MUST equal the aggregation key: partitioning by
-window_id alone would let a batch that updates one event type of a window
-silently delete the window's other event types' previously-upserted rows
-(exposed by the cross-type replay in tests/test_streaming_semantics.py).
+Layout decision (round 9, r8 verdict item #3). Through round 8 the
+serving table was partitioned on the full aggregation key
+(window_id × event_type) so dynamic partition overwrite could replace
+exactly the rows update mode emits. That makes the steady-state upsert
+minimal, but ties the FILESYSTEM fan-out to the aggregation-key
+cardinality: an availableNow bootstrap / backfill replays the whole
+history and writes one directory per (window, type) — ~7k directories at
+sf0.01 (41-48 s of driver-side file ops), and a 100× backfill scales the
+directory count with it. Round 9 coarsens the physical partition to
+``window_date`` (one directory per DAY — bounded by calendar time, not
+key cardinality) and moves row-level correctness into the upsert itself:
+each micro-batch anti-joins the touched dates' existing rows against the
+batch's aggregation keys (so sibling keys SURVIVE — the property the
+fine-grained layout guaranteed structurally, now guaranteed relationally
+and pinned by the cross-type replay in tests/test_streaming_semantics.py),
+unions the fresh rows, and dynamically overwrites only the touched date
+partitions. A steady-state micro-batch touches the watermark-bounded
+head of the stream (1-2 dates); a bootstrap rewrites each date a bounded
+number of times instead of fanning out per key. The merged relation per
+date is aggregate-sized (windows/day × dims), so the read-merge-write is
+exchange-light; it is eagerly localCheckpointed because Spark cannot
+overwrite a path its own plan is still reading from.
+
 The serving read is a global top-k, which Spark plans as
 TakeOrderedAndProject (no global sort, no full shuffle — pinned by
 tests/test_plans.py).
@@ -25,30 +41,60 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: leading partition column of the serving table (epoch seconds of window
-#: start — timestamps make hostile directory names on some filesystems)
-WINDOW_ID = "window_id"
+#: physical serving partition: one directory per calendar day — bounded
+#: by wall-clock time at ANY key cardinality (the bootstrap fan-out fix)
+WINDOW_DATE = "window_date"
 
-#: full partition spec == the rollup's aggregation key, so the dynamic
-#: overwrite unit matches what update mode emits
-PARTITION_COLS = (WINDOW_ID, "event_type")
+#: the logical upsert key — update mode emits one row per (window, dims);
+#: the merge anti-join runs on exactly this key
+UPSERT_KEYS = ("window_start", "event_type")
 
 
 def upsert_to_serving(serving_path: str):
-    """``foreachBatch`` body: upsert one micro-batch of updated rollup rows
-    into the serving table, overwriting ONLY the (window, event_type)
-    partitions present in the batch (dynamic partition overwrite)."""
+    """``foreachBatch`` body: merge one micro-batch of updated rollup rows
+    into the serving table — replace rows matching the batch's
+    (window, type) keys, keep every other row of the touched DATE
+    partitions, leave untouched dates on disk as-is."""
 
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.withColumn(
-                WINDOW_ID, F.unix_timestamp("window_start").cast("long")
+        spark = batch_df.sparkSession
+        batch = batch_df.withColumn(
+            WINDOW_DATE, F.date_format("window_start", "yyyy-MM-dd")
+        )
+        # the touched-date list is driver-sized by construction: a
+        # steady-state batch updates the watermark-bounded stream head
+        # (1-2 dates); a full bootstrap batch is bounded by the replayed
+        # calendar span, never by key cardinality
+        dates = [r[0] for r in batch.select(WINDOW_DATE).distinct().collect()]
+        # first batch: the table doesn't exist yet — Hadoop FS existence
+        # check (scheme-agnostic, same rationale as pipeline's layout
+        # probe) instead of a catch, so real read failures stay loud
+        hpath = spark._jvm.org.apache.hadoop.fs.Path(serving_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            existing = (
+                spark.read.parquet(serving_path)
+                # partition inference types the dir name as DATE; the
+                # in-flight column is a string — align before the union
+                .withColumn(WINDOW_DATE, F.col(WINDOW_DATE).cast("string"))
+                .where(F.col(WINDOW_DATE).isin(dates))
+                .join(
+                    batch.select(*UPSERT_KEYS), list(UPSERT_KEYS), "left_anti"
+                )
+                # materialize the survivors BEFORE overwriting the path
+                # they were read from (aggregate-sized: windows/day × dims)
+                .localCheckpoint(eager=True)
             )
-            # one file per touched aggregation key, not per task
-            .repartition(*PARTITION_COLS)
+            merged = batch.unionByName(existing)
+        else:
+            merged = batch
+        (
+            merged
+            # one file per touched date partition, not per task
+            .repartition(WINDOW_DATE)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*PARTITION_COLS)
+            .partitionBy(WINDOW_DATE)
             .parquet(serving_path)
         )
 
@@ -69,13 +115,22 @@ def run_topk_serving(
     ``pipeline.run_to_memory`` does (set before ``start()``, restored
     after; fresh checkpoint per call): the rollup state is windows × dims
     — time-linear, aggregate-sized — so inheriting a fact-scan shuffle
-    default pays per-partition state commits for nothing."""
+    default pays per-partition state commits for nothing.
+
+    CONCURRENCY INVARIANT (shared with ``pipeline.run_to_memory``): the
+    ``spark.sql.shuffle.partitions`` set/restore mutates a SESSION-global
+    conf, which is sound only while one drain plans at a time in this
+    session — the repo's entry points (driver, bench, tests) all run
+    queries sequentially. A future concurrent planner in the same session
+    (the reference's own two-sinks-one-source shape, a threaded bench)
+    must isolate first — see ``pipeline._scoped_shuffle_partitions``.
+    """
     spark = rolled.sparkSession
-    prev = None
-    if state_partitions is not None:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    from tfm_taxitrips_spark.streaming.pipeline import (
+        _scoped_shuffle_partitions,
+    )
+
+    with _scoped_shuffle_partitions(spark, state_partitions):
         q = (
             rolled.writeStream.outputMode("update")
             .foreachBatch(upsert_to_serving(serving_path))
@@ -84,9 +139,6 @@ def run_topk_serving(
             .start()
         )
         q.awaitTermination()
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def topk_view(
@@ -99,5 +151,5 @@ def topk_view(
         F.col("window_start").asc(),
         F.col("event_type").asc(),
     ]
-    df = spark.read.parquet(serving_path).drop(WINDOW_ID)
+    df = spark.read.parquet(serving_path).drop(WINDOW_DATE)
     return df.orderBy(*order).limit(k)
