@@ -224,3 +224,45 @@ def test_selfcheck_artifact_current_and_green():
         assert not failed(r), (name, r)
         if r["hash_match"] is not None:
             assert r["err"] is None and r["hash_match"], (name, r)
+    # the per-file splice baseline (ADVICE r8) must exist and describe
+    # the SAME tree the global fingerprint stamps
+    from tools.selfcheck import source_file_hashes
+
+    assert meta.get("file_hashes") == source_file_hashes(), (
+        f"{os.path.basename(latest)} lacks (or has stale) per-file "
+        "hashes — regenerate with tools/selfcheck.py"
+    )
+
+
+def test_splice_admissibility_maps_files_to_queries():
+    """The --only splice guard (ADVICE r8): changed files map onto the
+    queries whose import closure reaches them; harness files,
+    registration hubs, and unknown files refuse outright (None = run
+    the full sweep). This is what replaced the manual reviewer audit of
+    splice soundness."""
+    import hashlib
+
+    from tools.selfcheck import (
+        affected_queries,
+        source_file_hashes,
+        source_fingerprint,
+    )
+
+    assert affected_queries(set()) == set()
+    a = affected_queries({"tfm_taxitrips_spark/streaming/serving.py"})
+    assert "stream_topk" in a
+    assert all(n.startswith("stream_") for n in a)
+    b = affected_queries({"tfm_taxitrips_spark/queries/sketches.py"})
+    assert "quantile_drift_gate" in b and "flagship_view" not in b
+    assert affected_queries({"tests/oracle.py"}) is None
+    assert affected_queries(
+        {"tfm_taxitrips_spark/queries/registry.py"}) is None
+    assert affected_queries(
+        {"tfm_taxitrips_spark/queries/does_not_exist.py"}) is None
+    # the global fingerprint IS the digest of the per-file hashes — the
+    # two can never describe different trees
+    h = hashlib.sha256()
+    for rel, hexd in source_file_hashes().items():
+        h.update(rel.encode())
+        h.update(bytes.fromhex(hexd))
+    assert h.hexdigest() == source_fingerprint()
