@@ -50,6 +50,39 @@ CALIBRATION2_ID = (
 )
 
 
+# Per-query calibration affinity (r8 verdict item #5 — the second half of
+# r7 item #3): which of the two frozen calibration shapes tracks each
+# headline query's dominant resource, so round-over-round drift reads as
+# ONE normalized number per query (``queries_normalized``) instead of a
+# manual read of two global ratios. "cpu" = the codegen/hashing loop
+# (range:sum shape); "shuffle" = the scan→exchange→aggregate shape.
+# Assignment basis: hash/array-codegen-dominated queries (md5/conv
+# MinHash pipelines, vector arithmetic, shingle hashing over the 500-doc
+# corpus) tag "cpu"; fact-table scan/join/exchange queries and the
+# state-store-commit-bound stream drain tag "shuffle". The tag is an
+# ATTRIBUTION aid, not a unit change — re-tagging in a later round is a
+# visible series break for that query (the tag ships in the JSON).
+CALIBRATION_AFFINITY = {
+    "date_trunc_day": "shuffle",
+    "top_segments_by_revenue": "shuffle",
+    "dedup_exact_docs": "cpu",
+    "minhash_signature": "cpu",
+    "ann_bruteforce": "cpu",
+    "ann_lsh": "cpu",
+    "stream_window_rollup": "shuffle",
+    "flagship_view": "shuffle",
+    "rollup_family": "shuffle",
+    "windowed_agg_batch": "shuffle",
+    "training_data_mix": "cpu",
+    "minhash_lsh_candidates": "cpu",
+    "event_sessionization": "shuffle",
+    "sql_q1_pricing_summary": "shuffle",
+    "sql_q6_forecast_revenue": "shuffle",
+    "sql_q3_shipping_priority": "shuffle",
+    "sql_q5_local_supplier": "shuffle",
+}
+
+
 def calibration_df(spark):
     """The fixed engine-independent workload timed for host normalization."""
     return spark.range(CALIBRATION_ROWS).selectExpr(CALIBRATION_EXPR)
@@ -287,6 +320,27 @@ def main() -> None:
                 "calibration2_sec": calib2,
                 "value_per_calibration2": round(total / calib2, 2) if calib2 else None,
                 "calibration2_id": CALIBRATION2_ID,
+                # per-query attribution (r8 verdict item #5): each query
+                # normalized by its affinity-matched calibration — the
+                # one-number-per-query drift series; a move here that the
+                # OTHER series doesn't explain is code, not host
+                # .get default keeps one missing tag from costing the
+                # whole JSON line; the contract test enforces full
+                # coverage so the default never actually ships
+                "calibration_affinity": {
+                    n: CALIBRATION_AFFINITY.get(n, "shuffle")
+                    for n in sorted(timings)
+                },
+                "queries_normalized": {
+                    n: round(
+                        t / (calib
+                             if CALIBRATION_AFFINITY.get(n, "shuffle") == "cpu"
+                             else calib2), 3)
+                    for n, t in sorted(timings.items())
+                    if (calib
+                        if CALIBRATION_AFFINITY.get(n, "shuffle") == "cpu"
+                        else calib2)
+                },
                 "errors": errors,
                 "sf": sf,
             }

@@ -64,3 +64,19 @@ def test_calibration2_df_is_scan_plus_exchange(spark, tmp_path):
     assert "Exchange hashpartitioning(k" in plan
     assert "FileScan parquet" in plan
     assert "HashAggregate" in plan
+
+
+def test_calibration_affinity_covers_bench_set():
+    """Per-query attribution (r8 verdict item #5): every bench=True query
+    carries exactly one affinity tag, tags name a real calibration shape,
+    and no stale tags survive a bench-set change — so the
+    ``queries_normalized`` series can never silently fall back to an
+    implicit default."""
+    from tfm_taxitrips_spark.queries.registry import all_queries
+
+    bench_set = {n for n, s in all_queries().items() if s.bench}
+    assert set(bench.CALIBRATION_AFFINITY) == bench_set
+    assert set(bench.CALIBRATION_AFFINITY.values()) <= {"cpu", "shuffle"}
+    # both shapes are actually in use — an all-one-shape map would mean
+    # the attribution collapsed back into a single global ratio
+    assert set(bench.CALIBRATION_AFFINITY.values()) == {"cpu", "shuffle"}
