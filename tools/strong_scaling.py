@@ -32,6 +32,14 @@ item #5 extended the covered shapes.)
 
 Run: ``python tools/strong_scaling.py [copies] [shape,...]``
 (default 10 ≈ sf1, all shapes).
+
+Round 9 (r8 verdict optional item #7): only the tables the requested
+shapes actually read are replicated (×800 of five tables for a
+lineitem-only leg would be pure build cost), and large copy counts
+replicate via a range cross-join instead of an N-way union (an 800-arm
+union is an optimizer stress test, not a data generator) — enabling the
+minute-scale ``prefix`` scan leg where the Gustafson structure shows in
+the speedup curve itself, not only in the ×10-vs-×40 wall-clock ratio.
 """
 
 from __future__ import annotations
@@ -65,11 +73,26 @@ REPLICATED = {
     "events": ["event_id", "user_id"],
 }
 PASSTHROUGH = ("region", "nation", "supplier", "part")
-CORES = (4, 8, 16, 32)
+#: override to run a core subset (long legs chunked across invocations):
+#: STRONGSCALE_CORES=4,8 python tools/strong_scaling.py ...
+CORES = tuple(
+    int(c) for c in os.environ.get("STRONGSCALE_CORES", "4,8,16,32").split(",")
+)
 REPS = 3
 
+#: fact tables each shape reads (replication set when running a subset —
+#: passthrough dims are always copied; they are KB-sized)
+SHAPE_TABLES = {
+    "flagship": ("lineitem", "orders", "customer"),
+    "rollup": ("lineitem", "orders", "customer"),
+    "minhash": ("documents",),
+    "pagerank": ("events",),
+    "stream": ("events",),
+    "prefix": ("lineitem",),
+}
 
-def build_dataset(copies: int) -> str:
+
+def build_dataset(copies: int, tables: tuple[str, ...] | None = None) -> str:
     from pyspark.sql import DataFrame, SparkSession
     from pyspark.sql import functions as F
 
@@ -85,15 +108,32 @@ def build_dataset(copies: int) -> str:
     )
     spark.sparkContext.setLogLevel("ERROR")
     for name, keys in REPLICATED.items():
+        if tables is not None and name not in tables:
+            continue
         src = spark.read.parquet(f"{SRC}/{name}.parquet")
-        parts = []
-        for i in range(copies):
-            d = src
+        if copies > 64:
+            # minute-scale legs: replicate via a range cross-join (one
+            # 2-arm join plan) — an N-way union with per-arm projections
+            # stresses the optimizer, not the shape under test. The
+            # SOURCE is the streamed side at 64 partitions (the tiny
+            # range broadcasts), so the 600x expansion parallelizes
+            # instead of funneling through the source's 3 input splits.
+            rep = src.repartition(64).crossJoin(F.broadcast(
+                spark.range(copies).select(F.col("id").alias("_copy"))))
             for k in keys:
-                d = d.withColumn(k, F.col(k) + F.lit(i * OFFSET))
-            parts.append(d)
-        reduce(DataFrame.unionByName, parts).write.parquet(
-            f"{out}/{name}.parquet", mode="overwrite")
+                rep = rep.withColumn(
+                    k, F.col(k) + F.col("_copy") * F.lit(OFFSET))
+            rep.drop("_copy").write.parquet(
+                f"{out}/{name}.parquet", mode="overwrite")
+        else:
+            parts = []
+            for i in range(copies):
+                d = src
+                for k in keys:
+                    d = d.withColumn(k, F.col(k) + F.lit(i * OFFSET))
+                parts.append(d)
+            reduce(DataFrame.unionByName, parts).write.parquet(
+                f"{out}/{name}.parquet", mode="overwrite")
     for name in PASSTHROUGH:
         spark.read.parquet(f"{SRC}/{name}.parquet").write.parquet(
             f"{out}/{name}.parquet", mode="overwrite")
@@ -174,8 +214,18 @@ def run_at(cores: int, data_dir: str, shape: str) -> tuple[float, int]:
 def main() -> None:
     copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     shapes = sys.argv[2].split(",") if len(sys.argv) > 2 else list(_shapes())
-    data_dir = build_dataset(copies)
-    print(f"dataset: {copies}x sf0.1 at {data_dir}")
+    tables = None
+    if set(shapes) < set(SHAPE_TABLES):
+        tables = tuple({t for s in shapes for t in SHAPE_TABLES[s]})
+    # reuse a prior build (minute-scale legs chunk measurement across
+    # invocations): STRONGSCALE_DATA=/tmp/strongscale_xyz
+    data_dir = os.environ.get("STRONGSCALE_DATA")
+    if data_dir:
+        print(f"dataset: reusing {data_dir} (caller asserts {copies}x)")
+    else:
+        data_dir = build_dataset(copies, tables)
+        print(f"dataset: {copies}x sf0.1 at {data_dir}"
+              + (f" (tables: {','.join(tables)})" if tables else ""))
     for shape in shapes:
         rows = []
         for c in CORES:
