@@ -100,6 +100,13 @@ HEADLINE = (
     # fan-out re-executes the scan 16x, which at this scale reads as a
     # multi-minute stall, not a subtle slowdown)
     "ks_split_drift",
+    # round-9 serving-layout change: the top-k serving table now
+    # partitions by window DATE with a key-merge upsert. Replicated
+    # events keep the SAME timestamps (ids offset only), so x10 means
+    # 10x denser windows over the same calendar span — the availableNow
+    # bootstrap must stay bounded by the date count, and the merge must
+    # stay aggregate-sized, not fan out per (window, type) key
+    "stream_topk",
 )
 
 STRAGGLER_FACTOR = 4.0
