@@ -241,6 +241,11 @@ def main() -> None:
         "sql_q5_local_supplier", "stream_window_rollup",
         "minhash_signature", "windowed_agg_batch", "ann_lsh",
         "ann_bruteforce",
+        # r9 addition: the other stateful streaming drain — ±30% swings
+        # on untouched code observed r8→r9 (ROUND9_NOTES.md §9); its
+        # median basis changes 3→5 reps from r9 on (disclosed per the
+        # ADVICE r8 transition rule)
+        "event_sessionization",
     }
     EXTRA_REPS = 2
     runs: dict[str, list[float]] = {n: [] for n in specs}
