@@ -1218,3 +1218,63 @@ def test_whitening_stats_checkpointed_single_pass(spark, sf_smoke):
     assert "embeddings.parquet" not in plan  # hidden behind the checkpoint
     assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_serving_merge_read_prunes_to_touched_dates(spark, tmp_path):
+    """The round-9 date-partitioned serving layout only pays off if the
+    merge's existing-rows read prunes to the touched dates: the
+    cast-then-IN predicate must land in ``PartitionFilters`` (evaluated
+    against the partition LISTING at planning time) and the executed scan
+    must read exactly the touched partitions. Without this pin, a
+    refactor that moves the filter below a non-pushable expression turns
+    every steady-state micro-batch into a silent O(table) scan — the
+    plan-level assert catches the shape, the execution-metric assert
+    catches the actual listing."""
+    import pyspark.sql.functions as F
+
+    from tfm_taxitrips_spark.streaming.serving import read_touched_dates
+
+    path = str(tmp_path / "serving")
+    (
+        spark.range(700)
+        .select(
+            (F.col("id") % 7).alias("k"),
+            F.date_format(
+                F.expr("date_add(date'2020-01-01', cast(id % 7 as int))"),
+                "yyyy-MM-dd",
+            ).alias("window_date"),
+        )
+        .write.partitionBy("window_date")
+        .parquet(path)
+    )
+    touched = ["2020-01-02", "2020-01-05"]
+    rd = read_touched_dates(spark, path, touched)
+    plan = explain_formatted(rd)
+    assert "PartitionFilters: [cast(window_date" in plan
+
+    rd.collect()
+    final = rd._jdf.queryExecution().executedPlan()
+    try:  # AQE root: metrics live on the final materialized plan
+        final = final.finalPhysicalPlan()
+    except Exception:
+        pass
+    scans = []
+
+    def walk(node):
+        if "FileSourceScan" in node.getClass().getName():
+            scans.append(node)
+        for i in range(node.children().length()):
+            walk(node.children().apply(i))
+        try:  # query-stage wrappers expose their subtree via plan()
+            walk(node.plan())
+        except Exception:
+            pass
+
+    walk(final)
+    assert scans, "no FileSourceScan in executed plan"
+    metrics = {}
+    it = scans[0].metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        metrics[kv._1()] = kv._2().value()
+    assert metrics["numPartitions"] == len(touched)

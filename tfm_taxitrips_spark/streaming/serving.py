@@ -50,6 +50,31 @@ WINDOW_DATE = "window_date"
 UPSERT_KEYS = ("window_start", "event_type")
 
 
+def read_touched_dates(
+    spark: SparkSession, serving_path: str, dates: list
+) -> DataFrame:
+    """Prune-read ONLY the touched date partitions of the serving table.
+
+    This read is what keeps the steady-state upsert O(touched dates)
+    instead of O(table): the ``cast(window_date as string) IN (...)``
+    predicate references only the partition column, so Catalyst evaluates
+    it against the partition LISTING (it lands in the scan's
+    ``PartitionFilters``, never as a row filter — partition columns are
+    not even stored in the data files). Pinned at the execution-metric
+    level (``numPartitions`` == touched dates) by
+    ``tests/test_plans.py::test_serving_merge_read_prunes_to_touched_dates``
+    so a refactor that breaks pruning fails in tests, not as a silent
+    full-table scan per micro-batch at scale.
+    """
+    return (
+        spark.read.parquet(serving_path)
+        # partition inference types the dir name as DATE; the in-flight
+        # column is a string — align before the union
+        .withColumn(WINDOW_DATE, F.col(WINDOW_DATE).cast("string"))
+        .where(F.col(WINDOW_DATE).isin(dates))
+    )
+
+
 def upsert_to_serving(serving_path: str):
     """``foreachBatch`` body: merge one micro-batch of updated rollup rows
     into the serving table — replace rows matching the batch's
@@ -73,11 +98,7 @@ def upsert_to_serving(serving_path: str):
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(hpath):
             existing = (
-                spark.read.parquet(serving_path)
-                # partition inference types the dir name as DATE; the
-                # in-flight column is a string — align before the union
-                .withColumn(WINDOW_DATE, F.col(WINDOW_DATE).cast("string"))
-                .where(F.col(WINDOW_DATE).isin(dates))
+                read_touched_dates(spark, serving_path, dates)
                 .join(
                     batch.select(*UPSERT_KEYS), list(UPSERT_KEYS), "left_anti"
                 )

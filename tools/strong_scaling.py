@@ -1,6 +1,6 @@
 """Strong-scaling experiment: fixed data (~sf1), growing core counts.
 
-Replicates the scale smoke's ×10 dataset once, then times SIX plan
+Replicates the scale smoke's ×10 dataset once, then times SEVEN plan
 shapes on fresh ``local[N]`` sessions for N in 4/8/16/32 and prints a
 speedup table plus per-stage shuffle-write bytes per shape:
 
@@ -22,7 +22,12 @@ speedup table plus per-stage shuffle-write bytes per shape:
   prefix sum (``operators/prefix.py``): value-domain collapse, two
   nested prefix sums on coarse monotone buckets, broadcast extrema —
   the engine's signature sort-free cumulative rewrite (r7 verdict
-  item #5: the one plan shape still missing a measured curve).
+  item #5: the one plan shape still missing a measured curve);
+- ``leakage``   — pair-level train/eval contamination
+  (round 9's flagship addition): shingle explode → distinct collapse →
+  df-cap stop-list (broadcast anti-join) → bounded pair join — the
+  shape every dedup/contamination operator in the repo shares, measured
+  at its maximal admissible fan-out (copies ≤ LEAK_DF_CAP).
 
 The point is measured evidence for SCALE.md: each plan parallelizes
 with cores at fixed data (scale-UP here, the same property that scales
@@ -89,7 +94,15 @@ SHAPE_TABLES = {
     "pagerank": ("events",),
     "stream": ("events",),
     "prefix": ("lineitem",),
+    "leakage": ("documents",),
 }
+
+#: shapes whose stress can silently vanish under replication (the
+#: leakage pair join collapses to zero output once the df-cap stop-list
+#: absorbs every replicated shingle, at copies > LEAK_DF_CAP): assert
+#: rows actually flowed once per leg, per the records-flowed rule the
+#: ×10/×40 streaming smokes adopted in round 8
+NONEMPTY_SHAPES = {"leakage"}
 
 
 def build_dataset(copies: int, tables: tuple[str, ...] | None = None) -> str:
@@ -153,6 +166,7 @@ def shuffle_write_bytes(spark) -> int:
 
 def _shapes() -> dict:
     from tfm_taxitrips_spark.queries.analytics import q_ks_split_drift
+    from tfm_taxitrips_spark.queries.dataprep import q_label_leakage_audit
     from tfm_taxitrips_spark.queries.graph import q_pagerank_fixed
     from tfm_taxitrips_spark.queries.relational import (
         q_flagship_view,
@@ -185,6 +199,16 @@ def _shapes() -> dict:
         # (the raw scan + value-domain groupBy) parallelizes and the
         # bucket-window phase stays off the critical path
         "prefix": q_ks_split_drift,
+        # BOUNDED-PAIR-JOIN shape (round 9): train/eval contamination at
+        # the pair level. Replication makes every doc an exact copy with
+        # a fresh doc_id, so each kept shingle's train document-frequency
+        # is ~copies and the pair join fans out ~copies× per eval shingle
+        # row — the maximal stress the LEAK_DF_CAP(64) admits. Run at
+        # copies ≤ 64: beyond the cap the stop-list absorbs every
+        # replicated shingle and the join output collapses to zero (the
+        # guard working, but a vacuous measurement — NONEMPTY_SHAPES
+        # pins that rows actually flowed).
+        "leakage": q_label_leakage_audit,
     }
 
 
@@ -201,6 +225,14 @@ def run_at(cores: int, data_dir: str, shape: str) -> tuple[float, int]:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if shape in NONEMPTY_SHAPES:
+        n = fn(spark, data_dir).count()
+        assert n > 0, (
+            f"[{shape}] produced 0 rows at this replication — the leg is "
+            "vacuous (for leakage: copies must stay <= LEAK_DF_CAP)"
+        )
+        print(f"[{shape}] local[{cores:>2}]: non-empty check — {n} rows",
+              flush=True)
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
