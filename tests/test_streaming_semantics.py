@@ -138,6 +138,54 @@ def test_stream_topk_serving_updates_across_batches(spark, tmp_path):
                    for p in os.listdir(serving))
 
 
+def test_stream_topk_upsert_is_idempotent_on_redelivery(spark, tmp_path):
+    """foreachBatch is an AT-LEAST-ONCE sink: a crash between the dynamic
+    overwrite and the checkpoint commit re-delivers the same micro-batch
+    on restart. The key-merge upsert must therefore be a projection —
+    applying the same batch twice must leave the serving table exactly
+    where one application left it (the anti-join replaces the batch's own
+    keys with identical rows; siblings and untouched dates pass through).
+    """
+    from tfm_taxitrips_spark.streaming.serving import topk_view, upsert_to_serving
+
+    serving = str(tmp_path / "serving")
+    rollup_schema = (
+        "window_start string, event_type string, "
+        "n_events bigint, total_value double"
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, rollup_schema).withColumn(
+            "window_start", F.to_timestamp("window_start")
+        )
+
+    refresh = upsert_to_serving(serving)
+    refresh(batch([
+        ("2024-01-01 10:00:00", "click", 2, 9.0),
+        ("2024-01-01 10:00:00", "view", 1, 7.0),
+        ("2024-01-02 08:00:00", "click", 3, 4.0),
+    ]), 0)
+    # batch 1 updates one existing key, adds one, leaves 10:00/view and
+    # the whole 2024-01-02 date untouched
+    b1 = [
+        ("2024-01-01 10:00:00", "click", 5, 12.0),
+        ("2024-01-01 10:15:00", "view", 1, 2.0),
+    ]
+    refresh(batch(b1), 1)
+
+    def snapshot():
+        return {
+            (r.window_start, r.event_type, r.n_events, r.total_value)
+            for r in topk_view(spark, serving, 100).collect()
+        }
+
+    once = snapshot()
+    assert len(once) == 4  # 2 upserted + 1 sibling + 1 untouched date
+
+    refresh(batch(b1), 1)  # the re-delivery
+    assert snapshot() == once
+
+
 def test_stream_topk_view_plans_take_ordered(spark, tmp_path):
     """The serving read must plan TakeOrderedAndProject (no global sort)."""
     from tfm_taxitrips_spark.streaming.serving import topk_view, upsert_to_serving
