@@ -93,6 +93,7 @@ SHAPE_TABLES = {
     "minhash": ("documents",),
     "pagerank": ("events",),
     "stream": ("events",),
+    "topk": ("events",),
     "prefix": ("lineitem",),
     "leakage": ("documents",),
 }
@@ -172,7 +173,10 @@ def _shapes() -> dict:
         q_flagship_view,
         q_rollup_family,
     )
-    from tfm_taxitrips_spark.queries.streamq import q_stream_window_rollup
+    from tfm_taxitrips_spark.queries.streamq import (
+        q_stream_topk,
+        q_stream_window_rollup,
+    )
     from tfm_taxitrips_spark.queries.text import q_minhash_lsh_candidates
 
     return {
@@ -199,6 +203,15 @@ def _shapes() -> dict:
         # (the raw scan + value-domain groupBy) parallelizes and the
         # bucket-window phase stays off the critical path
         "prefix": q_ks_split_drift,
+        # SERVING-DRAIN shape (round 9): the full stream → update-mode
+        # rollup → foreachBatch key-merge upsert → date-partitioned
+        # parquet → top-k read pipeline, i.e. the r9 serving layout end
+        # to end. Replicated events = N× denser windows over the same
+        # calendar span, so every date partition is rewritten with N×
+        # the rows — the drain measures whether the merge's batch jobs
+        # scale with cores on top of the fixed micro-batch floor the
+        # plain `stream` shape isolates.
+        "topk": q_stream_topk,
         # BOUNDED-PAIR-JOIN shape (round 9): train/eval contamination at
         # the pair level. Replication makes every doc an exact copy with
         # a fresh doc_id, so each kept shingle's train document-frequency
