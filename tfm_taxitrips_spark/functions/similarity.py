@@ -14,6 +14,11 @@ step within a bucket).
 
 from __future__ import annotations
 
+# module-level so the pandas-UDF type hints below resolve: PEP 563 turns
+# annotations into strings evaluated against MODULE globals, so a
+# function-local ``import pandas`` would leave 'pd.Series' unresolvable
+# (house precedent: streaming/stateful.py, functions/multimodal.py)
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -101,14 +106,12 @@ def cosine_pandas_udf():
     the oracle-checked queries use the fold, not this.
     """
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # NB: hints must be real types, not strings — this module has
-    # ``from __future__ import annotations``, so the decorator gets the
-    # explicit SCALAR type instead of signature inference.
-    @pandas_udf("double", PandasUDFType.SCALAR)
-    def _cos(a, b):
+    # Type-hint form (SPARK-28264) — the PandasUDFType.SCALAR constant
+    # this replaced is deprecated for removal.
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
         def one(x, y):
             xv = np.asarray(x, dtype=np.float64)
             yv = np.asarray(y, dtype=np.float64)
