@@ -137,3 +137,44 @@ def test_overwrite_partitions_touches_only_changed(spark, tmp_path):
     assert (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
     )
+
+
+def test_write_view_live_jdbc_roundtrip_via_embedded_derby(spark, tmp_path):
+    """K4 LIVE: the JDBC leg of ``write_view`` against a REAL database —
+    Derby, embedded in every Spark distribution (it ships for the Hive
+    metastore), driven through Spark's own JDBC source in-JVM. This
+    retires the long-standing 'no DB in sandbox' gap for K4: the seam's
+    url/driver/properties wiring, the DerbyDialect DDL (overwrite =
+    drop+create, i.e. the daily job's idempotent re-run), the
+    partition-parallel write, and the JDBC read-back all execute live.
+    The reference hard-codes ``df.write.jdbc`` to PostgreSQL per view
+    (/root/reference/TransformTaxiTrips.py:115-119); swapping
+    ``cfg.jdbc_url``/``jdbc_driver`` is the entire difference — which is
+    the seam's point."""
+    from tfm_taxitrips_spark.sinks.writers import write_view
+
+    db = str(tmp_path / "derby_db")
+    cfg = EngineConfig(
+        jdbc_url=f"jdbc:derby:{db};create=true",
+        jdbc_driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    view = spark.createDataFrame(
+        [(2017, "North", 3, 120.5), (2017, "South", 1, 33.0)],
+        "year int, area string, n_trips bigint, revenue double",
+    )
+    write_view(view, cfg, "company_area_view")
+    # the daily-job property: a re-run overwrites, not appends
+    write_view(view, cfg, "company_area_view")
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", cfg.jdbc_url)
+        .option("dbtable", "company_area_view")
+        .option("driver", cfg.jdbc_driver)
+        .load()
+    )
+    # Derby reports identifiers uppercase; values and column ORDER are
+    # what the seam guarantees
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, view.collect())
+    )
