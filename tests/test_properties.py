@@ -566,3 +566,63 @@ def test_two_phase_prefix_sum_equals_naive_cumsum(spark, rows, inclusive):
             ref[rid] = (acc + v) if inclusive else acc
             acc += v
     assert got == ref
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),          # window index
+                st.integers(0, 2),          # event-type index
+                st.integers(1, 50),         # n_events
+                st.integers(-10**4, 10**4), # total_value (cents-ish)
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**_SETTINGS)
+def test_serving_merge_equals_dict_upsert(spark, tmp_path_factory, batches):
+    """The round-9 serving upsert is semantically a dict upsert keyed on
+    (window_start, event_type): after ANY sequence of micro-batches —
+    duplicate keys across batches, multiple dates per batch, re-touched
+    windows — the table equals replaying the batches into a plain dict
+    (last write per key wins; within a batch the update-mode contract is
+    one row per key, so later tuples for the same key overwrite). The
+    example-based tests pin chosen traps (sibling survival, re-delivery);
+    this pins the semantics on adversarial shapes."""
+    import datetime as _dt
+
+    from tfm_taxitrips_spark.streaming.serving import topk_view, upsert_to_serving
+
+    serving = str(tmp_path_factory.mktemp("serving_prop") / "table")
+    refresh = upsert_to_serving(serving)
+    model: dict[tuple, tuple] = {}
+    base = _dt.datetime(2024, 1, 1)
+    for bid, batch in enumerate(batches):
+        rows = []
+        seen_in_batch: dict[tuple, tuple] = {}
+        for w, t, n, v in batch:
+            # windows 12h apart -> the 4 windows span 2 calendar dates,
+            # so every example exercises the multi-date merge path
+            key = (base + _dt.timedelta(hours=12 * w), f"type{t}")
+            seen_in_batch[key] = (n, float(v))
+        for (ws, et), (n, v) in seen_in_batch.items():
+            rows.append((ws, et, n, v))
+            model[(ws, et)] = (n, v)
+        refresh(
+            spark.createDataFrame(
+                rows,
+                "window_start timestamp, event_type string, "
+                "n_events bigint, total_value double",
+            ),
+            bid,
+        )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in topk_view(spark, serving, 1000).collect()
+    }
+    assert got == model
