@@ -1,6 +1,6 @@
 """Strong-scaling experiment: fixed data (~sf1), growing core counts.
 
-Replicates the scale smoke's ×10 dataset once, then times SEVEN plan
+Replicates the scale smoke's ×10 dataset once, then times EIGHT plan
 shapes on fresh ``local[N]`` sessions for N in 4/8/16/32 and prints a
 speedup table plus per-stage shuffle-write bytes per shape:
 
@@ -27,7 +27,11 @@ speedup table plus per-stage shuffle-write bytes per shape:
   (round 9's flagship addition): shingle explode → distinct collapse →
   df-cap stop-list (broadcast anti-join) → bounded pair join — the
   shape every dedup/contamination operator in the repo shares, measured
-  at its maximal admissible fan-out (copies ≤ LEAK_DF_CAP).
+  at its maximal admissible fan-out (copies ≤ LEAK_DF_CAP);
+- ``topk``      — the end-to-end serving drain (update-mode rollup →
+  foreachBatch key-merge upsert → date-partitioned parquet → top-k
+  read): the r9 serving layout measured whole, on top of the
+  micro-batch floor the ``stream`` shape isolates.
 
 The point is measured evidence for SCALE.md: each plan parallelizes
 with cores at fixed data (scale-UP here, the same property that scales
