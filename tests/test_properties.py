@@ -573,7 +573,7 @@ def test_two_phase_prefix_sum_equals_naive_cumsum(spark, rows, inclusive):
         st.lists(
             st.tuples(
                 st.integers(0, 3),          # window index
-                st.integers(0, 2),          # event-type index
+                st.integers(0, 3),          # event-type index (3 → NULL key)
                 st.integers(1, 50),         # n_events
                 st.integers(-10**4, 10**4), # total_value (cents-ish)
             ),
@@ -589,10 +589,12 @@ def test_serving_merge_equals_dict_upsert(spark, tmp_path_factory, batches):
     """The round-9 serving upsert is semantically a dict upsert keyed on
     (window_start, event_type): after ANY sequence of micro-batches —
     duplicate keys across batches, multiple dates per batch, re-touched
-    windows — the table equals replaying the batches into a plain dict
-    (last write per key wins; within a batch the update-mode contract is
-    one row per key, so later tuples for the same key overwrite). The
-    example-based tests pin chosen traps (sibling survival, re-delivery);
+    windows, NULL event-type keys (groupBy's NULL group is a real upsert
+    key — the null-safe-match regression class) — the table equals
+    replaying the batches into a plain dict (last write per key wins;
+    within a batch the update-mode contract is one row per key, so later
+    tuples for the same key overwrite). The example-based tests pin
+    chosen traps (sibling survival, re-delivery, NULL-key re-emission);
     this pins the semantics on adversarial shapes."""
     import datetime as _dt
 
@@ -608,7 +610,10 @@ def test_serving_merge_equals_dict_upsert(spark, tmp_path_factory, batches):
         for w, t, n, v in batch:
             # windows 12h apart -> the 4 windows span 2 calendar dates,
             # so every example exercises the multi-date merge path
-            key = (base + _dt.timedelta(hours=12 * w), f"type{t}")
+            key = (
+                base + _dt.timedelta(hours=12 * w),
+                None if t == 3 else f"type{t}",
+            )
             seen_in_batch[key] = (n, float(v))
         for (ws, et), (n, v) in seen_in_batch.items():
             rows.append((ws, et, n, v))

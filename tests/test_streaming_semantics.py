@@ -186,6 +186,48 @@ def test_stream_topk_upsert_is_idempotent_on_redelivery(spark, tmp_path):
     assert snapshot() == once
 
 
+def test_stream_topk_upsert_replaces_null_key_rows(spark, tmp_path):
+    """A NULL grouping value is a REAL rollup group (groupBy's NULL
+    group), so update mode re-emits a NULL-keyed row every time its
+    window changes. The merge must match it null-safely: with plain
+    equality the anti-join never matches NULL = NULL, the stale NULL-key
+    row survives next to each re-emission, and the serving table grows
+    one duplicate per micro-batch — silent corruption, no error."""
+    from tfm_taxitrips_spark.streaming.serving import topk_view, upsert_to_serving
+
+    serving = str(tmp_path / "serving")
+    rollup_schema = (
+        "window_start string, event_type string, "
+        "n_events bigint, total_value double"
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, rollup_schema).withColumn(
+            "window_start", F.to_timestamp("window_start")
+        )
+
+    refresh = upsert_to_serving(serving)
+    refresh(batch([
+        ("2024-01-01 10:00:00", None, 2, 5.0),
+        ("2024-01-01 10:00:00", "click", 1, 1.0),
+    ]), 0)
+    # the NULL-key window changes twice more (late events arriving)
+    refresh(batch([("2024-01-01 10:00:00", None, 3, 8.0)]), 1)
+    refresh(batch([("2024-01-01 10:00:00", None, 4, 9.0)]), 2)
+
+    rows = {
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in topk_view(spark, serving, 100).collect()
+    }
+    import datetime as _dt
+
+    ws = _dt.datetime(2024, 1, 1, 10, 0)
+    assert rows == {
+        (ws, None, 4, 9.0),   # last write wins — exactly ONE null-key row
+        (ws, "click", 1, 1.0),  # sibling key untouched
+    }
+
+
 def test_stream_topk_view_plans_take_ordered(spark, tmp_path):
     """The serving read must plan TakeOrderedAndProject (no global sort)."""
     from tfm_taxitrips_spark.streaming.serving import topk_view, upsert_to_serving

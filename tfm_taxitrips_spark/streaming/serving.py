@@ -97,11 +97,27 @@ def upsert_to_serving(serving_path: str):
         hpath = spark._jvm.org.apache.hadoop.fs.Path(serving_path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(hpath):
+            # NULL-SAFE key match: groupBy treats NULL as a real group, so
+            # a rollup over events with a NULL dim value legitimately emits
+            # a NULL-keyed row, and update mode re-emits it every time its
+            # window changes. A plain-equality anti-join never matches
+            # NULL = NULL, so the old NULL-key row would SURVIVE next to
+            # each re-emission — one duplicate per micro-batch, silently
+            # corrupting the serving table. ``eqNullSafe`` (<=>) keeps the
+            # upsert a true projection for every key in the group domain;
+            # Spark hash-joins on null-safe equality, so the plan shape is
+            # unchanged. Pinned by the NULL-key redelivery test and the
+            # None-generating dict-upsert property.
+            batch_keys = batch.select(
+                *[F.col(k).alias(f"__batch_{k}") for k in UPSERT_KEYS]
+            ).dropDuplicates()
+            existing_raw = read_touched_dates(spark, serving_path, dates)
+            cond = None
+            for k in UPSERT_KEYS:
+                c = existing_raw[k].eqNullSafe(F.col(f"__batch_{k}"))
+                cond = c if cond is None else (cond & c)
             existing = (
-                read_touched_dates(spark, serving_path, dates)
-                .join(
-                    batch.select(*UPSERT_KEYS), list(UPSERT_KEYS), "left_anti"
-                )
+                existing_raw.join(batch_keys, cond, "left_anti")
                 # materialize the survivors BEFORE overwriting the path
                 # they were read from (aggregate-sized: windows/day × dims)
                 .localCheckpoint(eager=True)
