@@ -228,6 +228,29 @@ def test_stream_topk_upsert_replaces_null_key_rows(spark, tmp_path):
     }
 
 
+def test_stream_topk_view_orders_null_keys_last(spark, tmp_path):
+    """Cross-engine tie-break contract at the k boundary: Spark's bare
+    ``asc`` sorts NULLs FIRST while the ANSI oracles default them LAST,
+    so with NULL keys now first-class serving rows, a value tie at the
+    cut would admit DIFFERENT rows per engine unless the view pins
+    NULLS LAST explicitly. Three rows tie on total_value; k=2 must keep
+    the two named types and push the NULL-key row off the end."""
+    from tfm_taxitrips_spark.streaming.serving import topk_view, upsert_to_serving
+
+    serving = str(tmp_path / "serving")
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 10:00:00", "alpha", 1, 10.0),
+            ("2024-01-01 10:00:00", None, 1, 10.0),
+            ("2024-01-01 10:00:00", "beta", 1, 10.0),
+        ],
+        "window_start string, event_type string, n_events bigint, total_value double",
+    ).withColumn("window_start", F.to_timestamp("window_start"))
+    upsert_to_serving(serving)(df, 0)
+    got = [r.event_type for r in topk_view(spark, serving, 2).collect()]
+    assert got == ["alpha", "beta"]
+
+
 def test_stream_topk_view_plans_take_ordered(spark, tmp_path):
     """The serving read must plan TakeOrderedAndProject (no global sort)."""
     from tfm_taxitrips_spark.streaming.serving import topk_view, upsert_to_serving

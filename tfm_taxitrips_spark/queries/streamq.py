@@ -229,7 +229,10 @@ WITH rolled AS (
   FROM events GROUP BY 1, 2
 )
 SELECT * FROM rolled
-ORDER BY total_value DESC, window_start ASC, event_type ASC
+-- NULLS LAST is DuckDB's default; spelled out because the Spark side
+-- must PIN it (Spark's ASC defaults nulls FIRST — serving.topk_view)
+ORDER BY total_value DESC NULLS LAST, window_start ASC,
+         event_type ASC NULLS LAST
 LIMIT {STREAM_TOPK_K}
 """
 

@@ -183,10 +183,19 @@ def topk_view(
 ) -> DataFrame:
     """The serving query: top-k windows by metric with a total tie-break
     key (deterministic under the driver's order-insensitive compare)."""
+    # NULLS LAST pinned EXPLICITLY on every nullable order column: NULL
+    # keys are first-class serving rows (the null-safe merge), and the
+    # engines disagree by default exactly there — Spark `asc` sorts nulls
+    # FIRST while ANSI engines (DuckDB, Postgres) default them LAST, so a
+    # value tie at the k boundary would silently admit different rows per
+    # engine. (`desc` agrees — nulls last — but is pinned anyway so the
+    # contract is visible, not inherited.) window_start needs no pin: a
+    # watermarked aggregation drops null event times, so it is non-null
+    # by construction.
     order = order_cols or [
-        F.col("total_value").desc(),
+        F.col("total_value").desc_nulls_last(),
         F.col("window_start").asc(),
-        F.col("event_type").asc(),
+        F.col("event_type").asc_nulls_last(),
     ]
     df = spark.read.parquet(serving_path).drop(WINDOW_DATE)
     return df.orderBy(*order).limit(k)
