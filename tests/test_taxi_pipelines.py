@@ -127,15 +127,18 @@ def test_overwrite_partitions_touches_only_changed(spark, tmp_path):
 
     # re-run for month 2 only, with corrected numbers
     fixed = spark.createDataFrame([(2017, 2, 99.0)], "year int, month int, v double")
+    conf_before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     overwrite_partitions(fixed, path)
 
     got = {
         (r.year, r.month, r.v) for r in spark.read.parquet(path).collect()
     }
     assert got == {(2017, 1, 10.0), (2017, 1, 20.0), (2017, 2, 99.0)}
-    # conf restored
+    # the dynamic mode rides the writer option: the SESSION conf is never
+    # touched (no set/restore window for a concurrent writer to race)
     assert (
-        spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        == conf_before
     )
 
 

@@ -38,14 +38,21 @@ def overwrite_partitions(
     dynamic partition-overwrite does exactly that: untouched year/month
     directories survive, the ones in ``df`` are atomically replaced (the
     idempotent-reprocessing property a restarted daily job needs).
+
+    The mode rides the WRITER-level ``partitionOverwriteMode`` option, not
+    a session-conf set/restore: the writer option scopes the setting to
+    this one write, so a concurrent partitioned overwrite on the same
+    session that expects STATIC semantics (replace the whole table) can
+    never be silently flipped to dynamic mid-plan — the same
+    session-global-mutation race class ``_scoped_shuffle_partitions``
+    guards against, here eliminated instead of guarded.
     """
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
 
 
 def write_jdbc_view(df: DataFrame, cfg: EngineConfig, table: str, mode: str = "overwrite") -> None:
