@@ -108,9 +108,13 @@ def upsert_to_serving(serving_path: str):
             # Spark hash-joins on null-safe equality, so the plan shape is
             # unchanged. Pinned by the NULL-key redelivery test and the
             # None-generating dict-upsert property.
+            # no distinct on the key frame: update mode emits one row per
+            # key per batch, and anti-join semantics tolerate duplicates
+            # on the build side anyway — a dropDuplicates here would buy
+            # nothing but an extra aggregate+exchange per micro-batch
             batch_keys = batch.select(
                 *[F.col(k).alias(f"__batch_{k}") for k in UPSERT_KEYS]
-            ).dropDuplicates()
+            )
             existing_raw = read_touched_dates(spark, serving_path, dates)
             cond = None
             for k in UPSERT_KEYS:
