@@ -228,6 +228,40 @@ def test_stream_topk_upsert_replaces_null_key_rows(spark, tmp_path):
     }
 
 
+def test_serving_window_date_label_ignores_session_timezone(spark):
+    """The serving table's physical date label must be a pure function of
+    the window timestamp: `date_format` renders in the SESSION zone, so
+    two runs under different zones would label the same window with
+    different dates and the touched-dates merge would leave the old
+    label's row behind as a stale duplicate (the cross-run analog of the
+    NULL-key bug). A 02:00 UTC window is the discriminating case — its
+    Los Angeles local date is the PREVIOUS day."""
+    from tfm_taxitrips_spark.streaming.serving import _utc_window_date
+
+    # epoch-pinned (1704074400 = 2024-01-01 02:00:00 UTC): a string parse
+    # would itself re-evaluate under each zone below (lazy plans), washing
+    # out the very divergence being demonstrated
+    df = spark.range(1).select(
+        F.timestamp_seconds(F.lit(1704074400)).alias("window_start")
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        labels = {}
+        for tz in ("UTC", "America/Los_Angeles"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            row = df.select(
+                _utc_window_date(F.col("window_start")).alias("d"),
+                F.date_format("window_start", "yyyy-MM-dd").alias("fmt"),
+            ).first()
+            labels[tz] = (row.d, row.fmt)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    # the TZ-free label is identical under both zones...
+    assert labels["UTC"][0] == labels["America/Los_Angeles"][0] == "2024-01-01"
+    # ...and date_format demonstrably is NOT (the bug class being closed)
+    assert labels["America/Los_Angeles"][1] == "2023-12-31"
+
+
 def test_stream_topk_view_orders_null_keys_last(spark, tmp_path):
     """Cross-engine tie-break contract at the k boundary: Spark's bare
     ``asc`` sorts NULLs FIRST while the ANSI oracles default them LAST,

@@ -50,6 +50,22 @@ WINDOW_DATE = "window_date"
 UPSERT_KEYS = ("window_start", "event_type")
 
 
+def _utc_window_date(col):
+    """The physical partition label for a window, derived WITHOUT the
+    session timezone: timestamp→long is epoch seconds (TZ-free), the
+    floor-div is the UTC epoch day, and adding it to DATE '1970-01-01'
+    yields the UTC calendar date (DATE arithmetic never consults the
+    zone). ``date_format`` here would render in
+    ``spark.sql.session.timeZone`` — so two runs under different session
+    zones would label the SAME window with different dates, and the
+    merge (which reads only the TOUCHED dates) would leave the old
+    label's row behind as a stale duplicate: the cross-run analog of the
+    NULL-key bug. The engine pins UTC everywhere, but the on-disk layout
+    must not depend on a session conf to stay consistent."""
+    epoch_day = F.floor(col.cast("long") / F.lit(86400)).cast("int")
+    return F.date_add(F.to_date(F.lit("1970-01-01")), epoch_day).cast("string")
+
+
 def read_touched_dates(
     spark: SparkSession, serving_path: str, dates: list
 ) -> DataFrame:
@@ -84,7 +100,7 @@ def upsert_to_serving(serving_path: str):
     def refresh(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.withColumn(
-            WINDOW_DATE, F.date_format("window_start", "yyyy-MM-dd")
+            WINDOW_DATE, _utc_window_date(F.col("window_start"))
         )
         # the touched-date list is driver-sized by construction: a
         # steady-state batch updates the watermark-bounded stream head
