@@ -616,6 +616,54 @@ def test_stream_transitions_state_survives_batch_boundary(spark, tmp_path):
     }
 
 
+def test_stream_transitions_null_type_round_trips_state_as_null(
+    spark, tmp_path
+):
+    """A NULL event_type crossing a micro-batch boundary must arrive at
+    the next batch as a NULL src (what the batch `lag` twin emits) — a
+    str() on the state write would freeze it into the literal string
+    "None", silently corrupting every transition out of a null-typed
+    event."""
+    from tfm_taxitrips_spark.streaming.stateful import streaming_transitions
+
+    src_dir = str(tmp_path / "src")
+
+    def _uevent(eid, ts, etype):
+        return {"event_id": eid, "ts": ts, "event_type": etype,
+                "user_id": 7, "value": 1.0}
+
+    _drop(f"{src_dir}/b1.json", [
+        _uevent(1, "2024-01-01 10:00:00", "view"),
+        _uevent(2, "2024-01-01 10:01:00", None),  # null-typed event
+    ])
+    _drop(f"{src_dir}/b2.json", [
+        _uevent(3, "2024-01-01 10:02:00", "purchase"),
+    ])
+    schema = ("event_id bigint, ts timestamp, event_type string, "
+              "user_id bigint, value double")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src_dir)
+    )
+    q = (
+        streaming_transitions(stream)
+        .writeStream.format("memory")
+        .queryName("trans_null_carry")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.event_id: (r.src_type, r.dst_type)
+            for r in spark.sql("SELECT * FROM trans_null_carry").collect()}
+    assert rows == {
+        1: (None, "view"),
+        2: ("view", None),
+        3: (None, "purchase"),  # NULL carried across the boundary, not "None"
+    }
+
+
 def test_stream_table_reads_both_table_layouts(spark, sf_smoke, tmp_path):
     """Regression for the round-8 zero-rows bug: the streaming file
     source's old pathGlobFilter form matched leaf FILE names only, so a

@@ -127,7 +127,14 @@ def streaming_transitions(
         for etype in rows["event_type"]:
             srcs.append(last_type)
             last_type = etype
-        state.update((str(rows["event_type"].iloc[-1]),))
+        # a NULL event_type is a legitimate value and must round-trip the
+        # state as NULL: str() would freeze it into the literal "None",
+        # so the NEXT batch's first event would emit src_type="None"
+        # where the batch `lag` twin emits NULL (str() is still applied
+        # to real values to normalize numpy.str_ → str for the state
+        # encoder)
+        last = rows["event_type"].iloc[-1]
+        state.update((None if pd.isna(last) else str(last),))
         yield pd.DataFrame(
             {
                 "user_id": user_id,
