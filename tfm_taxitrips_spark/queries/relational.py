@@ -11,7 +11,14 @@ value-hash vs DuckDB):
 - every computed column is aliased identically in Spark and SQL;
 - double→int casts are avoided (Spark truncates, DuckDB rounds) — we use
   explicit FLOOR where integers are derived from doubles;
-- all top-k orderings carry a unique tie-breaker key.
+- all top-k orderings carry a unique tie-breaker key;
+- top-k order columns are either non-null by construction (aggregates,
+  groupBy keys of fixture-pinned non-null columns) or must pin explicit
+  null ordering on BOTH engines — Spark's bare ``asc`` sorts NULLs first
+  while ANSI engines default them last, so a nullable order column at
+  the k boundary silently admits different rows per engine
+  (``streaming.serving.topk_view`` is the precedent: NULLS LAST pinned
+  the day NULL keys became reachable there).
 """
 
 from __future__ import annotations
