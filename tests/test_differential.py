@@ -126,7 +126,7 @@ def test_rotation_planner_matches_invariant():
     latest = latest_graded_round(repo)
     rows = plan(50, repo)
     assert len(rows) == 50
-    recommended = [n for n, _ in rows]
+    recommended = [n for n, _r, _s in rows]
     never = [n for n in _ALL if n not in latest]
     if len(never) <= len(recommended):
         assert set(never) <= set(recommended)
@@ -143,9 +143,57 @@ def test_rotation_planner_matches_invariant():
         assert set(recommended) <= set(never)
         spilled = set(never) - set(recommended)
         assert spilled <= set(PENDING_ROTATION) | set(GRADING_PRIORITY)
-    # stalest-first: latest-round sequence is non-decreasing
-    rounds = [r for _, r in rows]
-    assert rounds == sorted(rounds)
+    # stalest-first WITHIN each class: never-graded (0), then code-stale
+    # rows oldest-first, then clean rows oldest-first
+    classes = [(0 if r == 0 else (1 if s else 2), r) for _n, r, s in rows]
+    assert classes == sorted(classes)
+
+
+def test_rotation_planner_code_change_awareness(monkeypatch):
+    """r9 verdict item #3: a query whose import-closure files changed
+    after its latest driver row must rank as stale REGARDLESS of round
+    number — above every clean row — with the changed-file → query
+    mapping derived from the selfcheck import graph, not a hand list.
+    Pinned with a controlled diff injection: pretending ONLY the
+    streaming serving layer changed right after round 8 must pull the
+    stream queries with r≤8 rows ahead of every clean row, while a
+    pretend empty diff must restore pure round-age order."""
+    import os
+
+    from tfm_taxitrips_spark.queries import rotation
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    serving = os.path.join("tfm_taxitrips_spark", "streaming", "serving.py")
+    latest = rotation.latest_graded_round(repo)
+
+    # every round's rows are stale exactly when their closure reaches
+    # the injected file
+    monkeypatch.setattr(
+        rotation, "files_changed_since_round",
+        lambda _repo: {r: {serving} for r in set(latest.values())},
+    )
+    rows = rotation.plan(205, repo)
+    stale = [n for n, _r, s in rows if s]
+    closures = rotation.query_closures(repo)
+    expect = {n for n, c in closures.items()
+              if serving in c and latest.get(n, 0) > 0}
+    assert set(stale) == expect          # graph-derived, nothing hand-listed
+    assert "stream_topk" in expect        # the r9 verdict's named example
+    # class order: every stale row precedes every clean graded row
+    order = {n: i for i, (n, _r, _s) in enumerate(rows)}
+    clean_positions = [order[n] for n, _r, s in rows
+                       if not s and latest.get(n, 0) > 0]
+    assert max(order[n] for n in stale) < min(clean_positions)
+
+    # empty diff ⇒ no stale class, pure round-age order
+    monkeypatch.setattr(
+        rotation, "files_changed_since_round",
+        lambda _repo: {r: set() for r in set(latest.values())},
+    )
+    rows2 = rotation.plan(50, repo)
+    assert not any(s for _n, _r, s in rows2)
+    rounds2 = [r for _n, r, _s in rows2]
+    assert rounds2 == sorted(rounds2)
 
 
 def test_compare_result_contract():
@@ -266,3 +314,4 @@ def test_splice_admissibility_maps_files_to_queries():
         h.update(rel.encode())
         h.update(bytes.fromhex(hexd))
     assert h.hexdigest() == source_fingerprint()
+
