@@ -1278,3 +1278,85 @@ def test_serving_merge_read_prunes_to_touched_dates(spark, tmp_path):
         kv = it.next()
         metrics[kv._1()] = kv._2().value()
     assert metrics["numPartitions"] == len(touched)
+
+
+def test_perplexity_gate_broadcast_model_fanout_single_train_collapse(
+        spark, sf_smoke):
+    """per_domain_perplexity_gate: the train side collapses ONCE into the
+    checkpointed (source, bigram) table that every model relation derives
+    from — the final plan scans documents.parquet exactly once (the eval
+    side; the train collapse hides behind the checkpoint) — and the
+    ×|sources| fan-out rides a broadcast; nothing is a cartesian scan of
+    the eval×model space."""
+    from tfm_taxitrips_spark.queries.dataprep import (
+        q_per_domain_perplexity_gate,
+    )
+
+    plan = explain_formatted(q_per_domain_perplexity_gate(spark, sf_smoke))
+    assert plan.count("documents.parquet") == 1  # eval side only
+    assert "Scan ExistingRDD" in plan  # checkpointed train collapse
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kfold_single_corpus_exchange_broadcast_extremes(spark, sf_smoke):
+    """stratified_kfold_assign: fold and stratum are map-side expressions
+    — the corpus crosses the wire exactly once (the (source, fold)
+    collapse, partial agg before it); the grid, extremes, and join-back
+    ride the checkpointed aggregate by broadcast."""
+    from tfm_taxitrips_spark.queries.dataprep import q_stratified_kfold
+
+    plan = explain_formatted(q_stratified_kfold(spark, sf_smoke))
+    assert plan.count("documents.parquet") == 0  # behind the checkpoint
+    assert "Scan ExistingRDD" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ece_single_exchange_broadcast_total(spark, sf_smoke):
+    """quality_ece_calibration: confidence, bin, and label are map-side
+    scan expressions; the only corpus shuffle is the ≤10-row bin
+    collapse, and the scalar ECE joins back as a broadcast 1-row
+    aggregate."""
+    import re
+
+    from tfm_taxitrips_spark.queries.text import q_quality_ece
+
+    plan = explain_formatted(q_quality_ece(spark, sf_smoke))
+    assert "Scan ExistingRDD" in plan  # checkpointed bin table
+    assert "documents.parquet" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total crossJoin
+    assert "SortMergeJoin" not in plan
+    # only aggregate-sized relations shuffle in the final plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_novelty_join_rides_first_seen_collapse(spark, sf_smoke):
+    """ngram_novelty_rate: the (doc, shingle) distinct relation is
+    checkpointed (explode + distinct run once, not once per consumer),
+    the first-seen relation is its map-side-combined re-aggregation, and
+    the novelty join is a shingle-keyed equi-join — never a cartesian or
+    nested-loop pairing."""
+    from tfm_taxitrips_spark.queries.text import q_ngram_novelty_rate
+
+    plan = explain_formatted(q_ngram_novelty_rate(spark, sf_smoke))
+    assert "documents.parquet" not in plan  # behind the checkpoint
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pq_codebook_broadcast_codebooks_no_cartesian(spark, sf_smoke):
+    """embedding_pq_codebook: every assignment round must broadcast its
+    |subspaces|·K codebook rows against the exploded store — a
+    sort-merge join or cartesian would mean an iteration shuffles the
+    corpus (the `kmeans_fixed_iters` contract, integer edition)."""
+    from tfm_taxitrips_spark.queries.vectors import q_embedding_pq_codebook
+
+    plan = explain_formatted(q_embedding_pq_codebook(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+

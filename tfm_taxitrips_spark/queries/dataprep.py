@@ -485,6 +485,280 @@ WHERE (1000000 * n_common) // n_eval_shingles >= {LEAK_THRESHOLD_PPM}
 
 
 # --------------------------------------------------------------------------
+# cross-domain LM quality matrix: per-(train_source, eval_source) bigram
+# likelihood mass over the held-out split
+# --------------------------------------------------------------------------
+
+#: integer scale for the smoothed per-bigram probability; one ppm unit =
+#: 10⁻⁶ probability mass (mirrored in the oracle)
+_PPLX_SCALE = 1_000_000
+
+
+def q_per_domain_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-domain LM quality matrix: every source's HELD-OUT (val-split)
+    documents scored under every source's train-split bigram LM — the
+    |sources|² table a data-mix designer reads next to `source_token_tvd`
+    (distribution distance) to decide which domains model each other and
+    which are noise. The diagonal is the in-domain baseline each row's
+    off-diagonal cells read against. Splits come from the ONE shared
+    :func:`split_label` rule, so the matrix can never disagree with
+    `dataset_split_assign` about membership.
+
+    Log-free by design (the `pmi_collocations` stance, not the micro-nat
+    one): each eval bigram contributes its add-one-smoothed probability
+    as the exact integer ``((c(a,b)+1)·10⁶) div (c(a·)+V)`` — an
+    arithmetic-mean likelihood-mass gate that needs no transcendental and
+    therefore compares bit-for-bit across engines. `bigram_logprob_score`
+    is the calibrated-NLL sibling for single-corpus scoring; this matrix
+    trades the geometric mean for exactness at 400 cells. V is the number
+    of distinct bigram HEADS in the train source (the conditioning
+    contexts — derivable from the same collapse, see below); OOV cells
+    (c(a,b)=0) are also counted explicitly per pair.
+
+    Scale shape (one corpus pass per split): the train side collapses
+    ONCE into the (source, bigram) frequency table — vocabulary-bounded,
+    lazily checkpointed — and *everything else derives from it*:
+    c(a·) re-aggregates it on the head, V re-aggregates the heads, and
+    the source list broadcasts off V. The eval side explodes map-side,
+    fans out ×|sources| against the broadcast source list (a mix-design
+    constant, dozens not millions), and hash-joins on the bigram /
+    head keys (AQE-splittable; the tables ARE the model, no driver
+    state). Output is |sources|² rows.
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    split = split_label(F.col("doc_id"))
+    bg_t = (
+        docs.where(split == "train")
+        .select(
+            F.col("source").alias("train_source"),
+            F.explode(shingles(F.lower(F.col("text")), 2)).alias("bg"),
+        )
+    )
+    # the ONE train-side collapse every model table derives from
+    c_bg = (
+        bg_t.groupBy("train_source", "bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_bg"))
+        .withColumn("head", F.split(F.col("bg"), " ")[0])
+        .localCheckpoint(eager=False)  # c_head + the scoring join read it
+    )
+    c_head = (
+        c_bg.groupBy("train_source", "head")
+        .agg(F.sum("c_bg").cast("bigint").alias("c_head"))
+        .localCheckpoint(eager=False)  # vocab + the scoring join read it
+    )
+    vocab = c_head.groupBy("train_source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("v_size")
+    )
+    eb = (
+        docs.where(split == "val")
+        .select(
+            F.col("source").alias("eval_source"),
+            F.explode(shingles(F.lower(F.col("text")), 2)).alias("bg"),
+        )
+        .withColumn("head", F.split(F.col("bg"), " ")[0])
+    )
+    scored = (
+        eb.crossJoin(F.broadcast(vocab))  # |sources| rows: the ×S fan-out
+        .join(c_bg.select("train_source", "bg", "c_bg"),
+              ["train_source", "bg"], "left")
+        .join(c_head, ["train_source", "head"], "left")
+        .select(
+            "train_source",
+            "eval_source",
+            F.when(F.col("c_bg").isNull(), F.lit(1)).otherwise(F.lit(0))
+            .alias("oov"),
+            F.expr(
+                f"((coalesce(c_bg, 0) + 1) * {_PPLX_SCALE}) "
+                "div (coalesce(c_head, 0) + v_size)"
+            ).alias("prob_ppm"),
+        )
+    )
+    return (
+        scored.groupBy("train_source", "eval_source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("oov").cast("bigint").alias("n_oov"),
+            F.sum("prob_ppm").cast("bigint").alias("sum_prob_ppm"),
+        )
+        .select(
+            "train_source", "eval_source", "n_bigrams", "n_oov",
+            F.expr("(n_oov * 1000000) div n_bigrams").alias("oov_ppm"),
+            "sum_prob_ppm",
+            F.expr("sum_prob_ppm div n_bigrams").alias("avg_prob_ppm"),
+        )
+    )
+
+
+# template: the split-bucket expression and boundaries are defined with the
+# dataset-split family below; rendered into _PPLX_SQL right after them
+_PPLX_SQL_T = f"""
+WITH bg_t AS (
+  SELECT source AS train_source,
+         unnest({shingles_sql('lower(text)', 2)}) AS bg
+  FROM documents WHERE {{split_bucket}} < {{train_end}}
+),
+c_bg AS (
+  SELECT train_source, bg, CAST(COUNT(*) AS BIGINT) AS c_bg,
+         string_split(bg, ' ')[1] AS head
+  FROM bg_t GROUP BY 1, 2
+),
+c_head AS (
+  SELECT train_source, head, CAST(SUM(c_bg) AS BIGINT) AS c_head
+  FROM c_bg GROUP BY 1, 2
+),
+vocab AS (
+  SELECT train_source, CAST(COUNT(*) AS BIGINT) AS v_size
+  FROM c_head GROUP BY 1
+),
+eb AS (
+  SELECT source AS eval_source,
+         unnest({shingles_sql('lower(text)', 2)}) AS bg
+  FROM documents
+  WHERE {{split_bucket}} >= {{train_end}}
+    AND {{split_bucket}} < {{val_end}}
+),
+he AS (SELECT eval_source, bg, string_split(bg, ' ')[1] AS head FROM eb),
+scored AS (
+  SELECT v.train_source, he.eval_source,
+         CASE WHEN cb.c_bg IS NULL THEN 1 ELSE 0 END AS oov,
+         ((COALESCE(cb.c_bg, 0) + 1) * {_PPLX_SCALE})
+           // (COALESCE(ch.c_head, 0) + v.v_size) AS prob_ppm
+  FROM he CROSS JOIN vocab v
+  LEFT JOIN c_bg cb
+    ON cb.train_source = v.train_source AND cb.bg = he.bg
+  LEFT JOIN c_head ch
+    ON ch.train_source = v.train_source AND ch.head = he.head
+)
+SELECT train_source, eval_source,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(oov) AS BIGINT) AS n_oov,
+       CAST((SUM(oov) * 1000000) // COUNT(*) AS BIGINT) AS oov_ppm,
+       CAST(SUM(prob_ppm) AS BIGINT) AS sum_prob_ppm,
+       CAST(SUM(prob_ppm) // COUNT(*) AS BIGINT) AS avg_prob_ppm
+FROM scored GROUP BY 1, 2
+"""  # rendered into _PPLX_SQL below the split-family constants
+
+
+# --------------------------------------------------------------------------
+# stratified k-fold assignment with fold-balance audit
+# --------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold cross-validation assignment: every document draws
+    a stable fold 0..{k−1} from md5(doc_id) WITHIN its stratum (source) —
+    the CV completion of `dataset_split_assign`'s single split, with the
+    same stability property (a doc never migrates folds under
+    re-ingestion, repartitioning, or corpus growth; the hash is keyed on
+    identity, not position). Output is the per-(source, fold) audit —
+    doc count, token mass, doc_id checksum — on the FULL source × fold
+    grid (absent folds emit zero rows: a stratum too small to populate
+    every fold is exactly what the balance audit must surface, not
+    silently omit), plus the per-stratum min/max fold occupancy and
+    ``balance_ppm = (min·10⁶) div max`` — the one number a CV harness
+    gates on before trusting per-fold metrics.
+
+    Plan: fold and stratum are map-side expressions on the scan; ONE
+    aggregation shuffle on (source, fold) with map-side combine. The
+    grid, the per-stratum extremes, and the join-back all ride the
+    |sources|·k-row aggregate (broadcast; the `langid_confusion_eval`
+    pattern). At 100 TB nothing but the one collapse ever shuffles.
+    """
+    docs = table(spark, sf_dir, "documents")
+    fold = F.pmod(
+        hash60(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))),
+        F.lit(_KFOLD_K),
+    ).cast("int")
+    m = (
+        docs.select(
+            "source",
+            fold.alias("fold"),
+            "doc_id",
+            token_count("text").cast("bigint").alias("n_tok"),
+        )
+        .groupBy("source", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum("doc_id").cast("bigint").alias("doc_checksum"),
+        )
+        .localCheckpoint(eager=False)  # grid left-join + extremes read it
+    )
+    # sources come from the collapsed matrix (a source with ≥1 doc is in
+    # m by construction) — never a second corpus scan
+    grid = (
+        m.select("source").distinct()
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(0), F.lit(_KFOLD_K - 1))).alias("_f"),
+        )
+        .select("source", F.col("_f").cast("int").alias("fold"))
+    )
+    full = (
+        grid.join(m, ["source", "fold"], "left")
+        .select(
+            "source", "fold",
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("doc_checksum", F.lit(0)).cast("bigint")
+            .alias("doc_checksum"),
+        )
+        .localCheckpoint(eager=False)  # rows + per-stratum extremes read it
+    )
+    ext = full.groupBy("source").agg(
+        F.min("n_docs").alias("fold_min_docs"),
+        F.max("n_docs").alias("fold_max_docs"),
+    )
+    return (
+        full.join(F.broadcast(ext), "source")
+        .select(
+            "source", "fold", "n_docs", "n_tokens", "doc_checksum",
+            F.col("fold_min_docs").cast("bigint").alias("fold_min_docs"),
+            F.col("fold_max_docs").cast("bigint").alias("fold_max_docs"),
+            F.expr("(fold_min_docs * 1000000) div fold_max_docs")
+            .alias("balance_ppm"),
+        )
+    )
+
+
+_KFOLD_SQL = f"""
+WITH a AS (
+  SELECT source,
+         CAST({hash60_sql("concat('fold:', CAST(doc_id AS VARCHAR))")}
+              % {_KFOLD_K} AS INT) AS fold,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
+  FROM documents GROUP BY 1, 2
+),
+grid AS (
+  SELECT source, CAST(f AS INT) AS fold
+  FROM (SELECT DISTINCT source FROM documents)
+  CROSS JOIN (SELECT unnest(range({_KFOLD_K})) AS f)
+),
+full_grid AS (
+  SELECT g.source, g.fold,
+         COALESCE(a.n_docs, 0) AS n_docs,
+         COALESCE(a.n_tokens, 0) AS n_tokens,
+         COALESCE(a.doc_checksum, 0) AS doc_checksum
+  FROM grid g LEFT JOIN a ON a.source = g.source AND a.fold = g.fold
+),
+ext AS (
+  SELECT source, CAST(MIN(n_docs) AS BIGINT) AS fold_min_docs,
+         CAST(MAX(n_docs) AS BIGINT) AS fold_max_docs
+  FROM full_grid GROUP BY 1
+)
+SELECT f.source, f.fold, f.n_docs, f.n_tokens, f.doc_checksum,
+       e.fold_min_docs, e.fold_max_docs,
+       CAST((e.fold_min_docs * 1000000) // e.fold_max_docs AS BIGINT)
+         AS balance_ppm
+FROM full_grid f JOIN ext e ON e.source = f.source
+"""
+
+
+# --------------------------------------------------------------------------
 # sequence packing: fixed-token-budget packs per shard
 # --------------------------------------------------------------------------
 
@@ -1243,6 +1517,12 @@ SELECT source,
 FROM documents
 GROUP BY 1, 2
 """
+
+_PPLX_SQL = _PPLX_SQL_T.format(
+    split_bucket=_SPLIT_BUCKET,
+    train_end=_SPLIT_TRAIN_END,
+    val_end=_SPLIT_VAL_END,
+)
 
 
 # --------------------------------------------------------------------------
@@ -2162,6 +2442,14 @@ QUERIES: dict[str, QuerySpec] = {
     "label_leakage_audit": QuerySpec(
         q_label_leakage_audit, _LEAK_SQL,
         tags=("text", "dedup", "pipeline", "audit"),
+    ),
+    "per_domain_perplexity_gate": QuerySpec(
+        q_per_domain_perplexity_gate, _PPLX_SQL,
+        tags=("text", "quality", "eval", "curation", "pipeline"),
+    ),
+    "stratified_kfold_assign": QuerySpec(
+        q_stratified_kfold, _KFOLD_SQL,
+        tags=("sample", "eval", "pipeline"),
     ),
     "sequence_packing": QuerySpec(
         q_sequence_packing, _SEQ_PACK_SQL, tags=("text", "pipeline", "window"),

@@ -176,6 +176,119 @@ FROM m JOIN lt USING (lang_label) JOIN pt USING (lang_pred)
 """
 
 
+#: reliability-diagram bin count (equal-width over [0, 1])
+_ECE_BINS = 10
+
+#: confidence denominator: the stopword-ratio score saturates to P(en)=1 at
+#: ratio 0.06 — twice the `q_lang_id` decision threshold (0.03), so 0.5
+#: confidence sits exactly on the classifier's decision boundary
+_ECE_SAT_RATIO_PCT = 6
+
+
+def q_quality_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-calibration-error reliability diagram for the lang-ID
+    confidence score — the eval-gate companion of `langid_confusion_eval`:
+    that table says WHERE the classifier errs, this one says whether its
+    CONFIDENCE can be trusted as a probability (the property a curation
+    pipeline needs before thresholding on scores instead of hard labels).
+
+    Confidence is the exact-integer ppm ``min(10⁶, (n_stop·10⁸) div
+    (n_tok·{_ECE_SAT_RATIO_PCT}))`` — the stopword ratio rescaled so it
+    saturates at {_ECE_SAT_RATIO_PCT}/100, i.e. P(en) = 0.5 exactly at
+    the 0.03 decision threshold `q_lang_id` uses. Docs bin into
+    {_ECE_BINS} equal-width confidence bins (top edge folded into the
+    last bin); per bin the diagram emits count, positives (label 'en'),
+    mean confidence, accuracy, and the integer gap mass
+    ``|Σconf_ppm − n_pos·10⁶|``; the scalar gate
+    ``ece_ppm = (Σ_b gap_mass) div N`` repeats on every row (the
+    1-row-aggregate broadcast pattern). Counting-based and sort-free —
+    every column is an exact integer, no transcendental anywhere.
+
+    Scale shape: confidence, label, and bin are map-side expressions on
+    the scan; ONE aggregation shuffle collapses the corpus into ≤
+    {_ECE_BINS} rows; the ECE total and the join-back ride that
+    aggregate (broadcast). Nothing else moves at 100 TB.
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text")).cast("bigint")
+    n_stop = stopword_count("text").cast("bigint")
+    # bin = min(conf div 100k, BINS-1); expressed with div to stay integral
+    binned = docs.select(
+        n_tok.alias("n_tok"), n_stop.alias("n_stop"),
+        (F.col("lang") == "en").cast("int").alias("pos"),
+    ).select(
+        F.least(
+            F.lit(_ECE_BINS - 1),
+            F.expr(
+                f"(least({1_000_000}, (n_stop * 100000000) "
+                f"div (n_tok * {_ECE_SAT_RATIO_PCT}))) div 100000"
+            ).cast("int"),
+        ).cast("int").alias("bin"),
+        F.expr(
+            f"least({1_000_000}, (n_stop * 100000000) "
+            f"div (n_tok * {_ECE_SAT_RATIO_PCT}))"
+        ).cast("bigint").alias("conf_ppm"),
+        "pos",
+    )
+    bins = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.sum("conf_ppm").cast("bigint").alias("sum_conf_ppm"),
+        )
+        .localCheckpoint(eager=False)  # rows + the ECE total read it
+    )
+    total = bins.agg(
+        F.sum(F.abs(F.col("sum_conf_ppm") - F.col("n_pos") * 1_000_000))
+        .alias("_gap"),
+        F.sum("n_docs").alias("_n"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(total))
+        .select(
+            "bin", "n_docs", "n_pos", "sum_conf_ppm",
+            F.expr("sum_conf_ppm div n_docs").alias("conf_avg_ppm"),
+            F.expr("(n_pos * 1000000) div n_docs").alias("acc_ppm"),
+            F.abs(F.col("sum_conf_ppm") - F.col("n_pos") * 1_000_000)
+            .cast("bigint").alias("gap_mass_ppm"),
+            F.expr("_gap div _n").cast("bigint").alias("ece_ppm"),
+        )
+    )
+
+
+_ECE_CONF_SQL = (
+    f"LEAST(1000000, ({stopword_count_sql('text')} * 100000000)"
+    f" // (len(string_split(text, ' ')) * {_ECE_SAT_RATIO_PCT}))"
+)
+
+_ECE_SQL = f"""
+WITH d AS (
+  SELECT LEAST({_ECE_BINS - 1},
+               CAST(({_ECE_CONF_SQL}) // 100000 AS INT)) AS bin,
+         CAST({_ECE_CONF_SQL} AS BIGINT) AS conf_ppm,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents
+),
+b AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(conf_ppm) AS BIGINT) AS sum_conf_ppm
+  FROM d GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(ABS(sum_conf_ppm - n_pos * 1000000)) AS BIGINT) AS gap,
+         CAST(SUM(n_docs) AS BIGINT) AS n FROM b
+)
+SELECT CAST(bin AS INT) AS bin, n_docs, n_pos, sum_conf_ppm,
+       CAST(sum_conf_ppm // n_docs AS BIGINT) AS conf_avg_ppm,
+       CAST((n_pos * 1000000) // n_docs AS BIGINT) AS acc_ppm,
+       CAST(ABS(sum_conf_ppm - n_pos * 1000000) AS BIGINT) AS gap_mass_ppm,
+       CAST(t.gap // t.n AS BIGINT) AS ece_ppm
+FROM b CROSS JOIN t
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: md5 of normalized text + min-shingle-hash
     (winnowing-style content fingerprint, robust to local edits)."""
@@ -1928,6 +2041,77 @@ FROM b
 """
 
 
+#: shingle width for corpus-order novelty (matches the decontamination
+#: family's 5-gram convention)
+_NOVELTY_N = 5
+
+
+def q_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order novelty: per document, the fraction of its DISTINCT
+    {_NOVELTY_N}-gram shingles that no lower-doc_id document contains —
+    the marginal-information curve a curation pipeline reads to decide
+    when a source stops adding new content (novelty decaying toward 0 =
+    the crawl is re-crawling itself). Complements `dedup_incremental
+    _incoming` (batch-level) at per-document grain: doc_id is the
+    ingestion order, so "seen before" = "present in any earlier doc".
+
+    Semantics: a shingle's FIRST document (min doc_id) counts it as
+    novel there and nowhere else; a doc shorter than {_NOVELTY_N} words
+    has no shingles and drops out (the oracle agrees).
+
+    Scale shape: shingles hash to 60-bit ints map-side and collapse
+    distinct per doc (one shuffle); the first-seen relation is a
+    map-side-combined ``min(doc_id)`` groupBy of THAT — 1 row per
+    distinct shingle; the novelty join keys on the shingle hash against
+    the 1-row-per-shingle relation, so output = input shingle rows
+    (provably linear — no df cap needed, nothing can pair
+    quadratically); the per-doc rollup is the second and last shuffle.
+    The doubly-consumed distinct relation is lazily checkpointed (the
+    `prefix.py` caller discipline).
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    ds = (
+        docs.select(
+            "doc_id",
+            F.explode(shingles(F.lower(F.col("text")), _NOVELTY_N)).alias("s"),
+        )
+        .select("doc_id", hash60(F.col("s")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)  # first-seen + the novelty join read it
+    )
+    first = ds.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        ds.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_shingles", "n_novel",
+            F.expr("(n_novel * 1000000) div n_shingles").alias("novelty_ppm"),
+        )
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH ds AS (
+  SELECT DISTINCT doc_id, {hash60_sql('s')} AS h
+  FROM (SELECT doc_id, unnest({shingles_sql('lower(text)', _NOVELTY_N)}) AS s
+        FROM documents)
+),
+f AS (SELECT h, MIN(doc_id) AS first_doc FROM ds GROUP BY 1)
+SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = ds.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST((SUM(CASE WHEN f.first_doc = ds.doc_id THEN 1 ELSE 0 END)
+             * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM ds JOIN f USING (h)
+GROUP BY 1
+"""
+
+
 def q_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-drift matrix: total-variation distance between the unigram
     token distributions of every PAIR of document sources — the
@@ -2134,4 +2318,10 @@ QUERIES: dict[str, QuerySpec] = {
     "zipf_vocab_fit": QuerySpec(
         q_zipf_vocab_fit, _ZIPF_SQL,
         tags=("text", "vocab", "drift", "window")),
+    "quality_ece_calibration": QuerySpec(
+        q_quality_ece, _ECE_SQL,
+        tags=("text", "quality", "eval")),
+    "ngram_novelty_rate": QuerySpec(
+        q_ngram_novelty_rate, _NOVELTY_SQL,
+        tags=("text", "dedup", "curation", "pipeline")),
 }

@@ -757,6 +757,211 @@ def _km_sql() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# product-quantization codebook: per-subspace integer Lloyd + SSE audit
+# --------------------------------------------------------------------------
+
+PQ_SUBSPACES = 2   # subspaces over the first PQ_SUBSPACES·PQ_SUBDIM dims
+PQ_SUBDIM = 4      # dims per subspace (8 total — the covariance family's slice)
+PQ_K = 4           # codes per subspace codebook
+PQ_SEED_BASE = 200  # deterministic init: subvectors of vec_id 200..203
+PQ_ITERS = 2       # assignment rounds (seed-assign → update → final assign)
+
+_PQ_MICRO = 1_000_000.0
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, subspace, v) — each embedding's per-subspace slice,
+    micro-quantized to exact bigints (``floor(x·10⁶)``, the whitening
+    convention). The explode is map-side: |subspaces| rows per vector."""
+    parts = F.array(*[
+        F.struct(
+            F.lit(s).cast("int").alias("subspace"),
+            F.transform(
+                F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM),
+                lambda x: F.floor(x.cast("double") * F.lit(_PQ_MICRO))
+                .cast("long"),
+            ).alias("v"),
+        )
+        for s in range(PQ_SUBSPACES)
+    ])
+    return emb.select("vec_id", F.explode(parts).alias("p")).select(
+        "vec_id",
+        F.col("p.subspace").alias("subspace"),
+        F.col("p.v").alias("v"),
+    )
+
+
+def _pq_dist() -> F.Column:
+    """Exact integer squared L2 between the micro subvector ``v`` and the
+    micro centroid ``c`` — an explicit {PQ_SUBDIM}-term sum, no float
+    compare anywhere (the tie order is therefore engine-identical)."""
+    terms = [
+        (F.element_at("v", i + 1) - F.element_at("c", i + 1)) *
+        (F.element_at("v", i + 1) - F.element_at("c", i + 1))
+        for i in range(PQ_SUBDIM)
+    ]
+    d = terms[0]
+    for t in terms[1:]:
+        d = d + t
+    return d.cast("bigint")
+
+
+def _pq_assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """One PQ assignment: nearest codebook entry per (vector, subspace)
+    by exact integer squared L2, ties to the smallest code. Codebooks
+    broadcast (|subspaces|·K rows); the window partitions by
+    (vec_id, subspace) over exactly K candidate rows."""
+    scored = sub.join(F.broadcast(cents), "subspace").select(
+        "vec_id", "subspace", "v", "code", _pq_dist().alias("dist")
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy(
+        F.col("dist").asc(), F.col("code").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "subspace", "v", "code", "dist")
+    )
+
+
+def _pq_update(assign: DataFrame) -> DataFrame:
+    """One codebook update: per-(subspace, code, dim) integer mean of the
+    micro coordinates (``sum div n`` — Spark ``div`` and DuckDB ``//``
+    both truncate toward zero, see SCALE.md §Determinism), re-packed
+    into an ordered array. Map-side combine collapses the posexploded
+    coords to |subspaces|·K·dims partial rows before the wire."""
+    coords = assign.select(
+        "subspace", "code", F.posexplode("v").alias("dim", "q")
+    )
+    per_dim = (
+        coords.groupBy("subspace", "code", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("sm"))
+        .select("subspace", "code", "dim", F.expr("sm div n").alias("m"))
+    )
+    return per_dim.groupBy("subspace", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("c")
+    )
+
+
+def q_embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training + assignment audit — the
+    ANN-index build step downstream of `embedding_whitening_stats`
+    (Jégou et al. 2011, public): the first {PQ_SUBSPACES·PQ_SUBDIM} dims
+    split into {PQ_SUBSPACES} subspaces of {PQ_SUBDIM}; each subspace
+    learns a {PQ_K}-entry codebook by {PQ_ITERS} fixed Lloyd rounds from
+    deterministic data-point seeds (the `kmeans_fixed_iters` recipe),
+    and the output is the per-(subspace, code) audit: member count,
+    vec_id checksum, and the exact integer SSE in micro² units — the
+    reconstruction-error table an index designer reads to size K.
+
+    Everything is EXACT integers end-to-end (stronger than the float
+    k-means): coordinates micro-quantize once (``floor(x·10⁶)``),
+    distances are explicit integer squared L2, and centroid means are
+    truncating integer division — so both engines agree bit-for-bit on
+    every assignment including ties, and the oracle unrolls the rounds
+    as CTEs with the same arithmetic. Empty codes drop out (standard
+    Lloyd); seeds are real subvectors so round 1 never starts empty.
+
+    Scale shape per round: assignment broadcasts |subspaces|·K codebook
+    rows against the map-side-exploded store (no shuffle on the store);
+    the update shuffles only |subspaces|·K·{PQ_SUBDIM} partially-summed
+    rows (map-side combine on the posexploded coords). At real scale
+    raise iterations/K and ``localCheckpoint`` the codebook per round
+    exactly as :func:`kmeans_clustering` documents — the per-round plan
+    is constant-size either way.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sub = _pq_subvectors(emb)
+    cents = sub.where(
+        (F.col("vec_id") >= PQ_SEED_BASE)
+        & (F.col("vec_id") < PQ_SEED_BASE + PQ_K)
+    ).select(
+        "subspace",
+        (F.col("vec_id") - PQ_SEED_BASE).cast("int").alias("code"),
+        F.col("v").alias("c"),
+    )
+    assign = None
+    for i in range(PQ_ITERS):
+        assign = _pq_assign(sub, cents)
+        if i < PQ_ITERS - 1:
+            cents = _pq_update(assign)
+    return assign.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("vec_id").cast("bigint").alias("member_checksum"),
+        F.sum("dist").cast("bigint").alias("sum_dist_micro2"),
+    )
+
+
+def _pq_sql() -> str:
+    def dist(v: str, c: str) -> str:
+        return " + ".join(
+            f"({v}[{i}] - {c}[{i}]) * ({v}[{i}] - {c}[{i}])"
+            for i in range(1, PQ_SUBDIM + 1)
+        )
+
+    def assign(cent_cte: str, out: str) -> str:
+        return (
+            f"{out} AS (\n"
+            f"  SELECT vec_id, subspace, v, code, dist FROM (\n"
+            f"    SELECT s.vec_id, s.subspace, s.v, c.code,\n"
+            f"           CAST({dist('s.v', 'c.c')} AS BIGINT) AS dist,\n"
+            f"           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.subspace\n"
+            f"             ORDER BY {dist('s.v', 'c.c')} ASC, c.code ASC)"
+            f" AS rn\n"
+            f"    FROM sub s JOIN {cent_cte} c ON c.subspace = s.subspace\n"
+            f"  ) WHERE rn = 1\n"
+            f")"
+        )
+
+    def update(assign_cte: str, out: str) -> str:
+        return (
+            f"{out} AS (\n"
+            f"  SELECT subspace, code, list(m ORDER BY dim) AS c FROM (\n"
+            f"    SELECT subspace, code, CAST(i AS INT) AS dim,\n"
+            f"           CAST(SUM(v[i]) AS BIGINT) // COUNT(*) AS m\n"
+            f"    FROM {assign_cte}, unnest(range(1, {PQ_SUBDIM + 1})) u(i)\n"
+            f"    GROUP BY 1, 2, 3\n"
+            f"  ) GROUP BY 1, 2\n"
+            f")"
+        )
+
+    ctes = [
+        f"""sub AS (
+  SELECT vec_id, CAST(s.subspace AS INT) AS subspace,
+         list_transform(
+           embedding[s.subspace * {PQ_SUBDIM} + 1
+                     : s.subspace * {PQ_SUBDIM} + {PQ_SUBDIM}],
+           x -> CAST(FLOOR(x::DOUBLE * {_PQ_MICRO}) AS BIGINT)) AS v
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range({PQ_SUBSPACES})) AS subspace) s
+)""",
+        f"""c0 AS (
+  SELECT subspace, CAST(vec_id - {PQ_SEED_BASE} AS INT) AS code, v AS c
+  FROM sub WHERE vec_id >= {PQ_SEED_BASE}
+    AND vec_id < {PQ_SEED_BASE + PQ_K}
+)""",
+    ]
+    for i in range(1, PQ_ITERS + 1):
+        ctes.append(assign(f"c{i - 1}", f"a{i}"))
+        if i < PQ_ITERS:
+            ctes.append(update(f"a{i}", f"c{i}"))
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS n_members,\n"
+        f"       CAST(SUM(vec_id) AS BIGINT) AS member_checksum,\n"
+        f"       CAST(SUM(dist) AS BIGINT) AS sum_dist_micro2\n"
+        f"FROM a{PQ_ITERS} GROUP BY 1, 2"
+    )
+
+
+_PQ_SQL = _pq_sql()
+
+
 RP_K = 8  # target dims for the random-projection sketch
 
 #: Deterministic Rademacher (+/-1) sign matrix for the JL projection,
@@ -1345,6 +1550,9 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_whitening_stats": QuerySpec(
         q_embedding_whitening_stats, _WHITEN_SQL,
         tags=("vectors", "stats", "audit")),
+    "embedding_pq_codebook": QuerySpec(
+        q_embedding_pq_codebook, _PQ_SQL,
+        tags=("vector", "compression", "iterative", "pipeline")),
     "embedding_covariance": QuerySpec(
         q_embedding_covariance, _EMB_COV_SQL,
         tags=("vector", "stats", "pipeline"),
