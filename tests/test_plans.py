@@ -1194,16 +1194,39 @@ def test_quantile_drift_single_raw_scan(spark, sf_smoke):
     assert "CartesianProduct" not in plan
 
 
-def test_zipf_fit_single_scan(spark, sf_smoke):
-    """zipf_vocab_fit: one documents scan feeding the vocabulary
-    collapse (map-side partial aggregation), windows only over collapsed
-    relations."""
+def test_zipf_fit_rank_rides_histogram_no_serial_window(spark, sf_smoke):
+    """zipf_vocab_fit (r9 verdict item #4): the per-word row_number
+    ranker is GONE — ranks derive from the two-phase prefix over the
+    checkpointed (freq, n_w) histogram, so the final plan has no
+    row_number at all, windows only over octave-bucketed collapsed
+    relations (the offsets window + the ≤25-row lead), and the corpus
+    scan hides behind the histogram checkpoint."""
+    import re
+
     from tfm_taxitrips_spark.queries.text import q_zipf_vocab_fit
 
     plan = explain_formatted(q_zipf_vocab_fit(spark, sf_smoke))
-    assert plan.count("documents.parquet") == 1
-    assert plan.count("HashAggregate") >= 2  # partial + final collapse
+    assert "row_number" not in plan  # the serial ranker is gone
+    assert "documents.parquet" not in plan  # behind the checkpoint
+    assert "Scan ExistingRDD" in plan
     assert "CartesianProduct" not in plan
+    # exactly three windows: prefix offsets, per-octave local sum, lead
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 3
+
+
+def test_vocab_curve_rank_rides_histogram_no_serial_window(spark, sf_smoke):
+    """vocab_coverage_curve (r9 verdict item #4): same rewrite — no
+    row_number, both stacked prefixes ride the checkpointed histogram,
+    the cut literals broadcast into the range join, and nothing larger
+    than the octave relation is ever single-partition sorted."""
+    from tfm_taxitrips_spark.queries.text import q_vocab_coverage_curve
+
+    plan = explain_formatted(q_vocab_coverage_curve(spark, sf_smoke))
+    assert "row_number" not in plan
+    assert "documents.parquet" not in plan  # behind the checkpoint
+    assert "Scan ExistingRDD" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 4-cut range join
 
 
 def test_whitening_stats_checkpointed_single_pass(spark, sf_smoke):

@@ -245,3 +245,34 @@ def test_pq_codebook_matches_exact_python_reference(spark, sf_smoke):
     }
     assert got == {k: tuple(v) for k, v in ref.items()}
 
+
+def test_vocab_rank_rewrite_on_octave_spanning_freq_group(spark, tmp_path):
+    """The r10 histogram rewrite of the vocab rankers must stay exact
+    when ONE frequency group spans several octaves — the case the
+    fixture's smooth vocabulary barely exercises: 20 singleton words
+    behind one triple word occupy ranks 2..21, crossing octaves 1-4.
+    Hand-computed octave stats and coverage cuts (including a cut at a
+    group's first and last rank) pin the range arithmetic."""
+    from tfm_taxitrips_spark.queries.text import (
+        q_vocab_coverage_curve,
+        q_zipf_vocab_fit,
+    )
+
+    words = ["top top top"] + [f"u{i:02d}" for i in range(20)]
+    _write_documents(tmp_path, [(1, " ".join(words), "s")])
+    # vocabulary: 'top' freq 3 (rank 1), 20 words freq 1 (ranks 2..21)
+    z = (q_zipf_vocab_fit(spark, str(tmp_path)).toPandas()
+         .set_index("bucket").sort_index())
+    assert list(z.index) == [0, 1, 2, 3, 4]
+    assert [int(z.loc[b, "min_rank"]) for b in z.index] == [1, 2, 4, 8, 16]
+    assert [int(z.loc[b, "n_words"]) for b in z.index] == [1, 2, 4, 8, 6]
+    assert [int(z.loc[b, "bucket_mass"]) for b in z.index] == [3, 2, 4, 8, 6]
+    c = (q_vocab_coverage_curve(spark, str(tmp_path)).toPandas()
+         .set_index("vocab_topn").sort_index())
+    # cuts 5/10/20/30: 20 lands mid-group, 30 beyond the vocab (no row)
+    assert list(c.index) == [5, 10, 20]
+    assert int(c.loc[5, "covered_tokens"]) == 3 + 4    # top + 4 singletons
+    assert int(c.loc[10, "covered_tokens"]) == 3 + 9
+    assert int(c.loc[20, "covered_tokens"]) == 3 + 19
+    assert (c["total_tokens"] == 23).all()
+    assert int(c.loc[20, "covered_ppm"]) == 22 * 10**6 // 23

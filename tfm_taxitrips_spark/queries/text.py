@@ -28,6 +28,7 @@ from tfm_taxitrips_spark.functions.text import (
 )
 from tfm_taxitrips_spark.operators.pairs import bucket_pairs
 from tfm_taxitrips_spark.operators.partitioning import fan_out
+from tfm_taxitrips_spark.operators.prefix import two_phase_prefix_sum
 from tfm_taxitrips_spark.queries.registry import QuerySpec
 from tfm_taxitrips_spark.sources.readers import table
 
@@ -1909,34 +1910,59 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer-sizing diagnostic (how big must the vocab be before OOV
     is negligible), and `bpe_merge_induction`'s sizing companion.
 
-    Scale shape: the corpus collapses once into the word-frequency
-    table (vocabulary-bounded — the same collapse every vocab op rides);
-    the ranking window then runs over |vocab| rows
-    (cardinality-collapsed single-partition window, the deliberate
-    bounded choice). Coverage is exact integer ppm; the (freq DESC,
-    word ASC) total order makes every cut deterministic under ties.
+    Scale shape (r9 verdict item #4 — the per-word rank window is GONE):
+    the corpus collapses into the (freq, n_w) HISTOGRAM (≤ √(2N) rows,
+    see :func:`_freq_histogram`); TWO stacked two-phase prefix sums over
+    frequency octaves give each group its rank range and the token mass
+    before it; each cut N then joins to the ONE group whose range
+    contains rank N (a broadcast of the 4 cut literals) and covers
+    ``mass_before + (N − start)·freq`` tokens — exact for every tie
+    order, because group members are interchangeable. Coverage is exact
+    integer ppm; the oracle keeps the naive ranked-window form, so the
+    registry differential proves the rewrite exact on every run.
     """
     docs = table(spark, sf_dir, "documents")
-    freq = (
-        docs.select(F.explode(tokens("text")).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-        .localCheckpoint(eager=False)  # ranked curve + total both read it
+    hist = _freq_histogram(docs).withColumn(
+        "mass", F.col("freq") * F.col("n_w")
     )
-    order = [F.col("freq").desc(), F.col("w").asc()]
-    w_rank = Window.orderBy(*order)
-    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    ranked = freq.select(
-        F.row_number().over(w_rank).alias("vocab_topn"),
-        F.sum("freq").over(w_cum).alias("covered_tokens"),
-    ).where(F.col("vocab_topn").isin(*_VOCAB_CURVE_NS))
-    total = freq.agg(F.sum("freq").cast("bigint").alias("total_tokens"))
-    return ranked.crossJoin(F.broadcast(total)).select(
-        "vocab_topn",
-        F.col("covered_tokens").cast("bigint").alias("covered_tokens"),
-        "total_tokens",
-        F.expr("(covered_tokens * 1000000) div total_tokens")
-        .alias("covered_ppm"),
+    h1 = _hist_with_rank_start(hist).localCheckpoint(
+        eager=False  # input of the second stacked prefix (prefix.py rule)
+    )
+    h2 = two_phase_prefix_sum(
+        h1.withColumn("neg_freq", -F.col("freq")).withColumn(
+            "fb", -(F.length(F.bin("freq")) - 1).cast("int")
+        ),
+        bucket_col="fb",
+        order_cols=["neg_freq"],
+        val_col="mass",
+        out_col="mass_before",
+        inclusive=False,
+    )
+    cuts = spark.createDataFrame(
+        [(n,) for n in _VOCAB_CURVE_NS], "vocab_topn int"
+    )
+    hit = F.broadcast(cuts).join(
+        h2,
+        (h2["start"] < cuts["vocab_topn"])
+        & (cuts["vocab_topn"] <= h2["start"] + h2["n_w"]),
+    )
+    total = hist.agg(F.sum("mass").cast("bigint").alias("total_tokens"))
+    return (
+        hit.select(
+            "vocab_topn",
+            (
+                F.col("mass_before")
+                + (F.col("vocab_topn") - F.col("start")) * F.col("freq")
+            ).cast("bigint").alias("covered_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_topn",
+            "covered_tokens",
+            "total_tokens",
+            F.expr("(covered_tokens * 1000000) div total_tokens")
+            .alias("covered_ppm"),
+        )
     )
 
 
@@ -1961,6 +1987,50 @@ FROM r WHERE vocab_topn IN {_VOCAB_CURVE_NS}
 """
 
 
+def _freq_histogram(docs: DataFrame) -> DataFrame:
+    """Collapse the corpus twice: word-frequency table (vocabulary-
+    bounded), then the (freq, n_w) HISTOGRAM — one row per DISTINCT
+    frequency value. |distinct freqs| ≤ √(2·Σfreq) (k distinct values
+    need at least 1+2+…+k tokens), so even a 10¹³-token corpus yields a
+    ≤ ~5·10⁶-row relation — the frame every rank computation rides
+    instead of per-word windows (r9 verdict item #4). Lazily
+    checkpointed: every caller consumes it at least twice (the
+    ``prefix.py`` contract)."""
+    return (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .groupBy("freq")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _hist_with_rank_start(hist: DataFrame) -> DataFrame:
+    """Add ``start`` = number of words ranked strictly before each
+    frequency group under the (freq DESC, word ASC) total order — i.e.
+    the group occupies ranks (start, start + n_w]. Words tie-break
+    WITHIN a group only, and all group members share the same freq, so
+    every rank-range statistic is tie-order-free by construction.
+
+    The prefix runs through ``two_phase_prefix_sum`` over frequency-
+    OCTAVE buckets (``-(bitlen(freq))`` — monotone in freq DESC): the
+    offsets window rides the ≤64-row octave relation and the local
+    window partitions per octave (≤ min(2^b, |distinct freqs|) rows
+    each) — no single-partition pass over the vocabulary anywhere."""
+    h = hist.withColumn("neg_freq", -F.col("freq")).withColumn(
+        "fb", -(F.length(F.bin("freq")) - 1).cast("int")
+    )
+    return two_phase_prefix_sum(
+        h,
+        bucket_col="fb",
+        order_cols=["neg_freq"],
+        val_col="n_w",
+        out_col="start",
+        inclusive=False,
+    ).drop("neg_freq", "fb")
+
+
 def q_zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency profile of the corpus vocabulary, log-free:
     words rank by frequency, ranks group into OCTAVE buckets
@@ -1975,36 +2045,55 @@ def q_zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ARE the fit: slope over an octave is log2 of the ratio, a monotone
     rendering downstream can threshold in ppm directly.
 
-    Scale shape: the corpus collapses ONCE into the word-frequency table
-    (vocabulary-bounded — the same collapse `vocab_coverage_curve` and
-    the BPE trainer ride); the ranking window runs over |vocab| rows
-    (cardinality-collapsed single-partition window, the documented
-    bounded choice); the octave aggregate is ≤ log2|vocab| ≈ 25 rows,
-    and the lead/ratio window rides THAT. ``length(bin(rank)) - 1`` is
-    exact floor-log2 in both engines (verified: no zero padding).
+    Scale shape (r9 verdict item #4 — the per-word rank window is GONE):
+    the corpus collapses into the word-frequency table and then into the
+    (freq, n_w) HISTOGRAM (≤ √(2N) rows — see :func:`_freq_histogram`);
+    a two-phase prefix sum over frequency octaves turns the histogram
+    into rank RANGES (a freq group's members are interchangeable, so
+    octave counts/masses never depend on the within-group tie order),
+    and each group map-side explodes over only the ≤ ~64 octaves its
+    range overlaps. No row_number, no per-word window, no
+    single-partition pass over anything larger than the octave relation.
+    The oracle keeps the naive ranked-window form, so the registry
+    differential proves the rewrite exact on every run.
+    ``length(bin(x)) - 1`` is exact floor-log2 in both engines
+    (verified: no zero padding).
     """
     docs = table(spark, sf_dir, "documents")
-    freq = (
-        docs.select(F.explode(tokens("text")).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-    )
-    w_rank = Window.orderBy(F.col("freq").desc(), F.col("w").asc())
-    ranked = freq.select(
-        F.row_number().over(w_rank).cast("bigint").alias("rank"), "freq"
-    )
-    buckets = (
-        ranked.withColumn(
-            "bucket", (F.length(F.bin("rank")) - 1).cast("int")
+    hist = _hist_with_rank_start(_freq_histogram(docs))
+    two_b = "shiftleft(CAST(1 AS BIGINT), bucket)"
+    octs = (
+        hist.select(
+            "freq", "n_w", "start",
+            # octaves overlapped by ranks (start, start + n_w]
+            F.explode(
+                F.sequence(
+                    (F.length(F.bin(F.col("start") + 1)) - 1).cast("int"),
+                    (F.length(F.bin(F.col("start") + F.col("n_w"))) - 1)
+                    .cast("int"),
+                )
+            ).alias("bucket"),
         )
-        .groupBy("bucket")
-        .agg(
-            F.min("rank").alias("min_rank"),
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("freq").cast("bigint").alias("bucket_mass"),
+        .select(
+            "bucket", "freq",
+            F.expr(f"greatest(start + 1, {two_b})").alias("lo"),
+            F.expr(
+                f"least(start + n_w, shiftleft(CAST(1 AS BIGINT), "
+                f"bucket + 1) - 1)"
+            ).alias("hi"),
+        )
+        .select(
+            "bucket",
+            F.col("lo").alias("min_rank_part"),
+            (F.col("hi") - F.col("lo") + 1).alias("n_in"),
+            (F.col("freq") * (F.col("hi") - F.col("lo") + 1)).alias("mass_in"),
         )
     )
-    w_next = Window.orderBy("bucket")
+    buckets = octs.groupBy("bucket").agg(
+        F.min("min_rank_part").cast("bigint").alias("min_rank"),
+        F.sum("n_in").cast("bigint").alias("n_words"),
+        F.sum("mass_in").cast("bigint").alias("bucket_mass"),
+    )
     return buckets.select(
         "bucket", "min_rank", "n_words", "bucket_mass",
         F.expr(
