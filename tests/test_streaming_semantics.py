@@ -228,6 +228,56 @@ def test_stream_topk_upsert_replaces_null_key_rows(spark, tmp_path):
     }
 
 
+def test_stream_topk_upsert_keeps_null_window_siblings(spark, tmp_path):
+    """ADVICE r9: a NULL ``window_start`` derives a NULL window_date, and
+    SQL ``IN`` never matches NULL — so without the null-safe membership
+    in ``read_touched_dates`` the merge READS nothing from the NULL date
+    partition while the dynamic overwrite still REPLACES that whole
+    partition: any sibling key living there is silently LOST on the next
+    partial re-emission (the date-axis analog of the NULL-key bug, with
+    loss instead of duplication). Unreachable via the watermarked
+    rollup, but ``upsert_to_serving`` is a public foreachBatch body
+    callable with arbitrary frames; parquet round-trips the NULL date as
+    the Hive default partition, so it must behave as a real touched
+    partition — survivors read, matched keys replaced."""
+    from tfm_taxitrips_spark.streaming.serving import upsert_to_serving
+
+    serving = str(tmp_path / "serving")
+    rollup_schema = (
+        "window_start string, event_type string, "
+        "n_events bigint, total_value double"
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, rollup_schema).withColumn(
+            "window_start", F.to_timestamp("window_start")
+        )
+
+    refresh = upsert_to_serving(serving)
+    refresh(batch([
+        (None, "click", 2, 5.0),
+        (None, "view", 7, 3.0),   # the sibling key in the NULL partition
+        ("2024-01-01 10:00:00", "click", 1, 1.0),
+    ]), 0)
+    # a later batch re-emits ONLY the null-window click row
+    refresh(batch([(None, "click", 4, 9.0)]), 1)
+
+    got = {
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in spark.read.parquet(serving)
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect()
+    }
+    import datetime as _dt
+
+    ws = _dt.datetime(2024, 1, 1, 10, 0)
+    assert got == {
+        (None, "click", 4, 9.0),  # replaced — exactly one null click row
+        (None, "view", 7, 3.0),   # sibling SURVIVES the partial overwrite
+        (ws, "click", 1, 1.0),    # dated partition untouched
+    }
+
+
 def test_serving_window_date_label_ignores_session_timezone(spark):
     """The serving table's physical date label must be a pure function of
     the window timestamp: `date_format` renders in the SESSION zone, so

@@ -71,7 +71,13 @@ def _path_is_directory(spark: SparkSession, path: str) -> bool:
     directory-form table misclassified as single-file would stream zero
     rows, the exact silent-empty class this module exists to prevent
     (ADVICE r8). A missing table raises loudly instead of returning an
-    empty stream."""
+    empty stream.
+
+    ``spark._jvm``/``_jsc`` are private PySpark attributes (stable for a
+    decade, absent under Spark Connect): the supported-API alternative
+    is to attempt the read and inspect the error class (PATH_NOT_FOUND)
+    — switch if a connect-only deployment ever matters (ADVICE r9
+    note)."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())

@@ -61,7 +61,16 @@ def _utc_window_date(col):
     merge (which reads only the TOUCHED dates) would leave the old
     label's row behind as a stale duplicate: the cross-run analog of the
     NULL-key bug. The engine pins UTC everywhere, but the on-disk layout
-    must not depend on a session conf to stay consistent."""
+    must not depend on a session conf to stay consistent.
+
+    UPGRADE NOTE (ADVICE r9): this epoch derivation changed the physical
+    label rule in round 9. Labels coincide with the old
+    ``date_format``-under-UTC labels byte-for-byte, so UTC-written
+    tables need nothing — but a persistent serving table written by a
+    pre-r9 build under a NON-UTC session zone carries rows whose old
+    labels the merge will never touch; rebuild (or one-time relabel)
+    such a table before upgrading. In-repo usage is temp-dir-per-run
+    with UTC pinned, so no in-repo table is affected."""
     epoch_day = F.floor(col.cast("long") / F.lit(86400)).cast("int")
     return F.date_add(F.to_date(F.lit("1970-01-01")), epoch_day).cast("string")
 
@@ -81,13 +90,26 @@ def read_touched_dates(
     ``tests/test_plans.py::test_serving_merge_read_prunes_to_touched_dates``
     so a refactor that breaks pruning fails in tests, not as a silent
     full-table scan per micro-batch at scale.
+
+    A ``None`` in ``dates`` is matched NULL-SAFELY (ADVICE r9): SQL
+    ``IN`` never matches NULL, so a NULL-dated row (a NULL
+    ``window_start`` through ``_utc_window_date`` — unreachable via the
+    production watermarked rollup, but this is a public ``foreachBatch``
+    body callable with arbitrary frames) would otherwise bypass the
+    touched-date read and duplicate per micro-batch — the same bug class
+    as the NULL-key merge. Parquet round-trips the NULL date as the Hive
+    default partition, so it IS a real, overwritable partition.
     """
+    non_null = [d for d in dates if d is not None]
+    pred = F.col(WINDOW_DATE).isin(non_null)
+    if any(d is None for d in dates):
+        pred = pred | F.col(WINDOW_DATE).isNull()
     return (
         spark.read.parquet(serving_path)
         # partition inference types the dir name as DATE; the in-flight
         # column is a string — align before the union
         .withColumn(WINDOW_DATE, F.col(WINDOW_DATE).cast("string"))
-        .where(F.col(WINDOW_DATE).isin(dates))
+        .where(pred)
     )
 
 
@@ -109,7 +131,12 @@ def upsert_to_serving(serving_path: str):
         dates = [r[0] for r in batch.select(WINDOW_DATE).distinct().collect()]
         # first batch: the table doesn't exist yet — Hadoop FS existence
         # check (scheme-agnostic, same rationale as pipeline's layout
-        # probe) instead of a catch, so real read failures stay loud
+        # probe) instead of a catch, so real read failures stay loud.
+        # spark._jvm/_jsc are private PySpark attributes (stable for a
+        # decade, absent under Spark Connect): the supported-API
+        # alternative is to attempt the read and inspect the error class
+        # (PATH_NOT_FOUND), or ship a tiny JVM helper — switch if a
+        # connect-only deployment ever matters (ADVICE r9 note).
         hpath = spark._jvm.org.apache.hadoop.fs.Path(serving_path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(hpath):
