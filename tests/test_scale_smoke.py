@@ -107,6 +107,13 @@ HEADLINE = (
     # bootstrap must stay bounded by the date count, and the merge must
     # stay aggregate-sized, not fan out per (window, type) key
     "stream_topk",
+    # round-10 addition: the cross-domain LM matrix. Replication grows
+    # BOTH splits ~10x (fresh doc_ids re-hash into train/val) while the
+    # vocabulary stays fixed, so the bigram model tables saturate and the
+    # eval side's x|sources| fan-out is the measured axis — the scoring
+    # joins must stay bigram-keyed hash joins off the single checkpointed
+    # train collapse, never a re-scan per model relation
+    "per_domain_perplexity_gate",
 )
 
 STRAGGLER_FACTOR = 4.0

@@ -1,6 +1,6 @@
 """Strong-scaling experiment: fixed data (~sf1), growing core counts.
 
-Replicates the scale smoke's ×10 dataset once, then times EIGHT plan
+Replicates the scale smoke's ×10 dataset once, then times TEN plan
 shapes on fresh ``local[N]`` sessions for N in 4/8/16/32 and prints a
 speedup table plus per-stage shuffle-write bytes per shape:
 
@@ -31,7 +31,14 @@ speedup table plus per-stage shuffle-write bytes per shape:
 - ``topk``      — the end-to-end serving drain (update-mode rollup →
   foreachBatch key-merge upsert → date-partitioned parquet → top-k
   read): the r9 serving layout measured whole, on top of the
-  micro-batch floor the ``stream`` shape isolates.
+  micro-batch floor the ``stream`` shape isolates;
+- ``pplx``      — the cross-domain LM quality matrix (round 10's
+  flagship addition): one checkpointed train-side bigram collapse, eval
+  side fanned ×|sources| through bigram-keyed hash joins;
+- ``vocabrank`` — the de-serialized vocabulary ranker (round 10's
+  histogram rewrite): corpus → frequency histogram → octave-bucketed
+  prefix ranks, measured at a replication where the scan dominates
+  (×600 — at ×40 the whole query is sub-second fixed overhead).
 
 The point is measured evidence for SCALE.md: each plan parallelizes
 with cores at fixed data (scale-UP here, the same property that scales
@@ -100,6 +107,8 @@ SHAPE_TABLES = {
     "topk": ("events",),
     "prefix": ("lineitem",),
     "leakage": ("documents",),
+    "pplx": ("documents",),
+    "vocabrank": ("documents",),
 }
 
 #: shapes whose stress can silently vanish under replication (the
@@ -171,7 +180,10 @@ def shuffle_write_bytes(spark) -> int:
 
 def _shapes() -> dict:
     from tfm_taxitrips_spark.queries.analytics import q_ks_split_drift
-    from tfm_taxitrips_spark.queries.dataprep import q_label_leakage_audit
+    from tfm_taxitrips_spark.queries.dataprep import (
+        q_label_leakage_audit,
+        q_per_domain_perplexity_gate,
+    )
     from tfm_taxitrips_spark.queries.graph import q_pagerank_fixed
     from tfm_taxitrips_spark.queries.relational import (
         q_flagship_view,
@@ -181,7 +193,10 @@ def _shapes() -> dict:
         q_stream_topk,
         q_stream_window_rollup,
     )
-    from tfm_taxitrips_spark.queries.text import q_minhash_lsh_candidates
+    from tfm_taxitrips_spark.queries.text import (
+        q_minhash_lsh_candidates,
+        q_zipf_vocab_fit,
+    )
 
     return {
         "flagship": q_flagship_view,
@@ -226,6 +241,22 @@ def _shapes() -> dict:
         # guard working, but a vacuous measurement — NONEMPTY_SHAPES
         # pins that rows actually flowed).
         "leakage": q_label_leakage_audit,
+        # CROSS-DOMAIN LM MATRIX shape (round 10): the train side
+        # collapses once into the vocabulary-bounded bigram tables
+        # (replication multiplies counts, never vocab), so the measured
+        # axis is the eval side — every val-split doc's bigrams fan out
+        # ×|sources| against broadcast model tables and hash-join on the
+        # bigram key. Output is |sources|² rows at any replication
+        # (structurally non-empty — no vacuousness risk).
+        "pplx": q_per_domain_perplexity_gate,
+        # HISTOGRAM-RANK shape (round 10): the de-serialized vocabulary
+        # ranker. Replication multiplies every word's frequency ~N× while
+        # the vocabulary (and so the histogram and octave relations) stays
+        # fixed — the leg measures that the rewrite's critical path is the
+        # parallel corpus explode+collapse, with the rank phase a
+        # constant-size tail (the claim the r10 rewrite makes against the
+        # old single-partition row_number).
+        "vocabrank": q_zipf_vocab_fit,
     }
 
 
