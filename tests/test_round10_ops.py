@@ -276,3 +276,32 @@ def test_vocab_rank_rewrite_on_octave_spanning_freq_group(spark, tmp_path):
     assert int(c.loc[20, "covered_tokens"]) == 3 + 19
     assert (c["total_tokens"] == 23).all()
     assert int(c.loc[20, "covered_ppm"]) == 22 * 10**6 // 23
+
+
+def test_kfold_counts_null_source_stratum(spark, tmp_path):
+    """groupBy treats a NULL source as a real stratum, so it is in the
+    grid — but a plain-equality grid join never matches NULL = NULL, and
+    the audit would emit all-zero fold rows for exactly the doc
+    population it should flag, with the real counts silently dropped
+    (the serving-merge NULL lesson, applied at this operator's birth).
+    The null-safe match must carry the NULL stratum's true counts."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2, 3], dtype="int64"),
+            "text": ["one two", "three four", "five six"],
+            "lang": ["en"] * 3,
+            "source": ["named", None, None],
+            "n_chars": pd.array([7, 10, 8], dtype="int64"),
+        }
+    )
+    pdf.to_parquet(os.path.join(tmp_path, "documents.parquet"))
+    out = q_stratified_kfold(spark, str(tmp_path)).toPandas()
+    assert len(out) == 2 * _KFOLD_K  # named + NULL strata, full grids
+    nul = out[out["source"].isna()]
+    assert len(nul) == _KFOLD_K
+    assert int(nul["n_docs"].sum()) == 2      # docs 2 and 3 are counted
+    assert int(nul["n_tokens"].sum()) == 4
+    assert int(nul["doc_checksum"].sum()) == 5
+    assert int(nul["fold_max_docs"].iloc[0]) >= 1

@@ -515,6 +515,13 @@ def q_per_domain_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     contexts — derivable from the same collapse, see below); OOV cells
     (c(a,b)=0) are also counted explicitly per pair.
 
+    NULL-source contract: a NULL source is a real rollup group, but the
+    model joins key on train_source with PLAIN equality in BOTH engines
+    (so they always agree) — a NULL-source model is therefore
+    unreachable and its matrix row reads as all-OOV. The documented
+    stance: NULL provenance is a data-quality defect to fix upstream
+    (`data_contract_audit` flags it), not a domain to score against.
+
     Scale shape (one corpus pass per split): the train side collapses
     ONCE into the (source, bigram) frequency table — vocabulary-bounded,
     lazily checkpointed — and *everything else derives from it*:
@@ -696,13 +703,25 @@ def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", F.col("_f").cast("int").alias("fold"))
     )
+    # NULL-SAFE stratum match (the serving-merge lesson applied at birth):
+    # groupBy treats a NULL source as a real stratum, so it IS in the
+    # grid — but a plain-equality join never matches NULL = NULL, and the
+    # audit would show all-zero folds for exactly the doc population it
+    # should flag, with the real counts silently dropped. Matched with
+    # eqNullSafe / IS NOT DISTINCT FROM in both engines.
     full = (
-        grid.join(m, ["source", "fold"], "left")
+        grid.alias("g").join(
+            m.alias("m"),
+            F.col("g.source").eqNullSafe(F.col("m.source"))
+            & (F.col("g.fold") == F.col("m.fold")),
+            "left",
+        )
         .select(
-            "source", "fold",
-            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
-            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
-            F.coalesce("doc_checksum", F.lit(0)).cast("bigint")
+            F.col("g.source").alias("source"), F.col("g.fold").alias("fold"),
+            F.coalesce("m.n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce("m.n_tokens", F.lit(0)).cast("bigint")
+            .alias("n_tokens"),
+            F.coalesce("m.doc_checksum", F.lit(0)).cast("bigint")
             .alias("doc_checksum"),
         )
         .localCheckpoint(eager=False)  # rows + per-stratum extremes read it
@@ -712,9 +731,13 @@ def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_docs").alias("fold_max_docs"),
     )
     return (
-        full.join(F.broadcast(ext), "source")
+        full.alias("f").join(
+            F.broadcast(ext).alias("e"),
+            F.col("f.source").eqNullSafe(F.col("e.source")),
+        )
         .select(
-            "source", "fold", "n_docs", "n_tokens", "doc_checksum",
+            F.col("f.source").alias("source"), "fold", "n_docs", "n_tokens",
+            "doc_checksum",
             F.col("fold_min_docs").cast("bigint").alias("fold_min_docs"),
             F.col("fold_max_docs").cast("bigint").alias("fold_max_docs"),
             F.expr("(fold_min_docs * 1000000) div fold_max_docs")
@@ -743,7 +766,8 @@ full_grid AS (
          COALESCE(a.n_docs, 0) AS n_docs,
          COALESCE(a.n_tokens, 0) AS n_tokens,
          COALESCE(a.doc_checksum, 0) AS doc_checksum
-  FROM grid g LEFT JOIN a ON a.source = g.source AND a.fold = g.fold
+  FROM grid g LEFT JOIN a
+    ON a.source IS NOT DISTINCT FROM g.source AND a.fold = g.fold
 ),
 ext AS (
   SELECT source, CAST(MIN(n_docs) AS BIGINT) AS fold_min_docs,
@@ -754,7 +778,7 @@ SELECT f.source, f.fold, f.n_docs, f.n_tokens, f.doc_checksum,
        e.fold_min_docs, e.fold_max_docs,
        CAST((e.fold_min_docs * 1000000) // e.fold_max_docs AS BIGINT)
          AS balance_ppm
-FROM full_grid f JOIN ext e ON e.source = f.source
+FROM full_grid f JOIN ext e ON e.source IS NOT DISTINCT FROM f.source
 """
 
 
