@@ -305,3 +305,26 @@ def test_kfold_counts_null_source_stratum(spark, tmp_path):
     assert int(nul["n_tokens"].sum()) == 4
     assert int(nul["doc_checksum"].sum()) == 5
     assert int(nul["fold_max_docs"].iloc[0]) >= 1
+
+
+def test_ece_null_label_counts_as_negative(spark, tmp_path):
+    """A NULL lang label must count as NOT-'en' (the oracle's CASE…ELSE
+    0), not propagate NULL through the bin's positive count — the bare
+    Spark equality did exactly that (n_pos NULL where DuckDB says 0),
+    found by the round-10 NULL probe."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2], dtype="int64"),
+            "text": ["w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"] * 2,
+            "lang": [None, "en"],
+            "source": ["s", "s"],
+            "n_chars": pd.array([30, 30], dtype="int64"),
+        }
+    )
+    pdf.to_parquet(os.path.join(tmp_path, "documents.parquet"))
+    out = q_quality_ece(spark, str(tmp_path)).toPandas().set_index("bin")
+    assert int(out.loc[0, "n_docs"]) == 2
+    assert int(out.loc[0, "n_pos"]) == 1          # NULL label is negative
+    assert int(out.loc[0, "acc_ppm"]) == 500_000  # not NULL

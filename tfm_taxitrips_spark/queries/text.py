@@ -216,7 +216,12 @@ def q_quality_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bin = min(conf div 100k, BINS-1); expressed with div to stay integral
     binned = docs.select(
         n_tok.alias("n_tok"), n_stop.alias("n_stop"),
-        (F.col("lang") == "en").cast("int").alias("pos"),
+        # a NULL label is NOT a positive — coalesce mirrors the oracle's
+        # CASE…ELSE 0; a bare (lang = 'en') propagates NULL through SUM
+        # and a NULL-labeled bin would emit n_pos NULL where the oracle
+        # says 0 (found by the round-10 NULL probe, engine-divergent)
+        F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0))
+        .alias("pos"),
     ).select(
         F.least(
             F.lit(_ECE_BINS - 1),
