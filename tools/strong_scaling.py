@@ -109,6 +109,7 @@ SHAPE_TABLES = {
     "leakage": ("documents",),
     "pplx": ("documents",),
     "vocabrank": ("documents",),
+    "novelty": ("documents",),
 }
 
 #: shapes whose stress can silently vanish under replication (the
@@ -195,6 +196,7 @@ def _shapes() -> dict:
     )
     from tfm_taxitrips_spark.queries.text import (
         q_minhash_lsh_candidates,
+        q_ngram_novelty_rate,
         q_zipf_vocab_fit,
     )
 
@@ -257,6 +259,15 @@ def _shapes() -> dict:
         # constant-size tail (the claim the r10 rewrite makes against the
         # old single-partition row_number).
         "vocabrank": q_zipf_vocab_fit,
+        # FIRST-SEEN-JOIN shape (round 10): corpus-order novelty. The
+        # claim under test is the NO-CAP linearity argument — the join's
+        # right side is the 1-row-per-shingle min(doc_id) relation, so
+        # output = input shingle rows at ANY duplication level (here
+        # every shingle's first-seen doc is its lowest-id copy and all
+        # other copies score zero novelty — maximal join traffic per
+        # shingle with zero pair blowup, the adversarial case for an
+        # uncapped join).
+        "novelty": q_ngram_novelty_rate,
     }
 
 
@@ -270,6 +281,12 @@ def run_at(cores: int, data_dir: str, shape: str) -> tuple[float, int]:
         .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "true")
+        # normally inherited from build_dataset's first-session heap, but
+        # a STRONGSCALE_DATA reuse run SKIPS the build — its first JVM
+        # then came up on the 1 g default and the x100 legs OOMed in the
+        # first aggregate (found measuring the novelty shape); setting it
+        # here too is a no-op when the JVM already exists
+        .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
