@@ -572,7 +572,7 @@ def test_two_phase_prefix_sum_equals_naive_cumsum(spark, rows, inclusive):
     batches=st.lists(
         st.lists(
             st.tuples(
-                st.integers(0, 3),          # window index
+                st.integers(0, 4),          # window index (4 → NULL window)
                 st.integers(0, 3),          # event-type index (3 → NULL key)
                 st.integers(1, 50),         # n_events
                 st.integers(-10**4, 10**4), # total_value (cents-ish)
@@ -590,12 +590,15 @@ def test_serving_merge_equals_dict_upsert(spark, tmp_path_factory, batches):
     (window_start, event_type): after ANY sequence of micro-batches —
     duplicate keys across batches, multiple dates per batch, re-touched
     windows, NULL event-type keys (groupBy's NULL group is a real upsert
-    key — the null-safe-match regression class) — the table equals
+    key — the null-safe-match regression class), and NULL window_start
+    rows (the NULL date partition is a real, overwritable partition —
+    the round-10 null-safe touched-date read) — the table equals
     replaying the batches into a plain dict (last write per key wins;
     within a batch the update-mode contract is one row per key, so later
     tuples for the same key overwrite). The example-based tests pin
-    chosen traps (sibling survival, re-delivery, NULL-key re-emission);
-    this pins the semantics on adversarial shapes."""
+    chosen traps (sibling survival, re-delivery, NULL-key re-emission,
+    NULL-date sibling loss); this pins the semantics on adversarial
+    shapes."""
     import datetime as _dt
 
     from tfm_taxitrips_spark.streaming.serving import topk_view, upsert_to_serving
@@ -608,10 +611,11 @@ def test_serving_merge_equals_dict_upsert(spark, tmp_path_factory, batches):
         rows = []
         seen_in_batch: dict[tuple, tuple] = {}
         for w, t, n, v in batch:
-            # windows 12h apart -> the 4 windows span 2 calendar dates,
-            # so every example exercises the multi-date merge path
+            # windows 12h apart -> the 4 real windows span 2 calendar
+            # dates, so every example exercises the multi-date merge
+            # path; index 4 is the NULL window (Hive default partition)
             key = (
-                base + _dt.timedelta(hours=12 * w),
+                None if w == 4 else base + _dt.timedelta(hours=12 * w),
                 None if t == 3 else f"type{t}",
             )
             seen_in_batch[key] = (n, float(v))
