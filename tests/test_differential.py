@@ -314,4 +314,3 @@ def test_splice_admissibility_maps_files_to_queries():
         h.update(rel.encode())
         h.update(bytes.fromhex(hexd))
     assert h.hexdigest() == source_fingerprint()
-

@@ -1,6 +1,6 @@
 """Strong-scaling experiment: fixed data (~sf1), growing core counts.
 
-Replicates the scale smoke's ×10 dataset once, then times TEN plan
+Replicates the scale smoke's ×10 dataset once, then times ELEVEN plan
 shapes on fresh ``local[N]`` sessions for N in 4/8/16/32 and prints a
 speedup table plus per-stage shuffle-write bytes per shape:
 
@@ -38,7 +38,12 @@ speedup table plus per-stage shuffle-write bytes per shape:
 - ``vocabrank`` — the de-serialized vocabulary ranker (round 10's
   histogram rewrite): corpus → frequency histogram → octave-bucketed
   prefix ranks, measured at a replication where the scan dominates
-  (×600 — at ×40 the whole query is sub-second fixed overhead).
+  (×600 — at ×40 the whole query is sub-second fixed overhead);
+- ``novelty``   — corpus-order first-seen n-gram novelty (round 10):
+  shingle explode → map-side-combined min(doc_id) first-seen collapse
+  → 1-row-per-shingle equi-join back (output = input, provably linear
+  with no df cap), measured at the adversarial ×100 every-doc-copied
+  extreme where all join traffic scores zero novelty.
 
 The point is measured evidence for SCALE.md: each plan parallelizes
 with cores at fixed data (scale-UP here, the same property that scales
