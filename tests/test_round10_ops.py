@@ -328,3 +328,27 @@ def test_ece_null_label_counts_as_negative(spark, tmp_path):
     assert int(out.loc[0, "n_docs"]) == 2
     assert int(out.loc[0, "n_pos"]) == 1          # NULL label is negative
     assert int(out.loc[0, "acc_ppm"]) == 500_000  # not NULL
+
+
+def test_ece_null_text_excluded_by_contract(spark, tmp_path):
+    """r10 advisory #1 closed: a NULL text row must be EXCLUDED from the
+    reliability diagram by the explicit guard, not land in the saturated
+    bin through Spark's size(NULL) = -1 / DuckDB's LEAST(10⁶, NULL)
+    double-accident. One real doc + one NULL-text doc → exactly one bin
+    row counting exactly one doc."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2], dtype="int64"),
+            "text": ["w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", None],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": pd.array([30, 0], dtype="int64"),
+        }
+    )
+    pdf.to_parquet(os.path.join(tmp_path, "documents.parquet"))
+    out = q_quality_ece(spark, str(tmp_path)).toPandas()
+    assert set(out["bin"]) == {0}                  # no saturated-bin ghost
+    assert int(out["n_docs"].sum()) == 1           # the NULL row is gone
+    assert int(out.set_index("bin").loc[0, "n_pos"]) == 1

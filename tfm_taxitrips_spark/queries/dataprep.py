@@ -580,18 +580,26 @@ def q_per_domain_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prob_ppm"),
         )
     )
+    # sum_prob_ppm accumulates in DECIMAL(38,0) (the
+    # embedding_whitening_stats convention, r10 advisory #2): each bigram
+    # contributes up to 10⁶ ppm, so a single in-domain cell overflows
+    # int64 past ~9.2·10¹² eval bigrams — plausible at the documented
+    # 100 TB corpus. The exact sum renders as a lossless string; the ppm
+    # averages div back to BIGINT (always < 10⁶·scale headroom).
+    d38 = "decimal(38,0)"
     return (
         scored.groupBy("train_source", "eval_source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
             F.sum("oov").cast("bigint").alias("n_oov"),
-            F.sum("prob_ppm").cast("bigint").alias("sum_prob_ppm"),
+            F.sum(F.col("prob_ppm").cast(d38)).cast(d38).alias("_sum_prob"),
         )
         .select(
             "train_source", "eval_source", "n_bigrams", "n_oov",
             F.expr("(n_oov * 1000000) div n_bigrams").alias("oov_ppm"),
-            "sum_prob_ppm",
-            F.expr("sum_prob_ppm div n_bigrams").alias("avg_prob_ppm"),
+            F.col("_sum_prob").cast("string").alias("sum_prob_ppm"),
+            F.expr("_sum_prob div n_bigrams").cast("bigint")
+            .alias("avg_prob_ppm"),
         )
     )
 
@@ -640,8 +648,9 @@ SELECT train_source, eval_source,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(oov) AS BIGINT) AS n_oov,
        CAST((SUM(oov) * 1000000) // COUNT(*) AS BIGINT) AS oov_ppm,
-       CAST(SUM(prob_ppm) AS BIGINT) AS sum_prob_ppm,
-       CAST(SUM(prob_ppm) // COUNT(*) AS BIGINT) AS avg_prob_ppm
+       CAST(SUM(CAST(prob_ppm AS HUGEINT)) AS VARCHAR) AS sum_prob_ppm,
+       CAST(SUM(CAST(prob_ppm AS HUGEINT)) // COUNT(*) AS BIGINT)
+         AS avg_prob_ppm
 FROM scored GROUP BY 1, 2
 """  # rendered into _PPLX_SQL below the split-family constants
 

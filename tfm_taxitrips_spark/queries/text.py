@@ -209,8 +209,17 @@ def q_quality_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan; ONE aggregation shuffle collapses the corpus into ≤
     {_ECE_BINS} rows; the ECE total and the join-back ride that
     aggregate (broadcast). Nothing else moves at 100 TB.
+
+    NULL-text contract (r10 advisory #1 closed): a NULL text row is
+    EXCLUDED outright — before the guard, Spark's ``size(NULL) = -1``
+    and DuckDB's ``LEAST(10⁶, NULL)`` landed such rows in the same
+    saturated bin by two DIFFERENT accidents. The explicit
+    ``text IS NOT NULL`` in both engines replaces accident-alignment
+    with a stated rule; NULL text itself is `data_contract_audit`'s
+    defect to flag, not a confidence to calibrate.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull())
     n_tok = F.size(tokens("text")).cast("bigint")
     n_stop = stopword_count("text").cast("bigint")
     # bin = min(conf div 100k, BINS-1); expressed with div to stay integral
@@ -274,7 +283,7 @@ WITH d AS (
                CAST(({_ECE_CONF_SQL}) // 100000 AS INT)) AS bin,
          CAST({_ECE_CONF_SQL} AS BIGINT) AS conf_ppm,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 b AS (
   SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
