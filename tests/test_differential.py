@@ -150,14 +150,15 @@ def test_rotation_planner_matches_invariant():
 
 
 def test_rotation_planner_code_change_awareness(monkeypatch):
-    """r9 verdict item #3: a query whose import-closure files changed
-    after its latest driver row must rank as stale REGARDLESS of round
-    number — above every clean row — with the changed-file → query
-    mapping derived from the selfcheck import graph, not a hand list.
-    Pinned with a controlled diff injection: pretending ONLY the
-    streaming serving layer changed right after round 8 must pull the
-    stream queries with r≤8 rows ahead of every clean row, while a
-    pretend empty diff must restore pure round-age order."""
+    """r9 verdict item #3 (symbol-level since r11): a query whose
+    dependency closure changed after its latest driver row must rank as
+    stale REGARDLESS of round number — above every clean row — with the
+    changed-symbol → query mapping derived from the tools.symbols
+    graph, not a hand list. Pinned with a controlled diff injection:
+    pretending every symbol of the streaming serving layer changed
+    after every round must pull exactly the serving-closure queries
+    ahead of every clean row, while a pretend empty diff must restore
+    pure round-age order."""
     import os
 
     from tfm_taxitrips_spark.queries import rotation
@@ -166,17 +167,18 @@ def test_rotation_planner_code_change_awareness(monkeypatch):
     serving = os.path.join("tfm_taxitrips_spark", "streaming", "serving.py")
     latest = rotation.latest_graded_round(repo)
 
-    # every round's rows are stale exactly when their closure reaches
-    # the injected file
+    # every round's rows are stale exactly when their SYMBOL closure
+    # reaches any serving.py symbol (the per-file wildcard)
     monkeypatch.setattr(
-        rotation, "files_changed_since_round",
-        lambda _repo: {r: {serving} for r in set(latest.values())},
+        rotation, "symbols_changed_since_round",
+        lambda _repo, base=None: {r: {(serving, "*")}
+                                  for r in set(latest.values())},
     )
-    rows = rotation.plan(205, repo)
+    rows = rotation.plan(210, repo)
     stale = [n for n, _r, s in rows if s]
-    closures = rotation.query_closures(repo)
+    closures = rotation.query_symbol_closures(repo)
     expect = {n for n, c in closures.items()
-              if serving in c and latest.get(n, 0) > 0}
+              if any(f == serving for f, _s in c) and latest.get(n, 0) > 0}
     assert set(stale) == expect          # graph-derived, nothing hand-listed
     assert "stream_topk" in expect        # the r9 verdict's named example
     # class order: every stale row precedes every clean graded row
@@ -187,13 +189,84 @@ def test_rotation_planner_code_change_awareness(monkeypatch):
 
     # empty diff ⇒ no stale class, pure round-age order
     monkeypatch.setattr(
-        rotation, "files_changed_since_round",
-        lambda _repo: {r: set() for r in set(latest.values())},
+        rotation, "symbols_changed_since_round",
+        lambda _repo, base=None: {r: set() for r in set(latest.values())},
     )
     rows2 = rotation.plan(50, repo)
     assert not any(s for _n, _r, s in rows2)
     rounds2 = [r for _n, r, _s in rows2]
     assert rounds2 == sorted(rounds2)
+
+    # git unavailable ⇒ module-granular fallback still ranks staleness
+    monkeypatch.setattr(
+        rotation, "symbols_changed_since_round",
+        lambda _repo, base=None: None,
+    )
+    monkeypatch.setattr(
+        rotation, "files_changed_since_round",
+        lambda _repo: {r: {serving} for r in set(latest.values())},
+    )
+    rows3 = rotation.plan(210, repo)
+    stale3 = {n for n, _r, s in rows3 if s}
+    fclosures = rotation.query_closures(repo)
+    assert stale3 == {n for n, c in fclosures.items()
+                      if serving in c and latest.get(n, 0) > 0}
+
+
+def test_symbol_staleness_single_def_diff():
+    """r10 verdict item #3's Done criterion: with function-level
+    closures, APPENDING a new operator must not mark untouched sibling
+    queries stale, while EDITING one def must stale exactly its
+    dependents. Controlled diffs over the real tree, no git needed."""
+    import os
+
+    from tfm_taxitrips_spark.queries import rotation
+    from tfm_taxitrips_spark.queries.registry import all_queries
+    from tools.symbols import (
+        changed_symbols,
+        intersects,
+        query_symbol_closures,
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text_py = os.path.join("tfm_taxitrips_spark", "queries", "text.py")
+    files = rotation._tree_files(repo, None)
+    modules = {
+        name: spec.fn.__module__.replace(".", os.sep) + ".py"
+        for name, spec in all_queries().items()
+    }
+
+    # 1) append-only diff: one new def → one new symbol, zero stale rows
+    appended = dict(files)
+    appended[text_py] += (
+        "\n\ndef q_r11_probe(spark, sf_dir):\n"
+        "    return table(spark, sf_dir, 'documents')\n"
+    )
+    ch = changed_symbols(files, appended)
+    assert ch == {(text_py, "q_r11_probe")}
+    closures = query_symbol_closures(appended, modules)
+    assert not any(intersects(c, ch) for c in closures.values()), [
+        n for n, c in closures.items() if intersects(c, ch)]
+
+    # 2) single-def edit: rename an output alias inside q_token_count →
+    # exactly that symbol changes, and exactly its dependents go stale
+    edited = dict(files)
+    assert '.alias("text_len")' in edited[text_py]
+    edited[text_py] = edited[text_py].replace(
+        '.alias("text_len")', '.alias("text_len2")')
+    ch2 = changed_symbols(files, edited)
+    assert ch2 == {(text_py, "q_token_count")}
+    stale = {n for n, c in closures.items() if intersects(c, ch2)}
+    assert "text_token_count" in stale
+    assert "text_quality_score" not in stale
+    assert "dedup_exact_docs" not in stale
+
+    # 3) comment/whitespace edits are NOT changes (unparse-normalized)
+    cosmetic = dict(files)
+    cosmetic[text_py] = cosmetic[text_py].replace(
+        "# token counting / quality / language-id / fingerprint",
+        "# token counting / quality / language-id / fingerprint (edited)")
+    assert changed_symbols(files, cosmetic) == set()
 
 
 def test_compare_result_contract():

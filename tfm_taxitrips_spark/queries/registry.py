@@ -117,7 +117,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
 PENDING_ROTATION: tuple[str, ...] = ()
 
 
-def all_queries() -> dict[str, QuerySpec]:
+def _merged() -> dict[str, QuerySpec]:
     from tfm_taxitrips_spark.queries import (
         analytics,
         dataprep,
@@ -142,6 +142,19 @@ def all_queries() -> dict[str, QuerySpec]:
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
             merged[name] = spec
+    return merged
+
+
+def registration_order() -> tuple[str, ...]:
+    """Names in module-merge (definition) order — NOT the
+    GRADING_PRIORITY reordering. The rotation planner's tiebreaker:
+    committing a new window must never change the planner's own
+    ranking (re-derivability, r10 advisory #3)."""
+    return tuple(_merged())
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    merged = _merged()
     missing = [n for n in GRADING_PRIORITY if n not in merged]
     if missing:
         raise ValueError(f"GRADING_PRIORITY names not registered: {missing}")

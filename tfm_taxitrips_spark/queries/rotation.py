@@ -13,21 +13,37 @@ staleness:
 1. queries with NO driver row in any round (hard debt: the rotation test
    fails unless they sit in the window or carry a PENDING_ROTATION IOU);
 2. queries whose latest row is CODE-STALE (r9 verdict item #3): some
-   file in the query's transitive import closure changed after the
-   round that earned the row — a green row proves nothing about code it
-   never ran. Ranked oldest-row-first within the class;
+   SYMBOL in the query's transitive dependency closure changed after
+   the round that earned the row — a green row proves nothing about
+   code it never ran. Ranked oldest-row-first within the class;
 3. queries whose latest row is oldest (fixture regens make old rows
    stale: a row earned on generation-N files proves nothing about
    generation-N+1);
-4. within a staleness class, registry (module) order.
+4. within a staleness class, REGISTRATION order (module-merge
+   definition order, NOT the GRADING_PRIORITY reordering — so
+   committing a new window never changes the planner's own ranking,
+   r10 advisory #3).
 
 A round-N row is diffed against the ``round N: verdict/...`` marker
 commit the driver writes — the tree the row was actually earned on.
-Closures come from :func:`tools.selfcheck.affected_queries`'s import
-graph (the ``__meta__.file_hashes`` machinery), so the planner and the
-splice-admissibility check can never disagree about what a file change
-reaches. Registration hubs (registry/rotation/``queries/__init__``) are
-name-wiring, not data dependencies, and are excluded there by design.
+Staleness is FUNCTION-LEVEL since round 11 (r10 verdict item #3):
+:mod:`tools.symbols` hashes every top-level def/class/assignment and
+diffs changed SYMBOLS, so appending a new operator to a 2,000-line
+query module no longer stales every sibling query's row — only a
+change inside a symbol a query actually (transitively) references
+does. The module-granular import graph
+(:func:`tools.selfcheck.affected_queries`) remains the SPLICE
+admissibility check — deliberately coarser, in the conservative
+direction. Registration hubs (registry/rotation/``queries/__init__``)
+are name-wiring, not data dependencies, and are excluded from both
+analyses by design.
+
+Re-derivability (r10 advisory #3): ``--base <commit>`` diffs each
+round marker against THAT commit's tree instead of the working tree,
+so a window derived at a freeze commit can be reproduced verbatim
+later (the committed GRADING_PRIORITY records the freeze SHA). The
+graded-rounds input is the CORRECTNESS_r*.json set present on disk;
+re-derivation after the next round's file lands must ignore it.
 
 The output is advisory: new/changed-this-round queries must be fronted
 manually (the tool cannot know what changed semantics), displacing the
@@ -136,26 +152,140 @@ def query_closures(repo_root: str) -> dict[str, set[str]]:
     }
 
 
-def plan(window: int = 50, repo_root: str | None = None) -> list[tuple[str, int, bool]]:
+def _round_markers(repo_root: str) -> dict[int, str] | None:
+    """round number -> ``round N: verdict`` marker commit sha (latest
+    marker per round), or ``None`` when git/markers are unavailable."""
+    try:
+        log = subprocess.run(
+            ["git", "-C", repo_root, "log", "--format=%H %s"],
+            check=True, capture_output=True, text=True,
+        ).stdout
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    markers: dict[int, str] = {}
+    for line in log.splitlines():
+        sha, _, subject = line.partition(" ")
+        m = re.match(r"round (\d+): verdict", subject)
+        if m:  # newest first — keep the first (latest) marker per round
+            markers.setdefault(int(m.group(1)), sha)
+    return markers or None
+
+
+def _tree_files(repo_root: str, ref: str | None) -> dict[str, str] | None:
+    """``{repo-relative path: source}`` for every package .py file at
+    ``ref`` (a commit), or in the working tree when ``ref`` is None."""
+    pkg = "tfm_taxitrips_spark"
+    if ref is None:
+        out: dict[str, str] = {}
+        for root, _dirs, files in os.walk(os.path.join(repo_root, pkg)):
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    with open(p) as fh:
+                        out[os.path.relpath(p, repo_root)] = fh.read()
+        return out
+    def git(*args: str) -> str:
+        return subprocess.run(
+            ["git", "-C", repo_root, *args],
+            check=True, capture_output=True, text=True,
+        ).stdout
+    try:
+        paths = [p for p in git("ls-tree", "-r", "--name-only", ref,
+                                "--", pkg).splitlines()
+                 if p.endswith(".py")]
+        return {p: git("show", f"{ref}:{p}") for p in paths}
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+
+def symbols_changed_since_round(
+    repo_root: str, base: str | None = None
+) -> dict[int, set[tuple[str, str]]] | None:
+    """round number -> SYMBOLS (tools.symbols ids) changed between that
+    round's marker tree and the reference tree (working tree, or
+    ``base`` when given — the re-derivability pin). ``None`` when
+    git/markers are unavailable."""
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+    from tools.symbols import changed_symbols
+
+    markers = _round_markers(repo_root)
+    if markers is None:
+        return None
+    new_files = _tree_files(repo_root, base)
+    if new_files is None:
+        return None
+    out: dict[int, set[tuple[str, str]]] = {}
+    for rnd, sha in markers.items():
+        old_files = _tree_files(repo_root, sha)
+        if old_files is None:
+            return None
+        out[rnd] = changed_symbols(old_files, new_files)
+    return out
+
+
+def query_symbol_closures(
+    repo_root: str, base: str | None = None
+) -> dict[str, set[tuple[str, str]]]:
+    """query name -> transitive SYMBOL closure (tools.symbols), rooted
+    at the query's ``QUERIES[<name>]`` registration entry. The
+    name→module mapping comes from the live registry (module files are
+    append-stable across a round)."""
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+    from tools.symbols import query_symbol_closures as _qsc
+
+    from tfm_taxitrips_spark.queries.registry import all_queries
+
+    files = _tree_files(repo_root, base)
+    modules = {
+        name: spec.fn.__module__.replace(".", os.sep) + ".py"
+        for name, spec in all_queries().items()
+    }
+    return _qsc(files, modules)
+
+
+def plan(window: int = 50, repo_root: str | None = None,
+         base: str | None = None) -> list[tuple[str, int, bool]]:
     """Return [(name, latest_round, code_stale)] for the recommended
     window: never-graded first (latest_round 0), then code-stale rows
-    (oldest round first), then clean rows by round age."""
-    from tfm_taxitrips_spark.queries.registry import all_queries
+    (oldest round first), then clean rows by round age. Staleness is
+    symbol-level (``tools.symbols``); falls back to the module-level
+    import graph when git markers are unavailable, and to round-age
+    only when even that fails."""
+    from tfm_taxitrips_spark.queries.registry import registration_order
 
     if repo_root is None:
         repo_root = os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))))
     latest = latest_graded_round(repo_root)
-    changed = files_changed_since_round(repo_root)
-    closures = query_closures(repo_root) if changed is not None else {}
-    names = list(all_queries())  # registry order = tiebreaker
-    idx = {n: i for i, n in enumerate(names)}
 
-    def stale(n: str) -> bool:
-        rnd = latest.get(n, 0)
-        if rnd == 0 or changed is None:
-            return False
-        return bool(closures.get(n, set()) & changed.get(rnd, set()))
+    from tools.symbols import intersects
+
+    changed_syms = symbols_changed_since_round(repo_root, base)
+    if changed_syms is not None:
+        closures = query_symbol_closures(repo_root, base)
+
+        def stale(n: str) -> bool:
+            rnd = latest.get(n, 0)
+            if rnd == 0:
+                return False
+            return intersects(closures.get(n, set()),
+                              changed_syms.get(rnd, set()))
+    else:  # pre-r11 module-granular fallback
+        changed = files_changed_since_round(repo_root)
+        fclosures = query_closures(repo_root) if changed is not None else {}
+
+        def stale(n: str) -> bool:
+            rnd = latest.get(n, 0)
+            if rnd == 0 or changed is None:
+                return False
+            return bool(fclosures.get(n, set()) & changed.get(rnd, set()))
+
+    # REGISTRATION order (not the current GRADING_PRIORITY reordering):
+    # rewriting the window must not perturb the planner's own tiebreak
+    names = list(registration_order())
+    idx = {n: i for i, n in enumerate(names)}
 
     def key(n: str):
         rnd = latest.get(n, 0)
@@ -167,11 +297,21 @@ def plan(window: int = 50, repo_root: str | None = None) -> list[tuple[str, int,
 
 
 def main() -> None:
-    window = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    rows = plan(window)
+    args = list(sys.argv[1:])
+    base: str | None = None
+    if "--base" in args:
+        i = args.index("--base")
+        try:
+            base = args[i + 1]
+        except IndexError:
+            sys.exit("--base requires a commit-ish")
+        del args[i:i + 2]
+    window = int(args[0]) if args else 50
+    rows = plan(window, base=base)
     never = sum(1 for _, r, _s in rows if r == 0)
     n_stale = sum(1 for _, _r, s in rows if s)
-    print(f"# recommended next GRADING_PRIORITY ({len(rows)} slots; "
+    at = f" at --base {base}" if base else ""
+    print(f"# recommended next GRADING_PRIORITY ({len(rows)} slots{at}; "
           f"{never} never-graded first, then {n_stale} code-stale; "
           f"front new/changed queries manually)")
     print("GRADING_PRIORITY: tuple[str, ...] = (")
