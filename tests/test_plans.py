@@ -1384,6 +1384,25 @@ def test_pq_codebook_broadcast_codebooks_no_cartesian(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan
 
 
+def test_pq_recall_adc_joins_are_broadcast(spark, sf_smoke):
+    """embedding_pq_recall_eval: the ADC scoring must be the encoded
+    store against BROADCAST lookup-table slices (probe-capped
+    |probes|·|subspaces|·K rows), and the contingency must broadcast
+    the ≤ probes·k approx set — never a sort-merge join anywhere,
+    never a cartesian. The BroadcastNestedLoopJoin is the composed
+    brute-force baseline's documented intended plan (MAX_PROBE_VECS
+    cap)."""
+    from tfm_taxitrips_spark.queries.vectors import (
+        q_embedding_pq_recall_eval,
+    )
+
+    plan = explain_formatted(q_embedding_pq_recall_eval(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the brute leg, capped
+
+
 def test_plans_md_fingerprint_matches_head():
     """PLANS.md freshness pin (r9 verdict item #5): the plan-dump
     artifact stamps the source fingerprint at generation time exactly

@@ -97,9 +97,15 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb_cluster_sql() -> str:
-    from tfm_taxitrips_spark.queries.vectors import _DUP_PAIRS_SQL
+    from tfm_taxitrips_spark.queries.vectors import (
+        _DUP_PAIRS_SQL,
+        _emb_guard_sql,
+    )
 
-    return f"""
+    # the vector family's malformed-vector guard (r11 probe finding)
+    # shadows the view here too — the Spark side inherits it through
+    # q_embedding_dup_pairs' guarded scan
+    return _emb_guard_sql(f"""
 WITH RECURSIVE pairs AS ({_DUP_PAIRS_SQL}),
 edges AS (
   SELECT vec_a AS u, vec_b AS v FROM pairs
@@ -116,7 +122,7 @@ SELECT u AS vec_id,
        CAST(u = LEAST(u, MIN(v)) AS INT) AS keep
 FROM reach
 GROUP BY u
-"""
+""")
 
 
 # --------------------------------------------------------------------------

@@ -52,6 +52,7 @@ class QuerySpec:
 # serving-layer NULL guard, covered by the stream-family re-grade).
 # Re-derive anytime with ``python -m tfm_taxitrips_spark.queries.rotation``.
 GRADING_PRIORITY: tuple[str, ...] = (
+    "embedding_pq_recall_eval",  # NEW r11 — fronted in registering commit
     "cdc_apply_changes",  # latest row: r4 — spilled from r9, standing promise
     "column_profile",  # latest row: r4 — spilled from r9, standing promise
     "inverted_index_postings",  # latest row: r4 — spilled, standing promise
@@ -101,7 +102,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "time_weighted_avg",  # latest row: r6, code changed since
     "touch_attribution",  # latest row: r6, code changed since
     "decayed_engagement",  # latest row: r6, code changed since
-    "seasonal_anomaly",  # latest row: r6, code changed since
 )
 
 # Queries added AFTER the current round's window froze at 50 entries. They

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.similarity import as_double, dot, l2_norm
+from tfm_taxitrips_spark.queries.vectors import _emb_guard_sql, emb_table
 from tfm_taxitrips_spark.queries.registry import QuerySpec
 from tfm_taxitrips_spark.sources.readers import table
 
@@ -184,7 +185,7 @@ def q_hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RRF_DEPTH)
         .select("doc_id", F.row_number().over(bm_w).alias("bm25_rnk"))
     )
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     probe = emb.where(F.col("vec_id") == FUSION_QID).select(
         F.col("embedding").alias("q_embedding"),
         l2_norm(as_double("embedding")).alias("q_nrm"),
@@ -515,7 +516,7 @@ def _mmr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from tfm_taxitrips_spark.queries.vectors import _brute_force_scored
 
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = emb_table(spark, sf_dir).select(
         "vec_id", F.col("embedding").alias("c_emb"))
     cand_slice = (
         _brute_force_scored(spark, sf_dir)
@@ -660,7 +661,7 @@ _MMR_SQL = _mmr_sql()
 
 QUERIES: dict[str, QuerySpec] = {
     "mmr_diverse_rerank": QuerySpec(
-        q_mmr_diverse_rerank, _MMR_SQL, tags=("retrieval", "iterative")),
+        q_mmr_diverse_rerank, _emb_guard_sql(_MMR_SQL), tags=("retrieval", "iterative")),
     "auc_score_eval": QuerySpec(
         q_auc_score_eval, _AUC_SQL, tags=("eval", "quality", "window")
     ),
@@ -674,6 +675,6 @@ QUERIES: dict[str, QuerySpec] = {
         q_gopher_quality_filter, _GOPHER_SQL, tags=("text", "quality", "gopher")
     ),
     "hybrid_rank_fusion": QuerySpec(
-        q_hybrid_rank_fusion, _FUSION_SQL, tags=("text", "retrieval", "hybrid")
+        q_hybrid_rank_fusion, _emb_guard_sql(_FUSION_SQL), tags=("text", "retrieval", "hybrid")
     ),
 }

@@ -34,10 +34,76 @@ TOP_K = 10
 #: scan. Larger batches belong on the bucketed paths (q_ann_lsh / q_ann_ivf).
 MAX_PROBE_VECS = 64
 
+#: Malformed-vector floor: the deepest fixed-dimension slice any family
+#: member reads (the covariance/whitening/PQ 8-dim prefix). See
+#: :func:`emb_table`.
+EMB_MIN_DIMS = 8
+
+
+def emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector family's ONE guarded ``embeddings`` scan: NULL and
+    shorter-than-{EMB_MIN_DIMS} vectors are excluded at the seam, with
+    the oracle-side twin injected by :func:`_emb_guard_sql`.
+
+    Round-11 probe finding (failing-first, the r9/r10 NULL-probe
+    practice applied to this family's birth defect): planting ONE NULL
+    embedding and ONE 3-dim embedding split the family three ways —
+    13 cosine/dot queries returned Spark results while DuckDB refused
+    (``list_dot_product: argument can not contain NULL values``), the
+    two fixed-slice audits (covariance, whitening) CRASHED Spark
+    outright (strict ``element_at`` past the array end), and six
+    aggregate-shaped queries agreed only by accident. One shared guard
+    replaces three accidents with a stated contract: a malformed vector
+    is an upstream ingest defect to flag, never a candidate, a probe,
+    a centroid seed, or a quantization input. Vectors that pass the
+    guard but disagree on dimensionality remain the ingest schema's
+    promise (a fixed-width embedding column), not per-query defense.
+    """
+    return table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") >= EMB_MIN_DIMS)
+    )
+
+
+def _emb_guard_sql(sql: str) -> str:
+    """Rewrite an oracle to read the GUARDED embeddings relation:
+    every table-position ``FROM/JOIN embeddings`` becomes the
+    ``embeddings_g`` CTE prepended here — :func:`emb_table`'s oracle
+    twin. (DuckDB rejects a CTE that shadows the view it reads —
+    'circular reference' — so the guard needs its own name plus the
+    reference rewrite.)"""
+    import re as _re
+
+    # the REPLACE rebuilds the list column (list_transform over a
+    # coalesced list): DuckDB 1.0's list_inner_product validates the
+    # WHOLE input vector batch — including rows a same-pipeline filter
+    # already deselected — so a guard that merely filters still trips
+    # "argument can not contain NULL values" on the raw scan batch; a
+    # rebuilt vector physically contains only surviving rows' data.
+    # For every row that passes the guard the rebuild is the identity.
+    guard = (
+        f"embeddings_g AS (SELECT * REPLACE (list_transform("
+        f"COALESCE(embedding, []), x -> x) AS embedding) FROM embeddings "
+        f"WHERE embedding IS NOT NULL AND len(embedding) >= "
+        f"{EMB_MIN_DIMS})"
+    )
+    sql = _re.sub(r"\b(FROM|JOIN)(\s+)embeddings\b", r"\1\2embeddings_g",
+                  sql)
+    stripped = sql.lstrip()
+    head_len = len(sql) - len(stripped)
+    if stripped.upper().startswith("WITH RECURSIVE"):
+        # RECURSIVE qualifies the whole WITH list; the guard CTE itself
+        # is non-recursive and must come after the keyword
+        n = len("WITH RECURSIVE")
+        return f"{sql[:head_len + n]} {guard},{stripped[n:]}"
+    if stripped.upper().startswith("WITH"):
+        return f"{sql[:head_len + 4]} {guard},{stripped[4:]}"
+    return f"WITH {guard}\n{sql}"
+
 
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 norms — the array-fold primitive in isolation."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     e = as_double("embedding")
     return emb.select("vec_id", "label", l2_norm(e).alias("l2_norm"))
 
@@ -79,7 +145,7 @@ def _brute_force_scored(
             f"brute-force probe batch {N_QUERY_VECS} exceeds MAX_PROBE_VECS="
             f"{MAX_PROBE_VECS}; use q_ann_lsh/q_ann_ivf for large batches"
         )
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("q_label"),
@@ -127,7 +193,7 @@ SELECT * FROM (
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucket assignment (the partitioning key of the ANN
     scale path)."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     return emb.select(
         "vec_id", "label", lsh_bucket(as_double("embedding")).alias("bucket")
     )
@@ -143,7 +209,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN: candidates meet queries only inside their LSH bucket,
     then exact cosine reranks. Recall < 1 by design ({LSH_PLANES} planes);
     the join key (bucket) is what shards a 100 TB store."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     with_bucket = emb.select(
         "vec_id",
         "label",
@@ -213,7 +279,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment becomes the store's partitioning/clustering key — a query
     then touches nprobe/nlist of the data instead of all of it.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     cents = emb.where(
         (F.col("vec_id") >= N_QUERY_VECS)
         & (F.col("vec_id") < N_QUERY_VECS + IVF_NLIST)
@@ -301,7 +367,7 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection *within LSH buckets*: the
     full near-dup pipeline (bucket → pairwise cosine → threshold) in one
     query. All-pairs never happens — only same-bucket pairs are scored."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     wb = emb.select(
         "vec_id",
         "embedding",
@@ -382,7 +448,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression tree on the same (dim, x) pairs; ``round`` is
     half-away-from-zero in Spark and DuckDB alike.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     coords = emb.select(
         "vec_id", F.posexplode(as_double("embedding")).alias("dim", "x")
     )
@@ -450,7 +516,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine per task before the exchange), so the single shuffle carries
     only |labels|×dim partially-summed rows — independent of corpus size.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     coords = emb.select(
         "label", F.posexplode("embedding").alias("dim", "x")
     )
@@ -514,9 +580,16 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _recall_contingency(brute: DataFrame, approx: DataFrame) -> DataFrame:
     """Shared recall@k contingency: per qid, exact-set size, approx-set
-    size, and |exact ∩ approx|. ``approx`` must carry (qid, a_vec_id)."""
+    size, and |exact ∩ approx|. ``approx`` must carry (qid, a_vec_id).
+
+    Both joins BROADCAST the approx side: it is ≤ |probes|·k rows by
+    construction (every producer ranks to top-k over a capped probe
+    set), so a sort-merge join here would shuffle the brute ranking for
+    nothing — r11 fix, previously Catalyst planned SMJ for all three
+    recall evals. ``approx`` is lazily checkpointed by its callers when
+    recomputing it is expensive (the PQ gate's training loop)."""
     hits = brute.join(
-        approx,
+        F.broadcast(approx),
         (brute["qid"] == approx["qid"])
         & (brute["vec_id"] == approx["a_vec_id"]),
         "left",
@@ -533,7 +606,7 @@ def _recall_contingency(brute: DataFrame, approx: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_approx")
     )
     return per_q.join(
-        n_approx, per_q["q"] == n_approx["qid"], "left"
+        F.broadcast(n_approx), per_q["q"] == n_approx["qid"], "left"
     ).select(
         F.col("q").alias("qid"),
         "n_brute",
@@ -683,7 +756,7 @@ def kmeans_clustering(
     IDENTICAL (checkpointing only swaps lineage for materialized K rows),
     but the logical plan stops nesting — mandatory past ~5 iterations,
     free at any scale because only K × dim values materialize."""
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = emb_table(spark, sf_dir).select("vec_id", "embedding")
     cents = emb.where(
         (F.col("vec_id") >= KM_SEED_BASE)
         & (F.col("vec_id") < KM_SEED_BASE + KM_K)
@@ -773,7 +846,21 @@ _PQ_MICRO = 1_000_000.0
 def _pq_subvectors(emb: DataFrame) -> DataFrame:
     """(vec_id, subspace, v) — each embedding's per-subspace slice,
     micro-quantized to exact bigints (``floor(x·10⁶)``, the whitening
-    convention). The explode is map-side: |subspaces| rows per vector."""
+    convention). The explode is map-side: |subspaces| rows per vector.
+
+    Malformed-vector contract (round-11 NULL probe, found failing-first):
+    a NULL or short (< {PQ_SUBSPACES·PQ_SUBDIM} dims) embedding is
+    EXCLUDED here, mirrored by the oracle's ``sub`` CTE guard. Before
+    the guard the two engines didn't just diverge — Spark's strict
+    ``element_at`` CRASHED the whole query on a 3-dim vector
+    (INVALID_ARRAY_INDEX) while a NULL embedding would have ridden
+    NULL distances into the assignment window, where Spark orders
+    NULLS FIRST and DuckDB NULLS LAST (opposite winners). A malformed
+    vector is upstream's data defect to flag, not a codepoint to train
+    on."""
+    dims = PQ_SUBSPACES * PQ_SUBDIM
+    emb = emb.where(
+        F.col("embedding").isNotNull() & (F.size("embedding") >= dims))
     parts = F.array(*[
         F.struct(
             F.lit(s).cast("int").alias("subspace"),
@@ -874,7 +961,7 @@ def q_embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly as :func:`kmeans_clustering` documents — the per-round plan
     is constant-size either way.
     """
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = emb_table(spark, sf_dir).select("vec_id", "embedding")
     sub = _pq_subvectors(emb)
     cents = sub.where(
         (F.col("vec_id") >= PQ_SEED_BASE)
@@ -896,12 +983,20 @@ def q_embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_sql() -> str:
-    def dist(v: str, c: str) -> str:
-        return " + ".join(
-            f"({v}[{i}] - {c}[{i}]) * ({v}[{i}] - {c}[{i}])"
-            for i in range(1, PQ_SUBDIM + 1)
-        )
+def _pq_dist_sql(v: str, c: str) -> str:
+    """The oracle's explicit integer squared-L2 sum — shared by the
+    codebook trainer's CTE chain and the recall eval's ADC lookup."""
+    return " + ".join(
+        f"({v}[{i}] - {c}[{i}]) * ({v}[{i}] - {c}[{i}])"
+        for i in range(1, PQ_SUBDIM + 1)
+    )
+
+
+def _pq_ctes() -> list[str]:
+    """The unrolled PQ training CTE chain (sub → c0 → a1 → c1 → … →
+    a{PQ_ITERS}) — shared verbatim by the codebook audit oracle and the
+    recall-eval oracle so the two can never train different codebooks."""
+    dist = _pq_dist_sql
 
     def assign(cent_cte: str, out: str) -> str:
         return (
@@ -938,6 +1033,8 @@ def _pq_sql() -> str:
            x -> CAST(FLOOR(x::DOUBLE * {_PQ_MICRO}) AS BIGINT)) AS v
   FROM embeddings
   CROSS JOIN (SELECT unnest(range({PQ_SUBSPACES})) AS subspace) s
+  WHERE embedding IS NOT NULL
+    AND len(embedding) >= {PQ_SUBSPACES * PQ_SUBDIM}
 )""",
         f"""c0 AS (
   SELECT subspace, CAST(vec_id - {PQ_SEED_BASE} AS INT) AS code, v AS c
@@ -949,7 +1046,11 @@ def _pq_sql() -> str:
         ctes.append(assign(f"c{i - 1}", f"a{i}"))
         if i < PQ_ITERS:
             ctes.append(update(f"a{i}", f"c{i}"))
-    body = ",\n".join(ctes)
+    return ctes
+
+
+def _pq_sql() -> str:
+    body = ",\n".join(_pq_ctes())
     return (
         f"WITH {body}\n"
         f"SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS n_members,\n"
@@ -960,6 +1061,150 @@ def _pq_sql() -> str:
 
 
 _PQ_SQL = _pq_sql()
+
+
+def q_embedding_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k gate for the PQ/ADC path — the consumer that makes
+    `embedding_pq_codebook` earn its keep (r10 verdict item #1): train
+    the SAME {PQ_ITERS}-round exact-integer codebook (identical helper
+    calls, identical seeds), PQ-ENCODE the store — each vector collapses
+    to {PQ_SUBSPACES} small codes, the 256-bytes-of-floats → 2-bytes
+    memory story that lets a 100 TB store's index live in RAM — then
+    score every probe by ASYMMETRIC distance (ADC, Jégou et al. 2011,
+    public: exact integer squared L2 between the probe's RAW micro
+    subvector and each candidate's centroid, summed over subspaces) and
+    grade the approximate top-{TOP_K} against the exact brute-force
+    cosine top-{TOP_K} with the SAME per-probe contingency as
+    `ann_recall_eval{,_ivf}` (recall@k = n_hits / n_brute).
+
+    Grading three index designs through ONE contingency (hyperplane LSH
+    ≈ 0 on this clusterless fixture, IVF well above it, and now PQ-ADC
+    over {PQ_SUBSPACES}·{PQ_SUBDIM} of 64 dims at {PQ_K} codes each) is
+    what proves the gate DISCRIMINATES: the PQ number isolates pure
+    quantization loss — tiny K on a prefix slice — rather than probe
+    miss, which is exactly the trade an index designer reads this table
+    to size (raise K / subspaces until recall clears the bar).
+
+    All-integer determinism: distances and ties ((adc_dist, vec_id)
+    ascending) are exact ints on both engines; the oracle reuses the
+    codebook trainer's unrolled CTE chain verbatim (``_pq_ctes``) plus
+    `_recall_sql`'s contingency, so the two queries can never train
+    different codebooks.
+
+    Scale shape: training/encode is the codebook query's plan (broadcast
+    codebooks per Lloyd round; the encode is ONE groupBy collapse of the
+    final assignment to (vec_id, code₀..)); the ADC lookup table is
+    |probes|·{PQ_SUBSPACES}·{PQ_K} rows (probe-capped — built by joining
+    the probe subvectors against the broadcast codebook); scoring is
+    {PQ_SUBSPACES} BROADCAST hash joins of the encoded store against LUT
+    slices plus an integer add — map-side on the encoded store, no
+    per-pair vector arithmetic anywhere (pinned:
+    tests/test_plans.py::test_pq_recall_adc_joins_are_broadcast).
+    """
+    emb = emb_table(spark, sf_dir).select("vec_id", "embedding")
+    sub = _pq_subvectors(emb)
+    cents = sub.where(
+        (F.col("vec_id") >= PQ_SEED_BASE)
+        & (F.col("vec_id") < PQ_SEED_BASE + PQ_K)
+    ).select(
+        "subspace",
+        (F.col("vec_id") - PQ_SEED_BASE).cast("int").alias("code"),
+        F.col("v").alias("c"),
+    )
+    assign = None
+    for i in range(PQ_ITERS):
+        assign = _pq_assign(sub, cents)
+        if i < PQ_ITERS - 1:
+            cents = _pq_update(assign)
+    # cents is now the FINAL codebook — the one the final assignment used
+    enc = assign.groupBy("vec_id").agg(*[
+        F.max(F.when(F.col("subspace") == s, F.col("code")))
+        .cast("int").alias(f"code{s}")
+        for s in range(PQ_SUBSPACES)
+    ])
+    probes = sub.where(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), "subspace", "v"
+    )
+    # ADC lookup table: one exact integer distance per
+    # (probe, subspace, code) — |probes|·|subspaces|·K rows
+    lut = probes.join(F.broadcast(cents), "subspace").select(
+        "qid", "subspace", "code", _pq_dist().alias("d")
+    ).localCheckpoint(eager=False)  # one slice per subspace reads it
+    scored = enc
+    for s in range(PQ_SUBSPACES):
+        lut_s = lut.where(F.col("subspace") == s).select(
+            "qid", F.col("code").alias(f"code{s}"), F.col("d").alias(f"d{s}")
+        )
+        scored = scored.join(
+            F.broadcast(lut_s),
+            [f"code{s}"] if s == 0 else ["qid", f"code{s}"],
+        )
+    adc_dist = F.col("d0")
+    for s in range(1, PQ_SUBSPACES):
+        adc_dist = adc_dist + F.col(f"d{s}")
+    ranked = scored.where(F.col("vec_id") != F.col("qid")).select(
+        "qid", "vec_id", adc_dist.cast("bigint").alias("adc_dist")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc())
+    approx = (
+        ranked.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("a_vec_id"))
+        # the contingency reads approx TWICE (hit join + size agg);
+        # without the checkpoint the whole training loop re-runs
+        .localCheckpoint(eager=False)
+    )
+    brute = q_ann_bruteforce(spark, sf_dir).select("qid", "vec_id")
+    return _recall_contingency(brute, approx)
+
+
+def _pq_approx_sql() -> str:
+    """The ADC approximate top-k as a standalone query (its own WITH
+    chain), shaped for `_recall_sql`'s ``approx`` slot."""
+    enc_cols = ",\n         ".join(
+        f"MAX(CASE WHEN subspace = {s} THEN code END) AS code{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    lut_joins = "\n  ".join(
+        f"JOIN lut l{s} ON l{s}.subspace = {s} AND l{s}.code = e.code{s}"
+        + ("" if s == 0 else f" AND l{s}.qid = l0.qid")
+        for s in range(PQ_SUBSPACES)
+    )
+    adc = " + ".join(f"l{s}.d" for s in range(PQ_SUBSPACES))
+    body = ",\n".join(_pq_ctes())
+    return f"""
+WITH {body},
+enc AS (
+  SELECT vec_id,
+         {enc_cols}
+  FROM a{PQ_ITERS} GROUP BY 1
+),
+probes AS (
+  SELECT vec_id AS qid, subspace, v FROM sub
+  WHERE vec_id < {N_QUERY_VECS}
+),
+lut AS (
+  SELECT p.qid, p.subspace, c.code,
+         CAST({_pq_dist_sql('p.v', 'c.c')} AS BIGINT) AS d
+  FROM probes p JOIN c{PQ_ITERS - 1} c ON c.subspace = p.subspace
+),
+scored AS (
+  SELECT l0.qid, e.vec_id, CAST({adc} AS BIGINT) AS adc_dist
+  FROM enc e
+  {lut_joins}
+  WHERE e.vec_id <> l0.qid
+)
+SELECT qid, vec_id FROM (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+           ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {TOP_K}
+"""
+
+
+_PQ_RECALL_SQL = _recall_sql(_pq_approx_sql())
 
 
 RP_K = 8  # target dims for the random-projection sketch
@@ -994,7 +1239,7 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ZERO shuffles, no explode; the sketch rides along with whatever scan
     already reads the store (pinned, tests/test_plans.py).
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     micro = F.transform(
         as_double("embedding"),
         lambda x: F.floor(x * F.lit(1000000.0)).cast("long"),
@@ -1051,7 +1296,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SET is provably identical to the plain self-join the oracle runs.
     No all-pairs path exists at any corpus shape.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     cents = emb.where(
         (F.col("vec_id") >= N_QUERY_VECS)
         & (F.col("vec_id") < N_QUERY_VECS + IVF_NLIST)
@@ -1177,7 +1422,7 @@ def q_retrieval_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     reading IS the gate's value.
     """
     brute = q_ann_bruteforce(spark, sf_dir)
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     probes = emb.where(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("qid"), F.col("label").alias("probe_label")
     )
@@ -1242,7 +1487,7 @@ def q_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregation — no self-join. Labels present in only one
     half are excluded (no centroid to compare).
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     coords = emb.select(
         "label",
         (F.col("vec_id") % 2 == 0).alias("is_a"),
@@ -1319,7 +1564,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the scale-out path; the exact-integer form is the leading-block
     gate both engines can verify bit-for-bit.)
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     micro = F.transform(
         F.slice("embedding", 1, _COV_DIMS),
         lambda x: F.floor(x.cast("double") * F.lit(_COV_SCALE)).cast("long"),
@@ -1396,7 +1641,7 @@ def q_embedding_whitening_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking window then runs over the 28-row off-diagonal relation
     (aggregate-sized, the deliberate cardinality-collapsed choice).
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = emb_table(spark, sf_dir)
     micro = F.transform(
         F.slice("embedding", 1, _COV_DIMS),
         lambda x: F.floor(x.cast("double") * F.lit(_COV_SCALE)).cast("long"),
@@ -1544,50 +1789,62 @@ SELECT * FROM (
 
 QUERIES: dict[str, QuerySpec] = {
     "hard_negative_mining": QuerySpec(
-        q_hard_negative_mining, _HARD_NEG_SQL,
+        q_hard_negative_mining, _emb_guard_sql(_HARD_NEG_SQL),
         tags=("vector", "training", "topk"),
     ),
     "embedding_whitening_stats": QuerySpec(
-        q_embedding_whitening_stats, _WHITEN_SQL,
+        q_embedding_whitening_stats, _emb_guard_sql(_WHITEN_SQL),
         tags=("vectors", "stats", "audit")),
     "embedding_pq_codebook": QuerySpec(
-        q_embedding_pq_codebook, _PQ_SQL,
+        q_embedding_pq_codebook, _emb_guard_sql(_PQ_SQL),
         tags=("vector", "compression", "iterative", "pipeline")),
+    "embedding_pq_recall_eval": QuerySpec(
+        q_embedding_pq_recall_eval, _emb_guard_sql(_PQ_RECALL_SQL),
+        tags=("vector", "compression", "eval")),
     "embedding_covariance": QuerySpec(
-        q_embedding_covariance, _EMB_COV_SQL,
+        q_embedding_covariance, _emb_guard_sql(_EMB_COV_SQL),
         tags=("vector", "stats", "pipeline"),
     ),
     "random_projection_sketch": QuerySpec(
-        q_random_projection, _RANDOM_PROJECTION_SQL,
+        q_random_projection, _emb_guard_sql(_RANDOM_PROJECTION_SQL),
         tags=("vector", "compression", "pipeline"),
     ),
     "semantic_dedup_prune": QuerySpec(
-        q_semantic_dedup, _SEMDEDUP_SQL, tags=("vector", "dedup", "pipeline")
+        q_semantic_dedup, _emb_guard_sql(_SEMDEDUP_SQL), tags=("vector", "dedup", "pipeline")
     ),
     "kmeans_fixed_iters": QuerySpec(
-        q_kmeans_fixed, _km_sql(), tags=("vector", "clustering", "iterative")
+        q_kmeans_fixed, _emb_guard_sql(_km_sql()), tags=("vector", "clustering", "iterative")
     ),
     "ann_recall_eval": QuerySpec(
-        q_ann_recall_eval, _ANN_RECALL_SQL, tags=("vector", "eval")
+        q_ann_recall_eval, _emb_guard_sql(_ANN_RECALL_SQL), tags=("vector", "eval")
     ),
     "ann_recall_eval_ivf": QuerySpec(
-        q_ann_recall_eval_ivf, _ANN_RECALL_IVF_SQL, tags=("vector", "eval")
+        q_ann_recall_eval_ivf, _emb_guard_sql(_ANN_RECALL_IVF_SQL), tags=("vector", "eval")
     ),
     "retrieval_mrr_eval": QuerySpec(
-        q_retrieval_mrr_eval, _MRR_SQL, tags=("vector", "eval")
+        q_retrieval_mrr_eval, _emb_guard_sql(_MRR_SQL), tags=("vector", "eval")
     ),
     "centroid_shift": QuerySpec(
-        q_centroid_shift, _CENTROID_SHIFT_SQL, tags=("vector", "monitoring")
+        q_centroid_shift, _emb_guard_sql(_CENTROID_SHIFT_SQL), tags=("vector", "monitoring")
     ),
-    "embedding_norms": QuerySpec(q_embedding_norms, _NORMS_SQL, tags=("vector",)),
-    "label_centroids": QuerySpec(q_label_centroids, _CENTROIDS_SQL,
+    "embedding_norms": QuerySpec(
+        q_embedding_norms, _emb_guard_sql(_NORMS_SQL), tags=("vector",)),
+    "label_centroids": QuerySpec(
+        q_label_centroids, _emb_guard_sql(_CENTROIDS_SQL),
                                  tags=("vector", "agg")),
-    "embedding_quantize_int8": QuerySpec(q_embedding_quantize, _QUANTIZE_SQL,
+    "embedding_quantize_int8": QuerySpec(
+        q_embedding_quantize, _emb_guard_sql(_QUANTIZE_SQL),
                                          tags=("vector", "compression")),
-    "knn_label_vote": QuerySpec(q_knn_label_vote, _KNN_VOTE_SQL, tags=("vector",)),
-    "ann_bruteforce": QuerySpec(q_ann_bruteforce, _ANN_BRUTE_SQL, bench=True, tags=("vector",)),
-    "lsh_buckets": QuerySpec(q_lsh_buckets, _LSH_BUCKETS_SQL, tags=("vector",)),
-    "ann_lsh": QuerySpec(q_ann_lsh, _ANN_LSH_SQL, bench=True, tags=("vector",)),
-    "ann_ivf": QuerySpec(q_ann_ivf, _ANN_IVF_SQL, tags=("vector",)),
-    "embedding_dup_pairs": QuerySpec(q_embedding_dup_pairs, _DUP_PAIRS_SQL, tags=("vector", "dedup")),
+    "knn_label_vote": QuerySpec(
+        q_knn_label_vote, _emb_guard_sql(_KNN_VOTE_SQL), tags=("vector",)),
+    "ann_bruteforce": QuerySpec(
+        q_ann_bruteforce, _emb_guard_sql(_ANN_BRUTE_SQL), bench=True, tags=("vector",)),
+    "lsh_buckets": QuerySpec(
+        q_lsh_buckets, _emb_guard_sql(_LSH_BUCKETS_SQL), tags=("vector",)),
+    "ann_lsh": QuerySpec(
+        q_ann_lsh, _emb_guard_sql(_ANN_LSH_SQL), bench=True, tags=("vector",)),
+    "ann_ivf": QuerySpec(
+        q_ann_ivf, _emb_guard_sql(_ANN_IVF_SQL), tags=("vector",)),
+    "embedding_dup_pairs": QuerySpec(
+        q_embedding_dup_pairs, _emb_guard_sql(_DUP_PAIRS_SQL), tags=("vector", "dedup")),
 }
