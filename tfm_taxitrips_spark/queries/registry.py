@@ -53,6 +53,8 @@ class QuerySpec:
 # Re-derive anytime with ``python -m tfm_taxitrips_spark.queries.rotation``.
 GRADING_PRIORITY: tuple[str, ...] = (
     "embedding_pq_recall_eval",  # NEW r11 — fronted in registering commit
+    "doc_repeat_run_gate",  # NEW r11 — fronted in registering commit
+    "tokenizer_fertility_audit",  # NEW r11 — fronted in registering commit
     "cdc_apply_changes",  # latest row: r4 — spilled from r9, standing promise
     "column_profile",  # latest row: r4 — spilled from r9, standing promise
     "inverted_index_postings",  # latest row: r4 — spilled, standing promise
@@ -100,8 +102,6 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "group_trend_slopes",  # latest row: r6, code changed since
     "cusum_drift",  # latest row: r6, code changed since
     "time_weighted_avg",  # latest row: r6, code changed since
-    "touch_attribution",  # latest row: r6, code changed since
-    "decayed_engagement",  # latest row: r6, code changed since
 )
 
 # Queries added AFTER the current round's window froze at 50 entries. They

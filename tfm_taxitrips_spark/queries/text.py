@@ -2356,7 +2356,189 @@ LEFT JOIN m ON m.source_a = p.source_a AND m.source_b = p.source_b
 """
 
 
+# --------------------------------------------------------------------------
+# degeneracy gate: longest run of consecutive identical tokens
+# --------------------------------------------------------------------------
+
+#: a run STRICTLY longer than this flags the document (the "the the the"
+#: LM-degeneracy signature; shared with the oracle)
+REPEAT_RUN_MAX = 3
+
+
+def q_doc_repeat_run_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of CONSECUTIVE identical tokens per document — the
+    degeneracy detector `doc_repetition_stats`' top-gram fraction can
+    miss (a doc can repeat "the the the the" in one burst yet keep a
+    modest global top-gram share, and vice versa). Flags docs whose
+    longest run exceeds {REPEAT_RUN_MAX} — the classic neural-LM
+    decode-loop signature a pretraining filter removes.
+
+    The differential's best use (ROUND10_NOTES §17): the two engines
+    compute the SAME semantics by structurally DIFFERENT algorithms —
+    Spark as a pure ``F.aggregate`` carry (prev token, current run,
+    best run) folded left over the token array, map-side only, no
+    explode and no shuffle at all before the final projection; the
+    oracle as the classic gaps-and-islands window (island id =
+    pos − row_number within (doc, token); longest island per doc). A
+    shared-formula hash match can't falsify either formulation — each
+    proves the other.
+
+    NULL-text contract: excluded outright in both engines (the ECE
+    rule, r10 advisory #1's pattern — `data_contract_audit` owns NULL
+    text; Spark's ``split(NULL)`` would otherwise ride a NULL carry
+    into engine-divergent territory).
+
+    Scale shape: ONE scan, zero exchanges before the output (the carry
+    is whole-stage-codegen per row); at 100 TB this is the cheapest
+    gate in the text family — strictly scan-bound.
+    """
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull())
+    toks = tokens("text")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("int").alias("run"),
+        F.lit(0).cast("int").alias("best"),
+    )
+    carry = F.aggregate(
+        toks,
+        init,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        carry["best"].cast("int").alias("max_run"),
+        (carry["best"] > REPEAT_RUN_MAX).cast("int").alias("is_degenerate"),
+    )
+
+
+_REPEAT_RUN_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS words
+  FROM documents WHERE text IS NOT NULL
+),
+toks AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos, words[CAST(u.i AS INT)] AS t
+  FROM base, unnest(range(1, len(words) + 1)) u(i)
+),
+islands AS (
+  SELECT doc_id, t,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id, t ORDER BY pos)
+           AS island
+  FROM toks
+),
+runs AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS run_len
+  FROM islands GROUP BY doc_id, t, island
+)
+SELECT b.doc_id,
+       CAST(len(b.words) AS INT) AS n_tokens,
+       CAST(MAX(r.run_len) AS INT) AS max_run,
+       CAST(MAX(r.run_len) > {REPEAT_RUN_MAX} AS INT) AS is_degenerate
+FROM base b JOIN runs r ON r.doc_id = b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# tokenizer fertility audit: subword cost per source
+# --------------------------------------------------------------------------
+
+def q_tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer-efficiency table — the numbers a vocabulary
+    designer reads next to `vocab_coverage_curve` when sizing a
+    tokenizer: whitespace words, BPE-ish subword tokens (the
+    `text_bpe_tokens` regex classes, oracle-twinned), characters, and
+    the two exact-ppm ratios that summarize them —
+    ``fertility_ppm = (tokens·10⁶) div words`` (subwords per word: how
+    much the tokenizer fragments this domain) and
+    ``chars_per_token_ppm`` (compression: how much text one token
+    carries). High-fertility sources burn sequence length; a mix
+    designer reweights or retrains the vocab before paying that at
+    100 TB.
+
+    All-integer: the ratios divide per-SOURCE sums (never per-doc, so
+    no zero denominators — a source in the output has ≥ 1 doc and ≥ 1
+    whitespace word). NULL text is excluded by the standing contract
+    (`data_contract_audit` owns it); a NULL source is a REAL audit row
+    (groupBy keeps it — the provenance-defect bucket gets its own
+    fertility line, it does not silently vanish).
+
+    Scale shape: tokenization is map-side expressions on the ONE scan;
+    a single (source) groupBy with map-side combine collapses the
+    corpus to |sources| rows; the ratios are projections on the
+    aggregate. Nothing else moves.
+    """
+    from tfm_taxitrips_spark.functions.text import bpe_ish_tokens
+
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull())
+    return (
+        docs.select(
+            "source",
+            token_count("text").cast("bigint").alias("nw"),
+            F.size(bpe_ish_tokens("text")).cast("bigint").alias("nt"),
+            F.length("text").cast("bigint").alias("nc"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nw").cast("bigint").alias("n_words"),
+            F.sum("nt").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "source", "n_docs", "n_words", "n_bpe_tokens", "n_chars",
+            F.expr("(n_bpe_tokens * 1000000) div n_words")
+            .alias("fertility_ppm"),
+            F.expr("(n_chars * 1000000) div n_bpe_tokens")
+            .alias("chars_per_token_ppm"),
+        )
+    )
+
+
+_FERTILITY_SQL = r"""
+WITH d AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         CAST(len(regexp_extract_all(lower(text),
+              '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS nt,
+         CAST(length(text) AS BIGINT) AS nc
+  FROM documents WHERE text IS NOT NULL
+),
+a AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(nw) AS BIGINT) AS n_words,
+         CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens,
+         CAST(SUM(nc) AS BIGINT) AS n_chars
+  FROM d GROUP BY 1
+)
+SELECT source, n_docs, n_words, n_bpe_tokens, n_chars,
+       CAST((n_bpe_tokens * 1000000) // n_words AS BIGINT)
+         AS fertility_ppm,
+       CAST((n_chars * 1000000) // n_bpe_tokens AS BIGINT)
+         AS chars_per_token_ppm
+FROM a
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "doc_repeat_run_gate": QuerySpec(
+        q_doc_repeat_run_gate, _REPEAT_RUN_SQL,
+        tags=("text", "quality", "gate")),
+    "tokenizer_fertility_audit": QuerySpec(
+        q_tokenizer_fertility_audit, _FERTILITY_SQL,
+        tags=("text", "vocab", "audit")),
     "vocab_coverage_curve": QuerySpec(
         q_vocab_coverage_curve, _VOCAB_CURVE_SQL,
         tags=("text", "vocab", "window")),
