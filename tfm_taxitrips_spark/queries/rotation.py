@@ -198,16 +198,77 @@ def _tree_files(repo_root: str, ref: str | None) -> dict[str, str] | None:
         return None
 
 
+def _tree_blob_map(repo_root: str, ref: str) -> dict[str, str] | None:
+    """``{repo-relative .py path: blob sha}`` for the package at ``ref``
+    (one ``git ls-tree`` subprocess), or ``None`` on git failure."""
+    try:
+        ls = subprocess.run(
+            ["git", "-C", repo_root, "ls-tree", "-r", ref, "--",
+             "tfm_taxitrips_spark"],
+            check=True, capture_output=True, text=True,
+        ).stdout
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    out: dict[str, str] = {}
+    for line in ls.splitlines():
+        meta, _, path = line.partition("\t")
+        parts = meta.split()
+        if path.endswith(".py") and len(parts) >= 3 and parts[1] == "blob":
+            out[path] = parts[2]
+    return out
+
+
+def _cat_file_batch(repo_root: str, shas: list[str]) -> dict[str, str] | None:
+    """blob sha -> decoded content for every sha, via ONE
+    ``git cat-file --batch`` process (r11 advisory: one ``git show`` per
+    file per marker was ~files × rounds subprocess spawns)."""
+    if not shas:
+        return {}
+    try:
+        res = subprocess.run(
+            ["git", "-C", repo_root, "cat-file", "--batch"],
+            input=("\n".join(shas) + "\n").encode(),
+            check=True, capture_output=True,
+        )
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    out: dict[str, str] = {}
+    buf, pos = res.stdout, 0
+    for sha in shas:
+        nl = buf.find(b"\n", pos)
+        if nl < 0:
+            return None
+        parts = buf[pos:nl].decode().split()
+        if len(parts) != 3 or parts[1] != "blob":
+            return None
+        size = int(parts[2])
+        start = nl + 1
+        out[sha] = buf[start:start + size].decode()
+        pos = start + size + 1  # object is newline-terminated
+    return out
+
+
 def symbols_changed_since_round(
     repo_root: str, base: str | None = None
 ) -> dict[int, set[tuple[str, str]]] | None:
     """round number -> SYMBOLS (tools.symbols ids) changed between that
     round's marker tree and the reference tree (working tree, or
     ``base`` when given — the re-derivability pin). ``None`` when
-    git/markers are unavailable."""
+    git/markers are unavailable.
+
+    Batched (r11 advisory): marker trees are listed with one
+    ``ls-tree`` each, every UNIQUE blob is fetched once through a
+    single ``cat-file --batch`` process, and each unique (path, blob)
+    is parsed into its symbol table exactly once — most files are
+    identical across markers, so the cost is ~|distinct blobs|, not
+    ~|files| × |rounds| subprocess spawns + re-parses."""
     if repo_root not in sys.path:
         sys.path.insert(0, repo_root)
-    from tools.symbols import changed_symbols
+    from tools.symbols import (
+        HUB_FILES,
+        changed_symbols_from_tables,
+        symbol_table,
+    )
 
     markers = _round_markers(repo_root)
     if markers is None:
@@ -215,12 +276,34 @@ def symbols_changed_since_round(
     new_files = _tree_files(repo_root, base)
     if new_files is None:
         return None
-    out: dict[int, set[tuple[str, str]]] = {}
+
+    def tracked(p: str) -> bool:
+        return p.endswith(".py") and p not in HUB_FILES
+
+    new_tables = {p: symbol_table(p, src) for p, src in new_files.items()
+                  if tracked(p)}
+
+    blob_maps: dict[int, dict[str, str]] = {}
     for rnd, sha in markers.items():
-        old_files = _tree_files(repo_root, sha)
-        if old_files is None:
+        bm = _tree_blob_map(repo_root, sha)
+        if bm is None:
             return None
-        out[rnd] = changed_symbols(old_files, new_files)
+        blob_maps[rnd] = {p: b for p, b in bm.items() if tracked(p)}
+    unique = sorted({b for bm in blob_maps.values() for b in bm.values()})
+    contents = _cat_file_batch(repo_root, unique)
+    if contents is None:
+        return None
+
+    memo: dict[tuple[str, str], dict[str, str] | None] = {}
+    out: dict[int, set[tuple[str, str]]] = {}
+    for rnd, bm in blob_maps.items():
+        old_tables: dict[str, dict[str, str] | None] = {}
+        for p, bsha in bm.items():
+            key = (p, bsha)
+            if key not in memo:
+                memo[key] = symbol_table(p, contents[bsha])
+            old_tables[p] = memo[key]
+        out[rnd] = changed_symbols_from_tables(old_tables, new_tables)
     return out
 
 

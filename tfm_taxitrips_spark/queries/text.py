@@ -2467,12 +2467,19 @@ def q_tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     designer reweights or retrains the vocab before paying that at
     100 TB.
 
-    All-integer: the ratios divide per-SOURCE sums (never per-doc, so
-    no zero denominators — a source in the output has ≥ 1 doc and ≥ 1
-    whitespace word). NULL text is excluded by the standing contract
-    (`data_contract_audit` owns it); a NULL source is a REAL audit row
-    (groupBy keeps it — the provenance-defect bucket gets its own
-    fertility line, it does not silently vanish).
+    All-integer: the ratios divide per-SOURCE sums (never per-doc).
+    Stated denominator contract (r11 advisory + r12 order #6): a source
+    whose every doc is token-free CAN zero a denominator —
+    ``n_bpe_tokens`` when all texts are whitespace/empty (the regex
+    matches nothing while the whitespace split still yields the empty
+    token), and ``n_words`` is 0 only in the degenerate no-rows-per-doc
+    case — so BOTH ratios divide by ``NULLIF(denom, 0)`` in BOTH
+    engines: the source keeps its audit row and the unratioable ratio
+    is an EXPLICIT NULL, never an engine-accident. NULL text is
+    excluded by the standing contract (`data_contract_audit` owns it);
+    a NULL source is a REAL audit row (groupBy keeps it — the
+    provenance-defect bucket gets its own fertility line, it does not
+    silently vanish).
 
     Scale shape: tokenization is map-side expressions on the ONE scan;
     a single (source) groupBy with map-side combine collapses the
@@ -2499,9 +2506,9 @@ def q_tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "source", "n_docs", "n_words", "n_bpe_tokens", "n_chars",
-            F.expr("(n_bpe_tokens * 1000000) div n_words")
+            F.expr("(n_bpe_tokens * 1000000) div nullif(n_words, 0)")
             .alias("fertility_ppm"),
-            F.expr("(n_chars * 1000000) div n_bpe_tokens")
+            F.expr("(n_chars * 1000000) div nullif(n_bpe_tokens, 0)")
             .alias("chars_per_token_ppm"),
         )
     )
@@ -2524,9 +2531,9 @@ a AS (
   FROM d GROUP BY 1
 )
 SELECT source, n_docs, n_words, n_bpe_tokens, n_chars,
-       CAST((n_bpe_tokens * 1000000) // n_words AS BIGINT)
+       CAST((n_bpe_tokens * 1000000) // NULLIF(n_words, 0) AS BIGINT)
          AS fertility_ppm,
-       CAST((n_chars * 1000000) // n_bpe_tokens AS BIGINT)
+       CAST((n_chars * 1000000) // NULLIF(n_bpe_tokens, 0) AS BIGINT)
          AS chars_per_token_ppm
 FROM a
 """

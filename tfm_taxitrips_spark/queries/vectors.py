@@ -87,17 +87,26 @@ def _emb_guard_sql(sql: str) -> str:
         f"WHERE embedding IS NOT NULL AND len(embedding) >= "
         f"{EMB_MIN_DIMS})"
     )
-    sql = _re.sub(r"\b(FROM|JOIN)(\s+)embeddings\b", r"\1\2embeddings_g",
-                  sql)
+    # case-INSENSITIVE on both legs (r11 advisory: a lowercase
+    # ``from embeddings`` or a ``WITH\n  RECURSIVE`` oracle must never
+    # silently skip the guard or emit invalid SQL), and the rewrite
+    # must land: every caller is, by definition, an embeddings reader,
+    # so zero rewritten scans means the regex missed a shape — fail
+    # loudly at import time rather than grade an unguarded oracle.
+    sql, n_scans = _re.subn(r"\b(FROM|JOIN)(\s+)embeddings\b",
+                            r"\1\2embeddings_g", sql, flags=_re.I)
+    if not n_scans:
+        raise ValueError(
+            "_emb_guard_sql: no FROM/JOIN embeddings scan found — the "
+            "oracle reads embeddings some other way; extend the rewrite")
     stripped = sql.lstrip()
     head_len = len(sql) - len(stripped)
-    if stripped.upper().startswith("WITH RECURSIVE"):
+    m = _re.match(r"WITH\b(\s+RECURSIVE\b)?", stripped, _re.I)
+    if m:
         # RECURSIVE qualifies the whole WITH list; the guard CTE itself
         # is non-recursive and must come after the keyword
-        n = len("WITH RECURSIVE")
+        n = m.end()
         return f"{sql[:head_len + n]} {guard},{stripped[n:]}"
-    if stripped.upper().startswith("WITH"):
-        return f"{sql[:head_len + 4]} {guard},{stripped[4:]}"
     return f"WITH {guard}\n{sql}"
 
 

@@ -21,7 +21,9 @@ Design:
   hashed over their resolved target, so *adding* an import stales
   nothing while *retargeting* one stales exactly its users. Whatever
   top-level statements remain (try/except guards, conditional blocks)
-  pool into one ``<module>`` symbol.
+  pool into one ``<module>`` symbol; names BOUND inside them are
+  tracked so their users edge to ``<module>`` (r11 advisory — else a
+  ``try: X=… except: X=…`` constant's edits would stale nothing).
 - The registration dict gets special treatment: ``QUERIES = {...}``
   decomposes into one ``QUERIES[<name>]`` symbol per entry (hash of
   that entry's value expression), because the dict literal as a whole
@@ -120,6 +122,7 @@ class ModuleIndex:
                     self.aliases[a.asname or a.name] = (base, a.name)
 
         # --- top-level symbols
+        self.leftover_names: set[str] = set()
         leftover: list[ast.stmt] = []
         for node in tree.body:
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
@@ -170,6 +173,28 @@ class ModuleIndex:
 
         if leftover:
             self._add(MODULE_SYM, leftover)
+            # names BOUND inside leftover statements (try/if/for blocks:
+            # assignments, defs, imports, with/for targets). Referencing
+            # symbols get an edge to MODULE_SYM for these (r11 advisory:
+            # without it, a 'try: X=... except: X=...' constant's users
+            # would be silently missed — the one hole in the module's
+            # 'extra staleness, never missed' guarantee).
+            for node in leftover:
+                for sub in ast.walk(node):
+                    if isinstance(sub, ast.Name) and isinstance(
+                            sub.ctx, ast.Store):
+                        self.leftover_names.add(sub.id)
+                    elif isinstance(sub, (ast.FunctionDef,
+                                          ast.AsyncFunctionDef,
+                                          ast.ClassDef)):
+                        self.leftover_names.add(sub.name)
+                    elif isinstance(sub, ast.Import):
+                        for a in sub.names:
+                            self.leftover_names.add(
+                                a.asname or a.name.split(".")[0])
+                    elif isinstance(sub, ast.ImportFrom):
+                        for a in sub.names:
+                            self.leftover_names.add(a.asname or a.name)
 
     def _add(self, name: str, node) -> None:
         nodes = node if isinstance(node, list) else [node]
@@ -199,28 +224,52 @@ def index_files(files: dict[str, str]) -> dict[str, ModuleIndex]:
     }
 
 
+def symbol_table(relpath: str, src: str) -> dict[str, str] | None:
+    """``{symbol name: hash}`` for one file, or ``None`` when the file
+    doesn't parse (callers degrade it to the per-file wildcard). The
+    memoizable unit for the rotation planner's per-(path, blob) cache
+    (r11 advisory: re-parsing every marker tree per round was the
+    planner's quadratic-ish cost)."""
+    try:
+        return ModuleIndex(relpath, src).symbols
+    except SyntaxError:
+        return None
+
+
+def changed_symbols_from_tables(
+    old_tables: dict[str, dict[str, str] | None],
+    new_tables: dict[str, dict[str, str] | None],
+) -> set[SymbolId]:
+    """Diff two precomputed symbol-table maps (``{path: table-or-None}``;
+    an absent path means the file doesn't exist on that side, ``None``
+    means it exists but doesn't parse → per-file wildcard)."""
+    out: set[SymbolId] = set()
+    for p in set(old_tables) | set(new_tables):
+        old = old_tables.get(p)
+        new = new_tables.get(p)
+        if (p in old_tables and old is None) or (
+                p in new_tables and new is None):
+            out.add((p, "*"))
+            continue
+        old = old or {}
+        new = new or {}
+        for s in set(old) | set(new):
+            if old.get(s) != new.get(s):
+                out.add((p, s))
+    return out
+
+
 def changed_symbols(
     old_files: dict[str, str], new_files: dict[str, str]
 ) -> set[SymbolId]:
     """Symbols whose normalized source differs between two trees (added,
     removed, or edited). A file unparseable on either side degrades to
     the per-file wildcard — conservative."""
-    out: set[SymbolId] = set()
-    for p in set(old_files) | set(new_files):
-        if not p.endswith(".py") or p in HUB_FILES:
-            continue
-        try:
-            old = (ModuleIndex(p, old_files[p]).symbols
-                   if p in old_files else {})
-            new = (ModuleIndex(p, new_files[p]).symbols
-                   if p in new_files else {})
-        except SyntaxError:
-            out.add((p, "*"))
-            continue
-        for s in set(old) | set(new):
-            if old.get(s) != new.get(s):
-                out.add((p, s))
-    return out
+    def tables(files: dict[str, str]) -> dict[str, dict[str, str] | None]:
+        return {p: symbol_table(p, src) for p, src in files.items()
+                if p.endswith(".py") and p not in HUB_FILES}
+
+    return changed_symbols_from_tables(tables(old_files), tables(new_files))
 
 
 def _module_to_path(files: dict[str, str]) -> dict[str, str]:
@@ -298,6 +347,11 @@ def symbol_graph(
                     deps.add((p, n))
                 elif n in idx.aliases:
                     deps |= target_of(idx, n, None)
+                # leftover-bound names additionally pull in MODULE_SYM
+                # (not exclusive with the branches above: a conditional
+                # re-binding of a top-level symbol lives in BOTH)
+                if n in idx.leftover_names:
+                    deps.add((p, MODULE_SYM))
             for obj, attr in idx.attr_refs.get(s, ()):
                 if obj in idx.aliases and obj not in idx.symbols:
                     deps |= target_of(idx, obj, attr)
