@@ -66,6 +66,68 @@ def test_calibration2_df_is_scan_plus_exchange(spark, tmp_path):
     assert "HashAggregate" in plan
 
 
+def test_calibration_v2_definition_frozen():
+    """The v2 calibrations added in round 12 (r10 verdict item #5): the
+    literal values every BENCH_r12+ `*_v2` series normalizes against.
+    v2 exists because the v1 probes were too short to be host-stable
+    (0.14-0.24 s swung ±70% across round hosts); the v2 shapes are
+    multi-second steady-state with a median-of-5."""
+    assert bench.CALIBRATION_V2_ROWS == 12_000_000_000
+    assert bench.CALIBRATION_V2_EXPR == (
+        "sum(id % 16777213 * 2654435761 % 1000003) v"
+    )
+    assert bench.CALIBRATION_V2_ID == (
+        "range(12000000000):sum(id % 16777213 * 2654435761 % 1000003) v"
+    )
+    assert bench.CALIBRATION2_V2_ROWS == 40_000_000
+    assert bench.CALIBRATION2_V2_ID == (
+        "parquet(40000000):groupBy(id % 1000003):sum,count"
+    )
+    assert bench.CALIBRATION_V2_REPS == 5
+    # v1 fields stay alive for series continuity — v2 never replaces them
+    assert bench.CALIBRATION_ID and bench.CALIBRATION2_ID
+
+
+def test_calibration_v2_df_is_overflow_safe_codegen_loop(spark):
+    """The v2 CPU probe must keep the v1 resource profile (range source →
+    whole-stage-codegen aggregate, no exchange of note) while reducing
+    ``id`` BEFORE the multiply — the v1 expression overflows int64 past
+    id ≈ 3.46e9 and v2 drives 12e9 rows through it."""
+    df = bench.calibration_v2_df(spark)
+    assert df.columns == ["v"]
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "Range (0, 12000000000" in plan
+    assert "16777213" in plan       # the pre-multiply reduction
+    # the reduced operand can never overflow: (16777213-1) * 2654435761
+    assert (bench.CALIBRATION_V2_ROWS % 16777213 >= 0
+            and 16777212 * 2654435761 < 2**63)
+
+
+def test_payload_order_keeps_critical_fields_in_tail():
+    """The driver records only the LAST 2000 characters of bench.py's
+    JSON line (front truncation lost flagship_view/rollup_family raw
+    times three rounds running). The emission order must keep every
+    raw per-query time, the v2 calibrations, the v2-normalized series,
+    and the totals at the END of the line — pinned here so a refactor
+    can't silently reshuffle them to the sacrificial front."""
+    order = list(bench.PAYLOAD_ORDER)
+    assert len(order) == len(set(order)), "duplicate payload keys"
+    tail = order[order.index("errors"):]
+    # everything a round-over-round reader needs sits after `errors`
+    for key in (
+        "calibration_v2_sec", "calibration2_v2_sec",
+        "value_per_calibration_v2", "value_per_calibration2_v2",
+        "queries_normalized_v2", "queries", "metric", "value", "unit",
+        "sf",
+    ):
+        assert key in tail, key
+    # raw queries and totals are the LAST things to ever truncate
+    assert order[-5:] == ["queries", "metric", "value", "unit", "sf"]
+    # the sacrificial front holds only recoverable/diagnostic fields
+    front = set(order[:order.index("errors")])
+    assert "queries" not in front and "value" not in front
+
+
 def test_calibration_affinity_covers_bench_set():
     """Per-query attribution (r8 verdict item #5): every bench=True query
     carries exactly one affinity tag, tags name a real calibration shape,
