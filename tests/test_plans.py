@@ -1403,6 +1403,38 @@ def test_pq_recall_adc_joins_are_broadcast(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" in plan  # the brute leg, capped
 
 
+def test_kfold_drift_all_joins_aggregate_sized(spark, sf_smoke):
+    """kfold_label_balance_drift: after the one corpus-collapsing
+    groupBy (inside the checkpointed |sources|·k matrix), every join —
+    the grid spine, the null-safe cell join, the fold-total and
+    global-total fan-ins — must be broadcast over aggregate-sized
+    relations: never a SortMergeJoin, never a cartesian (the crossJoins
+    are BroadcastNestedLoopJoins against one-row/k-row frames by
+    construction)."""
+    from tfm_taxitrips_spark.queries.dataprep import (
+        q_kfold_label_balance_drift,
+    )
+
+    plan = explain_formatted(q_kfold_label_balance_drift(spark, sf_smoke))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan      # the fold-total fan-in
+    assert "BroadcastNestedLoopJoin" in plan  # grid spine + scalar totals
+
+
+def test_waterfill_is_aggregate_sized_after_collapse(spark, sf_smoke):
+    """domain_mix_waterfill: ONE corpus-collapsing groupBy (inside the
+    checkpointed |sources|-row aggregate), then the rank/prefix window
+    and the k/P_k fold ride that aggregate — scalar fan-ins broadcast,
+    never a SortMergeJoin, never a cartesian."""
+    from tfm_taxitrips_spark.queries.dataprep import q_domain_mix_waterfill
+
+    plan = explain_formatted(q_domain_mix_waterfill(spark, sf_smoke))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row scalar frames
+
+
 def test_plans_md_fingerprint_matches_head():
     """PLANS.md freshness pin (r9 verdict item #5): the plan-dump
     artifact stamps the source fingerprint at generation time exactly

@@ -24,8 +24,10 @@ import pytest
 def _write_docs(tmp_path, rows):
     pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
     pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["text"] = pdf["text"].astype("string")  # stays string when all-NULL
+    pdf["source"] = pdf["source"].astype("string")
     pdf["lang"] = "en"
-    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    pdf["n_chars"] = pdf["text"].str.len().astype("Int64")  # NULL-text safe
     pdf.to_parquet(os.path.join(tmp_path, "documents.parquet"))
 
 
@@ -136,6 +138,196 @@ def test_emb_guard_sql_rewrites_execute_in_duckdb(tmp_path):
             assert int(out["n"].iloc[0]) % 4 == 0   # 99 excluded everywhere
     finally:
         conn.close()
+
+
+# --------------------------------------------------------------------------
+# round-12 operators: exact-Python replays + NULL probes
+# --------------------------------------------------------------------------
+
+def _hash60(s: str) -> int:
+    """Python twin of functions.text.hash60 / hash60_sql."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _tok(text):
+    """Python twin of the whitespace token count with the r12 NULL→0
+    contract (COALESCE in both engines). str.split(' ') keeps empty
+    tokens exactly like Spark split / DuckDB string_split."""
+    return 0 if text is None else len(text.split(" "))
+
+
+_SKEWED_DOCS = [
+    # one giant crawl, one mid source, several small ones, a NULL source
+    # and a NULL text — the fixture's uniform sources never exercise the
+    # uncapped waterfill branch, so this corpus must
+    (1, "web", "w " * 400 + "end"),            # 401 tokens
+    (2, "web", "w " * 300 + "end"),            # 301
+    (3, "mid", "m " * 80 + "end"),             # 81
+    (4, "tiny1", "a b c"),                     # 3
+    (5, "tiny2", "a b c d"),                   # 4
+    (6, "tiny3", "a b"),                       # 2
+    (7, None, "null source doc here"),         # 4, NULL-source stratum
+    (8, "tiny1", None),                        # NULL text → 0 tokens
+]
+
+
+def _waterfill_ref(tokens: dict, div: int) -> dict:
+    """Exact integer waterfill: sorted ascending by (t, source NULLS
+    FIRST); uncapped iff P_{i-1} + t*(n-i+1) <= B; L = (B-P_k) div (n-k)."""
+    items = sorted(tokens.items(),
+                   key=lambda kv: (kv[1], kv[0] is not None, kv[0] or ""))
+    n = len(items)
+    total = sum(t for _, t in items)
+    budget = total // div
+    p = k = pk = 0
+    unc = {}
+    for idx, (s, t) in enumerate(items, 1):
+        unc[s] = p + t * (n - idx + 1) <= budget
+        p += t
+        if unc[s]:
+            k += 1
+            pk = p
+    level = None if k == n else (budget - pk) // (n - k)
+    return {
+        s: (t, t if unc[s] else level, 0 if unc[s] else 1, level, budget)
+        for s, t in tokens.items()
+    }
+
+
+def test_waterfill_matches_exact_python_reference(spark, tmp_path):
+    """Skewed planted corpus: small sources taken whole (uncapped), the
+    crawl capped at the level; engine parity AND an independent exact
+    integer replay, including the NULL source and NULL text rows."""
+    from tfm_taxitrips_spark.queries.dataprep import (
+        _WATERFILL_SHARE_DIV,
+        _WATERFILL_SQL,
+        q_domain_mix_waterfill,
+    )
+    from tests.oracle import compare_result
+
+    _write_docs(tmp_path, _SKEWED_DOCS)
+    actual = q_domain_mix_waterfill(spark, str(tmp_path)).toPandas()
+    conn = duckdb.connect()
+    conn.sql("CREATE VIEW documents AS SELECT * FROM "
+             f"'{tmp_path}/documents.parquet'")
+    try:
+        expected = conn.sql(_WATERFILL_SQL).df()
+    finally:
+        conn.close()
+    assert compare_result(actual.copy(), expected)["hash_match"]
+
+    tokens: dict = {}
+    for _id, src, text in _SKEWED_DOCS:
+        tokens[src] = tokens.get(src, 0) + _tok(text)
+    ref = _waterfill_ref(tokens, _WATERFILL_SHARE_DIV)
+    got = {
+        (None if pd.isna(r["source"]) else r["source"]): (
+            int(r["n_tok"]), int(r["alloc_tok"]), int(r["capped"]),
+            None if pd.isna(r["water_level"]) else int(r["water_level"]),
+            int(r["tok_budget"]))
+        for _, r in actual.iterrows()
+    }
+    assert got == ref
+    # the planted skew actually exercises BOTH branches
+    assert any(c for _t, _a, c, _l, _b in got.values())        # capped
+    assert any(not c for _t, _a, c, _l, _b in got.values())    # uncapped
+    # allocation honors the budget and maximality: adding one token to
+    # any capped source would exceed it only through the level, and the
+    # undistributed floor remainder is < number of capped sources
+    spent = sum(a for _t, a, _c, _l, _b in got.values())
+    budget = next(iter(got.values()))[4]
+    n_capped = sum(c for _t, _a, c, _l, _b in got.values())
+    assert spent <= budget and budget - spent < max(n_capped, 1)
+
+
+def test_waterfill_zero_token_corpus_is_explicit(spark, tmp_path):
+    """Degenerate probe: a corpus whose every doc is NULL-text (0 tokens
+    by the stated contract) has budget 0, every source uncapped with
+    alloc 0, and an EXPLICIT NULL water level — in both engines."""
+    from tfm_taxitrips_spark.queries.dataprep import (
+        _WATERFILL_SQL,
+        q_domain_mix_waterfill,
+    )
+    from tests.oracle import compare_result
+
+    _write_docs(tmp_path, [(1, "a", None), (2, "b", None)])
+    actual = q_domain_mix_waterfill(spark, str(tmp_path)).toPandas()
+    conn = duckdb.connect()
+    conn.sql("CREATE VIEW documents AS SELECT * FROM "
+             f"'{tmp_path}/documents.parquet'")
+    try:
+        expected = conn.sql(_WATERFILL_SQL).df()
+    finally:
+        conn.close()
+    assert compare_result(actual.copy(), expected)["hash_match"]
+    assert list(actual["capped"]) == [0, 0]
+    assert list(actual["alloc_tok"]) == [0, 0]
+    assert actual["water_level"].isna().all()
+
+
+def test_kfold_drift_matches_exact_python_reference(spark, tmp_path):
+    """Planted corpus incl. NULL source and NULL text: engine parity AND
+    an independent exact integer TVD replay (fold hash, grid semantics,
+    cross-multiplied numerators)."""
+    from tfm_taxitrips_spark.queries.dataprep import (
+        _KFOLD_DRIFT_SQL,
+        _KFOLD_K,
+        q_kfold_label_balance_drift,
+    )
+    from tests.oracle import compare_result
+
+    docs = _SKEWED_DOCS + [
+        (20 + i, f"src{i % 3}", f"doc {i} body text here") for i in range(30)
+    ]
+    _write_docs(tmp_path, docs)
+    actual = q_kfold_label_balance_drift(spark, str(tmp_path)).toPandas()
+    conn = duckdb.connect()
+    conn.sql("CREATE VIEW documents AS SELECT * FROM "
+             f"'{tmp_path}/documents.parquet'")
+    try:
+        expected = conn.sql(_KFOLD_DRIFT_SQL).df()
+    finally:
+        conn.close()
+    assert compare_result(actual.copy(), expected)["hash_match"]
+
+    # exact replay
+    cells: dict = {}
+    for doc_id, src, text in docs:
+        f = _hash60(f"fold:{doc_id}") % _KFOLD_K
+        c, t = cells.get((src, f), (0, 0))
+        cells[(src, f)] = (c + 1, t + _tok(text))
+    sources = {s for s, _f in cells}
+    cs = {s: sum(c for (s2, _f), (c, _t) in cells.items() if s2 == s)
+          for s in sources}
+    ts = {s: sum(t for (s2, _f), (_c, t) in cells.items() if s2 == s)
+          for s in sources}
+    n_all, t_all = sum(cs.values()), sum(ts.values())
+    ref = {}
+    for f in range(_KFOLD_K):
+        nf = sum(c for (_s, f2), (c, _t) in cells.items() if f2 == f)
+        tf = sum(t for (_s, f2), (_c, t) in cells.items() if f2 == f)
+        present = sum(1 for s in sources if cells.get((s, f), (0, 0))[0] > 0)
+        dnum = sum(abs(cells.get((s, f), (0, 0))[0] * n_all - cs[s] * nf)
+                   for s in sources)
+        tnum = sum(abs(cells.get((s, f), (0, 0))[1] * t_all - ts[s] * tf)
+                   for s in sources)
+        ref[f] = (
+            present, nf, tf,
+            None if nf == 0 else (1_000_000 * dnum) // (2 * nf * n_all),
+            None if tf == 0 else (1_000_000 * tnum) // (2 * tf * t_all),
+        )
+    got = {
+        int(r["fold"]): (
+            int(r["n_sources_present"]), int(r["n_docs"]),
+            int(r["n_tokens"]),
+            None if pd.isna(r["doc_tvd_ppm"]) else int(r["doc_tvd_ppm"]),
+            None if pd.isna(r["tok_tvd_ppm"]) else int(r["tok_tvd_ppm"]))
+        for _, r in actual.iterrows()
+    }
+    assert got == ref
+    assert set(got) == set(range(_KFOLD_K))
 
 
 def test_symbols_leftover_bound_names_edge_to_module_sym():

@@ -2422,6 +2422,291 @@ FROM per_y WHERE n_rows > 0
 """
 
 
+# --------------------------------------------------------------------------
+# k-fold exchangeability audit: per-fold label-distribution drift
+# --------------------------------------------------------------------------
+
+def q_kfold_label_balance_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold exchangeability audit — the k-fold family's completion
+    (r10 shortlist, landed r12): for each of the ``stratified_kfold_assign``
+    folds (SAME fold hash, SAME k), the total-variation distance between
+    the fold's per-source distribution and the GLOBAL per-source
+    distribution, for BOTH doc counts and token mass. If the folds are
+    exchangeable these drifts sit near zero; a fold whose source mix has
+    drifted invalidates every per-fold metric a CV harness reads, which
+    is why this gate runs before the folds are trusted, not after a
+    model disagrees.
+
+    Integer-exact via `source_token_tvd`'s cross-multiplication: with
+    fold cells c_{f,s} (fold total N_f) against global C_s (total N),
+    ``doc_tvd_ppm = (10⁶·Σ_s |c·N − C_s·N_f|) div (2·N_f·N)`` — the ½ is
+    inside the denominator, no float anywhere. Products route through
+    DECIMAL(38,0) (c·N ≈ 10²² at 100 TB doc counts, 10²⁸ for token
+    mass — both overflow BIGINT, both fit 38 digits with the 10⁶
+    scaling). Stated contracts: NULL text counts 0 tokens (COALESCE in
+    both engines — `data_contract_audit` owns flagging it); a NULL
+    source is a REAL stratum (null-safe grid join, the r10 k-fold
+    lesson); an EMPTY fold (possible only on a corpus smaller than k
+    effective hash buckets) reports explicit-NULL drift via
+    ``NULLIF(2·N_f·N, 0)``, never a div-by-zero accident.
+
+    Scale shape: fold and token count are map-side expressions on the
+    ONE corpus scan; a single (source, fold) groupBy with map-side
+    combine collapses everything to a |sources|·k matrix, checkpointed
+    once. The source×fold grid, the per-source/per-fold/global totals,
+    and every join after that collapse are aggregate-sized (broadcast;
+    the `stratified_kfold_assign` pattern). Output is k rows.
+    """
+    docs = table(spark, sf_dir, "documents")
+    fold = F.pmod(
+        hash60(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))),
+        F.lit(_KFOLD_K),
+    ).cast("int")
+    zero = F.lit(0).cast("decimal(38,0)")
+    m = (
+        docs.select(
+            "source",
+            fold.alias("fold"),
+            F.coalesce(token_count("text"), F.lit(0)).cast("bigint")
+            .alias("nt"),
+        )
+        .groupBy("source", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("c"),
+            F.sum("nt").cast("decimal(38,0)").alias("t"),
+        )
+        .localCheckpoint(eager=False)  # grid join + per-source totals
+    )
+    stot = (
+        m.groupBy("source")
+        .agg(F.sum("c").alias("cs"), F.sum("t").alias("ts"))
+        .localCheckpoint(eager=False)  # grid spine + global totals
+    )
+    g = stot.agg(F.sum("cs").alias("n_all"), F.sum("ts").alias("t_all"))
+    # full source × fold grid (|sources|·k rows — aggregate-sized cross
+    # join), so a fold missing a source still contributes that source's
+    # full global mass to the drift instead of silently vanishing
+    grid = stot.crossJoin(
+        spark.range(_KFOLD_K).select(F.col("id").cast("int").alias("fold")))
+    cells = (
+        grid.alias("g").join(
+            F.broadcast(m).alias("m"),
+            F.col("g.source").eqNullSafe(F.col("m.source"))
+            & (F.col("g.fold") == F.col("m.fold")),
+            "left",
+        )
+        .select(
+            F.col("g.source").alias("source"), F.col("g.fold").alias("fold"),
+            F.coalesce("m.c", zero).alias("c"),
+            F.coalesce("m.t", zero).alias("t"),
+            F.col("g.cs").alias("cs"), F.col("g.ts").alias("ts"),
+        )
+        .localCheckpoint(eager=False)  # fold totals + the drift sum
+    )
+    ftot = cells.groupBy("fold").agg(
+        F.sum("c").alias("nf"), F.sum("t").alias("tf"))
+    return (
+        cells.join(F.broadcast(ftot), "fold")
+        .crossJoin(F.broadcast(g))
+        .groupBy("fold")
+        .agg(
+            F.sum(F.when(F.col("c") > 0, 1).otherwise(0)).cast("bigint")
+            .alias("n_sources_present"),
+            F.max("nf").alias("nf"), F.max("tf").alias("tf"),
+            F.max("n_all").alias("n_all"), F.max("t_all").alias("t_all"),
+            F.sum(F.abs(F.col("c") * F.col("n_all")
+                        - F.col("cs") * F.col("nf"))).alias("dnum"),
+            F.sum(F.abs(F.col("t") * F.col("t_all")
+                        - F.col("ts") * F.col("tf"))).alias("tnum"),
+        )
+        .select(
+            "fold",
+            "n_sources_present",
+            F.col("nf").cast("bigint").alias("n_docs"),
+            F.col("tf").cast("bigint").alias("n_tokens"),
+            F.expr("(1000000 * dnum) div nullif(2 * nf * n_all, 0)")
+            .cast("bigint").alias("doc_tvd_ppm"),
+            F.expr("(1000000 * tnum) div nullif(2 * tf * t_all, 0)")
+            .cast("bigint").alias("tok_tvd_ppm"),
+        )
+    )
+
+
+_KFOLD_DRIFT_SQL = f"""
+WITH m AS (
+  SELECT source,
+         CAST({hash60_sql("concat('fold:', CAST(doc_id AS VARCHAR))")}
+              % {_KFOLD_K} AS INT) AS fold,
+         CAST(COUNT(*) AS HUGEINT) AS c,
+         CAST(SUM(COALESCE(len(string_split(text, ' ')), 0)) AS HUGEINT) AS t
+  FROM documents GROUP BY 1, 2
+),
+stot AS (SELECT source, SUM(c) AS cs, SUM(t) AS ts FROM m GROUP BY 1),
+g AS (SELECT SUM(cs) AS n_all, SUM(ts) AS t_all FROM stot),
+grid AS (
+  SELECT s.source, s.cs, s.ts, CAST(f AS INT) AS fold
+  FROM stot s CROSS JOIN (SELECT unnest(range({_KFOLD_K})) AS f)
+),
+cells AS (
+  SELECT gr.source, gr.fold, gr.cs, gr.ts,
+         COALESCE(m.c, 0) AS c, COALESCE(m.t, 0) AS t
+  FROM grid gr LEFT JOIN m
+    ON m.source IS NOT DISTINCT FROM gr.source AND m.fold = gr.fold
+),
+ftot AS (SELECT fold, SUM(c) AS nf, SUM(t) AS tf FROM cells GROUP BY 1)
+SELECT c2.fold,
+       CAST(SUM(CASE WHEN c2.c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sources_present,
+       CAST(MAX(f.nf) AS BIGINT) AS n_docs,
+       CAST(MAX(f.tf) AS BIGINT) AS n_tokens,
+       CAST((1000000 * SUM(abs(c2.c * g.n_all - c2.cs * f.nf)))
+            // NULLIF(2 * MAX(f.nf) * MAX(g.n_all), 0) AS BIGINT)
+         AS doc_tvd_ppm,
+       CAST((1000000 * SUM(abs(c2.t * g.t_all - c2.ts * f.tf)))
+            // NULLIF(2 * MAX(f.tf) * MAX(g.t_all), 0) AS BIGINT)
+         AS tok_tvd_ppm
+FROM cells c2 JOIN ftot f USING (fold) CROSS JOIN g
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# domain mix water-filling: the allocation step token_budget_mix samples under
+# --------------------------------------------------------------------------
+
+#: global budget = total corpus tokens div this (shared with the oracle)
+_WATERFILL_SHARE_DIV = 2
+
+
+def q_domain_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token allocation across sources — the
+    aggregate-sized allocation step `token_budget_mix` SAMPLES under
+    (r10 shortlist, landed r12): given per-source token totals T_s and a
+    global budget B = (Σ T_s) div 2 (``_WATERFILL_SHARE_DIV``,
+    oracle-shared), find the water
+    level L such that every source gets ``alloc_s = min(T_s, L)`` and
+    Σ alloc_s ≤ B is maximal — small domains are taken whole, large
+    crawls are capped at the common level, and no float or iteration is
+    involved: on the |sources|-row aggregate, sort ascending by
+    (T, source), take the inclusive prefix sum P_i, and source i is
+    UNCAPPED iff ``P_{i−1} + T_i·(n−i+1) ≤ B`` (monotone, so the
+    uncapped set is a prefix — the classic exact waterfill); then
+    ``L = (B − P_k) div (n − k)`` for k uncapped sources. The floor
+    remainder (< n−k tokens) is deliberately left unallocated —
+    deterministic, documented, and negligible at any scale.
+
+    Stated contracts: NULL text counts 0 tokens (COALESCE, both
+    engines); a NULL source is a real allocation row and sorts FIRST
+    (explicit NULLS FIRST both engines — DuckDB defaults NULLS LAST,
+    Spark ASC defaults NULLS FIRST: left implicit this would be a
+    silent cross-engine row-order divergence inside row_number);
+    ``water_level`` is explicit NULL when the budget covers every
+    source whole (k = n — ``NULLIF(n − k, 0)``). Products route through
+    DECIMAL(38,0): T·n ≈ 10¹⁴·10⁶ overflows nothing here but BIGINT has
+    only ~10¹⁸·⁹ headroom a 100 TB corpus with many sources would
+    consume.
+
+    Scale shape: ONE map-side-combined groupBy collapses the corpus to
+    |sources| rows; the rank/prefix window, the scalar totals, and the
+    k/P_k fold all run on that aggregate (the single-partition window
+    is deliberate and aggregate-sized — the same convention as every
+    |groups|-row window in the repo). Output is |sources| rows.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tot = (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.coalesce(token_count("text"), F.lit(0)))
+            .cast("decimal(38,0)").alias("t"))
+        .localCheckpoint(eager=False)  # ranked window + global totals
+    )
+    w = Window.orderBy(F.col("t").asc(), F.asc_nulls_first("source"))
+    ranked = tot.select(
+        "source", "t",
+        F.row_number().over(w).cast("decimal(38,0)").alias("i"),
+        F.sum("t").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("p"),
+    )
+    g = tot.agg(
+        F.sum("t").alias("t_all"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+    )
+    flags = (
+        ranked.crossJoin(F.broadcast(g))
+        .withColumn(
+            "budget",
+            F.expr(f"t_all div {_WATERFILL_SHARE_DIV}")
+            .cast("decimal(38,0)"))
+        .withColumn(
+            "unc",
+            (F.col("p") - F.col("t")
+             + F.col("t") * (F.col("n") - F.col("i") + 1)
+             <= F.col("budget")).cast("int"))
+        .localCheckpoint(eager=False)  # the k/P_k fold + the output rows
+    )
+    ks = flags.agg(
+        F.sum("unc").cast("decimal(38,0)").alias("k"),
+        F.coalesce(
+            F.max(F.when(F.col("unc") == 1, F.col("p"))),
+            F.lit(0).cast("decimal(38,0)")).alias("pk"),
+    )
+    return (
+        flags.crossJoin(F.broadcast(ks))
+        .withColumn(
+            "level",
+            F.expr("(budget - pk) div nullif(n - k, 0)").cast("bigint"))
+        .select(
+            "source",
+            F.col("t").cast("bigint").alias("n_tok"),
+            F.when(F.col("unc") == 1, F.col("t").cast("bigint"))
+            .otherwise(F.col("level")).alias("alloc_tok"),
+            (F.lit(1) - F.col("unc")).cast("int").alias("capped"),
+            F.col("level").alias("water_level"),
+            F.col("budget").cast("bigint").alias("tok_budget"),
+        )
+    )
+
+
+_WATERFILL_SQL = f"""
+WITH tot AS (
+  SELECT source,
+         CAST(SUM(COALESCE(len(string_split(text, ' ')), 0)) AS HUGEINT) AS t
+  FROM documents GROUP BY 1
+),
+g AS (SELECT SUM(t) AS t_all, CAST(COUNT(*) AS HUGEINT) AS n FROM tot),
+ranked AS (
+  SELECT source, t,
+         CAST(ROW_NUMBER() OVER (ORDER BY t, source NULLS FIRST)
+              AS HUGEINT) AS i,
+         SUM(t) OVER (ORDER BY t, source NULLS FIRST
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM tot
+),
+flags AS (
+  SELECT r.*, g.n, g.t_all // {_WATERFILL_SHARE_DIV} AS budget,
+         CASE WHEN r.p - r.t + r.t * (g.n - r.i + 1)
+                   <= g.t_all // {_WATERFILL_SHARE_DIV}
+              THEN 1 ELSE 0 END AS unc
+  FROM ranked r CROSS JOIN g
+),
+ks AS (
+  SELECT CAST(SUM(unc) AS HUGEINT) AS k,
+         COALESCE(MAX(CASE WHEN unc = 1 THEN p END), 0) AS pk
+  FROM flags
+)
+SELECT f.source,
+       CAST(f.t AS BIGINT) AS n_tok,
+       CAST(CASE WHEN f.unc = 1 THEN f.t
+                 ELSE (f.budget - ks.pk) // NULLIF(f.n - ks.k, 0)
+            END AS BIGINT) AS alloc_tok,
+       CAST(1 - f.unc AS INT) AS capped,
+       CAST((f.budget - ks.pk) // NULLIF(f.n - ks.k, 0) AS BIGINT)
+         AS water_level,
+       CAST(f.budget AS BIGINT) AS tok_budget
+FROM flags f CROSS JOIN ks
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "loo_target_encoding": QuerySpec(
         q_loo_target_encoding, _LOO_ENCODING_SQL,
@@ -2489,6 +2774,14 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_kfold_assign": QuerySpec(
         q_stratified_kfold, _KFOLD_SQL,
         tags=("sample", "eval", "pipeline"),
+    ),
+    "kfold_label_balance_drift": QuerySpec(
+        q_kfold_label_balance_drift, _KFOLD_DRIFT_SQL,
+        tags=("sample", "eval", "audit", "pipeline"),
+    ),
+    "domain_mix_waterfill": QuerySpec(
+        q_domain_mix_waterfill, _WATERFILL_SQL,
+        tags=("sample", "curation", "pipeline", "window"),
     ),
     "sequence_packing": QuerySpec(
         q_sequence_packing, _SEQ_PACK_SQL, tags=("text", "pipeline", "window"),

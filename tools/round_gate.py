@@ -136,6 +136,8 @@ def check_leaks() -> None:
             for r, _d, fs in os.walk(p) for f in fs if f.endswith(".py")
         ]
         for f in files:
+            if os.path.abspath(f) == os.path.abspath(__file__):
+                continue  # the pattern literals themselves live here
             with open(f, errors="replace") as fh:
                 src = fh.read()
             for cat, pat in LEAK_PATTERNS.items():

@@ -115,6 +115,7 @@ SHAPE_TABLES = {
     "pplx": ("documents",),
     "vocabrank": ("documents",),
     "novelty": ("documents",),
+    "waterfill": ("documents",),
 }
 
 #: shapes whose stress can silently vanish under replication (the
@@ -187,6 +188,7 @@ def shuffle_write_bytes(spark) -> int:
 def _shapes() -> dict:
     from tfm_taxitrips_spark.queries.analytics import q_ks_split_drift
     from tfm_taxitrips_spark.queries.dataprep import (
+        q_domain_mix_waterfill,
         q_label_leakage_audit,
         q_per_domain_perplexity_gate,
     )
@@ -273,6 +275,15 @@ def _shapes() -> dict:
         # shingle with zero pair blowup, the adversarial case for an
         # uncapped join).
         "novelty": q_ngram_novelty_rate,
+        # COLLAPSE-THEN-AGGREGATE-TAIL shape (round 12): water-filling
+        # token allocation. Replication multiplies every source's token
+        # mass ~N× while |sources| stays fixed, so the measured axis is
+        # the ONE map-side-combined corpus groupBy — the rank window,
+        # scalar totals, and k/P_k fold all run on the constant
+        # |sources|-row aggregate and must stay off the critical path
+        # (the same collapse shape kfold_label_balance_drift rides, so
+        # this leg carries the claim for both r12 operators).
+        "waterfill": q_domain_mix_waterfill,
     }
 
 
