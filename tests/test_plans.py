@@ -1435,6 +1435,22 @@ def test_waterfill_is_aggregate_sized_after_collapse(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" in plan  # the one-row scalar frames
 
 
+def test_dedup_sweep_explodes_pairs_not_corpus(spark, sf_smoke):
+    """dedup_threshold_sweep: the ×|taus| fan-out must multiply the
+    BOUNDED checkpointed pair stream (a Generate over ExistingRDD), and
+    the zero-filling spine join must broadcast — one corpus pass for
+    the whole calibration curve."""
+    from tfm_taxitrips_spark.queries.text import q_dedup_threshold_sweep
+
+    plan = explain_formatted(q_dedup_threshold_sweep(spark, sf_smoke))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan           # the τ explode
+    assert "BroadcastHashJoin" in plan  # the spine left join
+    # the explode reads the checkpointed pair stream, not a parquet scan
+    assert "Scan parquet" not in plan
+
+
 def test_plans_md_fingerprint_matches_head():
     """PLANS.md freshness pin (r9 verdict item #5): the plan-dump
     artifact stamps the source fingerprint at generation time exactly

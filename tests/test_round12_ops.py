@@ -330,6 +330,119 @@ def test_kfold_drift_matches_exact_python_reference(spark, tmp_path):
     assert set(got) == set(range(_KFOLD_K))
 
 
+def _shingle_set(text: str) -> set:
+    """Python twin of functions.text.shingles(lower(text), 3) distinct."""
+    w = text.lower().split(" ")
+    return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+
+_DUP_DOCS = [
+    # identical pair across a NULL source and 'a' — must land in the
+    # (NULL, 'a') matrix row, not collapse via least/greatest NULL-skip
+    (1, "a", "alpha beta gamma delta epsilon zeta eta theta"),
+    (2, None, "alpha beta gamma delta epsilon zeta eta theta"),
+    # identical pair with BOTH sides NULL — the (NULL, NULL) row
+    (3, None, "iota kappa lambda mu nu xi omicron pi"),
+    (4, None, "iota kappa lambda mu nu xi omicron pi"),
+    # partial overlap between 'a' and 'b' (mid-curve jaccard)
+    (5, "a", "one two three four five six seven eight nine ten"),
+    (6, "b", "one two three four five six seven ALT1 ALT2 ALT3"),
+    # unique doc: source 'c' must be ABSENT from the matrix
+    (7, "c", "totally unrelated content words only here now"),
+]
+
+
+def test_cross_source_dup_matrix_null_source_rows(spark, tmp_path):
+    """Round-12 probe finding on the ROUND-4 op, pinned post-fix
+    (failing-first: before the fix this test fails with the NULL-pair
+    mass misattributed to ('a', 'a')): Spark AND DuckDB
+    least/greatest both SKIP NULLs, so a NULL-source doc
+    near-duplicating an 'a' doc landed in (a, a) — the provenance
+    defect's dup mass silently credited to a's internal duplication,
+    with both engines AGREEING (no oracle divergence to catch it).
+    After the shared NULLS-FIRST CASE: its own (NULL, 'a') row, a
+    both-NULL pair in (NULL, NULL), clean sources absent."""
+    from tfm_taxitrips_spark.queries.text import (
+        _CROSS_SOURCE_SQL,
+        q_cross_source_dup_matrix,
+    )
+    from tests.oracle import compare_result
+
+    _write_docs(tmp_path, _DUP_DOCS)
+    actual = q_cross_source_dup_matrix(spark, str(tmp_path)).toPandas()
+    conn = duckdb.connect()
+    conn.sql("CREATE VIEW documents AS SELECT * FROM "
+             f"'{tmp_path}/documents.parquet'")
+    try:
+        expected = conn.sql(_CROSS_SOURCE_SQL).df()
+    finally:
+        conn.close()
+    assert compare_result(actual.copy(), expected)["hash_match"]
+
+    got = {
+        (None if pd.isna(r["source_lo"]) else r["source_lo"],
+         None if pd.isna(r["source_hi"]) else r["source_hi"]):
+        int(r["n_dup_pairs"])
+        for _, r in actual.iterrows()
+    }
+    # identical docs share every shingle → same 16-perm signature →
+    # same LSH bucket → guaranteed candidates
+    assert got[(None, "a")] == 1           # the cross-NULL identical pair
+    assert got[(None, None)] == 1          # the both-NULL identical pair
+    assert ("a", "a") not in got           # the pre-fix misattribution
+    assert all("c" not in k for k in got)  # clean source absent
+
+
+def test_dedup_threshold_sweep_matches_exact_python_reference(
+        spark, tmp_path):
+    """The calibration curve replayed in exact Python over the planted
+    corpus: per-τ pair and flagged-doc counts from the shingle-set
+    jaccards, INCLUDING zero-filled rows for thresholds nothing
+    reaches (the curve's decision tail must exist, not vanish)."""
+    from tfm_taxitrips_spark.queries.text import (
+        _SWEEP_SQL,
+        SWEEP_TAUS_PPM,
+        q_dedup_threshold_sweep,
+    )
+    from tests.oracle import compare_result
+
+    _write_docs(tmp_path, _DUP_DOCS)
+    actual = q_dedup_threshold_sweep(spark, str(tmp_path)).toPandas()
+    conn = duckdb.connect()
+    conn.sql("CREATE VIEW documents AS SELECT * FROM "
+             f"'{tmp_path}/documents.parquet'")
+    try:
+        expected = conn.sql(_SWEEP_SQL).df()
+    finally:
+        conn.close()
+    assert compare_result(actual.copy(), expected)["hash_match"]
+
+    sets = {i: _shingle_set(t) for i, _s, t in _DUP_DOCS}
+    pairs = []
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            if inter:
+                pairs.append(
+                    (b, (1_000_000 * inter) // len(sets[a] | sets[b])))
+    ref = {
+        tau: (sum(1 for _b, j in pairs if j >= tau),
+              len({b for b, j in pairs if j >= tau}))
+        for tau in SWEEP_TAUS_PPM
+    }
+    got = {
+        int(r["tau_ppm"]): (int(r["n_pairs"]), int(r["n_docs_flagged"]))
+        for _, r in actual.iterrows()
+    }
+    assert got == ref
+    assert set(got) == set(SWEEP_TAUS_PPM)          # full spine, always
+    # the planted corpus actually produces a non-degenerate curve: some
+    # threshold keeps fewer pairs than the loosest one
+    assert got[min(SWEEP_TAUS_PPM)][0] > got[max(SWEEP_TAUS_PPM)][0]
+
+
 def test_symbols_leftover_bound_names_edge_to_module_sym():
     """r11 advisory #1, failing-first before the fix: a constant bound
     by top-level control flow (try/except, if) pools into <module>, and

@@ -621,6 +621,16 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final |sources|² aggregate. The alternative (explode pairs, one
     scan, regroup by pair id) would shuffle pair rows; this form keeps
     every big-table access a map-side broadcast probe.
+
+    Round-12 probe fix (failing-first, tests/test_round12_ops.py): the
+    unordered pair key was ``least``/``greatest`` — and BOTH engines'
+    least/greatest SKIP NULLs, so a NULL-source doc near-duplicating a
+    'web' doc silently landed in (web, web), misattributing the
+    provenance-defect bucket's dup mass to web's INTERNAL duplication.
+    The engines agreed (no oracle divergence — the worst kind of bug),
+    but the semantics were an accident. Replaced with one shared
+    NULLS-FIRST CASE in both engines: a NULL source is a real
+    provenance bucket and its dup mass gets its own matrix row.
     """
     cands = q_minhash_lsh_candidates(spark, sf_dir)
     src = table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -630,9 +640,13 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = src.join(F.broadcast(a), src["doc_id"] == a["doc_b"]).select(
         "source_a", F.col("source").alias("source_b")
     )
+    ordered = F.expr(
+        "source_a IS NULL OR (source_b IS NOT NULL AND source_a <= source_b)")
     return b.groupBy(
-        F.least("source_a", "source_b").alias("source_lo"),
-        F.greatest("source_a", "source_b").alias("source_hi"),
+        F.when(ordered, F.col("source_a")).otherwise(F.col("source_b"))
+        .alias("source_lo"),
+        F.when(ordered, F.col("source_b")).otherwise(F.col("source_a"))
+        .alias("source_hi"),
     ).agg(F.count(F.lit(1)).alias("n_dup_pairs"))
 
 
@@ -644,7 +658,10 @@ lab AS (
   JOIN documents da ON da.doc_id = c.doc_a
   JOIN documents db ON db.doc_id = c.doc_b
 )
-SELECT least(sa, sb) AS source_lo, greatest(sa, sb) AS source_hi,
+SELECT CASE WHEN sa IS NULL OR (sb IS NOT NULL AND sa <= sb)
+            THEN sa ELSE sb END AS source_lo,
+       CASE WHEN sa IS NULL OR (sb IS NOT NULL AND sa <= sb)
+            THEN sb ELSE sa END AS source_hi,
        COUNT(*) AS n_dup_pairs
 FROM lab GROUP BY 1, 2
 """
@@ -2539,10 +2556,119 @@ FROM a
 """
 
 
+# --------------------------------------------------------------------------
+# dedup threshold calibration (round 12)
+# --------------------------------------------------------------------------
+
+#: the dedup designer's calibration grid (ppm) — shared with the oracle
+SWEEP_TAUS_PPM = (100_000, 300_000, 500_000, 700_000, 900_000)
+
+#: shared oracle CTE skeleton: the df-capped distinct-shingle pair
+#: machinery (_capped_shingle_inter's twin) ending in a `pairs`
+#: relation (doc_a, doc_b, jacc_ppm) — integer-exact jaccard
+_PAIRS_CTES = f"""
+WITH sets AS (
+  SELECT DISTINCT doc_id, unnest({shingles_sql('lower(text)')}) AS s
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df_s FROM sets
+  ) WHERE df_s <= {NGRAM_DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM kept GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         (1000000 * n_inter) // (sa.sz + sb.sz - n_inter) AS jacc_ppm
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)"""
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jacc_ppm) over the df-capped shingle machinery —
+    `_capped_shingle_inter` with the integer-exact jaccard projected
+    (the `_PAIRS_CTES` oracle twin)."""
+    return _capped_shingle_inter(spark, sf_dir).select(
+        "doc_a", "doc_b",
+        F.expr("(1000000 * n_inter) div (sz_a + sz_b - n_inter)")
+        .alias("jacc_ppm"),
+    )
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold calibration curve: for each candidate Jaccard
+    cutoff τ in `SWEEP_TAUS_PPM`, the number of qualifying pairs and the
+    number of documents a keep-the-lower-id dedup pass would flag
+    (distinct higher-id pair members) — computed from ONE pass over the
+    bounded pair stream. This is the table a dedup designer reads to
+    PICK τ before running `dedup_cluster_canonical` at 100 TB: the knee
+    of the curve is the threshold, and sweeping it must not cost five
+    corpus scans.
+
+    Every τ emits a row even when nothing qualifies (the curve's tail
+    is exactly where the decision happens — a silently absent row reads
+    as 'not computed', so the τ spine LEFT-joins the aggregates and
+    zero-fills). Integer ppm throughout; the ×|taus| explode multiplies
+    only the BOUNDED pair stream, never the corpus.
+
+    Scale shape: `_capped_shingle_inter` (the measured `leakage`-leg
+    shape) once; the τ fan-out and both aggregates run on pair-sized
+    relations; output is |taus| rows.
+    """
+    pairs = _verified_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    taus = F.array(*[F.lit(t).cast("bigint") for t in SWEEP_TAUS_PPM])
+    per_tau = (
+        pairs.select(F.explode(taus).alias("tau_ppm"), "jacc_ppm", "doc_b")
+        .where(F.col("jacc_ppm") >= F.col("tau_ppm"))
+        .groupBy("tau_ppm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("doc_b").cast("bigint").alias("n_docs_flagged"),
+        )
+    )
+    spine = pairs.sparkSession.range(1).select(
+        F.explode(taus).alias("tau_ppm"))
+    return (
+        spine.join(F.broadcast(per_tau), "tau_ppm", "left")
+        .select(
+            "tau_ppm",
+            F.coalesce("n_pairs", F.lit(0).cast("bigint")).alias("n_pairs"),
+            F.coalesce("n_docs_flagged", F.lit(0).cast("bigint"))
+            .alias("n_docs_flagged"),
+        )
+    )
+
+
+_SWEEP_SQL = f"""{_PAIRS_CTES},
+spine AS (SELECT CAST(unnest({list(SWEEP_TAUS_PPM)}) AS BIGINT) AS tau_ppm),
+per_tau AS (
+  SELECT s.tau_ppm,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COUNT(DISTINCT p.doc_b) AS BIGINT) AS n_docs_flagged
+  FROM spine s JOIN pairs p ON p.jacc_ppm >= s.tau_ppm
+  GROUP BY 1
+)
+SELECT s.tau_ppm,
+       COALESCE(t.n_pairs, 0) AS n_pairs,
+       COALESCE(t.n_docs_flagged, 0) AS n_docs_flagged
+FROM spine s LEFT JOIN per_tau t ON t.tau_ppm = s.tau_ppm
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "doc_repeat_run_gate": QuerySpec(
         q_doc_repeat_run_gate, _REPEAT_RUN_SQL,
         tags=("text", "quality", "gate")),
+    "dedup_threshold_sweep": QuerySpec(
+        q_dedup_threshold_sweep, _SWEEP_SQL,
+        tags=("text", "dedup", "calibration", "pipeline")),
     "tokenizer_fertility_audit": QuerySpec(
         q_tokenizer_fertility_audit, _FERTILITY_SQL,
         tags=("text", "vocab", "audit")),
