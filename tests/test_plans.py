@@ -1451,6 +1451,43 @@ def test_dedup_sweep_explodes_pairs_not_corpus(spark, sf_smoke):
     assert "Scan parquet" not in plan
 
 
+def test_packing_report_reuses_shard_partitioning(spark, sf_smoke):
+    """packing_efficiency_report: the whole histogram costs exactly TWO
+    exchanges — the shard hash-partitioning the prefix-sum window needs
+    (which then satisfies the (shard, pack_id) pack collapse for free:
+    partial+final HashAggregate with NO exchange between) and the final
+    11-row bucket collapse. No joins of any kind."""
+    import re
+
+    from tfm_taxitrips_spark.queries.dataprep import (
+        q_packing_efficiency_report,
+    )
+
+    plan = explain_formatted(q_packing_efficiency_report(spark, sf_smoke))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # the per-shard prefix sum
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
+def test_quality_mix_curve_window_rides_the_aggregate(spark, sf_smoke):
+    """source_quality_mix_curve: the ranking window and the unbounded
+    total must ride the checkpointed |sources|-row aggregate (Scan
+    ExistingRDD), never the corpus — one SinglePartition exchange on the
+    aggregate, no parquet re-scan past the checkpoint, no joins."""
+    import re
+
+    from tfm_taxitrips_spark.queries.text import q_source_quality_mix_curve
+
+    plan = explain_formatted(q_source_quality_mix_curve(spark, sf_smoke))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # the checkpointed aggregate
+    assert "Scan parquet" not in plan  # the corpus collapse is upstream
+    assert "SinglePartition" in plan   # aggregate-sized by construction
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
 def test_plans_md_fingerprint_matches_head():
     """PLANS.md freshness pin (r9 verdict item #5): the plan-dump
     artifact stamps the source fingerprint at generation time exactly

@@ -443,6 +443,163 @@ def test_dedup_threshold_sweep_matches_exact_python_reference(
     assert got[min(SWEEP_TAUS_PPM)][0] > got[max(SWEEP_TAUS_PPM)][0]
 
 
+def _shard(doc_id: int) -> int:
+    """Python twin of the pack-layout shard: hash60('shard:'||id) % 8."""
+    import hashlib
+
+    h = hashlib.md5(f"shard:{doc_id}".encode()).hexdigest()
+    return int(h[:15], 16) % 8
+
+
+_PACK_DOCS = [
+    # big docs so packs actually fill a 2048-token budget: overflow
+    # (bucket 10) where a doc straddles the boundary, underfull shard
+    # tails, and a NULL-text doc occupying a slot with zero token mass
+    (i, "web", " ".join(["w"] * n))
+    for i, n in enumerate([1500, 1300, 900, 2500, 700, 60, 1800, 2100,
+                           400, 1200, 2047, 5, 1, 3000, 800], start=1)
+] + [(16, "web", None), (17, "web", "tail doc"), (18, "web", " ".join(["x"] * 300))]
+
+
+def test_packing_report_matches_exact_python_reference(spark, tmp_path):
+    """packing_efficiency_report replayed in exact Python ints over a
+    planted corpus: the shared _pack_layout (shard hash, doc_id order,
+    tokens-before div budget) re-derived independently, then the decile
+    histogram with padding and overflow sums — engine parity AND replay
+    agreement, including the NULL-text doc (0 tokens by contract) and a
+    genuinely overflowing boundary pack."""
+    from tfm_taxitrips_spark.queries.dataprep import (
+        _PACK_BUDGET,
+        _PACK_REPORT_SQL,
+        _UTIL_BUCKETS,
+        q_packing_efficiency_report,
+    )
+    from tests.oracle import compare_result
+
+    _write_docs(tmp_path, _PACK_DOCS)
+    actual = q_packing_efficiency_report(spark, str(tmp_path)).toPandas()
+    conn = duckdb.connect()
+    conn.sql("CREATE VIEW documents AS SELECT * FROM "
+             f"'{tmp_path}/documents.parquet'")
+    try:
+        expected = conn.sql(_PACK_REPORT_SQL).df()
+    finally:
+        conn.close()
+    assert compare_result(actual.copy(), expected)["hash_match"]
+
+    packs: dict = {}
+    before: dict = {}
+    for doc_id, _src, text in sorted(_PACK_DOCS):
+        sh, nt = _shard(doc_id), _tok(text)
+        pid = before.get(sh, 0) // _PACK_BUDGET
+        nd, pt = packs.get((sh, pid), (0, 0))
+        packs[(sh, pid)] = (nd + 1, pt + nt)
+        before[sh] = before.get(sh, 0) + nt
+    hist: dict = {}
+    for (_sh, _pid), (nd, pt) in packs.items():
+        b = min(pt * _UTIL_BUCKETS // _PACK_BUDGET, _UTIL_BUCKETS)
+        np_, ndoc, ptok, pad, ovf = hist.get(b, (0, 0, 0, 0, 0))
+        hist[b] = (np_ + 1, ndoc + nd, ptok + pt,
+                   pad + max(_PACK_BUDGET - pt, 0),
+                   ovf + max(pt - _PACK_BUDGET, 0))
+    got = {
+        int(r["util_bucket"]): (
+            int(r["n_packs"]), int(r["n_docs"]), int(r["pack_tokens"]),
+            int(r["padding_tokens"]), int(r["overflow_tokens"]))
+        for _, r in actual.iterrows()
+    }
+    assert got == hist
+    # the planted corpus is non-degenerate: at least one overflowing
+    # full pack (bucket 10 with overflow) AND one underfull tail
+    assert 10 in got and got[10][4] > 0
+    assert any(b < 10 and v[3] > 0 for b, v in got.items())
+
+
+_CURVE_DOCS = [
+    # 'good': mostly passing docs; one short fail; one NULL text
+    (1, "good", " ".join(["tok"] * 30)),
+    (2, "good", " ".join(["tok"] * 40)),
+    (3, "good", " ".join(["tok"] * 25)),
+    (4, "good", "short fail"),
+    (5, "good", None),
+    # 'mid': ≥20 tokens but <100 chars — tokens counted, gate failed
+    (6, "mid", " ".join(["a"] * 25)),
+    (7, "mid", " ".join(["tok"] * 50)),
+    # 'bad': nothing passes
+    (8, "bad", "tiny"),
+    (9, "bad", "also tiny"),
+    # NULL source: a real audit row, passing doc
+    (10, None, " ".join(["tok"] * 35)),
+    # 'empty': all NULL text → tok_total 0 → explicit NULL ppm, ranks last
+    (11, "empty", None),
+    (12, "empty", None),
+]
+
+
+def test_quality_mix_curve_matches_exact_python_reference(spark, tmp_path):
+    """source_quality_mix_curve replayed in exact Python ints: per-source
+    gate stats, ppm ratios, the (ppm DESC NULLS LAST, source ASC NULLS
+    FIRST) ranking and the cumulative share — engine parity AND replay,
+    including the NULL source row, NULL-text docs, and a zero-token
+    source whose pass rate is an EXPLICIT NULL ranking last."""
+    from tfm_taxitrips_spark.queries.text import (
+        _QUALITY_MIX_CURVE_SQL,
+        QGATE_MIN_CHARS,
+        QGATE_MIN_TOKENS,
+        q_source_quality_mix_curve,
+    )
+    from tests.oracle import compare_result
+
+    _write_docs(tmp_path, _CURVE_DOCS)
+    actual = q_source_quality_mix_curve(spark, str(tmp_path)).toPandas()
+    conn = duckdb.connect()
+    conn.sql("CREATE VIEW documents AS SELECT * FROM "
+             f"'{tmp_path}/documents.parquet'")
+    try:
+        expected = conn.sql(_QUALITY_MIX_CURVE_SQL).df()
+    finally:
+        conn.close()
+    assert compare_result(actual.copy(), expected)["hash_match"]
+
+    per: dict = {}
+    for _id, src, text in _CURVE_DOCS:
+        nt = _tok(text)
+        ok = nt >= QGATE_MIN_TOKENS and (
+            0 if text is None else len(text)) >= QGATE_MIN_CHARS
+        nd, npass, tt, tp = per.get(src, (0, 0, 0, 0))
+        per[src] = (nd + 1, npass + ok, tt + nt, tp + (nt if ok else 0))
+    rows = []
+    for src, (nd, npass, tt, tp) in per.items():
+        ppm = None if tt == 0 else tp * 1_000_000 // tt
+        rows.append((src, nd, npass, tt, tp, ppm))
+    # ppm DESC NULLS LAST, source ASC NULLS FIRST (source unique → total)
+    rows.sort(key=lambda r: (r[5] is None, -(r[5] or 0),
+                             r[0] is not None, r[0] or ""))
+    all_pass = sum(r[4] for r in rows)
+    ref, cum = {}, 0
+    for rank, (src, nd, npass, tt, tp, ppm) in enumerate(rows, start=1):
+        cum += tp
+        ref[src] = (nd, npass, npass * 1_000_000 // nd, tt, tp, ppm, rank,
+                    cum, None if all_pass == 0
+                    else cum * 1_000_000 // all_pass)
+    got = {
+        (None if pd.isna(r["source"]) else r["source"]): (
+            int(r["n_docs"]), int(r["n_pass_docs"]), int(r["doc_pass_ppm"]),
+            int(r["tok_total"]), int(r["tok_pass"]),
+            None if pd.isna(r["tok_pass_ppm"]) else int(r["tok_pass_ppm"]),
+            int(r["quality_rank"]), int(r["cum_pass_tok"]),
+            None if pd.isna(r["cum_share_ppm"]) else int(r["cum_share_ppm"]))
+        for _, r in actual.iterrows()
+    }
+    assert got == ref
+    # non-degenerate probe: the zero-token source exists, has an explicit
+    # NULL rate, and ranks LAST; the NULL source is a real row
+    assert got["empty"][5] is None and got["empty"][6] == len(rows)
+    assert None in got
+    # the curve ends at exactly 10⁶ ppm (full surviving mass covered)
+    assert max(v[8] for v in got.values() if v[8] is not None) == 1_000_000
+
+
 def test_symbols_leftover_bound_names_edge_to_module_sym():
     """r11 advisory #1, failing-first before the fix: a constant bound
     by top-level control flow (try/except, if) pools into <module>, and

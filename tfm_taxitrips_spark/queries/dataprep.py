@@ -804,30 +804,51 @@ FROM full_grid f JOIN ext e ON e.source IS NOT DISTINCT FROM f.source
 _PACK_BUDGET = 2048
 
 
-def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign documents to fixed-token-budget training packs: within each
+def _pack_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pack layout shared by :func:`q_sequence_packing` and
+    :func:`q_packing_efficiency_report` — ONE definition, so the report
+    cannot audit a different layout than the packer emits: within each
     hash shard, docs are laid out in doc_id order and a doc's pack is
-    ``floor(tokens_before_it / budget)`` — streaming greedy packing whose
-    boundary pack may overflow by at most one doc (the standard pack-then-
-    truncate layout). One window per shard partition, no global sort; at
-    100 TB each shard's prefix sum is an independent partition-local scan.
+    ``tokens_before_it div budget`` (integer div in BOTH engines — the
+    r12 rewrite retires the float ``FLOOR(x / 2048)`` form whose double
+    rounding is only accidentally exact below 2⁵³ prefix tokens).
+
+    Stated contract (r12, previously an engine accident): NULL text
+    counts 0 tokens via COALESCE in both engines, so a NULL-text doc
+    occupies a pack slot with zero token mass instead of poisoning the
+    prefix sum differently per engine.
+
+    Columns: ``shard, doc_id, n_tokens, pack_id``.
     """
     docs = table(spark, sf_dir, "documents")
     shard = F.pmod(
         hash60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), F.lit(8)
     )
-    toks = token_count("text").cast("bigint")
+    toks = F.coalesce(token_count("text").cast("bigint"), F.lit(0))
     w = (
         Window.partitionBy("shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    with_pack = (
+    return (
         docs.select(shard.alias("shard"), F.col("doc_id"), toks.alias("n_tokens"))
         .withColumn("before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-        .withColumn("pack_id", F.floor(F.col("before") / _PACK_BUDGET))
+        .withColumn("pack_id", F.expr(f"before div {_PACK_BUDGET}"))
+        .drop("before")
     )
-    return with_pack.groupBy("shard", "pack_id").agg(
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed-token-budget training packs: within each
+    hash shard, docs are laid out in doc_id order and a doc's pack is
+    ``tokens_before_it div budget`` — streaming greedy packing whose
+    boundary pack may overflow by at most one doc (the standard pack-then-
+    truncate layout). One window per shard partition, no global sort; at
+    100 TB each shard's prefix sum is an independent partition-local scan.
+    Layout shared with :func:`q_packing_efficiency_report` via
+    :func:`_pack_layout`.
+    """
+    return _pack_layout(spark, sf_dir).groupBy("shard", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
     )
@@ -837,23 +858,96 @@ _SHARD_EXPR = (
     hash60_sql("concat('shard:', CAST(doc_id AS VARCHAR))") + " % 8"
 )
 
-_SEQ_PACK_SQL = f"""
-WITH t AS (
+# the oracle twin of _pack_layout — a WITH-body fragment ending in the
+# ``layout`` CTE, prepended by both pack queries' SQL so the two oracles
+# share one layout definition exactly like the Spark side does
+_PACK_LAYOUT_CTES = f"""t AS (
   SELECT {_SHARD_EXPR} AS shard, doc_id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         CAST(COALESCE(len(string_split(text, ' ')), 0) AS BIGINT) AS n_tokens
   FROM documents
 ),
-p AS (
+layout AS (
   SELECT shard, doc_id, n_tokens,
          COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {_PACK_BUDGET} AS pack_id
   FROM t
-)
-SELECT shard, CAST(FLOOR(before / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+)"""
+
+_SEQ_PACK_SQL = f"""
+WITH {_PACK_LAYOUT_CTES}
+SELECT shard, CAST(pack_id AS BIGINT) AS pack_id,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
-FROM p
+FROM layout
 GROUP BY 1, 2
+"""
+
+
+_UTIL_BUCKETS = 10  # utilization deciles; bucket 10 = full-or-overflowing
+
+
+def q_packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-utilization histogram over :func:`q_sequence_packing`'s packs
+    (r12 shortlist, landed r12) — the table that decides whether the pack
+    budget is sized right before a training run: per utilization decile
+    ``util_bucket = least(pack_tokens·10 div budget, 10)``, the number of
+    packs, their doc and token mass, the padding a pad-to-budget collator
+    would burn (``Σ max(budget − pack_tokens, 0)``) and the overflow a
+    pack-then-truncate collator would cut (``Σ max(pack_tokens − budget,
+    0)``). All exact integers; bucket 10 collects the full-or-overflowing
+    packs (a pack overflows by at most its boundary doc), the low buckets
+    expose shard-tail fragmentation.
+
+    The layout is :func:`_pack_layout` — the SAME definition
+    `sequence_packing` aggregates, in both engines, so the report can
+    never describe packs the packer didn't build. NULL text counts 0
+    tokens by that layout's stated contract.
+
+    Scale shape: the per-shard prefix-sum window (partition-local scan),
+    one map-side-combined groupBy to |packs| rows, then an 11-row bucket
+    collapse — the histogram tail is aggregate-sized at any corpus size.
+    """
+    packs = _pack_layout(spark, sf_dir).groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("n_tokens").cast("bigint").alias("pt"),
+    )
+    bucketed = packs.select(
+        F.least(
+            F.expr(f"pt * {_UTIL_BUCKETS} div {_PACK_BUDGET}"),
+            F.lit(_UTIL_BUCKETS).cast("bigint"),
+        ).cast("int").alias("util_bucket"),
+        "nd", "pt",
+        F.greatest(F.lit(_PACK_BUDGET).cast("bigint") - F.col("pt"),
+                   F.lit(0).cast("bigint")).alias("pad"),
+        F.greatest(F.col("pt") - F.lit(_PACK_BUDGET).cast("bigint"),
+                   F.lit(0).cast("bigint")).alias("ovf"),
+    )
+    return bucketed.groupBy("util_bucket").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("nd").cast("bigint").alias("n_docs"),
+        F.sum("pt").cast("bigint").alias("pack_tokens"),
+        F.sum("pad").cast("bigint").alias("padding_tokens"),
+        F.sum("ovf").cast("bigint").alias("overflow_tokens"),
+    )
+
+
+_PACK_REPORT_SQL = f"""
+WITH {_PACK_LAYOUT_CTES},
+packs AS (
+  SELECT shard, pack_id, COUNT(*) AS nd,
+         CAST(SUM(n_tokens) AS BIGINT) AS pt
+  FROM layout GROUP BY 1, 2
+)
+SELECT CAST(LEAST(pt * {_UTIL_BUCKETS} // {_PACK_BUDGET}, {_UTIL_BUCKETS})
+            AS INT) AS util_bucket,
+       COUNT(*) AS n_packs,
+       CAST(SUM(nd) AS BIGINT) AS n_docs,
+       CAST(SUM(pt) AS BIGINT) AS pack_tokens,
+       CAST(SUM(GREATEST({_PACK_BUDGET} - pt, 0)) AS BIGINT) AS padding_tokens,
+       CAST(SUM(GREATEST(pt - {_PACK_BUDGET}, 0)) AS BIGINT) AS overflow_tokens
+FROM packs
+GROUP BY 1
 """
 
 
@@ -2785,6 +2879,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "sequence_packing": QuerySpec(
         q_sequence_packing, _SEQ_PACK_SQL, tags=("text", "pipeline", "window"),
+    ),
+    "packing_efficiency_report": QuerySpec(
+        q_packing_efficiency_report, _PACK_REPORT_SQL,
+        tags=("text", "pipeline", "audit", "window"),
     ),
     "doc_chunking": QuerySpec(
         q_doc_chunking, _DOC_CHUNK_SQL, tags=("text", "pipeline"),

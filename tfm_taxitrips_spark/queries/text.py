@@ -1156,6 +1156,14 @@ FROM d
 # Training-data prep composite
 # --------------------------------------------------------------------------
 
+# the go/no-go quality gate shared by q_training_mix (which FILTERS by
+# it) and q_source_quality_mix_curve (which MEASURES it per source) —
+# one pair of constants, so the curve can never describe a different
+# gate than the mix pipeline applies
+QGATE_MIN_TOKENS = 20
+QGATE_MIN_CHARS = 100
+
+
 def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical LLM-corpus prep pipeline as ONE declarative plan:
     quality filter → exact dedup (keep lowest doc_id per content hash) →
@@ -1166,10 +1174,12 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership stable — the property that matters when a 100 TB corpus is
     re-mixed incrementally. Plan shape: one narrow scan+filter, one
     dedup shuffle on the content hash, one final agg shuffle.
+    Gate constants shared with :func:`q_source_quality_mix_curve`.
     """
     docs = fan_out(table(spark, sf_dir, "documents"))
     n_tok = token_count("text")
-    filtered = docs.where((n_tok >= 20) & (F.length("text") >= 100))
+    filtered = docs.where(
+        (n_tok >= QGATE_MIN_TOKENS) & (F.length("text") >= QGATE_MIN_CHARS))
     keyed = filtered.withColumn("k", F.md5(F.lower(F.col("text"))))
     w = Window.partitionBy("k").orderBy("doc_id")
     deduped = keyed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
@@ -1186,7 +1196,8 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRAINING_MIX_SQL = f"""
 WITH f AS (
   SELECT doc_id, lang, text FROM documents
-  WHERE len(string_split(text, ' ')) >= 20 AND length(text) >= 100
+  WHERE len(string_split(text, ' ')) >= {QGATE_MIN_TOKENS}
+    AND length(text) >= {QGATE_MIN_CHARS}
 ),
 d AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
@@ -1201,6 +1212,134 @@ SELECT CAST({hash60_sql("concat('shard:', CAST(doc_id AS VARCHAR))")} % 8 AS BIG
        lang, COUNT(*) AS n_docs,
        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
 FROM s GROUP BY 1, 2
+"""
+
+
+def q_source_quality_mix_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-gate pass rate × token mass, plus the cumulative
+    mix curve (r12 shortlist, landed r12) — the go/no-go table
+    :func:`q_training_mix` ASSUMES when it applies the gate corpus-wide:
+    for each source, docs/tokens seen vs docs/tokens passing the SHARED
+    gate (``QGATE_MIN_TOKENS``/``QGATE_MIN_CHARS`` — same constants, both
+    engines, so the curve cannot describe a different gate than the mix
+    pipeline applies), pass rates in exact ppm, and the running
+    best-sources-first curve: sources ranked by token pass rate, each row
+    carrying the cumulative surviving-token share — read off "the top k
+    sources supply X% of the gated corpus" directly.
+
+    Stated contracts: NULL text counts 0 tokens and FAILS the gate
+    (COALESCE, both engines); a NULL source is a real audit row; a
+    zero-token source has an explicit-NULL token pass rate (NULLIF) and
+    ranks LAST (explicit ``DESC NULLS LAST`` in both engines — Spark
+    defaults that for DESC, DuckDB's default null ordering is
+    configurable, so it is spelled out); ties break on source ASC NULLS
+    FIRST, making the rank total and deterministic (source is the group
+    key, hence unique). Counts and token sums route through
+    DECIMAL(38,0)/HUGEINT before the ×10⁶ ppm scaling — 10¹³ pass-tokens
+    × 10⁶ overflows BIGINT at 100 TB.
+
+    Scale shape: ONE map-side-combined groupBy collapses the corpus to
+    |sources| rows (checkpointed so the ranking window and the unbounded
+    total ride the aggregate, not the scan); the single-partition window
+    is deliberate and aggregate-sized — the same convention as every
+    |groups|-row window in the repo. Output is |sources| rows.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = F.coalesce(token_count("text").cast("bigint"), F.lit(0))
+    gate = (
+        (tok >= QGATE_MIN_TOKENS)
+        & (F.coalesce(F.length("text"), F.lit(0)) >= QGATE_MIN_CHARS)
+    ).cast("bigint")
+    per = (
+        docs.select(F.col("source"), tok.alias("tok"), gate.alias("p"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n_docs"),
+            F.sum("p").cast("decimal(38,0)").alias("n_pass"),
+            F.sum("tok").cast("decimal(38,0)").alias("tok_total"),
+            F.sum(F.col("tok") * F.col("p")).cast("decimal(38,0)")
+            .alias("tok_pass"),
+        )
+        .withColumn(
+            "tok_pass_ppm",
+            F.expr("tok_pass * 1000000 div nullif(tok_total, 0)"))
+        .localCheckpoint(eager=False)  # ranking window + unbounded total
+    )
+    w = Window.orderBy(
+        F.desc_nulls_last("tok_pass_ppm"), F.asc_nulls_first("source"))
+    staged = per.select(
+        "*",
+        F.row_number().over(w).cast("int").alias("quality_rank"),
+        F.sum("tok_pass")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_pass"),
+        F.sum("tok_pass")
+        .over(w.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)).alias("all_pass"),
+    )
+    return staged.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_pass").cast("bigint").alias("n_pass_docs"),
+        F.expr("n_pass * 1000000 div n_docs").cast("bigint")
+        .alias("doc_pass_ppm"),
+        F.col("tok_total").cast("bigint").alias("tok_total"),
+        F.col("tok_pass").cast("bigint").alias("tok_pass"),
+        F.col("tok_pass_ppm").cast("bigint").alias("tok_pass_ppm"),
+        "quality_rank",
+        F.col("cum_pass").cast("bigint").alias("cum_pass_tok"),
+        F.expr("cum_pass * 1000000 div nullif(all_pass, 0)").cast("bigint")
+        .alias("cum_share_ppm"),
+    )
+
+
+_QGATE_SQL_PRED = (
+    f"COALESCE(len(string_split(text, ' ')), 0) >= {QGATE_MIN_TOKENS} "
+    f"AND COALESCE(length(text), 0) >= {QGATE_MIN_CHARS}"
+)
+
+_QUALITY_MIX_CURVE_SQL = f"""
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS HUGEINT) AS n_docs,
+         CAST(SUM(CASE WHEN {_QGATE_SQL_PRED} THEN 1 ELSE 0 END)
+              AS HUGEINT) AS n_pass,
+         CAST(SUM(COALESCE(len(string_split(text, ' ')), 0))
+              AS HUGEINT) AS tok_total,
+         CAST(SUM(CASE WHEN {_QGATE_SQL_PRED}
+                       THEN COALESCE(len(string_split(text, ' ')), 0)
+                       ELSE 0 END) AS HUGEINT) AS tok_pass
+  FROM documents GROUP BY 1
+),
+r AS (
+  SELECT *, tok_pass * 1000000 // NULLIF(tok_total, 0) AS tok_pass_ppm
+  FROM per
+),
+wnd AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (ORDER BY tok_pass_ppm DESC NULLS LAST,
+                                 source ASC NULLS FIRST) AS INT)
+           AS quality_rank,
+         SUM(tok_pass) OVER (ORDER BY tok_pass_ppm DESC NULLS LAST,
+                             source ASC NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pass,
+         SUM(tok_pass) OVER (ORDER BY tok_pass_ppm DESC NULLS LAST,
+                             source ASC NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS all_pass
+  FROM r
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_pass AS BIGINT) AS n_pass_docs,
+       CAST(n_pass * 1000000 // n_docs AS BIGINT) AS doc_pass_ppm,
+       CAST(tok_total AS BIGINT) AS tok_total,
+       CAST(tok_pass AS BIGINT) AS tok_pass,
+       CAST(tok_pass_ppm AS BIGINT) AS tok_pass_ppm,
+       quality_rank,
+       CAST(cum_pass AS BIGINT) AS cum_pass_tok,
+       CAST(cum_pass * 1000000 // NULLIF(all_pass, 0) AS BIGINT)
+         AS cum_share_ppm
+FROM wnd
 """
 
 
@@ -2692,6 +2831,9 @@ QUERIES: dict[str, QuerySpec] = {
         tags=("text", "quality", "pipeline")),
     "training_data_mix": QuerySpec(q_training_mix, _TRAINING_MIX_SQL, bench=True,
                                    tags=("text", "dedup", "sample", "pipeline")),
+    "source_quality_mix_curve": QuerySpec(
+        q_source_quality_mix_curve, _QUALITY_MIX_CURVE_SQL,
+        tags=("text", "quality", "audit", "window")),
     "text_token_count": QuerySpec(q_token_count, _TOKEN_COUNT_SQL, tags=("text",)),
     "text_bpe_tokens": QuerySpec(q_bpe_tokens, _BPE_SQL, tags=("text",)),
     "pmi_collocations": QuerySpec(q_pmi_collocations, _PMI_SQL,
