@@ -600,6 +600,141 @@ def test_quality_mix_curve_matches_exact_python_reference(spark, tmp_path):
     assert max(v[8] for v in got.values() if v[8] is not None) == 1_000_000
 
 
+def _write_embs(tmp_path, rows, dim=16):
+    """rows: list[(vec_id, embedding_list_or_None, label_or_None)]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in rows], pa.int32()),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "embeddings.parquet"))
+
+
+def test_emb_guard_excludes_zero_norm_and_null_element(spark, tmp_path):
+    """r12 guard extension (found by tools/null_probe_sweep.py, the
+    registry-wide NULL-probe): a ZERO-NORM vector crashed Spark's ANSI
+    cosine divide in 15 queries, and a NULL-ELEMENT vector crashed
+    DuckDB's whole-batch list_inner_product in 3 — both now excluded at
+    the ONE seam with its oracle twin. Pin: only well-formed vectors
+    survive, and a cosine-path query runs parity-green over a store
+    planted with every defect class."""
+    from tfm_taxitrips_spark.queries.registry import all_queries
+    from tfm_taxitrips_spark.queries.vectors import emb_table
+    from tests.oracle import compare_result
+
+    good = [float(i + 1) for i in range(16)]
+    _write_embs(tmp_path, [
+        (0, good, 0),
+        (1, [v * 2 for v in good], 1),
+        (2, None, 0),                          # NULL vector (r11 class)
+        (3, [1.0, 2.0, 3.0], 1),               # short vector (r11 class)
+        (4, [0.0] * 16, 0),                    # zero-norm (r12 class)
+        (5, [1.0] * 15 + [None], 1),           # NULL element (r12 class)
+    ])
+    kept = sorted(
+        r.vec_id for r in emb_table(spark, str(tmp_path)).collect())
+    assert kept == [0, 1]
+
+    spec = all_queries()["embedding_norms"]
+    actual = spec.fn(spark, str(tmp_path)).toPandas()
+    conn = duckdb.connect()
+    conn.sql("CREATE VIEW embeddings AS SELECT * FROM "
+             f"'{tmp_path}/embeddings.parquet'")
+    try:
+        expected = conn.sql(spec.oracle).df()
+    finally:
+        conn.close()
+    assert compare_result(actual.copy(), expected)["hash_match"]
+    assert sorted(actual["vec_id"]) == [0, 1]
+
+
+def test_blob_ops_exclude_null_text_payload(spark, tmp_path):
+    """attach_blob's r12 contract: a NULL text has no payload — the row
+    is excluded at the seam instead of crashing every mapInPandas worker
+    on len(None), and all five blob oracles mirror the filter."""
+    from tfm_taxitrips_spark.queries.multimodal import QUERIES
+    from tests.oracle import compare_result
+
+    _write_docs(tmp_path, [
+        (1, "web", "a real payload with several words"),
+        (2, "web", None),                       # no payload, by contract
+        (3, "web", ""),                         # empty payload is REAL
+    ])
+    conn = duckdb.connect()
+    conn.sql("CREATE VIEW documents AS SELECT * FROM "
+             f"'{tmp_path}/documents.parquet'")
+    try:
+        for name in ("blob_features", "blob_metadata"):
+            spec = QUERIES[name]
+            actual = spec.fn(spark, str(tmp_path)).toPandas()
+            expected = conn.sql(spec.oracle).df()
+            assert compare_result(
+                actual.copy(), expected)["hash_match"], name
+            assert sorted(actual["doc_id"]) == [1, 3], name
+    finally:
+        conn.close()
+
+
+def test_doc_chunking_null_text_excluded(spark, tmp_path):
+    """r12 contract: a NULL-text doc has nothing to chunk. Before the
+    fix the row survived as one ghost chunk whose chunk_text was '' in
+    Spark (concat_ws over NULL) but NULL in DuckDB (array_to_string) —
+    an engine-divergent accident the sweep caught."""
+    from tfm_taxitrips_spark.queries.dataprep import (
+        _DOC_CHUNK_SQL,
+        q_doc_chunking,
+    )
+    from tests.oracle import compare_result
+
+    _write_docs(tmp_path, [
+        (1, "web", " ".join(f"w{i}" for i in range(100))),
+        (2, "web", None),
+        (3, "web", "short tail"),
+    ])
+    actual = q_doc_chunking(spark, str(tmp_path)).toPandas()
+    conn = duckdb.connect()
+    conn.sql("CREATE VIEW documents AS SELECT * FROM "
+             f"'{tmp_path}/documents.parquet'")
+    try:
+        expected = conn.sql(_DOC_CHUNK_SQL).df()
+    finally:
+        conn.close()
+    assert compare_result(actual.copy(), expected)["hash_match"]
+    assert set(actual["doc_id"]) == {1, 3}
+
+
+def test_sink_compaction_counts_null_source_partition(spark, tmp_path):
+    """r12 probe finding: partitionBy writes NULL-source rows to a REAL
+    __HIVE_DEFAULT_PARTITION__ directory (one compacted file), but
+    count_distinct skipped NULL — Spark under-reported the partition
+    population its own rewrite produced while the oracle's GROUP BY
+    counted it. n_sources now counts the NULL bucket."""
+    from tfm_taxitrips_spark.queries.sinkq import (
+        _COMPACT_SQL,
+        q_sink_compaction_roundtrip,
+    )
+    from tests.oracle import compare_result
+
+    _write_docs(tmp_path, [
+        (1, "a", "one"), (2, "a", "two"), (3, "b", "three"),
+        (4, None, "null-source row"), (5, None, "another"),
+    ])
+    actual = q_sink_compaction_roundtrip(spark, str(tmp_path)).toPandas()
+    conn = duckdb.connect()
+    conn.sql("CREATE VIEW documents AS SELECT * FROM "
+             f"'{tmp_path}/documents.parquet'")
+    try:
+        expected = conn.sql(_COMPACT_SQL).df()
+    finally:
+        conn.close()
+    assert compare_result(actual.copy(), expected)["hash_match"]
+    assert int(actual["n_sources"].iloc[0]) == 3   # a, b, NULL bucket
+    assert int(actual["n_files_compacted"].iloc[0]) == 3
+
+
 def test_symbols_leftover_bound_names_edge_to_module_sym():
     """r11 advisory #1, failing-first before the fix: a constant bound
     by top-level control flow (try/except, if) pools into <module>, and

@@ -39,13 +39,26 @@ FRAME_STRIDE = 4
 def attach_blob(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Manufacture the multimodal shape from the documents table: an opaque
     binary payload + typed metadata struct (what a real pipeline carries
-    alongside decoded-at-read media)."""
+    alongside decoded-at-read media).
+
+    Contract (r12, found by the registry-wide NULL-probe sweep,
+    ``tools/null_probe_sweep.py``): a NULL text has NO payload — the row
+    is excluded at this seam, the multimodal analog of the vector
+    family's ``emb_table`` guard (oracle twins filter
+    ``text IS NOT NULL``). Before the guard, a NULL blob crashed every
+    mapInPandas worker downstream (``len(None)``) — a single defective
+    ingest row killing a whole media job at 100 TB.
+    """
     blob = F.encode(F.col(text_col), "utf-8")
     meta = F.struct(
         F.lit("application/octet-stream").alias("content_type"),
         F.octet_length(blob).alias("n_bytes"),
     )
-    return df.withColumn("blob", blob).withColumn("media_meta", meta)
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .withColumn("blob", blob)
+        .withColumn("media_meta", meta)
+    )
 
 
 def decode_image(blob: bytes):  # pragma: no cover - stub

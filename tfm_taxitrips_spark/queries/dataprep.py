@@ -973,7 +973,12 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any corpus size. The ~W/stride output multiplier is the
     unavoidable payload fan-out, not a key explosion.
     """
-    docs = table(spark, sf_dir, "documents")
+    # NULL text has nothing to chunk — excluded by stated contract in
+    # both engines (r12, registry-wide NULL-probe sweep: the row used to
+    # survive as one ghost chunk whose text was '' in Spark via
+    # concat_ws(NULL) but NULL in DuckDB via array_to_string — an
+    # engine-divergent accident, now a contract)
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     w = tokens("text")
     n = F.size(w)
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(CHUNK_STRIDE))
@@ -998,6 +1003,7 @@ WITH t AS (
   SELECT doc_id, lang, string_split(text, ' ') AS w,
          len(string_split(text, ' ')) AS n
   FROM documents
+  WHERE text IS NOT NULL  -- nothing to chunk, by contract (r12)
 ),
 e AS (
   SELECT doc_id, lang, w,

@@ -46,6 +46,7 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
        md5(text) AS blob_md5  -- ASCII: varchar md5 == blob md5
 FROM documents
+WHERE text IS NOT NULL  -- attach_blob's NULL-payload contract (r12)
 """
 
 
@@ -65,6 +66,7 @@ _BYTES_CTE = """
            i -> (strpos('0123456789ABCDEF', substr(hex(encode(text)), i*2+1, 1)) - 1) * 16
               + (strpos('0123456789ABCDEF', substr(hex(encode(text)), i*2+2, 1)) - 1)) AS s
   FROM documents
+  WHERE text IS NOT NULL  -- attach_blob's NULL-payload contract (r12)
 """
 
 _BLOB_FEATURES_SQL = f"""
@@ -90,6 +92,7 @@ SELECT doc_id,
        CASE WHEN length(text) = 0 THEN NULL
             ELSE md5(substr(text, 1, {FRAME_BYTES})) END AS first_frame_md5
 FROM documents
+WHERE text IS NOT NULL  -- attach_blob's NULL-payload contract (r12)
 """
 
 
@@ -110,9 +113,14 @@ _BLOB_RESIZE_SQL = """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS orig_bytes,
        CAST(len(range(1, length(text) + 1, 4)) AS BIGINT) AS resized_bytes,
-       md5(array_to_string(list_transform(range(1, length(text) + 1, 4),
-                                          i -> text[i]), '')) AS resized_md5
+       -- COALESCE: DuckDB's array_to_string([]) is NULL, not '' — an
+       -- EMPTY payload must hash to md5('') exactly like the bytes
+       -- Python emits (r12 sweep finding: any empty-text doc diverged)
+       md5(COALESCE(array_to_string(list_transform(range(1, length(text) + 1, 4),
+                                                   i -> text[i]), ''), ''))
+         AS resized_md5
 FROM documents
+WHERE text IS NOT NULL  -- attach_blob's NULL-payload contract (r12)
 """
 
 

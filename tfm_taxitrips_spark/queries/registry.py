@@ -30,21 +30,19 @@ class QuerySpec:
 # round's order).  With 218 registered queries we rotate which ones sit
 # inside that window each round.  Round-12 policy (r11 verdict item #2):
 # the window IS the planner output VERBATIM — the five never-graded r12
-# registrations front automatically (planner class 0), then ALL 40
-# code-stale rows (the r11 malformed-vector-guard family the r11 verdict
-# queued, PLUS the rows the r12 edits themselves staled: the fertility
-# NULLIF guard re-stales `tokenizer_fertility_audit`, the
-# `_emb_guard_sql` hardening re-stales the six r11-graded queries whose
-# symbol closure reaches it, the `cross_source_dup_matrix` NULLS-FIRST
-# probe fix re-stales that r4 op, the shared `_pack_layout` seam
-# re-stales `sequence_packing`, and the shared QGATE constants re-stale
-# `training_data_mix`), then the stalest clean r6 rows fill the
-# remaining 5 slots.  After this window grades, the post-r12 planner
-# reports ZERO code-stale rows — the first time since function-level
-# staleness landed.  Growth hits the ≤5/round cap exactly (5 new ops,
-# fronted in their registering commits).
+# registrations front automatically (planner class 0), then code-stale
+# rows fill every remaining slot.  The stale class grew twice this
+# round: first the r12 registrations' shared seams (`_pack_layout` →
+# `sequence_packing`, QGATE constants → `training_data_mix`), then the
+# registry-wide NULL-probe sweep's fixes (`emb_table` zero-norm/NULL-
+# element guard extension → the vector family again, `attach_blob`
+# NULL-payload contract → the five blob queries, the `doc_chunking`
+# ghost-chunk contract, the `sink_compaction_roundtrip` NULL-partition
+# count).  That makes 5 + 47 = 52 candidates for 50 slots: the two the
+# planner's own tiebreak clips (stalest-round-last) carry explicit
+# PENDING_ROTATION IOUs below instead of silently falling out.
 # Re-derive anytime with ``python -m tfm_taxitrips_spark.queries.rotation``
-# — this tuple is its output verbatim (2026-08-16, post-r12-edits HEAD).
+# — this tuple is its output verbatim (2026-08-16, post-sweep-fixes HEAD).
 GRADING_PRIORITY: tuple[str, ...] = (
     "dedup_threshold_sweep",  # never graded
     "source_quality_mix_curve",  # never graded
@@ -59,6 +57,9 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "source_token_tvd",  # latest row: r7, code changed since
     "embedding_norms",  # latest row: r7, code changed since
     "embedding_dup_pairs",  # latest row: r7, code changed since
+    "blob_metadata",  # latest row: r7, code changed since
+    "blob_resize",  # latest row: r7, code changed since
+    "blob_frame_sample",  # latest row: r7, code changed since
     "embedding_dup_clusters",  # latest row: r7, code changed since
     "ks_split_drift",  # latest row: r7, code changed since
     "group_ols_two_factor",  # latest row: r7, code changed since
@@ -66,6 +67,8 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "ann_recall_eval",  # latest row: r8, code changed since
     "label_centroids",  # latest row: r8, code changed since
     "embedding_quantize_int8",  # latest row: r8, code changed since
+    "blob_audio_features",  # latest row: r8, code changed since
+    "blob_features",  # latest row: r8, code changed since
     "sequence_packing",  # latest row: r8, code changed since
     "cross_source_dup_matrix",  # latest row: r9, code changed since
     "zipf_vocab_fit",  # latest row: r9, code changed since
@@ -83,6 +86,7 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "stream_sessionization",  # latest row: r9, code changed since
     "stream_dedup",  # latest row: r9, code changed since
     "stream_ohlc_resample",  # latest row: r9, code changed since
+    "doc_chunking",  # latest row: r9, code changed since
     "tokenizer_fertility_audit",  # latest row: r11, code changed since
     "training_data_mix",  # latest row: r11, code changed since
     "hard_negative_mining",  # latest row: r11, code changed since
@@ -90,25 +94,22 @@ GRADING_PRIORITY: tuple[str, ...] = (
     "embedding_pq_recall_eval",  # latest row: r11, code changed since
     "embedding_covariance",  # latest row: r11, code changed since
     "retrieval_mrr_eval",  # latest row: r11, code changed since
-    "centroid_shift",  # latest row: r11, code changed since
-    "cms_join_size_estimate",  # latest row: r6
-    "cms_heavy_hitters",  # latest row: r6
-    "dedup_survivorship_merge",  # latest row: r6
-    "snapshot_diff",  # latest row: r6
-    "k_anonymize",  # latest row: r6
 )
 
-# Queries added AFTER the current round's window froze at 50 entries. They
-# are differential-tested every session (tests/test_differential.py runs
-# ALL registered queries against their oracles at sf0.001) but have never
-# had a driver CORRECTNESS row; they MUST be fronted in the next round's
-# GRADING_PRIORITY, displacing entries that go green this round. The
-# rotation test derives the never-graded set from the CORRECTNESS files
-# themselves (not a name heuristic), so this debt can't silently grow.
-# Round 5 froze registry growth and fronted all 39 round-4 IOUs, so this
-# list is EMPTY — keep it that way unless an addition genuinely cannot fit
-# the current window.
-PENDING_ROTATION: tuple[str, ...] = ()
+# Rotation IOUs: rows the current 50-slot window genuinely cannot hold.
+# Two uses: (a) queries added after the window froze (never graded — the
+# original purpose; round 5 cleared all 39 such IOUs), and (b) code-stale
+# overflow when stale candidates exceed the free slots (r12: 5 new ops +
+# 47 stale rows = 52 candidates; the planner's stalest-round-last
+# tiebreak clips these two).  Everything here is still differential-
+# tested EVERY session at sf0.001 (tests/test_differential.py) and
+# selfcheck-swept at sf0.01, so the IOU defers only the driver's own
+# CORRECTNESS row, not verification; the next round's window MUST front
+# them.  Keep this list empty whenever the window fits.
+PENDING_ROTATION: tuple[str, ...] = (
+    "centroid_shift",            # r11-green; stale via the r12 emb guard
+    "sink_compaction_roundtrip",  # r11-green; stale via the r12 NULL-partition count fix
+)
 
 
 def _merged() -> dict[str, QuerySpec]:

@@ -273,9 +273,20 @@ def q_sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_comp = _count_parquet_files(comp)
         back = spark.read.parquet(comp)
+        # a NULL source IS a real partition (__HIVE_DEFAULT_PARTITION__
+        # directory, one compacted file) — count it as one bucket.
+        # count_distinct alone skips NULLs, silently under-reporting the
+        # partition population the rewrite itself just wrote (r12,
+        # registry-wide NULL-probe sweep; the oracle's GROUP BY had the
+        # NULL group all along).
         result = back.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            (
+                F.count_distinct("source")
+                + F.coalesce(
+                    F.max(F.when(F.col("source").isNull(), F.lit(1))),
+                    F.lit(0))
+            ).cast("bigint").alias("n_sources"),
             F.sum("n_chars").cast("bigint").alias("char_checksum"),
         ).select(
             F.lit(n_frag).cast("bigint").alias("n_files_fragmented"),

@@ -41,9 +41,10 @@ EMB_MIN_DIMS = 8
 
 
 def emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The vector family's ONE guarded ``embeddings`` scan: NULL and
-    shorter-than-{EMB_MIN_DIMS} vectors are excluded at the seam, with
-    the oracle-side twin injected by :func:`_emb_guard_sql`.
+    """The vector family's ONE guarded ``embeddings`` scan: NULL,
+    shorter-than-{EMB_MIN_DIMS}, NULL-ELEMENT, and ZERO-NORM vectors
+    are excluded at the seam, with the oracle-side twin injected by
+    :func:`_emb_guard_sql`.
 
     Round-11 probe finding (failing-first, the r9/r10 NULL-probe
     practice applied to this family's birth defect): planting ONE NULL
@@ -55,13 +56,31 @@ def emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-shaped queries agreed only by accident. One shared guard
     replaces three accidents with a stated contract: a malformed vector
     is an upstream ingest defect to flag, never a candidate, a probe,
-    a centroid seed, or a quantization input. Vectors that pass the
-    guard but disagree on dimensionality remain the ingest schema's
-    promise (a fixed-width embedding column), not per-query defense.
+    a centroid seed, or a quantization input.
+
+    Round-12 extension (tools/null_probe_sweep.py, the registry-wide
+    form of the same practice): the r11 contract was incomplete — a
+    ZERO-NORM vector crashed Spark's ANSI divide in every cosine-path
+    query (15 of them: ``dot/(n_q·n_e)`` with a 0 denominator), and a
+    vector with one NULL ELEMENT passed the is-null+length guard yet
+    crashed DuckDB's whole-batch ``list_inner_product`` validation in
+    3 more. Both are the same defect class (an embedding model never
+    emits an exactly-zero or element-NULL vector; a zeroed/holed row is
+    an ingest or storage fault), so both join the seam contract: a
+    guarded vector has ≥{EMB_MIN_DIMS} dims, no NULL elements, and at
+    least one non-zero element. Vectors that pass the guard but
+    disagree on dimensionality remain the ingest schema's promise (a
+    fixed-width embedding column), not per-query defense. (Theoretical
+    residue, documented not defended: a vector of denormal-tiny
+    elements whose squared norm underflows to 0.0 would still divide by
+    zero — not reachable from any real embedding model's output range.)
     """
+    e = F.col("embedding")
     return table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
-        & (F.size("embedding") >= EMB_MIN_DIMS)
+        e.isNotNull()
+        & (F.size(e) >= EMB_MIN_DIMS)
+        & ~F.exists(e, lambda x: x.isNull())
+        & F.exists(e, lambda x: x != 0)
     )
 
 
@@ -80,12 +99,21 @@ def _emb_guard_sql(sql: str) -> str:
     # already deselected — so a guard that merely filters still trips
     # "argument can not contain NULL values" on the raw scan batch; a
     # rebuilt vector physically contains only surviving rows' data.
-    # For every row that passes the guard the rebuild is the identity.
+    # r12: elements coalesce to 0.0 inside the rebuild (a deselected
+    # NULL-ELEMENT row would otherwise still poison the batch), typed
+    # FLOAT so survivors keep the scan's exact element type; for every
+    # row that passes the guard the rebuild is the identity, because
+    # the guard excludes NULL elements. The filter itself mirrors
+    # emb_table: not-NULL, >= EMB_MIN_DIMS dims, zero NULL elements,
+    # at least one non-zero element (zero-norm exclusion).
     guard = (
         f"embeddings_g AS (SELECT * REPLACE (list_transform("
-        f"COALESCE(embedding, []), x -> x) AS embedding) FROM embeddings "
+        f"COALESCE(embedding, []), x -> COALESCE(x, CAST(0 AS FLOAT))) "
+        f"AS embedding) FROM embeddings "
         f"WHERE embedding IS NOT NULL AND len(embedding) >= "
-        f"{EMB_MIN_DIMS})"
+        f"{EMB_MIN_DIMS} "
+        f"AND len(list_filter(embedding, x -> x IS NULL)) = 0 "
+        f"AND len(list_filter(embedding, x -> x != 0)) > 0)"
     )
     # case-INSENSITIVE on both legs (r11 advisory: a lowercase
     # ``from embeddings`` or a ``WITH\n  RECURSIVE`` oracle must never

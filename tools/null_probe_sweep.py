@@ -1,0 +1,200 @@
+"""Registry-wide NULL/adversarial-input differential sweep.
+
+The per-operator NULL-probe practice (standing since r9) has found a
+real defect in three consecutive rounds — r10's ECE NULL-text
+double-accident, r11's malformed-vector family split (13 divergent, 2
+crashing), r12's `cross_source_dup_matrix` least/greatest NULL
+misattribution. Each was found by hand-planting adversarial rows into
+ONE operator's fixture. This tool institutionalizes the practice
+registry-wide: it builds an sf0.001 fixture whose `documents` and
+`embeddings` tables are augmented with the full adversarial menagerie,
+then runs EVERY oracle-paired query that reads either table through the
+same Spark-vs-DuckDB compare the driver uses.
+
+What it can and cannot catch:
+
+- CATCHES cross-engine divergence (the two engines disagree on the
+  planted rows) and hard crashes (either engine throws) — the r11
+  finding class.
+- CANNOT catch engine-AGREEING semantic bugs (the r12 dup-matrix class:
+  both engines wrong the same way) — those still need the per-operator
+  exact-Python replays every new op ships with.
+
+Planted rows (documents, doc_id 900001+):
+  NULL text / NULL lang+source on a gate-passing text / whitespace-only
+  text / empty-string text / an exact-dup pair spanning a NULL source
+  (the r12 bug class) / the all-NULL row.
+Planted rows (embeddings, vec_id 900001+):
+  NULL vector / 3-dim short vector (both excluded by the r11 guard
+  contract) / zero-norm full-width vector / NULL label / full-width
+  vector containing one NULL ELEMENT (passes the is-null + length
+  guard — probes whether per-element nulls are a contract gap).
+
+Run: ``python tools/null_probe_sweep.py [--keep] [--only a,b,c]``
+(~2-4 min). Exit 0 = full parity on the adversarial fixture; exit 1 =
+at least one divergence or crash, printed per query. Part of the
+standing per-round probe checklist (ROUND12_NOTES §9 onward).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+#: a gate-passing text (≥20 tokens, ≥100 chars) for the NULL-source /
+#: NULL-lang planted row, and the exact-dup pair text
+_LONG_TEXT = " ".join(f"planted{i}" for i in range(24))
+_DUP_TEXT = " ".join(f"dupword{i}" for i in range(24))
+
+
+def _augment_documents(src: str, dst: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(src)
+    rows = [
+        # doc_id, text, lang, source
+        (900001, None, "en", "web"),          # NULL text
+        (900002, _LONG_TEXT, None, None),     # NULL lang AND NULL source
+        (900003, " ", "en", "probe"),         # whitespace-only
+        (900004, "", "zh", "probe"),          # empty string
+        (900005, _DUP_TEXT, "en", None),      # exact dup, NULL source...
+        (900006, _DUP_TEXT, "en", "web"),     # ...vs a real source (r12 class)
+        (900007, None, None, None),           # all NULL but the key
+    ]
+    cols = {
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array(
+            [None if r[1] is None else len(r[1]) for r in rows], pa.int64()),
+    }
+    extra = pa.table(cols).select(base.column_names)
+    extra = extra.cast(pa.schema([base.schema.field(n)
+                                  for n in base.column_names]))
+    pq.write_table(pa.concat_tables([base, extra]), dst)
+
+
+def _augment_embeddings(src: str, dst: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(src)
+    dim = len(base.column("embedding")[0].as_py())
+    emb_t = base.schema.field("embedding").type
+    lab_t = base.schema.field("label").type
+    rows = [
+        (900001, None, 0),                                 # NULL vector
+        (900002, [0.25, 0.5, 0.75], 1),                    # short vector
+        (900003, [0.0] * dim, 2),                          # zero-norm
+        (900004, [0.5] * dim, None),                       # NULL label
+        (900005, [0.5] * (dim - 1) + [None], 3),           # NULL element
+    ]
+    extra = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows], emb_t),
+        "label": pa.array([r[2] for r in rows], lab_t),
+    }).select(base.column_names)
+    pq.write_table(pa.concat_tables([base, extra]), dst)
+
+
+def build_fixture(dst: str) -> None:
+    for t in TABLES:
+        src = os.path.join(BASE_SF, f"{t}.parquet")
+        out = os.path.join(dst, f"{t}.parquet")
+        if t == "documents":
+            _augment_documents(src, out)
+        elif t == "embeddings":
+            _augment_embeddings(src, out)
+        else:
+            shutil.copyfile(src, out)
+
+
+def main() -> int:
+    keep = "--keep" in sys.argv
+    only: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only"):
+            only = set(a.split("=", 1)[1].split(",")) if "=" in a else set(
+                sys.argv[sys.argv.index(a) + 1].split(","))
+
+    import duckdb
+
+    from tests.oracle import compare_result
+    from tfm_taxitrips_spark.queries.registry import all_queries
+    from tfm_taxitrips_spark.session import get_spark
+
+    fixture = tempfile.mkdtemp(prefix="nullprobe_")
+    build_fixture(fixture)
+    print(f"adversarial fixture: {fixture}")
+
+    specs = all_queries()
+    sel = {
+        n: s for n, s in specs.items()
+        if s.oracle and re.search(r"\b(documents|embeddings)\b",
+                                  s.oracle, re.I)
+        and (only is None or n in only)
+    }
+    print(f"sweeping {len(sel)} oracle-paired documents/embeddings "
+          f"queries (of {len(specs)} registered)")
+
+    spark = get_spark(app_name="null-probe-sweep", master="local[8]",
+                      shuffle_partitions=8)
+    conn = duckdb.connect()
+    for t in TABLES:
+        conn.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                 f"'{fixture}/{t}.parquet'")
+
+    bad: list[tuple[str, str]] = []
+    for i, (name, spec) in enumerate(sorted(sel.items()), 1):
+        try:
+            actual = spec.fn(spark, fixture).toPandas()
+        except Exception as exc:  # noqa: BLE001 - report, don't mask
+            bad.append((name, f"SPARK CRASH: {type(exc).__name__}: "
+                              f"{str(exc).splitlines()[0][:200]}"))
+            print(f"[{i}/{len(sel)}] {name}: SPARK CRASH")
+            continue
+        try:
+            expected = conn.sql(spec.oracle).df()
+        except Exception as exc:  # noqa: BLE001
+            bad.append((name, f"ORACLE CRASH: {type(exc).__name__}: "
+                              f"{str(exc).splitlines()[0][:200]}"))
+            print(f"[{i}/{len(sel)}] {name}: ORACLE CRASH")
+            continue
+        rec = compare_result(actual.copy(), expected.copy())
+        if rec["hash_match"]:
+            print(f"[{i}/{len(sel)}] {name}: MATCH ({rec['spark_rows']})")
+        else:
+            bad.append((name, f"DIVERGE: {rec}"))
+            print(f"[{i}/{len(sel)}] {name}: DIVERGE {rec}")
+
+    print()
+    if bad:
+        print(f"{len(bad)} FINDINGS on the adversarial fixture:")
+        for name, why in bad:
+            print(f"  {name}: {why}")
+    else:
+        print("full parity: every swept query agrees cross-engine on the "
+              "adversarial fixture")
+    if not keep:
+        shutil.rmtree(fixture, ignore_errors=True)
+    else:
+        print(f"fixture kept at {fixture}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

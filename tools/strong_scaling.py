@@ -1,8 +1,10 @@
 """Strong-scaling experiment: fixed data (~sf1), growing core counts.
 
-Replicates the scale smoke's ×10 dataset once, then times ELEVEN plan
-shapes on fresh ``local[N]`` sessions for N in 4/8/16/32 and prints a
-speedup table plus per-stage shuffle-write bytes per shape:
+Replicates the scale smoke's ×10 dataset once, then times THIRTEEN plan
+shapes (the docstring lists the first eleven; ``waterfill`` and
+``packreport`` are documented at their ``_shapes()`` entries) on fresh
+``local[N]`` sessions for N in 4/8/16/32 and prints a speedup table
+plus per-stage shuffle-write bytes per shape:
 
 - ``flagship``  — fact⨝header shuffle join + broadcast dims + 6-key agg
   with countDistinct (the headline join+agg shape);
@@ -116,6 +118,7 @@ SHAPE_TABLES = {
     "vocabrank": ("documents",),
     "novelty": ("documents",),
     "waterfill": ("documents",),
+    "packreport": ("documents",),
 }
 
 #: shapes whose stress can silently vanish under replication (the
@@ -190,6 +193,7 @@ def _shapes() -> dict:
     from tfm_taxitrips_spark.queries.dataprep import (
         q_domain_mix_waterfill,
         q_label_leakage_audit,
+        q_packing_efficiency_report,
         q_per_domain_perplexity_gate,
     )
     from tfm_taxitrips_spark.queries.graph import q_pagerank_fixed
@@ -284,6 +288,16 @@ def _shapes() -> dict:
         # (the same collapse shape kfold_label_balance_drift rides, so
         # this leg carries the claim for both r12 operators).
         "waterfill": q_domain_mix_waterfill,
+        # FIXED-MODULUS WINDOW shape (round 12): the pack-utilization
+        # report's prefix-sum window partitions on an 8-way hash shard —
+        # a DELIBERATE parallelism cap this leg measures honestly: the
+        # scan + token count + partial aggregation scale with cores, the
+        # 8-partition window phase does not, so speedup should flatten
+        # past 8 cores exactly as SCALE.md's "the shard modulus is the
+        # scale knob" paragraph predicts (at 100 TB the modulus is set
+        # to O(cluster cores); at fixture scale it is pinned to 8 for
+        # oracle determinism).
+        "packreport": q_packing_efficiency_report,
     }
 
 
