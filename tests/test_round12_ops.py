@@ -735,6 +735,148 @@ def test_sink_compaction_counts_null_source_partition(spark, tmp_path):
     assert int(actual["n_files_compacted"].iloc[0]) == 3
 
 
+def _write_events(tmp_path, rows):
+    """rows: list[(event_id, ts_or_None, user_id, event_type, value,
+    props)] — ts as pandas Timestamp or None."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+
+
+_T0 = pd.Timestamp("2024-01-01 10:00:00")
+
+
+def test_events_guard_contract_and_raw_escape(spark, tmp_path):
+    """The r12 telemetry ingest contract (sources.readers.events_guard,
+    found by the adversarial sweep): NULL-ts rows are excluded (an event
+    without a time cannot be windowed — watermarked streaming silently
+    dropped them while batch oracles kept them), a NaN value normalizes
+    to NULL (one NaN crashed 11 oracle casts and 2 stateful streams),
+    and ``raw=True`` bypasses both — the defect-detection escape
+    ``data_contract_audit`` rides (a NaN must NOT read as NULL to its
+    value_null rule)."""
+    from tfm_taxitrips_spark.sources.readers import table
+
+    _write_events(tmp_path, [
+        (1, _T0, 1, "click", 1.0, "{}"),
+        (2, None, 1, "click", 2.0, "{}"),             # NULL ts: excluded
+        (3, _T0, 2, "view", float("nan"), "{}"),      # NaN → NULL value
+        (4, _T0, None, None, None, None),             # all else NULL: kept
+    ])
+    guarded = table(spark, str(tmp_path), "events").toPandas()
+    assert sorted(guarded["event_id"]) == [1, 3, 4]
+    nan_row = guarded[guarded.event_id == 3]["value"]
+    assert nan_row.isna().all()          # normalized, not NaN-propagated
+
+    raw = table(spark, str(tmp_path), "events", raw=True).toPandas()
+    assert sorted(raw["event_id"]) == [1, 2, 3, 4]
+    import math
+    raw_v = raw[raw.event_id == 3]["value"].iloc[0]
+    assert math.isnan(raw_v)             # raw keeps the defect visible
+
+
+def test_null_event_type_stratum_survives_rank_joins(spark, tmp_path):
+    """r12 sweep finding (the cross_source_dup_matrix class, this time
+    engine-DIVERGENT): exact_grouped_median and equi_depth_histogram
+    grouped by event_type but JOINED their rank lookups on it — a NULL
+    event_type stratum survived every GROUP BY and then silently fell
+    out of the plain equi-join, while the oracle's correlated lookup
+    kept the row. Now eqNullSafe / IS NOT DISTINCT FROM in both engines:
+    the NULL stratum gets a real median and real boundaries."""
+    from tfm_taxitrips_spark.queries.analytics import (
+        _EXACT_MEDIAN_SQL,
+        q_exact_grouped_median,
+    )
+    from tests.oracle import compare_result
+
+    _write_events(tmp_path, [
+        (1, _T0, 1, "click", 1.00, "{}"),
+        (2, _T0, 1, "click", 3.00, "{}"),
+        (3, _T0, 2, None, 5.00, "{}"),    # NULL-type stratum, 2 values
+        (4, _T0, 2, None, 7.00, "{}"),
+    ])
+    actual = q_exact_grouped_median(spark, str(tmp_path)).toPandas()
+    conn = duckdb.connect()
+    conn.sql("CREATE VIEW events AS SELECT * FROM "
+             f"'{tmp_path}/events.parquet'")
+    try:
+        expected = conn.sql(_EXACT_MEDIAN_SQL).df()
+    finally:
+        conn.close()
+    assert compare_result(actual.copy(), expected)["hash_match"]
+    null_row = actual[actual["event_type"].isna()]
+    assert len(null_row) == 1            # the stratum is REAL
+    # doubled median of {500, 700} cents = 500 + 700
+    assert int(null_row["median2_cents"].iloc[0]) == 1200
+
+
+def test_json_extract_malformed_props_yield_null(spark, tmp_path):
+    """r12 contract: malformed JSON yields a NULL field, matching
+    Spark's lenient from_json — DuckDB's json functions ERROR on broken
+    input, so the oracle guards with json_valid."""
+    import __spark_entry__ as e
+
+    _write_events(tmp_path, [
+        (1, _T0, 1, "click", 1.0, '{"k": 42}'),
+        (2, _T0, 1, "click", 1.0, "not json {"),
+        (3, _T0, 1, "click", 1.0, None),
+    ])
+    from tests.oracle import compare_result
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    actual = qs["json_extract"](spark, str(tmp_path)).toPandas()
+    conn = duckdb.connect()
+    conn.sql("CREATE VIEW events AS SELECT * FROM "
+             f"'{tmp_path}/events.parquet'")
+    try:
+        expected = conn.sql(oracles["json_extract"]).df()
+    finally:
+        conn.close()
+    assert compare_result(actual.copy(), expected)["hash_match"]
+    got = {int(r["event_id"]): (None if pd.isna(r["k"]) else int(r["k"]))
+           for _, r in actual.iterrows()}
+    assert got == {1: 42, 2: None, 3: None}
+
+
+def test_stream_running_totals_null_value_contract(spark, tmp_path):
+    """The stateful running-total operator's NULL-value contract (r12
+    sweep: a NULL value reached pandas as NaN and int(NaN) killed the
+    worker): NULL value = 0 cents, the row still counts in run_n, oracle
+    mirrors with SUM(COALESCE(...)). The planted user's FIRST event has
+    the NULL value — the case where a skip-NULL oracle would emit NULL
+    while the operator emits 0.00."""
+    import __spark_entry__ as e
+    from tests.oracle import compare_result
+
+    _write_events(tmp_path, [
+        (1, _T0, 1, "click", None, "{}"),                      # first: NULL
+        (2, _T0 + pd.Timedelta(minutes=1), 1, "click", 2.50, "{}"),
+        (3, _T0 + pd.Timedelta(minutes=2), 1, "click", 1.25, "{}"),
+    ])
+    qs, oracles = e.queries(), e.oracle_sql()
+    actual = qs["stream_running_totals"](spark, str(tmp_path)).toPandas()
+    conn = duckdb.connect()
+    conn.sql("CREATE VIEW events AS SELECT * FROM "
+             f"'{tmp_path}/events.parquet'")
+    try:
+        expected = conn.sql(oracles["stream_running_totals"]).df()
+    finally:
+        conn.close()
+    assert compare_result(actual.copy(), expected)["hash_match"]
+    by_id = actual.sort_values("event_id")
+    assert list(by_id["run_n"]) == [1, 2, 3]
+    assert list(by_id["run_value"]) == [0.0, 2.5, 3.75]
+
+
 def test_symbols_leftover_bound_names_edge_to_module_sym():
     """r11 advisory #1, failing-first before the fix: a constant bound
     by top-level control flow (try/except, if) pools into <module>, and

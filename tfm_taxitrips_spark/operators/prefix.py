@@ -75,8 +75,22 @@ def two_phase_prefix_sum(
         Window.partitionBy(*pc, bucket_col).orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, upper)
     )
+    # eqNullSafe offset join (r12 adversarial sweep): a NULL partition
+    # key (e.g. a NULL event_type stratum) survives the windows and the
+    # groupBy above, then silently lost its WHOLE partition at a plain
+    # equi-join here — while every paired oracle's naive window kept it.
+    # EqualNullSafe is still a hash-joinable equi-key, so the broadcast
+    # plan shape is unchanged.
+    keys = pc + [bucket_col]
+    off_r = offsets.select(
+        *[F.col(c).alias(f"_tpps_k_{c}") for c in keys], "_tpps_off")
+    cond = None
+    for c in keys:
+        leg = df[c].eqNullSafe(F.col(f"_tpps_k_{c}"))
+        cond = leg if cond is None else (cond & leg)
     return (
-        df.join(F.broadcast(offsets), pc + [bucket_col])
+        df.join(F.broadcast(off_r), cond)
+        .drop(*[f"_tpps_k_{c}" for c in keys])
         .withColumn(
             out_col,
             F.col("_tpps_off")

@@ -945,7 +945,9 @@ def q_data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
-    ev = table(spark, sf_dir, "events")
+    # raw=True: the audit's whole purpose is seeing the defective rows
+    # the events guard excludes (value_null must count them)
+    ev = table(spark, sf_dir, "events", raw=True)
     d = F.col  # brevity
     return (
         audit(orders, "orders", {
@@ -1056,11 +1058,17 @@ def q_exact_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cum, totals = _event_value_cum(spark, sf_dir)
 
+    # eqNullSafe joins: a NULL event_type is a real stratum (the repo's
+    # NULL-provenance convention) — a plain equi-join silently drops the
+    # NULL group that every GROUP BY in the same query keeps (r12
+    # adversarial sweep; the oracle mirrors with IS NOT DISTINCT FROM)
     def value_at(rank_expr, alias):
         ranks = totals.select(
-            "event_type", rank_expr.cast("bigint").alias("_r"))
+            F.col("event_type").alias("_et"),
+            rank_expr.cast("bigint").alias("_r"))
         return (
-            cum.join(F.broadcast(ranks), "event_type")
+            cum.join(F.broadcast(ranks),
+                     F.col("event_type").eqNullSafe(F.col("_et")))
             .where(F.col("cum_le") >= F.col("_r"))
             .groupBy("event_type")
             .agg(F.min("cents").alias(alias))
@@ -1068,7 +1076,11 @@ def q_exact_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = value_at(F.expr("(n_values + 1) div 2"), "_lo")
     hi = value_at(F.expr("n_values div 2 + 1"), "_hi")
     return (
-        totals.join(lo, "event_type").join(hi, "event_type")
+        totals
+        .join(F.broadcast(lo.withColumnRenamed("event_type", "_e1")),
+              F.col("event_type").eqNullSafe(F.col("_e1")))
+        .join(F.broadcast(hi.withColumnRenamed("event_type", "_e2")),
+              F.col("event_type").eqNullSafe(F.col("_e2")))
         .select(
             "event_type", "n_values",
             (F.col("_lo") + F.col("_hi")).cast("bigint")
@@ -1095,10 +1107,10 @@ t AS (
 )
 SELECT t.event_type, t.n_values,
        (SELECT MIN(cents) FROM cum
-        WHERE cum.event_type = t.event_type
+        WHERE cum.event_type IS NOT DISTINCT FROM t.event_type
           AND cum_le >= (t.n_values + 1) // 2)
      + (SELECT MIN(cents) FROM cum
-        WHERE cum.event_type = t.event_type
+        WHERE cum.event_type IS NOT DISTINCT FROM t.event_type
           AND cum_le >= t.n_values // 2 + 1) AS median2_cents
 FROM t
 """
@@ -1123,13 +1135,16 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum, totals = _event_value_cum(spark, sf_dir)
     buckets = spark.range(1, _HIST_BUCKETS + 1).select(
         F.col("id").cast("int").alias("bucket"))
+    # _et alias + eqNullSafe: the NULL event_type stratum is real (same
+    # r12 contract as exact_grouped_median — plain equi-joins dropped it)
     ranks = totals.crossJoin(F.broadcast(buckets)).select(
-        "event_type", "bucket", "n_values",
+        F.col("event_type").alias("_et"), "bucket", "n_values",
         F.expr(f"(bucket * n_values + {_HIST_BUCKETS - 1}) "
                f"div {_HIST_BUCKETS}").alias("_r"),
     )
     return (
-        cum.join(F.broadcast(ranks), "event_type")
+        cum.join(F.broadcast(ranks),
+                 F.col("event_type").eqNullSafe(F.col("_et")))
         .where(F.col("cum_le") >= F.col("_r"))
         .groupBy("event_type", "bucket")
         .agg(
@@ -1165,8 +1180,8 @@ r AS (
 SELECT r.event_type, r.bucket, r.n_values,
        CAST(r.rk AS BIGINT) AS rank_target,
        (SELECT MIN(cents) FROM cum
-        WHERE cum.event_type = r.event_type AND cum.cum_le >= r.rk)
-         AS upper_cents
+        WHERE cum.event_type IS NOT DISTINCT FROM r.event_type
+          AND cum.cum_le >= r.rk) AS upper_cents
 FROM r
 """
 
@@ -1523,7 +1538,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "data_contract_audit": QuerySpec(
         q_data_contract_audit, _CONTRACT_SQL,
-        tags=("analytics", "quality", "contract"),
+        # raw-events: the value_null rule must SEE the defective rows the
+        # events guard excludes — the Spark side reads table(..., raw=True)
+        tags=("analytics", "quality", "contract", "raw-events"),
     ),
     "key_skew_audit": QuerySpec(
         q_key_skew_audit, _KEY_SKEW_SQL, tags=("analytics", "skew", "profiling")

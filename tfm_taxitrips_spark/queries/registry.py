@@ -31,85 +31,278 @@ class QuerySpec:
 # inside that window each round.  Round-12 policy (r11 verdict item #2):
 # the window IS the planner output VERBATIM — the five never-graded r12
 # registrations front automatically (planner class 0), then code-stale
-# rows fill every remaining slot.  The stale class grew twice this
-# round: first the r12 registrations' shared seams (`_pack_layout` →
-# `sequence_packing`, QGATE constants → `training_data_mix`), then the
-# registry-wide NULL-probe sweep's fixes (`emb_table` zero-norm/NULL-
-# element guard extension → the vector family again, `attach_blob`
-# NULL-payload contract → the five blob queries, the `doc_chunking`
-# ghost-chunk contract, the `sink_compaction_roundtrip` NULL-partition
-# count).  That makes 5 + 47 = 52 candidates for 50 slots: the two the
-# planner's own tiebreak clips (stalest-round-last) carry explicit
-# PENDING_ROTATION IOUs below instead of silently falling out.
+# rows fill every remaining slot.  The registry-wide adversarial sweep
+# (tools/null_probe_sweep.py) ended the round by fixing 43 defects, and
+# one of those fixes — the events telemetry-ingest guard — lives inside
+# the SHARED ``sources.readers.table`` loader, so the function-level
+# staleness analysis correctly marks essentially every graded query
+# code-stale (211 rows).  The 50-slot window cannot hold that; the
+# remainder carries explicit PENDING_ROTATION IOUs below, and the
+# compensating verification is SELFCHECK_r12: the FULL registry swept
+# at sf0.01 against every oracle at this exact HEAD.
 # Re-derive anytime with ``python -m tfm_taxitrips_spark.queries.rotation``
-# — this tuple is its output verbatim (2026-08-16, post-sweep-fixes HEAD).
+# — this tuple is its output verbatim (2026-08-16, post-events-guard HEAD).
 GRADING_PRIORITY: tuple[str, ...] = (
     "dedup_threshold_sweep",  # never graded
     "source_quality_mix_curve",  # never graded
     "kfold_label_balance_drift",  # never graded
     "domain_mix_waterfill",  # never graded
     "packing_efficiency_report",  # never graded
+    "cms_join_size_estimate",  # latest row: r6, code changed since
+    "cms_heavy_hitters",  # latest row: r6, code changed since
+    "dedup_survivorship_merge",  # latest row: r6, code changed since
     "token_budget_mix",  # latest row: r6, code changed since
+    "snapshot_diff",  # latest row: r6, code changed since
+    "k_anonymize",  # latest row: r6, code changed since
+    "corpus_prep_pipeline",  # latest row: r6, code changed since
     "equi_depth_histogram",  # latest row: r6, code changed since
     "exact_grouped_median",  # latest row: r6, code changed since
+    "data_contract_audit",  # latest row: r6, code changed since
+    "key_skew_audit",  # latest row: r6, code changed since
+    "copurchase_lift",  # latest row: r6, code changed since
+    "zorder_layout",  # latest row: r6, code changed since
+    "mad_outlier_flags",  # latest row: r6, code changed since
+    "type_correlation",  # latest row: r6, code changed since
+    "fk_integrity_audit",  # latest row: r6, code changed since
     "mmr_diverse_rerank",  # latest row: r6, code changed since
+    "auc_score_eval",  # latest row: r6, code changed since
     "hybrid_rank_fusion",  # latest row: r6, code changed since
+    "kcore_membership",  # latest row: r6, code changed since
+    "window_lag_lead",  # latest row: r7, code changed since
+    "doc_repetition_stats",  # latest row: r7, code changed since
+    "simhash_dup_pairs",  # latest row: r7, code changed since
+    "minhash_lsh_candidates",  # latest row: r7, code changed since
     "source_token_tvd",  # latest row: r7, code changed since
     "embedding_norms",  # latest row: r7, code changed since
     "embedding_dup_pairs",  # latest row: r7, code changed since
     "blob_metadata",  # latest row: r7, code changed since
     "blob_resize",  # latest row: r7, code changed since
     "blob_frame_sample",  # latest row: r7, code changed since
-    "embedding_dup_clusters",  # latest row: r7, code changed since
-    "ks_split_drift",  # latest row: r7, code changed since
-    "group_ols_two_factor",  # latest row: r7, code changed since
-    "kmeans_fixed_iters",  # latest row: r8, code changed since
-    "ann_recall_eval",  # latest row: r8, code changed since
-    "label_centroids",  # latest row: r8, code changed since
-    "embedding_quantize_int8",  # latest row: r8, code changed since
-    "blob_audio_features",  # latest row: r8, code changed since
-    "blob_features",  # latest row: r8, code changed since
-    "sequence_packing",  # latest row: r8, code changed since
-    "cross_source_dup_matrix",  # latest row: r9, code changed since
-    "zipf_vocab_fit",  # latest row: r9, code changed since
-    "embedding_whitening_stats",  # latest row: r9, code changed since
-    "random_projection_sketch",  # latest row: r9, code changed since
-    "semantic_dedup_prune",  # latest row: r9, code changed since
-    "ann_recall_eval_ivf",  # latest row: r9, code changed since
-    "knn_label_vote",  # latest row: r9, code changed since
-    "ann_bruteforce",  # latest row: r9, code changed since
-    "lsh_buckets",  # latest row: r9, code changed since
-    "ann_lsh",  # latest row: r9, code changed since
-    "ann_ivf",  # latest row: r9, code changed since
-    "stream_window_rollup",  # latest row: r9, code changed since
-    "stream_stream_join",  # latest row: r9, code changed since
-    "stream_sessionization",  # latest row: r9, code changed since
-    "stream_dedup",  # latest row: r9, code changed since
-    "stream_ohlc_resample",  # latest row: r9, code changed since
-    "doc_chunking",  # latest row: r9, code changed since
-    "tokenizer_fertility_audit",  # latest row: r11, code changed since
-    "training_data_mix",  # latest row: r11, code changed since
-    "hard_negative_mining",  # latest row: r11, code changed since
-    "embedding_pq_codebook",  # latest row: r11, code changed since
-    "embedding_pq_recall_eval",  # latest row: r11, code changed since
-    "embedding_covariance",  # latest row: r11, code changed since
-    "retrieval_mrr_eval",  # latest row: r11, code changed since
+    "event_range_join",  # latest row: r7, code changed since
+    "event_sessionization",  # latest row: r7, code changed since
+    "event_asof_join",  # latest row: r7, code changed since
+    "sql_q1_pricing_summary",  # latest row: r7, code changed since
+    "sql_q4_order_priority",  # latest row: r7, code changed since
+    "sql_q6_forecast_revenue",  # latest row: r7, code changed since
+    "sql_q14_promo_share",  # latest row: r7, code changed since
+    "sql_q15_top_supplier",  # latest row: r7, code changed since
+    "sql_q18_large_volume",  # latest row: r7, code changed since
+    "sql_q19_disjunctive",  # latest row: r7, code changed since
+    "sql_q22_idle_customers",  # latest row: r7, code changed since
+    "sql_q3_shipping_priority",  # latest row: r7, code changed since
+    "sql_q5_local_supplier",  # latest row: r7, code changed since
+    "sql_q10_returned_items",  # latest row: r7, code changed since
+    "sql_q7_nation_volume",  # latest row: r7, code changed since
 )
 
 # Rotation IOUs: rows the current 50-slot window genuinely cannot hold.
 # Two uses: (a) queries added after the window froze (never graded — the
 # original purpose; round 5 cleared all 39 such IOUs), and (b) code-stale
-# overflow when stale candidates exceed the free slots (r12: 5 new ops +
-# 47 stale rows = 52 candidates; the planner's stalest-round-last
-# tiebreak clips these two).  Everything here is still differential-
-# tested EVERY session at sf0.001 (tests/test_differential.py) and
-# selfcheck-swept at sf0.01, so the IOU defers only the driver's own
-# CORRECTNESS row, not verification; the next round's window MUST front
-# them.  Keep this list empty whenever the window fits.
+# overflow when stale candidates exceed the free slots.  r12 ends with
+# the LARGE form of (b): the adversarial sweep's events guard touched the
+# shared table() loader, staling every graded query's symbol closure —
+# honest accounting, not a regression (every row below is verified green
+# by SELFCHECK_r12's full 218-query sweep at this HEAD; the driver's own
+# CORRECTNESS rows burn down over the coming rounds' windows).
 PENDING_ROTATION: tuple[str, ...] = (
-    "centroid_shift",            # r11-green; stale via the r12 emb guard
-    "sink_compaction_roundtrip",  # r11-green; stale via the r12 NULL-partition count fix
+    "ann_bruteforce",
+    "ann_ivf",
+    "ann_lsh",
+    "ann_recall_eval",
+    "ann_recall_eval_ivf",
+    "anti_join",
+    "benford_digit_audit",
+    "bigram_logprob_score",
+    "blob_audio_features",
+    "blob_features",
+    "bloom_pruned_join",
+    "bm25_search",
+    "bpe_merge_induction",
+    "cast_project",
+    "cdc_apply_changes",
+    "centroid_shift",
+    "column_profile",
+    "concurrency_profile",
+    "contamination_overlap",
+    "corpus_mix_rebalance",
+    "corpus_ngram_dedup",
+    "cross_source_dup_matrix",
+    "cube_orders",
+    "currency_normalize",
+    "cusum_drift",
+    "dataset_split_assign",
+    "date_parts",
+    "date_trunc_day",
+    "decayed_engagement",
+    "dedup_cluster_canonical",
+    "dedup_count",
+    "dedup_distinct_pairs",
+    "dedup_exact_docs",
+    "dedup_incremental_incoming",
+    "doc_chunking",
+    "doc_repeat_run_gate",
+    "embedding_covariance",
+    "embedding_dup_clusters",
+    "embedding_pq_codebook",
+    "embedding_pq_recall_eval",
+    "embedding_quantize_int8",
+    "embedding_whitening_stats",
+    "event_asof_forward",
+    "event_count_anomaly",
+    "event_gap_fill",
+    "event_gap_fill_interp",
+    "event_ohlc_resample",
+    "event_rolling_rate",
+    "feature_hashing",
+    "flagship_view",
+    "funnel_conversion",
+    "fuzzy_dedup_editdist",
+    "gopher_quality_filter",
+    "group_ols_two_factor",
+    "group_top_p",
+    "group_trend_slopes",
+    "hard_negative_mining",
+    "hll_distinct_bounds",
+    "hll_intersection_estimate",
+    "hll_partitioned_union",
+    "incremental_merge",
+    "inner_join_enrich",
+    "intersect_custkeys",
+    "inverted_index_postings",
+    "json_extract",
+    "kmeans_fixed_iters",
+    "knn_label_vote",
+    "ks_split_drift",
+    "label_centroids",
+    "label_leakage_audit",
+    "langid_confusion_eval",
+    "left_join_enrich",
+    "loo_target_encoding",
+    "lsh_buckets",
+    "markov_transitions",
+    "minhash_estimate_eval",
+    "minhash_signature",
+    "ngram_containment_pairs",
+    "ngram_jaccard_pairs",
+    "ngram_novelty_rate",
+    "null_predicates",
+    "pagerank_fixed_iters",
+    "pareto_frontier",
+    "partition_filter",
+    "per_domain_perplexity_gate",
+    "per_group_sample_k",
+    "per_source_dedup_rate",
+    "pivot_status_by_priority",
+    "pmi_collocations",
+    "quality_ece_calibration",
+    "quantile_drift_gate",
+    "quantile_sketch_bounds",
+    "quantile_trim_outliers",
+    "random_projection_sketch",
+    "retention_cohorts",
+    "retrieval_mrr_eval",
+    "rfm_segmentation",
+    "rollup_family",
+    "running_revenue",
+    "salted_skew_agg",
+    "salted_skew_join",
+    "scd2_history",
+    "seasonal_anomaly",
+    "semantic_dedup_prune",
+    "semi_join",
+    "sequence_packing",
+    "session_window_agg",
+    "setsim_prefix_join",
+    "simhash",
+    "sink_compaction_roundtrip",
+    "sink_csv_roundtrip",
+    "sink_format_matrix",
+    "sink_partitioned_roundtrip",
+    "sink_stream_parquet_roundtrip",
+    "sliding_window_agg",
+    "sql_q11_important_parts",
+    "sql_q12_priority_quality",
+    "sql_q13_order_distribution",
+    "sql_q16_supplier_diversity",
+    "sql_q17_small_quantity",
+    "sql_q20_promo_suppliers",
+    "sql_q21_sole_returner",
+    "sql_q2_min_cost_supplier",
+    "sql_q8_market_share",
+    "sql_q9_nation_profit",
+    "stratified_kfold_assign",
+    "stratified_sample",
+    "stream_dedup",
+    "stream_funnel",
+    "stream_ohlc_resample",
+    "stream_orphan_gate",
+    "stream_running_totals",
+    "stream_sessionization",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_topk",
+    "stream_transitions",
+    "stream_window_hll",
+    "stream_window_rollup",
+    "table_fingerprint",
+    "text_bpe_tokens",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_redact_pii",
+    "text_token_count",
+    "tfidf_distinctive_terms",
+    "time_weighted_avg",
+    "to_json_struct",
+    "token_diversity_stats",
+    "token_oov_rate",
+    "token_vocab_top200",
+    "tokenizer_fertility_audit",
+    "top_segments_by_revenue",
+    "topk_by_group",
+    "topk_global",
+    "touch_attribution",
+    "training_data_mix",
+    "triangle_count",
+    "union_distinct",
+    "value_histogram",
+    "vocab_coverage_curve",
+    "weighted_sample",
+    "window_rank_family",
+    "windowed_agg_batch",
+    "zipf_vocab_fit",
 )
+
+
+# The events telemetry-ingest contract's oracle twin (the Spark side is
+# sources.readers.events_guard, applied inside table()/read_events_stream
+# — see its docstring for the r12 sweep findings): NULL-ts rows excluded,
+# NaN value rebuilt to NULL. The REPLACE physically rebuilds the value
+# column so DuckDB's eager batch casts can't trip on filter-deselected
+# NaN rows (same reasoning as the vector guard's list rebuild).
+_EVENTS_GUARD_CTE = (
+    "events_g AS (SELECT * REPLACE (CASE WHEN isnan(value) THEN NULL "
+    "ELSE value END AS value) FROM events WHERE ts IS NOT NULL)"
+)
+
+
+def _guard_events_oracle(spec: QuerySpec) -> QuerySpec:
+    """Auto-apply the events guard to any oracle that scans ``events``
+    — centralized here so every current AND future events oracle is
+    guarded by construction, instead of per-registration discipline.
+    Specs tagged ``raw-events`` opt out (defect-detection queries whose
+    Spark side reads ``table(..., raw=True)``)."""
+    import dataclasses
+    import re
+
+    if (spec.oracle is None or "raw-events" in spec.tags
+            or not re.search(r"\b(FROM|JOIN)\s+events\b", spec.oracle,
+                             re.I)):
+        return spec
+    from tfm_taxitrips_spark.queries.guards import guarded_scan_sql
+
+    return dataclasses.replace(spec, oracle=guarded_scan_sql(
+        spec.oracle, "events", "events_g", _EVENTS_GUARD_CTE))
 
 
 def _merged() -> dict[str, QuerySpec]:
@@ -136,7 +329,7 @@ def _merged() -> dict[str, QuerySpec]:
         for name, spec in module.QUERIES.items():
             if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
-            merged[name] = spec
+            merged[name] = _guard_events_oracle(spec)
     return merged
 
 

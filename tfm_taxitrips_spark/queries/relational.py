@@ -357,7 +357,11 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JSON_EXTRACT_SQL = """
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+SELECT event_id,
+       -- malformed JSON yields NULL, matching Spark's lenient from_json
+       -- (DuckDB's json functions ERROR on broken input — r12 sweep)
+       CASE WHEN props IS NOT NULL AND json_valid(props)
+            THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k
 FROM events
 """
 

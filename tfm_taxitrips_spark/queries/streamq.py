@@ -273,7 +273,18 @@ def q_stream_window_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound: 5% relative OR 2 absolute — per-window cardinalities are tiny
     # (a 15-min slice), where HLL's integer-rounded estimate can sit ±1-2
     # off even though the relative contract holds at aggregate scale
-    return exact.join(streamed, ["window_start", "event_type"]).select(
+    # eqNullSafe on event_type: a NULL-typed window is a real group in
+    # BOTH aggregations (batch and streamed) — the plain equi-join
+    # silently dropped it where the oracle's GROUP BY kept it (r12
+    # sweep). window_start is non-NULL by the events guard (NULL ts
+    # excluded), so plain equality is exact there.
+    streamed_r = (streamed.withColumnRenamed("event_type", "_et")
+                  .withColumnRenamed("window_start", "_ws"))
+    return exact.join(
+        streamed_r,
+        (F.col("window_start") == F.col("_ws"))
+        & F.col("event_type").eqNullSafe(F.col("_et")),
+    ).select(
         "window_start",
         "event_type",
         "n_users",
@@ -305,8 +316,10 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_RUNNING_SQL = """
 SELECT user_id, event_id, epoch_us(ts) AS us,
        CAST(COUNT(*) OVER w AS BIGINT) AS run_n,
-       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) / 100.0
-         AS run_value
+       -- COALESCE: NULL value = 0 cents by the stateful operator's
+       -- stated contract (the row still counts; r12 sweep)
+       CAST(SUM(COALESCE(CAST(round(value * 100) AS BIGINT), 0))
+            OVER w AS BIGINT) / 100.0 AS run_value
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ROWS UNBOUNDED PRECEDING)

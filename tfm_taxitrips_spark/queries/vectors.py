@@ -91,8 +91,6 @@ def _emb_guard_sql(sql: str) -> str:
     twin. (DuckDB rejects a CTE that shadows the view it reads —
     'circular reference' — so the guard needs its own name plus the
     reference rewrite.)"""
-    import re as _re
-
     # the REPLACE rebuilds the list column (list_transform over a
     # coalesced list): DuckDB 1.0's list_inner_product validates the
     # WHOLE input vector batch — including rows a same-pipeline filter
@@ -115,27 +113,12 @@ def _emb_guard_sql(sql: str) -> str:
         f"AND len(list_filter(embedding, x -> x IS NULL)) = 0 "
         f"AND len(list_filter(embedding, x -> x != 0)) > 0)"
     )
-    # case-INSENSITIVE on both legs (r11 advisory: a lowercase
-    # ``from embeddings`` or a ``WITH\n  RECURSIVE`` oracle must never
-    # silently skip the guard or emit invalid SQL), and the rewrite
-    # must land: every caller is, by definition, an embeddings reader,
-    # so zero rewritten scans means the regex missed a shape — fail
-    # loudly at import time rather than grade an unguarded oracle.
-    sql, n_scans = _re.subn(r"\b(FROM|JOIN)(\s+)embeddings\b",
-                            r"\1\2embeddings_g", sql, flags=_re.I)
-    if not n_scans:
-        raise ValueError(
-            "_emb_guard_sql: no FROM/JOIN embeddings scan found — the "
-            "oracle reads embeddings some other way; extend the rewrite")
-    stripped = sql.lstrip()
-    head_len = len(sql) - len(stripped)
-    m = _re.match(r"WITH\b(\s+RECURSIVE\b)?", stripped, _re.I)
-    if m:
-        # RECURSIVE qualifies the whole WITH list; the guard CTE itself
-        # is non-recursive and must come after the keyword
-        n = m.end()
-        return f"{sql[:head_len + n]} {guard},{stripped[n:]}"
-    return f"WITH {guard}\n{sql}"
+    # the rewrite itself (case-insensitivity, WITH RECURSIVE handling,
+    # loud zero-rewrite failure) is the shared seam machinery — the
+    # events guard uses the same function (queries/guards.py, r12)
+    from tfm_taxitrips_spark.queries.guards import guarded_scan_sql
+
+    return guarded_scan_sql(sql, "embeddings", "embeddings_g", guard)
 
 
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:

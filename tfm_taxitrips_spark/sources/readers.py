@@ -358,7 +358,38 @@ def conform_to_pinned(df: DataFrame, pinned, table_name: str) -> DataFrame:
     return df.select(*cols, *extras)
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def events_guard(df: DataFrame) -> DataFrame:
+    """The telemetry ingest contract for the ``events`` table (r12, found
+    by the registry-wide adversarial sweep, ``tools/null_probe_sweep.py``)
+    — the events analog of the vector family's ``emb_table`` seam, with
+    the oracle twin auto-applied in ``registry._merged``:
+
+    - **a NULL ``ts`` row is excluded**: an event without a time cannot
+      be windowed — watermarked Structured Streaming silently DROPS such
+      rows while every batch oracle kept them, splitting 5 stream/session
+      queries' row counts (952 vs 950 and friends);
+    - **a NaN ``value`` is normalized to NULL** (a defective measurement,
+      not a number): ONE planted NaN crashed 11 oracles' cents casts
+      (DuckDB refuses NaN→INT64) and 2 watermarked streaming queries
+      (Spark ANSI CAST_OVERFLOW inside the stateful agg). NULL folds into
+      the NULL-value handling every query already has.
+
+    NULL ``user_id``/``event_type``/``props`` remain real rows — an
+    anonymous or untyped event is legitimate telemetry. Queries whose
+    PURPOSE is raw-ingest defect detection opt out via
+    ``table(..., raw=True)`` + the ``raw-events`` registry tag
+    (``data_contract_audit``'s value_null rule must see the defects).
+    """
+    return df.where(F.col("ts").isNotNull()).withColumn(
+        "value",
+        F.when(F.isnan("value"), F.lit(None).cast("double"))
+        .otherwise(F.col("value")),
+    )
+
+
+def table(
+    spark: SparkSession, sf_dir: str, name: str, raw: bool = False
+) -> DataFrame:
     """Load one driver star-schema table (TESTDATA.md), guaranteed to match
     the pinned logical schema in :data:`schemas.DRIVER_TABLES` whatever the
     fixture generator physically wrote this round.
@@ -374,6 +405,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     3. :func:`conform_to_pinned` casts the remaining value-preserving drift
        classes to the pinned types and fails with a readable diff on
        anything semantic.
+
+    ``events`` additionally rides :func:`events_guard` (the r12 telemetry
+    ingest contract) unless ``raw=True`` — the escape hatch for queries
+    whose purpose is seeing the defects the guard excludes.
     """
     # pin the session to UTC: the driver's vanilla session inherits the
     # HOST timezone, and a non-UTC session would shift Spark's
@@ -386,7 +421,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = _probe_driver_parquet(spark, f"{sf_dir}/{name}.parquet")
     pinned = schemas.DRIVER_TABLES.get(name)
-    return conform_to_pinned(df, pinned, name) if pinned is not None else df
+    out = conform_to_pinned(df, pinned, name) if pinned is not None else df
+    if name == "events" and not raw:
+        out = events_guard(out)
+    return out
 
 
 def read_table(

@@ -139,11 +139,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_event_ts,
     )
 
+    from tfm_taxitrips_spark.sources.readers import events_guard
+
     raw, raw_ts = _read_events_raw(spark, f"{sf_dir}/events.parquet")
     src = stream_table(spark, sf_dir, "events", raw.schema)
-    return conform_to_pinned(
+    # same r12 telemetry ingest contract as the batch reader (NULL-ts
+    # rows excluded, NaN value → NULL): without it the watermark layer
+    # silently dropped NULL event times that every batch oracle kept,
+    # and a single NaN value crashed the stateful agg's ANSI cents cast
+    return events_guard(conform_to_pinned(
         normalize_event_ts(src, raw_ts), schemas.DRIVER_TABLES["events"], "events"
-    )
+    ))
 
 
 def windowed_rollup(

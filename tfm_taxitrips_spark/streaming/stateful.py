@@ -235,11 +235,18 @@ def streaming_running_totals(
 def _rt_prepare(
     stream: DataFrame, user_col: str, ts_col: str, id_col: str, value_col: str
 ) -> DataFrame:
+    # NULL value → 0 cents by stated contract (the row still counts in
+    # run_n; the oracle mirrors with SUM(COALESCE(...))). Without it a
+    # NULL value reaches pandas as NaN and int(NaN) kills the stateful
+    # worker — found by the r12 adversarial sweep (one defective
+    # telemetry row crashing the whole stateful stream at scale).
     return stream.select(
         F.col(user_col).alias("user_id"),
         F.col(id_col).alias("event_id"),
         F.unix_micros(F.col(ts_col)).alias("us"),
-        F.round(F.col(value_col) * 100).cast("bigint").alias("cents"),
+        F.coalesce(
+            F.round(F.col(value_col) * 100).cast("bigint"), F.lit(0)
+        ).alias("cents"),
     )
 
 

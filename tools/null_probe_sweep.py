@@ -29,6 +29,12 @@ Planted rows (embeddings, vec_id 900001+):
   contract) / zero-norm full-width vector / NULL label / full-width
   vector containing one NULL ELEMENT (passes the is-null + length
   guard — probes whether per-element nulls are a contract gap).
+Planted rows (events, event_id 900001+):
+  NULL user_id (anonymous event) / NULL event_type / NULL value / NULL
+  props / malformed-JSON props / NULL ts (the event-time probe:
+  watermarked streaming DROPS NULL event times while a batch oracle
+  keeps them) / NaN value (ANSI casts of NaN crash where DuckDB
+  saturates) / the all-NULL row.
 
 Run: ``python tools/null_probe_sweep.py [--keep] [--only a,b,c]``
 (~2-4 min). Exit 0 = full parity on the adversarial fixture; exit 1 =
@@ -111,6 +117,35 @@ def _augment_embeddings(src: str, dst: str) -> None:
     pq.write_table(pa.concat_tables([base, extra]), dst)
 
 
+def _augment_events(src: str, dst: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(src)
+    ts_t = base.schema.field("ts").type
+    mid = base.column("ts")[0].as_py()  # a real in-range event time
+    rows = [
+        # event_id, ts, user_id, event_type, value, props
+        (900001, mid, None, "click", 1.5, '{"k": 1}'),     # anonymous
+        (900002, mid, 7, None, 2.5, '{"k": 2}'),           # NULL type
+        (900003, mid, 7, "click", None, '{"k": 3}'),       # NULL value
+        (900004, mid, 8, "click", 3.5, None),              # NULL props
+        (900005, mid, 8, "click", 4.5, "not json {"),      # broken JSON
+        (900006, None, 9, "click", 5.5, '{"k": 6}'),       # NULL ts
+        (900007, mid, 9, "click", float("nan"), '{"k": 7}'),  # NaN
+        (900008, None, None, None, None, None),            # all NULL
+    ]
+    extra = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], ts_t),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    }).select(base.column_names)
+    pq.write_table(pa.concat_tables([base, extra]), dst)
+
+
 def build_fixture(dst: str) -> None:
     for t in TABLES:
         src = os.path.join(BASE_SF, f"{t}.parquet")
@@ -119,6 +154,8 @@ def build_fixture(dst: str) -> None:
             _augment_documents(src, out)
         elif t == "embeddings":
             _augment_embeddings(src, out)
+        elif t == "events":
+            _augment_events(src, out)
         else:
             shutil.copyfile(src, out)
 
@@ -144,12 +181,12 @@ def main() -> int:
     specs = all_queries()
     sel = {
         n: s for n, s in specs.items()
-        if s.oracle and re.search(r"\b(documents|embeddings)\b",
+        if s.oracle and re.search(r"\b(documents|embeddings|events)\b",
                                   s.oracle, re.I)
         and (only is None or n in only)
     }
-    print(f"sweeping {len(sel)} oracle-paired documents/embeddings "
-          f"queries (of {len(specs)} registered)")
+    print(f"sweeping {len(sel)} oracle-paired documents/embeddings/"
+          f"events queries (of {len(specs)} registered)")
 
     spark = get_spark(app_name="null-probe-sweep", master="local[8]",
                       shuffle_partitions=8)
