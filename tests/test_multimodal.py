@@ -84,20 +84,50 @@ def test_pandas_udf_cosine_agrees_with_fold(spark):
         assert abs(r.fold - r.arrow) <= 1e-12 * max(1.0, abs(r.fold)), r
 
 
-def test_corpus_is_ascii_nonempty(sf_smoke):
-    """Pins the invariant the md5-reconstruction oracles (blob_resize,
-    blob_frame_sample) rely on: those SQL oracles rebuild payloads from
-    CHAR slices, which equal BYTE slices only when every document is pure
-    ASCII and non-empty. The numeric-stat oracles (blob_features,
-    blob_audio_features) decode true bytes via hex() and do NOT need this.
-    If the fixture generator ever emits non-ASCII or empty text, this
-    fails here instead of as a silent oracle hash-mismatch."""
-    import duckdb
+def test_blob_hash_oracles_byte_exact_beyond_ascii(spark, tmp_path):
+    """r12 unicode sweep: the old blob_resize / blob_frame_sample
+    oracles rebuilt payloads from CHAR slices — only accidentally exact
+    for pure-ASCII fixtures (an invariant this test used to pin). The
+    oracles are now BYTE-exact (octet counts + uppercase-hex-pair
+    reconstruction; the hashed canonical form is the payload's hex,
+    since DuckDB 1.0 has no md5(BLOB)), so the contract holds for any
+    UTF-8 payload: multibyte codepoints, codepoint-splitting frame/
+    stride boundaries, and the empty payload."""
+    import os
 
+    import duckdb
+    import pandas as pd
+
+    from tfm_taxitrips_spark.queries.multimodal import QUERIES
+    from tests.oracle import compare_result
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+            "text": pd.array(
+                [
+                    "plain ascii payload",
+                    "straße 中文 处理 ТЕКСТ naïve φύση",   # multibyte
+                    "中" * 100,                             # 3-byte chars,
+                    "",                                     # stride splits them
+                ],
+                dtype="string"),
+            "lang": "en",
+            "source": "web",
+        }
+    )
+    pdf["n_chars"] = pdf["text"].str.len().astype("Int64")
+    pdf.to_parquet(os.path.join(tmp_path, "documents.parquet"))
     conn = duckdb.connect()
-    bad = conn.sql(
-        f"""SELECT count(*) FROM '{sf_smoke}/documents.parquet'
-            WHERE length(text) = 0
-               OR octet_length(encode(text)) <> length(text)"""
-    ).fetchone()[0]
-    assert bad == 0
+    conn.sql("CREATE VIEW documents AS SELECT * FROM "
+             f"'{tmp_path}/documents.parquet'")
+    try:
+        for name in ("blob_resize", "blob_frame_sample"):
+            spec = QUERIES[name]
+            actual = spec.fn(spark, str(tmp_path)).toPandas()
+            expected = conn.sql(spec.oracle).df()
+            assert compare_result(
+                actual.copy(), expected)["hash_match"], name
+            assert len(actual) == 4, name
+    finally:
+        conn.close()

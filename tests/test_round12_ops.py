@@ -877,6 +877,95 @@ def test_stream_running_totals_null_value_contract(spark, tmp_path):
     assert list(by_id["run_value"]) == [0.0, 2.5, 3.75]
 
 
+def test_ascii_lower_is_the_portable_casefold(spark, tmp_path):
+    """r12 unicode sweep: full Unicode lowercasing is ENGINE-DEFINED on
+    special-mapping codepoints — Spark/Java folds Turkish 'İ' (U+0130)
+    to 'i'+U+0307 (TWO codepoints) while DuckDB/utf8proc gives plain
+    'i' — which silently split every lower()-built fingerprint, dedup
+    key, shingle, and vocab entry (7 queries diverged). The repo's
+    canonical casefold is now ASCII-scope translate() in both engines:
+    bit-identical everywhere, non-Latin case pairs stay distinct by
+    stated contract. Pin: the two implementations agree on the
+    adversarial text, and a fingerprint query is parity-green over a
+    multibyte corpus."""
+    import duckdb as ddb
+
+    from tfm_taxitrips_spark.functions.text import (
+        ascii_lower,
+        ascii_lower_sql,
+    )
+    from tfm_taxitrips_spark.queries.registry import all_queries
+    from tests.oracle import compare_result
+
+    s = "ÇOĞU İstanbul ΜΕΓΑ ТЕКСТ Straße MIXED ascii"
+    import pyspark.sql.functions as F
+    sp = spark.range(1).select(ascii_lower(F.lit(s)).alias("l")) \
+        .collect()[0].l
+    conn = ddb.connect()
+    dk = conn.sql(f"SELECT {ascii_lower_sql('$s')} AS l",
+                  params={"s": s}).fetchone()[0]
+    assert sp == dk
+    assert "İstanbul" in sp          # non-ASCII İ untouched, by contract
+    assert "mixed ascii" in sp       # A-Z folded
+
+    _write_docs(tmp_path, [
+        (1, "web", "İstanbul İstanbul " + "tok " * 25),
+        (2, "web", "istanbul istanbul " + "tok " * 25),
+        (3, "web", "ΜΕΓΑ φύση straße " + "tok " * 25),
+    ])
+    spec = all_queries()["text_fingerprint"]
+    actual = spec.fn(spark, str(tmp_path)).toPandas()
+    conn.sql("CREATE VIEW documents AS SELECT * FROM "
+             f"'{tmp_path}/documents.parquet'")
+    try:
+        expected = conn.sql(spec.oracle).df()
+    finally:
+        conn.close()
+    assert compare_result(actual.copy(), expected)["hash_match"]
+    # and the contract's trade, stated: İ-docs do NOT collide with
+    # i-docs (distinct canonical forms → distinct fingerprints)
+    fps = actual.set_index("doc_id")["fp_md5"]
+    assert fps[1] != fps[2]
+
+
+def test_auc_excludes_unscorable_rows(spark, tmp_path):
+    """r12 sweep: a NULL-score positive sorted NULLS FIRST in Spark's
+    cumulative window but NULLS LAST in DuckDB's, shifting its
+    tie-credit and the AUC. Contract: an unrankable (NULL n_chars) row
+    is excluded from the ranking statistic in both engines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tfm_taxitrips_spark.queries.registry import all_queries
+    from tests.oracle import compare_result
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["a"] * 5, pa.string()),
+        "lang": pa.array(["en", "en", "fr", "fr", "en"], pa.string()),
+        "source": pa.array(["web"] * 5, pa.string()),
+        "n_chars": pa.array([10, 20, 15, 25, None], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    spec = all_queries()["auc_score_eval"]
+    actual = spec.fn(spark, str(tmp_path)).toPandas()
+    conn = duckdb.connect()
+    conn.sql("CREATE VIEW documents AS SELECT * FROM "
+             f"'{tmp_path}/documents.parquet'")
+    try:
+        expected = conn.sql(spec.oracle).df()
+    finally:
+        conn.close()
+    assert compare_result(actual.copy(), expected)["hash_match"]
+    row = actual.iloc[0]
+    # the NULL-score 'en' doc is excluded: 2 pos, 2 neg remain;
+    # exact AUC of scores en={10,20} vs fr={15,25}: one en above one fr
+    # → 2U = 2·(1) + ... replayed: pairs (10<15,10<25,20>15,20<25) → U=1
+    # → AUC = 1/4 = 250000 ppm
+    assert (int(row["n_pos"]), int(row["n_neg"])) == (2, 2)
+    assert int(row["auc_ppm"]) == 250000
+
+
 def test_symbols_leftover_bound_names_edge_to_module_sym():
     """r11 advisory #1, failing-first before the fix: a constant bound
     by top-level control flow (try/except, if) pools into <module>, and

@@ -190,12 +190,20 @@ def sample_blob_frames(df: DataFrame) -> DataFrame:
                     blob[i : i + FRAME_BYTES] for i in range(0, len(blob), FRAME_BYTES)
                 ]
                 sampled = frames[::FRAME_STRIDE]
+                # hash the frame's canonical UPPERCASE-HEX rendering,
+                # not the raw bytes: DuckDB 1.0 has no md5(BLOB), and a
+                # frame boundary can split a multibyte codepoint, so the
+                # oracle can only reconstruct the frame byte-exactly as
+                # hex (md5(substr(hex(encode(text)), ...))). Byte-exact
+                # for ANY payload — the r12 unicode sweep retired the
+                # old ASCII-only char-slice oracle.
                 rows.append(
                     (
                         doc_id,
                         len(frames),
                         len(sampled),
-                        hashlib.md5(frames[0]).hexdigest() if frames else None,
+                        hashlib.md5(frames[0].hex().upper().encode())
+                        .hexdigest() if frames else None,
                     )
                 )
             yield pd.DataFrame(

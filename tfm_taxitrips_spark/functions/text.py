@@ -41,11 +41,35 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+#: the repo's canonical casefold is ASCII-SCOPE ONLY — a stated contract,
+#: not a shortcut (r12 unicode sweep finding): full Unicode lowercasing is
+#: ENGINE-DEFINED on the special-mapping codepoints (Spark/Java folds
+#: Turkish 'İ' U+0130 to "i"+U+0307 combining dot — TWO codepoints — while
+#: DuckDB/utf8proc's simple folding gives plain "i"), so every
+#: fingerprint, dedup key, shingle, and vocab entry built on lower() was
+#: engine-divergent on such text. For reproducible hashing pipelines the
+#: canonical form must be locale- and library-independent; folding A-Z via
+#: translate() is bit-identical everywhere, and non-Latin case pairs
+#: simply stay distinct (the standard trade in portable dedup keys).
+ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col: Column | str) -> Column:
+    """Engine-independent canonical casefold (see ASCII_UPPER note)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, ASCII_UPPER, ASCII_LOWER)
+
+
+def ascii_lower_sql(expr: str) -> str:
+    return f"translate({expr}, '{ASCII_UPPER}', '{ASCII_LOWER}')"
+
+
 def bpe_ish_tokens(col: Column | str) -> Column:
     """Sub-word-ish tokenization: lowercase words plus digit runs and
     punctuation as separate tokens (a regex approximation of BPE pre-tokenization)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return F.regexp_extract_all(
+        ascii_lower(col), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
 
 
 def hash60(col: Column) -> Column:

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
 from tfm_taxitrips_spark.functions.text import (
+    ascii_lower,
+    ascii_lower_sql,
     hash60,
     hash60_sql,
     shingles,
@@ -305,7 +307,7 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire (shingle reuse across docs is high in a real corpus).
     """
     docs = table(spark, sf_dir, "documents")
-    sh = F.explode(shingles(F.lower(F.col("text")), _CONTAM_N)).alias("s")
+    sh = F.explode(shingles(ascii_lower(F.col("text")), _CONTAM_N)).alias("s")
     is_eval = F.col("source").isin(*_EVAL_SOURCES)
 
     eval_sh = (
@@ -342,12 +344,12 @@ _EVAL_PRED = "source IN ({})".format(", ".join(f"'{s}'" for s in _EVAL_SOURCES))
 _CONTAM_SQL = f"""
 WITH eval_sh AS (
   SELECT DISTINCT doc_id, {hash60_sql('s')} AS h
-  FROM (SELECT doc_id, unnest({shingles_sql('lower(text)', _CONTAM_N)}) AS s
+  FROM (SELECT doc_id, unnest({shingles_sql(ascii_lower_sql('text'), _CONTAM_N)}) AS s
         FROM documents WHERE {_EVAL_PRED})
 ),
 train_sh AS (
   SELECT DISTINCT {hash60_sql('s')} AS h
-  FROM (SELECT unnest({shingles_sql('lower(text)', _CONTAM_N)}) AS s
+  FROM (SELECT unnest({shingles_sql(ascii_lower_sql('text'), _CONTAM_N)}) AS s
         FROM documents WHERE NOT ({_EVAL_PRED}))
 ),
 marked AS (
@@ -403,7 +405,7 @@ def q_label_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval split is a benchmark set — small by construction).
     """
     docs = fan_out(table(spark, sf_dir, "documents"))
-    sh = F.explode(shingles(F.lower(F.col("text")), _CONTAM_N)).alias("s")
+    sh = F.explode(shingles(ascii_lower(F.col("text")), _CONTAM_N)).alias("s")
     is_eval = F.col("source").isin(*_EVAL_SOURCES)
     # each distinct-shingle relation feeds TWO consumers (totals/df-count
     # + the pair join) — lazy localCheckpoint so the shingle explode and
@@ -462,12 +464,12 @@ def q_label_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LEAK_SQL = f"""
 WITH eval_sh AS (
   SELECT DISTINCT doc_id, {hash60_sql('s')} AS h
-  FROM (SELECT doc_id, unnest({shingles_sql('lower(text)', _CONTAM_N)}) AS s
+  FROM (SELECT doc_id, unnest({shingles_sql(ascii_lower_sql('text'), _CONTAM_N)}) AS s
         FROM documents WHERE {_EVAL_PRED})
 ),
 train_sh AS (
   SELECT DISTINCT doc_id, {hash60_sql('s')} AS h
-  FROM (SELECT doc_id, unnest({shingles_sql('lower(text)', _CONTAM_N)}) AS s
+  FROM (SELECT doc_id, unnest({shingles_sql(ascii_lower_sql('text'), _CONTAM_N)}) AS s
         FROM documents WHERE NOT ({_EVAL_PRED}))
 ),
 kept AS (
@@ -544,7 +546,7 @@ def q_per_domain_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(split == "train")
         .select(
             F.col("source").alias("train_source"),
-            F.explode(shingles(F.lower(F.col("text")), 2)).alias("bg"),
+            F.explode(shingles(ascii_lower(F.col("text")), 2)).alias("bg"),
         )
     )
     # the ONE train-side collapse every model table derives from
@@ -566,7 +568,7 @@ def q_per_domain_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(split == "val")
         .select(
             F.col("source").alias("eval_source"),
-            F.explode(shingles(F.lower(F.col("text")), 2)).alias("bg"),
+            F.explode(shingles(ascii_lower(F.col("text")), 2)).alias("bg"),
         )
         .withColumn("head", F.split(F.col("bg"), " ")[0])
     )
@@ -615,7 +617,7 @@ def q_per_domain_perplexity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PPLX_SQL_T = f"""
 WITH bg_t AS (
   SELECT source AS train_source,
-         unnest({shingles_sql('lower(text)', 2)}) AS bg
+         unnest({shingles_sql(ascii_lower_sql('text'), 2)}) AS bg
   FROM documents WHERE {{split_bucket}} < {{train_end}}
 ),
 c_bg AS (
@@ -633,7 +635,7 @@ vocab AS (
 ),
 eb AS (
   SELECT source AS eval_source,
-         unnest({shingles_sql('lower(text)', 2)}) AS bg
+         unnest({shingles_sql(ascii_lower_sql('text'), 2)}) AS bg
   FROM documents
   WHERE {{split_bucket}} >= {{train_end}}
     AND {{split_bucket}} < {{val_end}}
@@ -1792,7 +1794,7 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("t"),
+        F.explode(F.split(ascii_lower(F.col("text")), " ")).alias("t"),
     )
     h = tok.select("doc_id", hash60(F.col("t")).alias("h"))
     feats = (
@@ -1810,7 +1812,7 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FEATURE_HASHING_SQL = f"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+  SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS t FROM documents
 ),
 h AS (SELECT doc_id, {hash60_sql('t')} AS h FROM tok)
 SELECT doc_id, h % {FH_DIM} AS bucket,
@@ -1992,8 +1994,8 @@ def _corpus_prep_sql() -> str:
     return f"""
 WITH sig AS (
   SELECT doc_id, source, text,
-         len(string_split(lower(text), ' ')) AS n_words,
-         len(list_filter(string_split(lower(text), ' '),
+         len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS n_words,
+         len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
                          t -> t IN ({_STOP_LIST}))) AS n_stop,
          length(text) AS n_chars
   FROM documents

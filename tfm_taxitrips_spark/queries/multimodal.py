@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from tfm_taxitrips_spark.functions.multimodal import (
     FRAME_BYTES,
     FRAME_STRIDE,
+    RESIZE_STRIDE,
     attach_blob,
     featurize_blobs,
     sample_blob_frames,
@@ -87,10 +88,18 @@ def q_blob_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FRAME_SAMPLE_SQL = f"""
 SELECT doc_id,
-       CAST(CEIL(length(text) / {FRAME_BYTES}.0) AS INT) AS n_frames,
-       CAST(CEIL(CEIL(length(text) / {FRAME_BYTES}.0) / {FRAME_STRIDE}.0) AS INT) AS n_sampled,
-       CASE WHEN length(text) = 0 THEN NULL
-            ELSE md5(substr(text, 1, {FRAME_BYTES})) END AS first_frame_md5
+       -- BYTE counts (octet_length), not char counts: multibyte UTF-8
+       -- payloads have bytes != chars (r12 unicode sweep)
+       CAST(CEIL(octet_length(encode(text)) / {FRAME_BYTES}.0) AS INT)
+         AS n_frames,
+       CAST(CEIL(CEIL(octet_length(encode(text)) / {FRAME_BYTES}.0)
+                 / {FRAME_STRIDE}.0) AS INT) AS n_sampled,
+       -- md5 of the frame's UPPERCASE-HEX rendering: byte-exact for any
+       -- payload even when the frame boundary splits a codepoint (no
+       -- md5(BLOB) in DuckDB 1.0; hex() is uppercase in both engines)
+       CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+            ELSE md5(substr(hex(encode(text)), 1, {FRAME_BYTES * 2}))
+       END AS first_frame_md5
 FROM documents
 WHERE text IS NOT NULL  -- attach_blob's NULL-payload contract (r12)
 """
@@ -98,26 +107,36 @@ WHERE text IS NOT NULL  -- attach_blob's NULL-payload contract (r12)
 
 def q_blob_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize (downsample) via mapInPandas: every RESIZE_STRIDE-th byte.
-    The oracle recomputes the downsampled payload char-wise (ASCII) and
-    must reproduce the md5 of the bytes Python actually emitted."""
+    The oracle recomputes the downsampled payload BYTE-wise from the hex
+    rendering and must reproduce the md5 of the bytes Python actually
+    emitted — the r12 unicode sweep retired the old char-slice oracle,
+    which was only accidentally exact for ASCII payloads. The hashed
+    canonical form is the payload's UPPERCASE hex (both engines' hex()),
+    since DuckDB 1.0 has no md5(BLOB)."""
     from tfm_taxitrips_spark.functions.multimodal import resize_blobs
 
     docs = attach_blob(table(spark, sf_dir, "documents"))
     resized = resize_blobs(docs)
     return resized.select(
-        "doc_id", "orig_bytes", "resized_bytes", F.md5("blob_resized").alias("resized_md5")
+        "doc_id", "orig_bytes", "resized_bytes",
+        F.md5(F.hex("blob_resized")).alias("resized_md5"),
     )
 
 
-_BLOB_RESIZE_SQL = """
+_BLOB_RESIZE_SQL = f"""
 SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS orig_bytes,
-       CAST(len(range(1, length(text) + 1, 4)) AS BIGINT) AS resized_bytes,
+       -- BYTE counts and BYTE slices (octet/hex pairs), not chars:
+       -- multibyte UTF-8 has bytes != chars, and a stride can land
+       -- mid-codepoint — the hex-pair reconstruction is byte-exact for
+       -- ANY payload (r12 unicode sweep)
+       CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+       CAST(len(range(1, octet_length(encode(text)) + 1, {RESIZE_STRIDE}))
+            AS BIGINT) AS resized_bytes,
        -- COALESCE: DuckDB's array_to_string([]) is NULL, not '' — an
-       -- EMPTY payload must hash to md5('') exactly like the bytes
-       -- Python emits (r12 sweep finding: any empty-text doc diverged)
-       md5(COALESCE(array_to_string(list_transform(range(1, length(text) + 1, 4),
-                                                   i -> text[i]), ''), ''))
+       -- EMPTY payload must hash like md5(hex(b'')) = md5('')
+       md5(COALESCE(array_to_string(list_transform(
+             range(0, octet_length(encode(text)), {RESIZE_STRIDE}),
+             i -> substr(hex(encode(text)), i*2 + 1, 2)), ''), ''))
          AS resized_md5
 FROM documents
 WHERE text IS NOT NULL  -- attach_blob's NULL-payload contract (r12)

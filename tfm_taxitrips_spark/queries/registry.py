@@ -236,6 +236,7 @@ PENDING_ROTATION: tuple[str, ...] = (
     "stream_funnel",
     "stream_ohlc_resample",
     "stream_orphan_gate",
+    "stream_quality_gate",
     "stream_running_totals",
     "stream_sessionization",
     "stream_static_join",

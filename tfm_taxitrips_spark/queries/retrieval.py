@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.similarity import as_double, dot, l2_norm
+from tfm_taxitrips_spark.functions.text import ascii_lower
 from tfm_taxitrips_spark.queries.vectors import _emb_guard_sql, emb_table
 from tfm_taxitrips_spark.queries.registry import QuerySpec
 from tfm_taxitrips_spark.sources.readers import table
@@ -29,7 +30,7 @@ BM25_TOPK = 20
 def _tokens(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        F.explode(F.split(ascii_lower(F.col("text")), " ")).alias("term"),
     )
 
 
@@ -117,7 +118,7 @@ _BM25_COMPS = " + ".join(
 #: hybrid fusion oracle so both rank from the identical scores.
 _BM25_SCORED_CTES = f"""
 WITH tok AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS term
   FROM documents
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
@@ -283,7 +284,7 @@ def quality_flags(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     and sharing one builder is what guarantees batch/stream/pipeline
     parity by construction. ``carry`` lists extra input columns to pass
     through (e.g. source/text for downstream stages)."""
-    toks = F.split(F.lower(F.col("text")), " ")
+    toks = F.split(ascii_lower(F.col("text")), " ")
     n_words = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOP_TERMS)))
     # mean word length over the space-split tokens: (chars - spaces)/words
@@ -326,8 +327,8 @@ _STOP_LIST = ", ".join(f"'{t}'" for t in _STOP_TERMS)
 _GOPHER_SQL = f"""
 WITH sig AS (
   SELECT doc_id,
-         len(string_split(lower(text), ' ')) AS n_words,
-         len(list_filter(string_split(lower(text), ' '),
+         len(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS n_words,
+         len(list_filter(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
                          t -> t IN ({_STOP_LIST}))) AS n_stop,
          length(text) AS n_chars
   FROM documents
@@ -373,7 +374,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+        "doc_id", F.explode(F.split(ascii_lower(F.col("text")), " ")).alias("term")
     )
     tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
     w_df = Window.partitionBy("term")
@@ -390,7 +391,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INV_INDEX_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+  SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS term FROM documents
 ),
 tf AS (
   SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
@@ -426,7 +427,13 @@ def q_auc_score_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     float ever exists, and the ppm AUC is bit-identical across engines
     and partitionings.
     """
-    docs = table(spark, sf_dir, "documents")
+    # NULL score = unscorable, excluded by stated contract in BOTH
+    # engines (r12 unicode/NULL sweep: a NULL-score positive sorted
+    # NULLS FIRST in Spark's window but NULLS LAST in DuckDB's, moving
+    # its tie-credit and shifting the AUC — an unrankable row has no
+    # place in a ranking statistic)
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull())
     # NULL lang belongs to NEITHER class (mirrors the oracle's FILTER
     # semantics, where NULL <> 'en' is NULL and the row is excluded)
     pos = F.when(F.col("lang") == "en", 1).otherwise(0)
@@ -474,7 +481,9 @@ WITH by_score AS (
   SELECT source, n_chars AS score,
          CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT) AS pos,
          CAST(COUNT(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS neg
-  FROM documents GROUP BY 1, 2
+  FROM documents
+  WHERE n_chars IS NOT NULL  -- unscorable rows excluded (r12 contract)
+  GROUP BY 1, 2
 ),
 cum AS (
   SELECT source, pos, neg,

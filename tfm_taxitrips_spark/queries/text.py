@@ -17,6 +17,8 @@ from tfm_taxitrips_spark.functions.text import (
     MINHASH_PERMS,
     MINHASH_PRIME,
     SIMHASH_BITS,
+    ascii_lower,
+    ascii_lower_sql,
     hash60,
     hash60_sql,
     shingles,
@@ -308,7 +310,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: md5 of normalized text + min-shingle-hash
     (winnowing-style content fingerprint, robust to local edits)."""
     docs = table(spark, sf_dir, "documents")
-    norm = F.lower(F.col("text"))
+    norm = ascii_lower(F.col("text"))
     sh = shingles(norm, 3)
     min_sh = F.array_min(F.transform(sh, lambda s: hash60(s)))
     return docs.select(
@@ -320,8 +322,8 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FINGERPRINT_SQL = f"""
 SELECT doc_id,
-       md5(lower(text)) AS fp_md5,
-       list_min(list_transform({shingles_sql('lower(text)')}, s -> {hash60_sql('s')})) AS fp_minshingle
+       md5(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp_md5,
+       list_min(list_transform({shingles_sql(ascii_lower_sql('text'))}, s -> {hash60_sql('s')})) AS fp_minshingle
 FROM documents
 """
 
@@ -403,7 +405,7 @@ def _capped_shingle_inter(spark: SparkSession, sf_dir: str) -> DataFrame:
     set sizes, over the capped distinct 3-gram universe."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     sets = docs.select(
-        "doc_id", F.explode(shingles(F.lower(F.col("text")), 3)).alias("s")
+        "doc_id", F.explode(shingles(ascii_lower(F.col("text")), 3)).alias("s")
     ).distinct()
     hot = (
         sets.groupBy("s")
@@ -452,7 +454,7 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NGRAM_JACCARD_SQL = f"""
 WITH sets AS (
-  SELECT DISTINCT doc_id, unnest({shingles_sql('lower(text)')}) AS s
+  SELECT DISTINCT doc_id, unnest({shingles_sql(ascii_lower_sql('text'))}) AS s
   FROM documents
 ),
 kept AS (
@@ -476,7 +478,7 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.2
 
 _NGRAM_CONTAINMENT_SQL = f"""
 WITH sets AS (
-  SELECT DISTINCT doc_id, unnest({shingles_sql('lower(text)')}) AS s
+  SELECT DISTINCT doc_id, unnest({shingles_sql(ascii_lower_sql('text'))}) AS s
   FROM documents
 ),
 kept AS (
@@ -516,7 +518,7 @@ def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = fan_out(table(spark, sf_dir, "documents"))
     exploded = docs.select(
-        "doc_id", F.explode(shingles(F.lower(F.col("text")), 3)).alias("s")
+        "doc_id", F.explode(shingles(ascii_lower(F.col("text")), 3)).alias("s")
     )
     hashed = exploded.select(
         "doc_id", (hash60(F.col("s")) % _P).alias("x")
@@ -541,7 +543,7 @@ def _minhash_sig_sql() -> str:
     return f"""
 WITH sets AS (
   SELECT DISTINCT doc_id, {hash60_sql('s')} % {_P} AS x
-  FROM (SELECT doc_id, unnest({shingles_sql('lower(text)')}) AS s FROM documents)
+  FROM (SELECT doc_id, unnest({shingles_sql(ascii_lower_sql('text'))}) AS s FROM documents)
 )
 SELECT doc_id,
        {mins}
@@ -720,7 +722,7 @@ def q_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = (
         docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
         .select("doc_id",
-                F.explode(shingles(F.lower(F.col("text")), 3)).alias("s"))
+                F.explode(shingles(ascii_lower(F.col("text")), 3)).alias("s"))
         .select("doc_id", (hash60(F.col("s")) % _P).alias("x"))
         .distinct()
     )
@@ -770,7 +772,7 @@ est AS (
 ids AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
 sets AS (
   SELECT DISTINCT doc_id, {hash60_sql('s')} % {_P} AS x
-  FROM (SELECT doc_id, unnest({shingles_sql('lower(text)')}) AS s
+  FROM (SELECT doc_id, unnest({shingles_sql(ascii_lower_sql('text'))}) AS s
         FROM documents WHERE doc_id IN (SELECT doc_id FROM ids))
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sets GROUP BY 1),
@@ -802,7 +804,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash: per-token 60-bit hash votes ±1 on each bit position
     (frequency-weighted — tokens explode non-distinct); sign → bit."""
     docs = fan_out(table(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+    toks = docs.select("doc_id", F.explode(tokens(ascii_lower(F.col("text")))).alias("t"))
     x = hash60(F.col("t"))
     votes = [
         F.sum(
@@ -832,7 +834,7 @@ def _simhash_sql() -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+  SELECT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS t FROM documents
 ),
 agg AS (
   SELECT doc_id,
@@ -862,8 +864,8 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_SQL = r"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens,
-       CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS INT) AS n_distinct_bpe_tokens
+       CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS INT) AS n_distinct_bpe_tokens
 FROM documents
 """
 
@@ -1084,7 +1086,7 @@ _VOCAB_SQL = r"""
 SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
 FROM (
   SELECT doc_id,
-         unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
+         unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
   FROM documents
 )
 GROUP BY token
@@ -1180,7 +1182,7 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = token_count("text")
     filtered = docs.where(
         (n_tok >= QGATE_MIN_TOKENS) & (F.length("text") >= QGATE_MIN_CHARS))
-    keyed = filtered.withColumn("k", F.md5(F.lower(F.col("text"))))
+    keyed = filtered.withColumn("k", F.md5(ascii_lower(F.col("text"))))
     w = Window.partitionBy("k").orderBy("doc_id")
     deduped = keyed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
     sample_h = hash60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
@@ -1200,7 +1202,7 @@ WITH f AS (
     AND length(text) >= {QGATE_MIN_CHARS}
 ),
 d AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) ORDER BY doc_id) AS rn
   FROM f
 ),
 s AS (
@@ -1474,7 +1476,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
                F.lit(_SPLIT_MOD)) < _SPLIT_BASE
     )
-    keyed = docs.select("doc_id", F.md5(F.lower(F.col("text"))).alias("k"),
+    keyed = docs.select("doc_id", F.md5(ascii_lower(F.col("text"))).alias("k"),
                         is_base.alias("_b"))
     base_keys = keyed.where("_b").select("k").distinct()
     incoming = keyed.where(~F.col("_b"))
@@ -1516,7 +1518,7 @@ def _dedup_incremental_sql() -> str:
 WITH sig AS ({_MINHASH_SIG_SQL}),
 bands AS ({_bands_union_sql()}),
 t AS (
-  SELECT doc_id, md5(lower(text)) AS k, ({split}) AS is_base FROM documents
+  SELECT doc_id, md5(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS k, ({split}) AS is_base FROM documents
 ),
 exact AS (
   SELECT DISTINCT i.doc_id FROM t i
@@ -1705,7 +1707,7 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias("t"),
+        F.explode(F.array_distinct(F.split(ascii_lower(F.col("text")), " "))).alias("t"),
     )
     df_t = toks.groupBy("t").agg(F.count(F.lit(1)).alias("df_t"))
     doc_arr = (
@@ -1758,7 +1760,7 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SETSIM_SQL = f"""
 WITH toks AS (
-  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS t
+  SELECT DISTINCT doc_id, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS t
   FROM documents
 ),
 sz AS (SELECT doc_id, COUNT(*) AS s FROM toks GROUP BY 1),
@@ -1802,7 +1804,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(table(spark, sf_dir, "documents"))
     bg = docs.select(
         "doc_id",
-        F.explode(shingles(F.lower(F.col("text")), 2)).alias("bg"),
+        F.explode(shingles(ascii_lower(F.col("text")), 2)).alias("bg"),
     ).withColumn("head", F.split(F.col("bg"), " ")[0])
     cb = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
     ch = bg.groupBy("head").agg(F.count(F.lit(1)).alias("c_head"))
@@ -1830,7 +1832,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BIGRAM_LOGPROB_SQL = f"""
 WITH bg AS (
-  SELECT doc_id, unnest({shingles_sql('lower(text)', 2)}) AS bg
+  SELECT doc_id, unnest({shingles_sql(ascii_lower_sql('text'), 2)}) AS bg
   FROM documents
 ),
 hb AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS head FROM bg),
@@ -1873,7 +1875,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = fan_out(table(spark, sf_dir, "documents"))
     bg = docs.select(
-        F.explode(shingles(F.lower(F.col("text")), 2)).alias("bg")
+        F.explode(shingles(ascii_lower(F.col("text")), 2)).alias("bg")
     ).select(
         "bg",
         F.split(F.col("bg"), " ")[0].alias("w1"),
@@ -1885,7 +1887,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_xy") >= PMI_MIN_COUNT)
     )
     cu = (
-        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        docs.select(F.explode(tokens(ascii_lower(F.col("text")))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
@@ -1904,7 +1906,7 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PMI_SQL = f"""
 WITH bg AS (
-  SELECT unnest({shingles_sql('lower(text)', 2)}) AS bg FROM documents
+  SELECT unnest({shingles_sql(ascii_lower_sql('text'), 2)}) AS bg FROM documents
 ),
 sp AS (SELECT bg, string_split(bg, ' ') AS ws FROM bg),
 cb AS (
@@ -1912,7 +1914,7 @@ cb AS (
   FROM sp GROUP BY 1, 2
   HAVING COUNT(*) >= {PMI_MIN_COUNT}
 ),
-tok AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+tok AS (SELECT unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS w FROM documents),
 cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1)
 SELECT cb.w1, cb.w2, cb.c_xy, cx.c AS c_x, cy.c AS c_y,
        ({10**9} * cb.c_xy) // (cx.c * cy.c) AS pmi_score_ppb
@@ -2332,7 +2334,7 @@ def q_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = (
         docs.select(
             "doc_id",
-            F.explode(shingles(F.lower(F.col("text")), _NOVELTY_N)).alias("s"),
+            F.explode(shingles(ascii_lower(F.col("text")), _NOVELTY_N)).alias("s"),
         )
         .select("doc_id", hash60(F.col("s")).alias("h"))
         .distinct()
@@ -2357,7 +2359,7 @@ def q_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NOVELTY_SQL = f"""
 WITH ds AS (
   SELECT DISTINCT doc_id, {hash60_sql('s')} AS h
-  FROM (SELECT doc_id, unnest({shingles_sql('lower(text)', _NOVELTY_N)}) AS s
+  FROM (SELECT doc_id, unnest({shingles_sql(ascii_lower_sql('text'), _NOVELTY_N)}) AS s
         FROM documents)
 ),
 f AS (SELECT h, MIN(doc_id) AS first_doc FROM ds GROUP BY 1)
@@ -2405,7 +2407,7 @@ def q_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus tokenization pass runs once, not three times (the
     # copurchase_lift/column_profile discipline).
     wc = (
-        docs.select("source", F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        docs.select("source", F.explode(tokens(ascii_lower(F.col("text")))).alias("w"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .localCheckpoint(eager=False)
@@ -2478,7 +2480,7 @@ def q_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SOURCE_TVD_SQL = """
 WITH wc AS (
   SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
-  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+  FROM (SELECT source, unnest(string_split(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS w
         FROM documents)
   GROUP BY 1, 2
 ),
@@ -2674,7 +2676,7 @@ _FERTILITY_SQL = r"""
 WITH d AS (
   SELECT source,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
-         CAST(len(regexp_extract_all(lower(text),
+         CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
               '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS nt,
          CAST(length(text) AS BIGINT) AS nc
   FROM documents WHERE text IS NOT NULL
@@ -2707,7 +2709,7 @@ SWEEP_TAUS_PPM = (100_000, 300_000, 500_000, 700_000, 900_000)
 #: relation (doc_a, doc_b, jacc_ppm) — integer-exact jaccard
 _PAIRS_CTES = f"""
 WITH sets AS (
-  SELECT DISTINCT doc_id, unnest({shingles_sql('lower(text)')}) AS s
+  SELECT DISTINCT doc_id, unnest({shingles_sql(ascii_lower_sql('text'))}) AS s
   FROM documents
 ),
 kept AS (

@@ -79,6 +79,18 @@ def _augment_documents(src: str, dst: str) -> None:
         (900005, _DUP_TEXT, "en", None),      # exact dup, NULL source...
         (900006, _DUP_TEXT, "en", "web"),     # ...vs a real source (r12 class)
         (900007, None, None, None),           # all NULL but the key
+        # multibyte UTF-8 (multilingual corpora are the 100 TB norm):
+        # probes lower()/length()/md5 byte-vs-char semantics cross-engine
+        (900008, ("héllo wörld straße 中文 处理 русский ТЕКСТ naïve "
+                  "ÇOĞU İstanbul φύση ΜΕΓΑ " * 3).strip(), "intl", "web"),
+        # one pathological 2k-char single token (no spaces): stresses
+        # shingle/regex/token paths without any split boundary. Sized
+        # 2k deliberately: a 50k-char token stalled bpe_merge_induction
+        # for ~10 minutes at sf0.001 (the per-word char-pair explode is
+        # quadratic-ish in word length) — a REAL 100 TB cost hazard
+        # recorded in SCALE.md; a production pipeline caps word length
+        # at the tokenization seam (r13 candidate op).
+        (900009, "x" * 2_000, "en", "web"),
     ]
     cols = {
         "doc_id": pa.array([r[0] for r in rows], pa.int64()),
