@@ -966,6 +966,38 @@ def test_auc_excludes_unscorable_rows(spark, tmp_path):
     assert int(row["auc_ppm"]) == 250000
 
 
+def test_bpe_training_caps_overlong_words(spark, tmp_path):
+    """r12 hazard closure: one 50k-char no-space token stalled BPE merge
+    training ~10 min at sf0.001 (per-word char-pair explode). Words
+    longer than BPE_MAX_WORD_CHARS are now excluded from training in
+    both engines — the planted overlong token must not influence the
+    learned merges, and the query stays parity-green and FAST."""
+    from tfm_taxitrips_spark.queries.text import (
+        _BPE_MERGE_SQL,
+        BPE_MAX_WORD_CHARS,
+        q_bpe_merge_induction,
+    )
+    from tests.oracle import compare_result
+
+    base = "pair pair pair pair mate mate mate " * 4
+    _write_docs(tmp_path, [
+        (1, "web", base),
+        (2, "web", base + " " + "z" * (BPE_MAX_WORD_CHARS * 50)),
+    ])
+    actual = q_bpe_merge_induction(spark, str(tmp_path)).toPandas()
+    conn = duckdb.connect()
+    conn.sql("CREATE VIEW documents AS SELECT * FROM "
+             f"'{tmp_path}/documents.parquet'")
+    try:
+        expected = conn.sql(_BPE_MERGE_SQL).df()
+    finally:
+        conn.close()
+    assert compare_result(actual.copy(), expected)["hash_match"]
+    # the overlong z-run would dominate every pair count were it not
+    # excluded — the learned merges must come from the real words
+    assert not any("z" in str(l) for l in actual["lhs"])
+
+
 def test_symbols_leftover_bound_names_edge_to_module_sym():
     """r11 advisory #1, failing-first before the fix: a constant bound
     by top-level control flow (try/except, if) pools into <module>, and

@@ -1926,6 +1926,9 @@ LIMIT {PMI_TOPK}
 
 _BPE_MERGES = 3
 
+#: merge-training word-length cap — see q_bpe_merge_induction docstring
+BPE_MAX_WORD_CHARS = 64
+
 
 def bpe_merge_expr(s, lhs, rhs):
     """One canonical-greedy BPE merge over a DOUBLE-space-delimited
@@ -1977,7 +1980,16 @@ def q_bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the corpus), and every merge iteration rides that collapsed
     relation: pair counting is a map-side-combined aggregate over
     |vocab| rows, the winning pair is a 1-row broadcast, and the merge
-    itself is one ``replace`` over |vocab| symbol strings. Engine-exact
+    itself is one ``replace`` over |vocab| symbol strings.
+
+    Overlong-word cap (r12, closing a hazard the adversarial sweep
+    MEASURED: one 50k-char no-space token stalled training ~10 min at
+    sf0.001 — the per-word char-pair explode is quadratic-ish in word
+    length): words longer than ``BPE_MAX_WORD_CHARS`` are excluded from
+    merge training in BOTH engines. Such "words" (URLs, base64 blobs,
+    DNA strings) are ingest noise every production trainer caps; the
+    cap bounds the symbol-string width so no single pathological row
+    can dominate a training round at any corpus size. Engine-exact
     by construction: symbols are joined with DOUBLE-space boundaries and
     the merge pattern consumes one space from each side, so consecutive
     occurrences never fight over a shared delimiter — plain
@@ -1991,6 +2003,7 @@ def q_bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(tokens("text")).alias("w"))
+        .where(F.length("w") <= BPE_MAX_WORD_CHARS)
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .select(
@@ -2050,10 +2063,12 @@ def _bpe_sql() -> str:
   FROM {w}
 """
 
-    ctes = ["""w1 AS (
+    cap = BPE_MAX_WORD_CHARS
+    ctes = [f"""w1 AS (
   SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s,
          CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) <= {cap}  -- overlong-word training cap (r12)
   GROUP BY w
 )"""]
     for r in range(1, _BPE_MERGES + 1):

@@ -83,14 +83,14 @@ def _augment_documents(src: str, dst: str) -> None:
         # probes lower()/length()/md5 byte-vs-char semantics cross-engine
         (900008, ("héllo wörld straße 中文 处理 русский ТЕКСТ naïve "
                   "ÇOĞU İstanbul φύση ΜΕΓΑ " * 3).strip(), "intl", "web"),
-        # one pathological 2k-char single token (no spaces): stresses
-        # shingle/regex/token paths without any split boundary. Sized
-        # 2k deliberately: a 50k-char token stalled bpe_merge_induction
-        # for ~10 minutes at sf0.001 (the per-word char-pair explode is
-        # quadratic-ish in word length) — a REAL 100 TB cost hazard
-        # recorded in SCALE.md; a production pipeline caps word length
-        # at the tokenization seam (r13 candidate op).
-        (900009, "x" * 2_000, "en", "web"),
+        # one pathological 50k-char single token (no spaces): stresses
+        # shingle/regex/token paths without any split boundary. This
+        # token originally stalled bpe_merge_induction ~10 min at
+        # sf0.001 (per-word char-pair explode, quadratic-ish in word
+        # length) — closed by the BPE_MAX_WORD_CHARS training cap, and
+        # the probe stays at 50k so a cap regression re-stalls the
+        # sweep loudly instead of passing quietly.
+        (900009, "x" * 50_000, "en", "web"),
     ]
     cols = {
         "doc_id": pa.array([r[0] for r in rows], pa.int64()),
