@@ -1488,6 +1488,43 @@ def test_quality_mix_curve_window_rides_the_aggregate(spark, sf_smoke):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
 
 
+def test_pack_attention_waste_rides_one_exchange(spark, sf_smoke):
+    """pack_attention_waste: the whole waste report costs exactly ONE
+    exchange — the shard hash-partitioning the prefix-sum window needs,
+    which then satisfies BOTH downstream collapses ((shard, pack_id)
+    packs and the final per-shard aggregate) with no further exchange.
+    No joins of any kind; the ppm is a projection over the aggregate."""
+    import re
+
+    from tfm_taxitrips_spark.queries.dataprep import q_pack_attention_waste
+
+    plan = explain_formatted(q_pack_attention_waste(spark, sf_smoke))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # the shared _pack_layout prefix sum
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_source_overlap_matrix_grid_is_broadcast(spark, sf_smoke):
+    """source_ngram_overlap_matrix: the only non-equi join is the
+    |sources|² grid over the aggregate-sized per-source frame —
+    explicitly broadcast (ONE BroadcastNestedLoopJoin, never a shuffled
+    CartesianProduct). Every corpus-touching join is an equi join
+    (the shingle-hash self-join plus broadcast lookups)."""
+    import re
+
+    from tfm_taxitrips_spark.queries.text import (
+        q_source_ngram_overlap_matrix,
+    )
+
+    plan = explain_formatted(q_source_ngram_overlap_matrix(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    corpus_joins = re.findall(
+        r"\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert corpus_joins  # the shingle-hash intersection is an equi join
+
+
 def test_plans_md_fingerprint_matches_head():
     """PLANS.md freshness pin (r9 verdict item #5): the plan-dump
     artifact stamps the source fingerprint at generation time exactly

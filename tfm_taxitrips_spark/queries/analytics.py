@@ -132,20 +132,33 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back against the full part scan. The oracle is the naive
     NOT EXISTS dominance formulation — an independent derivation, which is
     exactly what makes the differential check strong.
+
+    Stated contract (r13 star-table sweep finding): a part with a NULL
+    on either axis is EXCLUDED in both engines — an unrankable row has
+    no place in a dominance comparison (the r12 `auc_score_eval`
+    convention). Without the filter the engines diverge by accident:
+    SQL's NOT EXISTS leaves an all-NULL row vacuously undominated (every
+    dominance predicate is NULL), while the skyline composition drops it
+    at the price join.
     """
     part = table(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", "p_size"
-    )
+    ).where(F.col("p_retailprice").isNotNull()
+            & F.col("p_size").isNotNull())
     return skyline_2d(part, "p_retailprice", "p_size").select(
         "p_partkey", "p_retailprice", "p_size"
     )
 
 
 _PARETO_SQL = """
+WITH pr AS (
+  SELECT p_partkey, p_retailprice, p_size FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+)
 SELECT p.p_partkey, p.p_retailprice, p.p_size
-FROM part p
+FROM pr p
 WHERE NOT EXISTS (
-  SELECT 1 FROM part q
+  SELECT 1 FROM pr q
   WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
     AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
 )
@@ -1230,7 +1243,12 @@ def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("(1000000 * n) div sum(n) over "
                "(partition by segment)").cast("bigint").alias("obs_ppm"),
-        F.element_at(exp_arr, F.col("digit")).alias("exp_ppm"),
+        # explicit NULL guard (r13 star-table sweep finding): Spark's
+        # element_at with a NULL COLUMN index returns the LAST array
+        # element (the NULL literal form returns NULL; DuckDB's CASE
+        # yields NULL) — a NULL-digit segment must get NULL expectation
+        F.when(F.col("digit").isNotNull(),
+               F.element_at(exp_arr, F.col("digit"))).alias("exp_ppm"),
     ).withColumn(
         "abs_dev_ppm", F.abs(F.col("obs_ppm") - F.col("exp_ppm"))
     )

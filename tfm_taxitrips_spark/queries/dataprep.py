@@ -953,6 +953,85 @@ GROUP BY 1
 """
 
 
+def q_pack_attention_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document attention waste per shard (round 13 — the other
+    half of the packing audit, completing `packing_efficiency_report`):
+    when packed sequences are trained WITHOUT block-diagonal document
+    masking, causal attention spends compute on cross-doc (query, key)
+    pairs that carry no training signal. Per pack the exact pair
+    accounting is
+
+    - ``total_pairs``   = T·(T+1)/2 for pack token mass T (full causal),
+    - ``intra_pairs``   = Σᵢ Lᵢ·(Lᵢ+1)/2 over its docs (masked causal),
+    - ``cross_pairs``   = total − intra (the waste a doc mask reclaims),
+
+    aggregated per shard with ``waste_ppm = cross·10⁶ div total`` — the
+    number that decides whether the collator needs the mask. All exact
+    integers; the ppm numerator cross-multiplies in DECIMAL(38,0)
+    (Σ pair counts reach ~2·10¹⁶ at 100 TB, ×10⁶ overflows int64 — the
+    `embedding_whitening_stats` convention).
+
+    The layout is :func:`_pack_layout` — the SAME definition
+    `sequence_packing` and `packing_efficiency_report` consume, in both
+    engines, so the waste report can never describe packs the packer
+    didn't build. NULL text counts 0 tokens by that layout's stated
+    contract: a zero-token doc contributes zero pairs on both sides of
+    the subtraction. A shard whose packs are ALL zero-token yields
+    explicit-NULL waste_ppm via NULLIF (division by a zero pair count
+    is a contract, not an accident).
+
+    Scale shape: identical to the report's — the per-shard prefix-sum
+    window (partition-local), one map-side-combined (shard, pack_id)
+    collapse that REUSES the window's shard partitioning (no exchange
+    between), then an 8-row shard collapse. Aggregate-sized tail at any
+    corpus size; the shard modulus is the same documented scale knob.
+    """
+    d38 = "decimal(38,0)"
+    per_doc = _pack_layout(spark, sf_dir).select(
+        "shard", "pack_id", "n_tokens",
+        F.expr("n_tokens * (n_tokens + 1) div 2").alias("doc_pairs"),
+    )
+    packs = per_doc.groupBy("shard", "pack_id").agg(
+        F.sum("n_tokens").cast("bigint").alias("pt"),
+        F.sum("doc_pairs").cast("bigint").alias("intra"),
+    ).select(
+        "shard", "intra",
+        F.expr("pt * (pt + 1) div 2").alias("total"),
+    )
+    return packs.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("total").cast("bigint").alias("total_pairs"),
+        F.sum("intra").cast("bigint").alias("intra_pairs"),
+        (F.sum("total") - F.sum("intra")).cast("bigint").alias("cross_pairs"),
+    ).select(
+        "shard", "n_packs", "total_pairs", "intra_pairs", "cross_pairs",
+        F.expr(f"CAST((CAST(cross_pairs AS {d38}) * 1000000) "
+               "div NULLIF(total_pairs, 0) AS BIGINT)").alias("waste_ppm"),
+    )
+
+
+_PACK_WASTE_SQL = f"""
+WITH {_PACK_LAYOUT_CTES},
+packs AS (
+  SELECT shard, pack_id,
+         CAST(SUM(n_tokens) AS BIGINT) AS pt,
+         CAST(SUM(n_tokens * (n_tokens + 1) // 2) AS BIGINT) AS intra
+  FROM layout GROUP BY 1, 2
+),
+per_shard AS (
+  SELECT shard, COUNT(*) AS n_packs,
+         CAST(SUM(pt * (pt + 1) // 2) AS BIGINT) AS total_pairs,
+         CAST(SUM(intra) AS BIGINT) AS intra_pairs
+  FROM packs GROUP BY 1
+)
+SELECT shard, n_packs, total_pairs, intra_pairs,
+       total_pairs - intra_pairs AS cross_pairs,
+       CAST(CAST(total_pairs - intra_pairs AS HUGEINT) * 1000000
+            // NULLIF(total_pairs, 0) AS BIGINT) AS waste_ppm
+FROM per_shard
+"""
+
+
 CHUNK_W = 64      # tokens per chunk (the training context window)
 CHUNK_STRIDE = 48  # chunk start step → 16-token overlap between chunks
 CHUNK_MIN = 8      # drop tail chunks shorter than this (unless sole chunk)
@@ -2890,6 +2969,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "packing_efficiency_report": QuerySpec(
         q_packing_efficiency_report, _PACK_REPORT_SQL,
+        tags=("text", "pipeline", "audit", "window"),
+    ),
+    "pack_attention_waste": QuerySpec(
+        q_pack_attention_waste, _PACK_WASTE_SQL,
         tags=("text", "pipeline", "audit", "window"),
     ),
     "doc_chunking": QuerySpec(

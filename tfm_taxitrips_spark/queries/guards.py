@@ -30,6 +30,18 @@ def guarded_scan_sql(
     than grade an unguarded oracle. (The guard CTE may not shadow the
     view it reads — DuckDB rejects that as a circular reference — hence
     the distinct ``guard_name``.)
+
+    Constraints on oracle SQL passed here (the rewrite is textual over
+    raw SQL, not a parse):
+
+    - no ``<table_name>.`` qualified column references — the scan is
+      renamed to ``<guard_name>``, so a leftover qualifier would fail to
+      bind. Enforced below: any surviving qualifier raises at import
+      time (use an alias: ``FROM events e`` + ``e.col``).
+    - the table name must not appear in table-scan position inside
+      string literals or comments — the regex cannot distinguish those
+      and would rewrite them too (harmless for comments, corrupting for
+      literals). No current oracle does either; keep it that way.
     """
     sql, n_scans = re.subn(
         rf"\b(FROM|JOIN)(\s+){table_name}\b",
@@ -38,6 +50,15 @@ def guarded_scan_sql(
         raise ValueError(
             f"guarded_scan_sql: no FROM/JOIN {table_name} scan found — "
             "the oracle reads the table some other way; extend the rewrite")
+    # check binding positions only: a label like '<table>.col' inside a
+    # string literal, or a mention in a -- comment, is not a reference
+    bindable = re.sub(r"'(?:[^']|'')*'", "''",
+                      re.sub(r"--[^\n]*", "", sql))
+    if re.search(rf"\b{table_name}\s*\.", bindable, flags=re.I):
+        raise ValueError(
+            f"guarded_scan_sql: '{table_name}.' qualified reference "
+            "survives the scan rewrite and would fail to bind — alias "
+            "the scan and qualify through the alias")
     stripped = sql.lstrip()
     head_len = len(sql) - len(stripped)
     m = re.match(r"WITH\b(\s+RECURSIVE\b)?", stripped, re.I)

@@ -45,7 +45,9 @@ _BLOB_META_SQL = """
 SELECT doc_id,
        'application/octet-stream' AS content_type,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-       md5(text) AS blob_md5  -- ASCII: varchar md5 == blob md5
+       md5(text) AS blob_md5  -- md5(VARCHAR) hashes the UTF-8 bytes:
+                              -- byte-exact vs Spark md5(encode(text))
+                              -- for ANY payload, not just ASCII
 FROM documents
 WHERE text IS NOT NULL  -- attach_blob's NULL-payload contract (r12)
 """

@@ -368,7 +368,13 @@ FROM events
 
 def q_to_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 — struct pack → JSON (the Kafka-sink payload shape,
-    /root/reference/StreamingTaxiTrips.py:146)."""
+    /root/reference/StreamingTaxiTrips.py:146).
+
+    Stated contract (r13 star-table sweep finding): Spark's ``to_json``
+    OMITS null struct fields — a NULL o_orderstatus serializes as
+    ``{"o_orderkey":N}``, not ``null``. The oracle mirrors that with
+    per-field CASE guards + concat_ws (the old ``||`` chain NULLed the
+    whole payload on one NULL field)."""
     orders = table(spark, sf_dir, "orders")
     return orders.select(
         "o_orderkey",
@@ -378,7 +384,12 @@ def q_to_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TO_JSON_SQL = """
 SELECT o_orderkey,
-       '{"o_orderkey":' || o_orderkey || ',"o_orderstatus":"' || o_orderstatus || '"}' AS payload
+       '{' || concat_ws(',',
+         CASE WHEN o_orderkey IS NOT NULL
+              THEN '"o_orderkey":' || o_orderkey END,
+         CASE WHEN o_orderstatus IS NOT NULL
+              THEN '"o_orderstatus":"' || o_orderstatus || '"' END
+       ) || '}' AS payload
 FROM orders
 """
 
@@ -569,8 +580,17 @@ GROUP BY CUBE (o_orderpriority, o_orderstatus)
 def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running cumulative revenue per market segment over order months —
     the frame-based window-function family (§2.7): one shuffle on the
-    partition key, an in-partition sort, no self-join."""
-    orders = table(spark, sf_dir, "orders")
+    partition key, an in-partition sort, no self-join.
+
+    Stated contract (r13 star-table sweep finding): an order with a NULL
+    order date has no place on a revenue TIMELINE and is excluded in
+    both engines (the drift-gate snapshot convention). Without the
+    filter the engines diverge by window NULL placement — Spark ASC
+    sorts the NULL month FIRST (its running sum starts NULL), DuckDB
+    LAST (it inherits the grand total).
+    """
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull())
     customer = table(spark, sf_dir, "customer")
     # customer scales with SF (unlike nation / the taxi role dims) — no
     # hard broadcast hint: Spark's size-statistics threshold broadcasts it
@@ -602,6 +622,7 @@ WITH monthly AS (
   SELECT c_mktsegment, date_trunc('month', o_orderdate) AS order_month,
          {dsum_sql('o_totalprice')} AS month_revenue
   FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE o_orderdate IS NOT NULL
   GROUP BY 1, 2
 )
 SELECT c_mktsegment, order_month, month_revenue,
@@ -621,13 +642,20 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the window orders by ``(o_orderdate, o_orderkey)`` —
     the unique tie-breaker makes lag/lead/ntile reproducible across
-    engines even when a customer places two orders the same day.
+    engines even when a customer places two orders the same day, and
+    NULLS FIRST is explicit in BOTH engines (r13 star-table sweep
+    finding: Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST, so an
+    undated order silently moved across the ntile boundary). An undated
+    order keeps its timeline row — its lag/datediff are NULL — pinned
+    deterministically before the dated ones.
     Scale: per-customer partitions are tiny (TPC-H ~10 orders/customer),
     so the sort never spills; the single hash exchange on the partition
     key is the floor for any offset-window computation.
     """
     orders = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_first(),
+        F.col("o_orderkey").asc_nulls_first())
     od = F.col("o_orderdate").cast("date")
     return orders.select(
         "o_custkey",
@@ -648,7 +676,9 @@ SELECT o_custkey, o_orderkey,
        lead(o_orderdate) OVER w AS next_order_date,
        CAST(ntile(4) OVER w AS INT) AS order_quartile
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC NULLS FIRST,
+                      o_orderkey ASC NULLS FIRST)
 """
 
 

@@ -68,6 +68,13 @@ def q_quantile_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy=1000 bounds the *rank* error at N/1000; we assert the looser
     *value* bound of 2% relative error, which holds for this data because
     the price distribution has no heavy point masses.
+
+    Stated contract (r13 star-table sweep): a group with ZERO non-NULL
+    prices has no quantiles — its within-bound booleans are explicit
+    NULL in both engines (Spark's percentile of an all-NULL group is
+    already NULL; the oracle's literal TRUE now guards on a non-NULL
+    price existing). The group row itself is kept: n_rows counts rows,
+    not prices.
     """
     li = table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
@@ -87,7 +94,10 @@ def q_quantile_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUANTILE_SQL = """
 SELECT l_returnflag, COUNT(*) AS n_rows,
-       TRUE AS p50_within_2pct, TRUE AS p95_within_2pct
+       CASE WHEN COUNT(l_extendedprice) > 0 THEN TRUE END
+         AS p50_within_2pct,
+       CASE WHEN COUNT(l_extendedprice) > 0 THEN TRUE END
+         AS p95_within_2pct
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -454,7 +464,14 @@ def q_quantile_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from tfm_taxitrips_spark.operators.prefix import two_phase_prefix_sum
 
-    li = table(spark, sf_dir, "lineitem")
+    # stated contract (r13 star-table sweep finding): a row with a NULL
+    # ship date cannot be assigned to a snapshot and a NULL price cannot
+    # rank in a price quantile — both are excluded in BOTH engines
+    # (previously the oracle's CASE ELSE silently counted NULL dates as
+    # "new" while Spark's ~NULL dropped them — an accident either way)
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").isNotNull()
+        & F.col("l_extendedprice").isNotNull())
     is_old = F.col("l_shipdate") < F.lit(_DRIFT_PIVOT).cast("timestamp")
     # value-domain collapse feeds the prefix sums (each reads its input
     # twice — operators/prefix.py caller contract) → lazy checkpoints at
@@ -548,6 +565,7 @@ WITH c AS (
   SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
          (l_shipdate < TIMESTAMP '{_DRIFT_PIVOT}') AS is_old
   FROM lineitem
+  WHERE l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL
 ),
 g AS (
   SELECT v,

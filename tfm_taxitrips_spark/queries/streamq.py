@@ -69,6 +69,73 @@ FROM events GROUP BY 1
 """
 
 
+#: anchored-TTL dedup window — shared verbatim between the streaming
+#: operator and the recursive-CTE oracle (derived to µs for the SQL)
+STREAM_DEDUP_TTL = "24 hours"
+
+
+def q_stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with state-TTL eviction (round 13 —
+    `streaming/stateful.py:streaming_ttl_dedup`, see its docstring for
+    the eviction contract): per user, the first event is admitted and
+    anchors a TTL window; events inside the window are suppressed;
+    the first event past it re-arms. Emitted per-key per-batch
+    increments are re-aggregated here into per-user totals with an
+    exact suppressed-ppm — the dedup-rate audit a telemetry ingest
+    pipeline watches. Contrast `stream_dedup` (exact-id dedup whose
+    state grows with ids-ever-seen): TTL semantics is what you deploy
+    when the stream runs forever.
+
+    The oracle walks the SAME greedy anchor chain as a recursive CTE —
+    per key, one chain node per admission; iteration depth is the
+    max admissions per key (time-span/TTL — bounded by retention, not
+    row count).
+    """
+    from tfm_taxitrips_spark.streaming.stateful import streaming_ttl_dedup
+
+    stream = read_events_stream(spark, sf_dir)
+    increments = streaming_ttl_dedup(stream, ttl=STREAM_DEDUP_TTL)
+    drained = run_to_memory(increments, spark, output_mode="append")
+    return (
+        drained.groupBy("user_id")
+        .agg(F.sum("n_events").cast("bigint").alias("n_events"),
+             F.sum("n_admitted").cast("bigint").alias("n_admitted"))
+        .select(
+            "user_id", "n_events", "n_admitted",
+            F.expr("(n_events - n_admitted) * 1000000 div n_events")
+            .cast("bigint").alias("suppressed_ppm"),
+        )
+    )
+
+
+def _stream_dedup_ttl_sql() -> str:
+    from tfm_taxitrips_spark.operators.temporal import _duration_us
+
+    ttl_us = _duration_us(STREAM_DEDUP_TTL)
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+),
+adm AS (
+  SELECT user_id, MIN(us) AS us FROM base GROUP BY 1
+  UNION ALL
+  SELECT a.user_id,
+         (SELECT MIN(b.us) FROM base b
+          WHERE b.user_id IS NOT DISTINCT FROM a.user_id
+            AND b.us > a.us + {ttl_us}) AS us
+  FROM adm a
+  WHERE EXISTS (SELECT 1 FROM base b
+                WHERE b.user_id IS NOT DISTINCT FROM a.user_id
+                  AND b.us > a.us + {ttl_us})
+),
+tot AS (SELECT user_id, COUNT(*) AS n_events FROM base GROUP BY 1),
+admc AS (SELECT user_id, COUNT(*) AS n_admitted FROM adm GROUP BY 1)
+SELECT t.user_id, t.n_events, a.n_admitted,
+       (t.n_events - a.n_admitted) * 1000000 // t.n_events AS suppressed_ppm
+FROM tot t JOIN admc a ON a.user_id IS NOT DISTINCT FROM t.user_id
+"""
+
+
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 (streaming) — stream-static inner join
     (/root/reference/StreamingTaxiTrips.py:140-141): events stream enriched
@@ -539,6 +606,9 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_sessionization": QuerySpec(q_stream_sessionization, _STREAM_SESSION_SQL,
                                        tags=("streaming", "stateful", "temporal")),
     "stream_dedup": QuerySpec(q_stream_dedup, _STREAM_DEDUP_SQL, tags=("streaming", "dedup")),
+    "stream_dedup_ttl": QuerySpec(
+        q_stream_dedup_ttl, _stream_dedup_ttl_sql(),
+        tags=("streaming", "dedup", "stateful")),
     "stream_static_join": QuerySpec(q_stream_static_join, _STREAM_JOIN_SQL,
                                     tags=("streaming", "J2")),
     "stream_ohlc_resample": QuerySpec(q_stream_ohlc, _STREAM_OHLC_SQL,

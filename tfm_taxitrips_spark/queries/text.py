@@ -669,6 +669,126 @@ FROM lab GROUP BY 1, 2
 """
 
 
+def q_source_ngram_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram overlap matrix (round 13): pairwise Jaccard of
+    the DISTINCT 3-gram shingle sets at SOURCE granularity — the corpus-
+    merge dashboard that says which provenance buckets are telling the
+    same stories (`cross_source_dup_matrix` counts near-dup PAIRS; this
+    measures set overlap of the sources' whole n-gram vocabularies, so
+    boilerplate shared across many non-duplicate docs still shows).
+
+    Row contract: one row per UNORDERED source pair from the full source
+    grid (NULL provenance is a real bucket, ordered FIRST by the shared
+    r12 convention), zero-filled ``n_inter`` when nothing overlaps, and
+    explicit-NULL ``jaccard_ppm`` when both sides are shingle-free (a
+    pair of empty sets has no defined Jaccard — NULLIF contract, never a
+    crash). ppm numerators cross-multiply in DECIMAL(38,0)/HUGEINT
+    (distinct-shingle counts reach ~10¹³ at 100 TB; ×10⁶ overflows
+    int64).
+
+    Scale shape: shingles hash to 60-bit ints map-side, the per-source
+    distinct collapses repeats before the wire, and the self-join on the
+    shingle hash emits at most C(k,2) pairs per shingle for k = number
+    of sources containing it — bounded by the SOURCE count, not document
+    frequency, so no df cap is needed (contrast `ngram_jaccard_pairs`,
+    where k is doc frequency and the cap is load-bearing). The grid and
+    the final matrix are |sources|²-row aggregates.
+    """
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    sets = (
+        docs.select(
+            "source",
+            F.explode(shingles(ascii_lower(F.col("text")), 3)).alias("s"))
+        .select("source", hash60(F.col("s")).alias("h"))
+        .distinct()
+    )
+    sizes = sets.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    srcs = docs.select("source").distinct()
+    base = (
+        srcs.join(sizes.withColumnRenamed("source", "src"),
+                  srcs["source"].eqNullSafe(F.col("src")), "left")
+        .select("source", F.coalesce("sz", F.lit(0)).cast("bigint").alias("sz"))
+    )
+
+    def strict(lo: str, hi: str):  # unordered-pair key, NULLS FIRST
+        lo_c, hi_c = F.col(lo), F.col(hi)
+        return (lo_c.isNull() & hi_c.isNotNull()) | (
+            lo_c.isNotNull() & hi_c.isNotNull() & (lo_c < hi_c))
+
+    # the |sources|²-row grid: non-equi pair predicate over an
+    # aggregate-sized frame — broadcast the right side so the planner
+    # emits a BroadcastNestedLoopJoin, never a shuffled Cartesian
+    a, b = base.alias("a"), F.broadcast(base.alias("b"))
+    grid = a.join(b, strict("a.source", "b.source")).select(
+        F.col("a.source").alias("source_lo"),
+        F.col("b.source").alias("source_hi"),
+        F.col("a.sz").alias("sz_lo"), F.col("b.sz").alias("sz_hi"),
+    )
+    x, y = sets.alias("x"), sets.alias("y")
+    inter = (
+        x.join(y, (F.col("x.h") == F.col("y.h"))
+               & strict("x.source", "y.source"))
+        .groupBy(F.col("x.source").alias("source_lo"),
+                 F.col("y.source").alias("source_hi"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = grid.join(
+        F.broadcast(inter),
+        grid["source_lo"].eqNullSafe(inter["source_lo"])
+        & grid["source_hi"].eqNullSafe(inter["source_hi"]),
+        "left",
+    ).select(
+        grid["source_lo"], grid["source_hi"], "sz_lo", "sz_hi",
+        F.coalesce(inter["n_inter"], F.lit(0)).cast("bigint").alias("n_inter"),
+    )
+    return out.select(
+        "source_lo", "source_hi", "sz_lo", "sz_hi", "n_inter",
+        F.expr("CAST((CAST(n_inter AS DECIMAL(38,0)) * 1000000) div "
+               "NULLIF(sz_lo + sz_hi - n_inter, 0) AS BIGINT)")
+        .alias("jaccard_ppm"),
+    )
+
+
+_SRC_OVERLAP_SQL = f"""
+WITH sets AS (
+  SELECT DISTINCT source, {hash60_sql('s')} AS h FROM (
+    SELECT source, unnest({shingles_sql(ascii_lower_sql('text'))}) AS s
+    FROM documents
+  )
+),
+sizes AS (SELECT source, COUNT(*) AS sz FROM sets GROUP BY 1),
+srcs AS (SELECT DISTINCT source FROM documents),
+base AS (
+  SELECT s.source, CAST(COALESCE(z.sz, 0) AS BIGINT) AS sz
+  FROM srcs s LEFT JOIN sizes z ON z.source IS NOT DISTINCT FROM s.source
+),
+grid AS (
+  SELECT a.source AS source_lo, b.source AS source_hi,
+         a.sz AS sz_lo, b.sz AS sz_hi
+  FROM base a JOIN base b
+    ON (a.source IS NULL AND b.source IS NOT NULL)
+    OR (a.source IS NOT NULL AND b.source IS NOT NULL
+        AND a.source < b.source)
+),
+inter AS (
+  SELECT x.source AS source_lo, y.source AS source_hi, COUNT(*) AS n_inter
+  FROM sets x JOIN sets y ON x.h = y.h
+   AND ((x.source IS NULL AND y.source IS NOT NULL)
+     OR (x.source IS NOT NULL AND y.source IS NOT NULL
+         AND x.source < y.source))
+  GROUP BY 1, 2
+)
+SELECT g.source_lo, g.source_hi, g.sz_lo, g.sz_hi,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(CAST(COALESCE(i.n_inter, 0) AS HUGEINT) * 1000000
+            // NULLIF(g.sz_lo + g.sz_hi - COALESCE(i.n_inter, 0), 0)
+            AS BIGINT) AS jaccard_ppm
+FROM grid g LEFT JOIN inter i
+  ON i.source_lo IS NOT DISTINCT FROM g.source_lo
+ AND i.source_hi IS NOT DISTINCT FROM g.source_hi
+"""
+
+
 def q_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator gate — the dedup pipeline's analog of the ANN
     recall gate: for every LSH candidate pair, the signature-based Jaccard
@@ -2878,6 +2998,9 @@ QUERIES: dict[str, QuerySpec] = {
     "cross_source_dup_matrix": QuerySpec(q_cross_source_dup_matrix,
                                          _CROSS_SOURCE_SQL,
                                          tags=("dedup", "curation")),
+    "source_ngram_overlap_matrix": QuerySpec(
+        q_source_ngram_overlap_matrix, _SRC_OVERLAP_SQL,
+        tags=("text", "dedup", "curation", "audit")),
     "minhash_estimate_eval": QuerySpec(q_minhash_estimate_eval,
                                        _MINHASH_EVAL_SQL,
                                        tags=("dedup", "eval")),

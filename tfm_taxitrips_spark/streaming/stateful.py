@@ -85,6 +85,93 @@ def streaming_sessionize(
     )
 
 
+_TTL_OUT_SCHEMA = "user_id bigint, n_events bigint, n_admitted bigint"
+_TTL_STATE_SCHEMA = "anchor_us bigint"
+
+
+def streaming_ttl_dedup(
+    stream: DataFrame,
+    ttl: str = "24 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Anchored-TTL dedup with state-TTL EVICTION (round 13 — the §2.9
+    stateful-semantics variant ``dropDuplicatesWithinWatermark``
+    implements natively, owned here as custom state so the semantics are
+    deterministic and oracle-checkable): per key, the FIRST event is
+    admitted and becomes the anchor; every event with
+    ``ts ≤ anchor + ttl`` is suppressed (it does NOT refresh the
+    anchor); the first event strictly past ``anchor + ttl`` is admitted
+    and re-arms. The greedy anchor chain is a pure function of the
+    key's event-TIME sequence, so the batch oracle (a recursive CTE
+    walking the same chain) matches exactly under the availableNow
+    ordered-replay parity contract shared with `streaming_sessionize`.
+
+    State = ONE bigint per key (the live anchor), registered for
+    event-time timeout at ``anchor + ttl``: once the watermark passes
+    the anchor's expiry the state store DROPS the key (the timeout
+    branch below). Eviction is semantically transparent — any
+    non-late event arriving after eviction has ``ts > anchor + ttl``
+    and would re-arm anyway — so the timeout is purely the bounded-
+    state guarantee: live state is keys-active-within-TTL, not
+    all-keys-ever (the property that lets this run forever at 100 TB
+    while ``dropDuplicates`` on raw ids grows without bound; the
+    reference's restart-double-writing problem,
+    /root/reference/StreamingTaxiTrips.py:42's reason to exist).
+
+    Emits one (key, n_events, n_admitted) increment per key per
+    micro-batch (append mode); the consumer re-aggregates — exact
+    across batch boundaries because the anchor survives in state.
+    """
+    ttl_us = _duration_us(ttl)
+
+    def dedup(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed anchor + ttl: drop the key's state —
+            # bounded-state eviction, no output (nothing to re-count)
+            state.remove()
+            return
+        (user_id,) = key
+        (anchor_us,) = state.get if state.exists else (None,)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        n_admitted = 0
+        for us in sorted(rows["us"]):
+            if anchor_us is None or us > anchor_us + ttl_us:
+                anchor_us = int(us)
+                n_admitted += 1
+        state.update((int(anchor_us),))
+        # evict once the watermark clears the live anchor's TTL window
+        state.setTimeoutTimestamp((anchor_us + ttl_us) // 1000)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [len(rows)],
+                "n_admitted": [n_admitted],
+            }
+        )
+
+    # the watermark-annotated event-time column must survive into the
+    # grouped frame (projecting it away detaches the watermark the
+    # event-time timeout needs)
+    prepared = stream.withWatermark(ts_col, watermark_delay).select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        dedup,
+        outputStructType=_TTL_OUT_SCHEMA,
+        stateStructType=_TTL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 _TRANS_OUT_SCHEMA = (
     "user_id bigint, event_id bigint, us bigint, "
     "src_type string, dst_type string"

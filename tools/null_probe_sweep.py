@@ -35,9 +35,23 @@ Planted rows (events, event_id 900001+):
   watermarked streaming DROPS NULL event times while a batch oracle
   keeps them) / NaN value (ANSI casts of NaN crash where DuckDB
   saturates) / the all-NULL row.
+Planted rows (TPC-H star tables, keys 900001+ — round 13, the r12
+verdict's order #4; NULL keys and strings per that order, plus NULL
+measures/dates — no NaN, which would demand a loader-level contract
+and re-stale the whole registry mid-burn-down):
+  customer: NULL name / NULL nationkey FK / NULL mktsegment (a GROUP BY
+  key every segment rollup keeps but a plain equi-join drops — the r12
+  event_type finding class) + NULL acctbal / all-NULL-but-key.
+  orders: NULL custkey (orphan FK) / NULL status+priority+date+price on
+  a VALID custkey (NULL measures must flow through live joins) /
+  all-NULL-but-key.
+  lineitem: NULL l_orderkey (NULL join key) / NULL returnflag+
+  linestatus+shipdate+all measures on VALID keys (the q1 group-key and
+  SUM/AVG probe) / all-NULL-but-keys.
+  supplier / part: NULL name, FK, and every attribute column.
 
 Run: ``python tools/null_probe_sweep.py [--keep] [--only a,b,c]``
-(~2-4 min). Exit 0 = full parity on the adversarial fixture; exit 1 =
+(~4-8 min). Exit 0 = full parity on the adversarial fixture; exit 1 =
 at least one divergence or crash, printed per query. Part of the
 standing per-round probe checklist (ROUND12_NOTES §9 onward).
 """
@@ -158,6 +172,66 @@ def _augment_events(src: str, dst: str) -> None:
     pq.write_table(pa.concat_tables([base, extra]), dst)
 
 
+#: star-table menagerie: {table: [row dicts]} — only named columns are
+#: set, everything else NULL; keys 900001+ stay clear of real data
+_STAR_ROWS: dict[str, list[dict]] = {
+    "customer": [
+        {"c_custkey": 900001, "c_nationkey": 1, "c_acctbal": 100.0,
+         "c_mktsegment": "BUILDING"},                     # NULL name
+        {"c_custkey": 900002, "c_name": "Probe Customer#2",
+         "c_acctbal": 200.0, "c_mktsegment": "AUTOMOBILE"},  # NULL FK
+        {"c_custkey": 900003, "c_name": "Probe Customer#3",
+         "c_nationkey": 1},      # NULL mktsegment (group key) + acctbal
+        {"c_custkey": 900004},                            # all-NULL row
+    ],
+    "orders": [
+        {"o_orderkey": 900001, "o_orderstatus": "O",
+         "o_totalprice": 123.45, "o_orderdate": "1995-06-15",
+         "o_orderpriority": "1-URGENT"},                  # orphan: NULL FK
+        {"o_orderkey": 900002, "o_custkey": 1},  # NULL strings/date/price
+        {"o_orderkey": 900003},                           # all-NULL row
+    ],
+    "lineitem": [
+        {"l_partkey": 1, "l_suppkey": 1, "l_linenumber": 900001,
+         "l_quantity": 1.0, "l_extendedprice": 10.0, "l_discount": 0.0,
+         "l_tax": 0.0, "l_returnflag": "N", "l_linestatus": "O",
+         "l_shipdate": "1995-06-15"},                 # NULL l_orderkey
+        {"l_orderkey": 1, "l_partkey": 1, "l_suppkey": 1,
+         "l_linenumber": 900002},  # NULL flags/date/ALL measures, live keys
+        {"l_linenumber": 900003},                         # all-NULL row
+    ],
+    "supplier": [
+        {"s_suppkey": 900001},    # NULL name, FK, acctbal
+        {"s_suppkey": 900002, "s_name": "Probe Supplier#2",
+         "s_acctbal": 50.0},      # NULL nationkey only
+    ],
+    "part": [
+        {"p_partkey": 900001},    # NULL name/brand/type/size/price
+        {"p_partkey": 900002, "p_name": "probe part", "p_brand": "Brand#9",
+         "p_size": 7, "p_retailprice": 9.99},             # NULL p_type
+    ],
+}
+
+
+def _augment_star(table: str, src: str, dst: str) -> None:
+    """Append `_STAR_ROWS[table]` to the base parquet, casting each
+    sparse row dict onto the base schema (unnamed columns NULL)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(src)
+    rows = _STAR_ROWS[table]
+    cols = {}
+    for field in base.schema:
+        vals = [r.get(field.name) for r in rows]
+        if pa.types.is_timestamp(field.type):
+            import pandas as pd
+
+            vals = [None if v is None else pd.Timestamp(v) for v in vals]
+        cols[field.name] = pa.array(vals, field.type)
+    pq.write_table(pa.concat_tables([base, pa.table(cols)]), dst)
+
+
 def build_fixture(dst: str) -> None:
     for t in TABLES:
         src = os.path.join(BASE_SF, f"{t}.parquet")
@@ -168,6 +242,8 @@ def build_fixture(dst: str) -> None:
             _augment_embeddings(src, out)
         elif t == "events":
             _augment_events(src, out)
+        elif t in _STAR_ROWS:
+            _augment_star(t, src, out)
         else:
             shutil.copyfile(src, out)
 
@@ -193,12 +269,13 @@ def main() -> int:
     specs = all_queries()
     sel = {
         n: s for n, s in specs.items()
-        if s.oracle and re.search(r"\b(documents|embeddings|events)\b",
-                                  s.oracle, re.I)
+        if s.oracle and re.search(
+            r"\b(documents|embeddings|events|customer|orders|supplier"
+            r"|part|lineitem)\b", s.oracle, re.I)
         and (only is None or n in only)
     }
-    print(f"sweeping {len(sel)} oracle-paired documents/embeddings/"
-          f"events queries (of {len(specs)} registered)")
+    print(f"sweeping {len(sel)} oracle-paired queries over the augmented "
+          f"tables (of {len(specs)} registered)")
 
     spark = get_spark(app_name="null-probe-sweep", master="local[8]",
                       shuffle_partitions=8)
