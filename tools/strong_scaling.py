@@ -1,8 +1,9 @@
 """Strong-scaling experiment: fixed data (~sf1), growing core counts.
 
-Replicates the scale smoke's ×10 dataset once, then times THIRTEEN plan
-shapes (the docstring lists the first eleven; ``waterfill`` and
-``packreport`` are documented at their ``_shapes()`` entries) on fresh
+Replicates the scale smoke's ×10 dataset once, then times FIFTEEN plan
+shapes (the docstring lists the first eleven; ``waterfill``,
+``packreport``, ``srcoverlap`` and ``ttldedup`` are documented at their
+``_shapes()`` entries) on fresh
 ``local[N]`` sessions for N in 4/8/16/32 and prints a speedup table
 plus per-stage shuffle-write bytes per shape:
 
@@ -119,6 +120,8 @@ SHAPE_TABLES = {
     "novelty": ("documents",),
     "waterfill": ("documents",),
     "packreport": ("documents",),
+    "srcoverlap": ("documents",),
+    "ttldedup": ("events",),
 }
 
 #: shapes whose stress can silently vanish under replication (the
@@ -197,6 +200,10 @@ def _shapes() -> dict:
         q_per_domain_perplexity_gate,
     )
     from tfm_taxitrips_spark.queries.graph import q_pagerank_fixed
+    from tfm_taxitrips_spark.queries.streamq import q_stream_dedup_ttl
+    from tfm_taxitrips_spark.queries.text import (
+        q_source_ngram_overlap_matrix,
+    )
     from tfm_taxitrips_spark.queries.relational import (
         q_flagship_view,
         q_rollup_family,
@@ -298,6 +305,22 @@ def _shapes() -> dict:
         # to O(cluster cores); at fixture scale it is pinned to 8 for
         # oracle determinism).
         "packreport": q_packing_efficiency_report,
+        # DISTINCT-COLLAPSE-DOMINATED shape (round 13): the source n-gram
+        # overlap matrix. Replication multiplies shingle ROWS N× but the
+        # distinct (source, hash60) set is replication-INVARIANT (copies
+        # carry identical text), so the measured axis is the scan +
+        # explode + map-side distinct collapse; the intersection
+        # self-join and the |sources|² grid ride the collapsed set and
+        # must stay off the critical path at any corpus size.
+        "srcoverlap": q_source_ngram_overlap_matrix,
+        # STATEFUL PYTHON-WORKER shape (round 13): the anchored-TTL
+        # dedup drain. Replication offsets user ids, so state KEYS (and
+        # Arrow batches into the pandas chain walk) grow N× while
+        # per-key chains stay fixture-length — measures the
+        # applyInPandasWithState hash shuffle + per-key Python work
+        # scaling with cores, on top of the micro-batch floor the
+        # ``stream`` shape isolates.
+        "ttldedup": q_stream_dedup_ttl,
     }
 
 
