@@ -442,22 +442,36 @@ def _duck_compare(tmp_path, name, tables=("orders",)):
 
 
 def test_benford_null_digit_gets_null_expectation(spark, tmp_path):
-    """r13 sweep finding: Spark's element_at with a NULL COLUMN index
-    returns the LAST array element (45757, the digit-9 expectation) —
-    not NULL like the literal form and DuckDB's CASE. The NULL-digit
-    segment row must carry explicit-NULL exp/abs_dev in both engines."""
+    """r13 sweep findings, both phases: (a) Spark's element_at with a
+    NULL COLUMN index returns the LAST array element (45757, the
+    digit-9 expectation) — not NULL like the literal form and DuckDB's
+    CASE; (b) a negative price's leading '-' crashed the ANSI
+    string→int cast, and an exactly-zero price has no significant
+    digit. Contract: digits come from abs(cents); zero and NULL fold
+    into the NULL-digit bucket with explicit-NULL expectation, both
+    engines."""
     _lineitem(tmp_path, [
         (1, 1, 1.0, 310.0, 0.0, 0.0, "N", "O", "1995-01-01"),
         (1, 2, 1.0, 110.0, 0.0, 0.0, "N", "O", "1995-01-02"),
         (1, 3, None, None, None, None, None, None, None),  # NULL group
+        # phase-2 probes: negative reversal (digit from magnitude → 1),
+        # exactly-zero price (no significant digit → NULL bucket)
+        (1, 4, 1.0, -123.45, 0.5, 0.1, "R", "F", "1995-01-03"),
+        (1, 5, 1.0, 0.0, 1.0, 0.0, "R", "F", "1995-01-04"),
     ])
     spec, expected, compare_result = _duck_compare(
         tmp_path, "benford_digit_audit", ("lineitem",))
     actual = spec.fn(spark, str(tmp_path)).toPandas()
     assert compare_result(actual.copy(), expected)["hash_match"]
-    nrow = actual[actual["digit"].isna()].iloc[0]
+    nrow = actual[actual["segment"].isna()].iloc[0]
     assert pd.isna(nrow["exp_ppm"]) and pd.isna(nrow["abs_dev_ppm"])
     assert int(nrow["obs_ppm"]) == 1_000_000  # its own (NULL) segment
+    r = actual[actual["segment"] == "R"]
+    neg = r[r["digit"] == 1].iloc[0]
+    assert int(neg["n"]) == 1                  # |-123.45| leads with 1
+    zero = r[r["digit"].isna()].iloc[0]
+    assert int(zero["n"]) == 1                 # zero price: NULL bucket
+    assert pd.isna(zero["exp_ppm"])
 
 
 def test_pareto_excludes_null_axis_parts(spark, tmp_path):

@@ -1227,12 +1227,19 @@ def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = table(spark, sf_dir, "lineitem")
     exp_arr = F.array(*[F.lit(v).cast("bigint") for v in _BENFORD_EXP_PPM])
+    # Benford's law reads the first SIGNIFICANT digit of the MAGNITUDE:
+    # abs() before the string form (r13 extreme-value probe: a negative
+    # reversal line's leading '-' crashes the ANSI string→int cast), and
+    # an exactly-zero value has no significant digit — explicit NULL
+    # digit, folding into the NULL bucket (both engines)
+    cents = F.abs(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint"))
     digits = li.select(
         F.col("l_returnflag").alias("segment"),
-        F.substring(
-            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
-            .cast("bigint").cast("string"), 1, 1
-        ).cast("int").alias("digit"),
+        F.when(cents > 0,
+               F.substring(cents.cast("string"), 1, 1).cast("int"))
+        .alias("digit"),
     )
     counts = digits.groupBy("segment", "digit").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
@@ -1260,11 +1267,18 @@ _BENFORD_CASE = " ".join(
 )
 
 _BENFORD_SQL = f"""
-WITH digits AS (
+WITH cents AS (
   SELECT l_returnflag AS segment,
-         CAST(substr(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-                     AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+         abs(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             AS BIGINT)) AS c
   FROM lineitem
+),
+digits AS (
+  SELECT segment,
+         CASE WHEN c > 0
+              THEN CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT)
+         END AS digit
+  FROM cents
 ),
 counts AS (
   SELECT segment, digit, CAST(COUNT(*) AS BIGINT) AS n

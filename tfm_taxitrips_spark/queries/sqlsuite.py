@@ -298,10 +298,16 @@ WHERE p_size = 15
 """
 
 # TPC-H Q9-style (net revenue by supplier nation × year) — LIKE filter +
-# triple decimal product. Precisions chosen so the product (22,6) stays
+# triple decimal product. Precisions chosen so the product (29,6) stays
 # inside DECIMAL(38) in both engines — no precision-loss rounding.
+# DECIMAL(19,2) for the price rather than TPC-H's schema-native 12,2:
+# the r13 extreme-value probe showed a legal ~10^13 price crashes an
+# ANSI 12,2 cast, and 18,2 still overflows DuckDB's INT64-backed
+# multiply — 19+ forces the INT128 path there while Spark's triple
+# product stays a lossless (29,6). Ingest robustness beats schema
+# minimalism (same magnitude contract as dsum).
 _NETREV = (
-    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    "CAST(l_extendedprice AS DECIMAL(19,2))"
     " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
     " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_tax AS DECIMAL(4,2)))"
 )

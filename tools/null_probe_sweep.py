@@ -49,6 +49,13 @@ and re-stale the whole registry mid-burn-down):
   linestatus+shipdate+all measures on VALID keys (the q1 group-key and
   SUM/AVG probe) / all-NULL-but-keys.
   supplier / part: NULL name, FK, and every attribute column.
+Phase 2 (extreme VALUES — still legal doubles, no NaN): a zero-price
+  full-discount line (leading digit '0', zero denominators), a negative
+  reversal line (leading '-' crashes strict VARCHAR→INT casts; found
+  the benford abs() gap), a ~10^13 price (found the q9 DECIMAL(12,2)
+  ANSI overflow AND DuckDB's INT64-backed DECIMAL(18,2) multiply
+  overflow), epoch/far-future order dates, zero/huge totals, and an
+  EMPTY-string (not NULL) customer name/segment with negative balance.
 
 Run: ``python tools/null_probe_sweep.py [--keep] [--only a,b,c]``
 (~4-8 min). Exit 0 = full parity on the adversarial fixture; exit 1 =
@@ -183,6 +190,10 @@ _STAR_ROWS: dict[str, list[dict]] = {
         {"c_custkey": 900003, "c_name": "Probe Customer#3",
          "c_nationkey": 1},      # NULL mktsegment (group key) + acctbal
         {"c_custkey": 900004},                            # all-NULL row
+        # extreme-value probe (r13 phase 2): EMPTY strings are not NULL
+        # (a segment named '' is a real group key) + negative balance
+        {"c_custkey": 900005, "c_name": "", "c_nationkey": 1,
+         "c_acctbal": -999.99, "c_mktsegment": ""},
     ],
     "orders": [
         {"o_orderkey": 900001, "o_orderstatus": "O",
@@ -190,6 +201,15 @@ _STAR_ROWS: dict[str, list[dict]] = {
          "o_orderpriority": "1-URGENT"},                  # orphan: NULL FK
         {"o_orderkey": 900002, "o_custkey": 1},  # NULL strings/date/price
         {"o_orderkey": 900003},                           # all-NULL row
+        # extreme-value probes (r13 phase 2): boundary dates + zero and
+        # huge totals — date arithmetic/truncation at the epoch and far
+        # future, zero-denominator revenue ratios, DECIMAL headroom
+        {"o_orderkey": 900004, "o_custkey": 1, "o_orderstatus": "F",
+         "o_totalprice": 0.0, "o_orderdate": "1970-01-01",
+         "o_orderpriority": "5-LOW"},
+        {"o_orderkey": 900005, "o_custkey": 1, "o_orderstatus": "F",
+         "o_totalprice": 9.99e12, "o_orderdate": "2099-12-31",
+         "o_orderpriority": "5-LOW"},
     ],
     "lineitem": [
         {"l_partkey": 1, "l_suppkey": 1, "l_linenumber": 900001,
@@ -199,6 +219,27 @@ _STAR_ROWS: dict[str, list[dict]] = {
         {"l_orderkey": 1, "l_partkey": 1, "l_suppkey": 1,
          "l_linenumber": 900002},  # NULL flags/date/ALL measures, live keys
         {"l_linenumber": 900003},                         # all-NULL row
+        # extreme-value probes (r13 phase 2 — legal doubles, no NaN):
+        {"l_orderkey": 1, "l_partkey": 1, "l_suppkey": 1,
+         "l_linenumber": 900004, "l_quantity": 0.0,
+         "l_extendedprice": 0.0, "l_discount": 1.0, "l_tax": 0.0,
+         "l_returnflag": "N", "l_linestatus": "O",
+         "l_shipdate": "1995-06-15"},   # zero price, FULL discount:
+        #   leading digit '0' (element_at index-0 crash class), zero
+        #   denominators in averages/ratios
+        {"l_orderkey": 1, "l_partkey": 1, "l_suppkey": 1,
+         "l_linenumber": 900005, "l_quantity": -5.0,
+         "l_extendedprice": -123.45, "l_discount": 0.5, "l_tax": 0.1,
+         "l_returnflag": "R", "l_linestatus": "F",
+         "l_shipdate": "1995-06-16"},   # negative reversal line:
+        #   leading '-' (strict VARCHAR→INT casts crash in DuckDB where
+        #   Spark non-ANSI yields NULL), sign-sensitive aggregates
+        {"l_orderkey": 1, "l_partkey": 1, "l_suppkey": 1,
+         "l_linenumber": 900006, "l_quantity": 1.0,
+         "l_extendedprice": 9.99e12, "l_discount": 0.0, "l_tax": 0.0,
+         "l_returnflag": "N", "l_linestatus": "O",
+         "l_shipdate": "1995-06-17"},   # magnitude probe: cents fit
+        #   DECIMAL(18,2) with zero headroom to spare
     ],
     "supplier": [
         {"s_suppkey": 900001},    # NULL name, FK, acctbal
