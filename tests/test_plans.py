@@ -1525,6 +1525,51 @@ def test_source_overlap_matrix_grid_is_broadcast(spark, sf_smoke):
     assert corpus_joins  # the shingle-hash intersection is an equi join
 
 
+def test_source_containment_matrix_mirrors_without_shuffle(
+        spark, sf_smoke):
+    """source_ngram_containment_matrix: same shape contract as the
+    overlap twin — the only non-equi join is the broadcast ordered grid
+    (ONE BroadcastNestedLoopJoin, zero CartesianProduct), the shingle
+    intersection is an equi join computed ONCE in unordered form, and
+    the ordered mirror is a Union of two projections of the
+    aggregate-sized result (present in the plan, costing no exchange of
+    its own beyond the broadcast)."""
+    import re
+
+    from tfm_taxitrips_spark.queries.text import (
+        q_source_ngram_containment_matrix,
+    )
+
+    plan = explain_formatted(
+        q_source_ngram_containment_matrix(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    corpus_joins = re.findall(
+        r"\(\d+\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert corpus_joins  # the shingle-hash intersection is an equi join
+    assert re.search(r"\(\d+\) Union", plan)  # the ordered mirror
+
+
+def test_pack_waste_by_utilization_rides_two_exchanges(spark, sf_smoke):
+    """pack_waste_by_utilization: the joined audit costs exactly TWO
+    exchanges — the shard hash-partitioning the prefix-sum window needs
+    (which the (shard, pack_id) collapse reuses), then the bucket
+    collapse's exchange over the aggregate-sized |packs| frame. The
+    'join' of the two audits is one aggregation over the shared
+    per-pack collapse — NO physical join anywhere in the plan."""
+    import re
+
+    from tfm_taxitrips_spark.queries.dataprep import (
+        q_pack_waste_by_utilization,
+    )
+
+    plan = explain_formatted(q_pack_waste_by_utilization(spark, sf_smoke))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # the shared _pack_layout prefix sum
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+
+
 def test_plans_md_fingerprint_matches_head():
     """PLANS.md freshness pin (r9 verdict item #5): the plan-dump
     artifact stamps the source fingerprint at generation time exactly

@@ -1032,6 +1032,108 @@ FROM per_shard
 """
 
 
+def q_pack_waste_by_utilization(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack waste × utilization decile (round 14 — the join of the two
+    packing audits): `packing_efficiency_report` says how FULL the packs
+    are, `pack_attention_waste` says how much attention compute crosses
+    document boundaries; this table says both PER UTILIZATION DECILE —
+    for each ``util_bucket`` the pack/doc/token mass, the pad-to-budget
+    padding and truncation overflow, AND the exact causal-pair
+    accounting with its ``waste_ppm``. The decision table the two
+    marginals can't give: low buckets show whether shard-tail
+    fragmentation wastes more compute as PADDING than full packs waste
+    as CROSS-DOC ATTENTION — i.e. which fix (re-sharding vs a document
+    mask) buys more, per band.
+
+    No physical join is needed or wanted: both audits aggregate the SAME
+    per-pack collapse of :func:`_pack_layout` (the ONE-definition seam),
+    so the "join" is a single aggregation carrying both column families
+    — the report provably describes one set of packs, not two audits
+    that could drift. All exact integers; ppm numerators in
+    DECIMAL(38,0)/HUGEINT (the `pack_attention_waste` convention); an
+    all-zero-token bucket yields explicit-NULL waste_ppm via NULLIF.
+
+    Scale shape: the per-shard prefix-sum window (partition-local), one
+    map-side-combined (shard, pack_id) collapse that REUSES the window's
+    shard partitioning, then an 11-row bucket collapse — the ONLY
+    exchange past the window's is over the aggregate-sized |packs| frame
+    (plan-pinned: exactly two exchanges, zero joins).
+    """
+    d38 = "decimal(38,0)"
+    per_doc = _pack_layout(spark, sf_dir).select(
+        "shard", "pack_id", "n_tokens",
+        F.expr("n_tokens * (n_tokens + 1) div 2").alias("doc_pairs"),
+    )
+    packs = per_doc.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("n_tokens").cast("bigint").alias("pt"),
+        F.sum("doc_pairs").cast("bigint").alias("intra"),
+    )
+    bucketed = packs.select(
+        F.least(
+            F.expr(f"pt * {_UTIL_BUCKETS} div {_PACK_BUDGET}"),
+            F.lit(_UTIL_BUCKETS).cast("bigint"),
+        ).cast("int").alias("util_bucket"),
+        "nd", "pt", "intra",
+        F.greatest(F.lit(_PACK_BUDGET).cast("bigint") - F.col("pt"),
+                   F.lit(0).cast("bigint")).alias("pad"),
+        F.greatest(F.col("pt") - F.lit(_PACK_BUDGET).cast("bigint"),
+                   F.lit(0).cast("bigint")).alias("ovf"),
+        F.expr("pt * (pt + 1) div 2").alias("total"),
+    )
+    return bucketed.groupBy("util_bucket").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("nd").cast("bigint").alias("n_docs"),
+        F.sum("pt").cast("bigint").alias("pack_tokens"),
+        F.sum("pad").cast("bigint").alias("padding_tokens"),
+        F.sum("ovf").cast("bigint").alias("overflow_tokens"),
+        F.sum("total").cast("bigint").alias("total_pairs"),
+        F.sum("intra").cast("bigint").alias("intra_pairs"),
+        (F.sum("total") - F.sum("intra")).cast("bigint").alias("cross_pairs"),
+    ).select(
+        "util_bucket", "n_packs", "n_docs", "pack_tokens",
+        "padding_tokens", "overflow_tokens",
+        "total_pairs", "intra_pairs", "cross_pairs",
+        F.expr(f"CAST((CAST(cross_pairs AS {d38}) * 1000000) "
+               "div NULLIF(total_pairs, 0) AS BIGINT)").alias("waste_ppm"),
+    )
+
+
+_PACK_UTIL_WASTE_SQL = f"""
+WITH {_PACK_LAYOUT_CTES},
+packs AS (
+  SELECT shard, pack_id, COUNT(*) AS nd,
+         CAST(SUM(n_tokens) AS BIGINT) AS pt,
+         CAST(SUM(n_tokens * (n_tokens + 1) // 2) AS BIGINT) AS intra
+  FROM layout GROUP BY 1, 2
+),
+bucketed AS (
+  SELECT CAST(LEAST(pt * {_UTIL_BUCKETS} // {_PACK_BUDGET},
+                    {_UTIL_BUCKETS}) AS INT) AS util_bucket,
+         nd, pt, intra,
+         GREATEST({_PACK_BUDGET} - pt, 0) AS pad,
+         GREATEST(pt - {_PACK_BUDGET}, 0) AS ovf,
+         pt * (pt + 1) // 2 AS total
+  FROM packs
+)
+SELECT util_bucket,
+       COUNT(*) AS n_packs,
+       CAST(SUM(nd) AS BIGINT) AS n_docs,
+       CAST(SUM(pt) AS BIGINT) AS pack_tokens,
+       CAST(SUM(pad) AS BIGINT) AS padding_tokens,
+       CAST(SUM(ovf) AS BIGINT) AS overflow_tokens,
+       CAST(SUM(total) AS BIGINT) AS total_pairs,
+       CAST(SUM(intra) AS BIGINT) AS intra_pairs,
+       CAST(SUM(total) - SUM(intra) AS BIGINT) AS cross_pairs,
+       CAST(CAST(SUM(total) - SUM(intra) AS HUGEINT) * 1000000
+            // NULLIF(CAST(SUM(total) AS HUGEINT), 0) AS BIGINT)
+         AS waste_ppm
+FROM bucketed
+GROUP BY 1
+"""
+
+
 CHUNK_W = 64      # tokens per chunk (the training context window)
 CHUNK_STRIDE = 48  # chunk start step → 16-token overlap between chunks
 CHUNK_MIN = 8      # drop tail chunks shorter than this (unless sole chunk)
@@ -2973,6 +3075,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "pack_attention_waste": QuerySpec(
         q_pack_attention_waste, _PACK_WASTE_SQL,
+        tags=("text", "pipeline", "audit", "window"),
+    ),
+    "pack_waste_by_utilization": QuerySpec(
+        q_pack_waste_by_utilization, _PACK_UTIL_WASTE_SQL,
         tags=("text", "pipeline", "audit", "window"),
     ),
     "doc_chunking": QuerySpec(

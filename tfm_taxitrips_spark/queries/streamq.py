@@ -136,6 +136,74 @@ FROM tot t JOIN admc a ON a.user_id IS NOT DISTINCT FROM t.user_id
 """
 
 
+#: refreshing-anchor (debounce) window — 8 hours sits between the
+#: fixture's p10 (~1.2 h) and p90 (~25 h) inter-event gaps, so both the
+#: admit and the suppress branch carry real mass; deliberately NOT the
+#: anchored twin's 24 h so the two policies produce visibly different
+#: admission counts on the same stream
+STREAM_DEBOUNCE_TTL = "8 hours"
+
+
+def q_stream_dedup_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming debounce dedup (round 14 —
+    `streaming/stateful.py:streaming_debounce_dedup`, see its docstring
+    for the refreshing-anchor contract): per user, an event is admitted
+    iff its gap from the PREVIOUS event strictly exceeds the TTL; every
+    event refreshes the anchor. The policy pair with `stream_dedup_ttl`
+    (fixed anchor, "at most once per period") — this is "once per
+    episode": a long burst stays collapsed however long it runs.
+    Per-key per-batch increments re-aggregate into per-user totals with
+    the exact suppressed-ppm, same audit shape as the twin.
+
+    Because the anchor refreshes on every event, the admission flag
+    depends only on the gap to the immediate predecessor — the oracle is
+    ONE LAG window per event, no recursive chain walk (contrast the
+    anchored twin's recursive CTE). Duplicate timestamps compare through
+    their values, so window tiebreak order cannot change any flag.
+    """
+    from tfm_taxitrips_spark.streaming.stateful import (
+        streaming_debounce_dedup,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    increments = streaming_debounce_dedup(stream, ttl=STREAM_DEBOUNCE_TTL)
+    drained = run_to_memory(increments, spark, output_mode="append")
+    return (
+        drained.groupBy("user_id")
+        .agg(F.sum("n_events").cast("bigint").alias("n_events"),
+             F.sum("n_admitted").cast("bigint").alias("n_admitted"))
+        .select(
+            "user_id", "n_events", "n_admitted",
+            F.expr("(n_events - n_admitted) * 1000000 div n_events")
+            .cast("bigint").alias("suppressed_ppm"),
+        )
+    )
+
+
+def _stream_dedup_debounce_sql() -> str:
+    from tfm_taxitrips_spark.operators.temporal import _duration_us
+
+    ttl_us = _duration_us(STREAM_DEBOUNCE_TTL)
+    return f"""
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT user_id,
+         CASE WHEN LAG(us) OVER w IS NULL
+                OR us > LAG(us) OVER w + {ttl_us}
+              THEN 1 ELSE 0 END AS adm
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us)
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(adm) AS BIGINT) AS n_admitted,
+       CAST((COUNT(*) - SUM(adm)) * 1000000 // COUNT(*) AS BIGINT)
+         AS suppressed_ppm
+FROM flagged GROUP BY 1
+"""
+
+
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 (streaming) — stream-static inner join
     (/root/reference/StreamingTaxiTrips.py:140-141): events stream enriched
@@ -608,6 +676,9 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_dedup": QuerySpec(q_stream_dedup, _STREAM_DEDUP_SQL, tags=("streaming", "dedup")),
     "stream_dedup_ttl": QuerySpec(
         q_stream_dedup_ttl, _stream_dedup_ttl_sql(),
+        tags=("streaming", "dedup", "stateful")),
+    "stream_dedup_debounce": QuerySpec(
+        q_stream_dedup_debounce, _stream_dedup_debounce_sql(),
         tags=("streaming", "dedup", "stateful")),
     "stream_static_join": QuerySpec(q_stream_static_join, _STREAM_JOIN_SQL,
                                     tags=("streaming", "J2")),

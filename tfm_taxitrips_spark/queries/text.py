@@ -669,6 +669,47 @@ FROM lab GROUP BY 1, 2
 """
 
 
+def _null_first_lt(lo: str, hi: str):
+    """Unordered-pair strict-< predicate over possibly-NULL source
+    labels, NULLS FIRST (the shared r12 convention): NULL pairs before
+    every non-NULL label and never with itself."""
+    lo_c, hi_c = F.col(lo), F.col(hi)
+    return (lo_c.isNull() & hi_c.isNotNull()) | (
+        lo_c.isNotNull() & hi_c.isNotNull() & (lo_c < hi_c))
+
+
+def _source_shingle_sets(spark, sf_dir: str):
+    """The per-source DISTINCT 3-gram shingle universe shared by
+    :func:`q_source_ngram_overlap_matrix` and
+    :func:`q_source_ngram_containment_matrix` — ONE definition (the
+    `_pack_layout` convention), so the containment matrix can never
+    describe a different shingle universe than the overlap matrix it
+    refines. Returns ``(sets, base)``: ``sets`` = (source, h) distinct
+    60-bit shingle hashes, ``base`` = every source with its set size
+    (zero-filled for shingle-free sources).
+
+    Scale shape (the r13 overlap-matrix argument, inherited verbatim):
+    shingles hash to 60-bit ints map-side, the per-source distinct
+    collapses repeats BEFORE the wire — the shuffle carries the
+    replication-invariant distinct set, never the shingle stream."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    sets = (
+        docs.select(
+            "source",
+            F.explode(shingles(ascii_lower(F.col("text")), 3)).alias("s"))
+        .select("source", hash60(F.col("s")).alias("h"))
+        .distinct()
+    )
+    sizes = sets.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    srcs = docs.select("source").distinct()
+    base = (
+        srcs.join(sizes.withColumnRenamed("source", "src"),
+                  srcs["source"].eqNullSafe(F.col("src")), "left")
+        .select("source", F.coalesce("sz", F.lit(0)).cast("bigint").alias("sz"))
+    )
+    return sets, base
+
+
 def q_source_ngram_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source n-gram overlap matrix (round 13): pairwise Jaccard of
     the DISTINCT 3-gram shingle sets at SOURCE granularity — the corpus-
@@ -694,27 +735,8 @@ def q_source_ngram_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     where k is doc frequency and the cap is load-bearing). The grid and
     the final matrix are |sources|²-row aggregates.
     """
-    docs = fan_out(table(spark, sf_dir, "documents"))
-    sets = (
-        docs.select(
-            "source",
-            F.explode(shingles(ascii_lower(F.col("text")), 3)).alias("s"))
-        .select("source", hash60(F.col("s")).alias("h"))
-        .distinct()
-    )
-    sizes = sets.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
-    srcs = docs.select("source").distinct()
-    base = (
-        srcs.join(sizes.withColumnRenamed("source", "src"),
-                  srcs["source"].eqNullSafe(F.col("src")), "left")
-        .select("source", F.coalesce("sz", F.lit(0)).cast("bigint").alias("sz"))
-    )
-
-    def strict(lo: str, hi: str):  # unordered-pair key, NULLS FIRST
-        lo_c, hi_c = F.col(lo), F.col(hi)
-        return (lo_c.isNull() & hi_c.isNotNull()) | (
-            lo_c.isNotNull() & hi_c.isNotNull() & (lo_c < hi_c))
-
+    sets, base = _source_shingle_sets(spark, sf_dir)
+    strict = _null_first_lt
     # the |sources|²-row grid: non-equi pair predicate over an
     # aggregate-sized frame — broadcast the right side so the planner
     # emits a BroadcastNestedLoopJoin, never a shuffled Cartesian
@@ -749,8 +771,11 @@ def q_source_ngram_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-_SRC_OVERLAP_SQL = f"""
-WITH sets AS (
+# the oracle twin of _source_shingle_sets — a WITH-body fragment ending
+# in the ``base`` CTE, prepended by BOTH source-matrix oracles so the
+# two SQL sides share one shingle-universe definition exactly like the
+# Spark side does (the _PACK_LAYOUT_CTES convention)
+_SRC_SETS_CTES = f"""sets AS (
   SELECT DISTINCT source, {hash60_sql('s')} AS h FROM (
     SELECT source, unnest({shingles_sql(ascii_lower_sql('text'))}) AS s
     FROM documents
@@ -761,7 +786,10 @@ srcs AS (SELECT DISTINCT source FROM documents),
 base AS (
   SELECT s.source, CAST(COALESCE(z.sz, 0) AS BIGINT) AS sz
   FROM srcs s LEFT JOIN sizes z ON z.source IS NOT DISTINCT FROM s.source
-),
+)"""
+
+_SRC_OVERLAP_SQL = f"""
+WITH {_SRC_SETS_CTES},
 grid AS (
   SELECT a.source AS source_lo, b.source AS source_hi,
          a.sz AS sz_lo, b.sz AS sz_hi
@@ -786,6 +814,105 @@ SELECT g.source_lo, g.source_hi, g.sz_lo, g.sz_hi,
 FROM grid g LEFT JOIN inter i
   ON i.source_lo IS NOT DISTINCT FROM g.source_lo
  AND i.source_hi IS NOT DISTINCT FROM g.source_hi
+"""
+
+
+def q_source_ngram_containment_matrix(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram CONTAINMENT matrix (round 14 — the
+    containment-direction twin of `source_ngram_overlap_matrix`, pairing
+    with `ngram_containment_pairs` at SOURCE grain): for every ORDERED
+    pair of distinct sources, ``containment_ppm = |A∩B|·10⁶ div |A|`` —
+    the asymmetric subset question Jaccard structurally hides. A small
+    curated source wholly re-crawled inside a big web dump has tiny
+    Jaccard (the union is dominated by the dump) but containment ≈ 10⁶
+    on the small side: that direction decides "drop A, it's already in
+    B", which the symmetric matrix cannot.
+
+    Row contract: the FULL ordered grid of distinct source pairs (both
+    directions of every pair; NULL provenance is a real bucket),
+    zero-filled ``n_inter``, and explicit-NULL ``containment_ppm`` when
+    the CONTAINED side is shingle-free (containment of an empty set is
+    undefined — NULLIF contract, never a crash; a real-but-disjoint pair
+    reads 0). ppm numerators cross-multiply in DECIMAL(38,0)/HUGEINT
+    (the shared convention — distinct-shingle intersections reach ~10¹³
+    at 100 TB; ×10⁶ overflows int64).
+
+    The shingle universe is :func:`_source_shingle_sets` — the SAME
+    definition the overlap matrix consumes, in both engines, so the two
+    matrices can never disagree about what a source's n-gram set IS.
+    The intersection self-join is computed ONCE in unordered form
+    (identical wire cost to the overlap matrix: ≤ C(k,2) pairs per
+    shingle, k bounded by SOURCE count) and mirrored to ordered pairs by
+    a zero-shuffle union of two projections of the aggregate-sized
+    result; the only non-equi join is the broadcast ordered grid
+    (one BNLJ over |sources|·(|sources|−1) rows, zero CartesianProduct).
+    """
+    sets, base = _source_shingle_sets(spark, sf_dir)
+    a, b = base.alias("a"), F.broadcast(base.alias("b"))
+    grid = a.join(b, ~F.col("a.source").eqNullSafe(F.col("b.source"))).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"),
+    )
+    x, y = sets.alias("x"), sets.alias("y")
+    half = (
+        x.join(y, (F.col("x.h") == F.col("y.h"))
+               & _null_first_lt("x.source", "y.source"))
+        .groupBy(F.col("x.source").alias("lo"),
+                 F.col("y.source").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    inter = half.select(
+        F.col("lo").alias("source_a"), F.col("hi").alias("source_b"),
+        "n_inter",
+    ).unionAll(half.select(
+        F.col("hi").alias("source_a"), F.col("lo").alias("source_b"),
+        "n_inter",
+    ))
+    out = grid.join(
+        F.broadcast(inter),
+        grid["source_a"].eqNullSafe(inter["source_a"])
+        & grid["source_b"].eqNullSafe(inter["source_b"]),
+        "left",
+    ).select(
+        grid["source_a"], grid["source_b"], "sz_a", "sz_b",
+        F.coalesce(inter["n_inter"], F.lit(0)).cast("bigint").alias("n_inter"),
+    )
+    return out.select(
+        "source_a", "source_b", "sz_a", "sz_b", "n_inter",
+        F.expr("CAST((CAST(n_inter AS DECIMAL(38,0)) * 1000000) div "
+               "NULLIF(sz_a, 0) AS BIGINT)").alias("containment_ppm"),
+    )
+
+
+_SRC_CONTAINMENT_SQL = f"""
+WITH {_SRC_SETS_CTES},
+grid AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.sz AS sz_a, b.sz AS sz_b
+  FROM base a JOIN base b ON a.source IS DISTINCT FROM b.source
+),
+half AS (
+  SELECT x.source AS lo, y.source AS hi, COUNT(*) AS n_inter
+  FROM sets x JOIN sets y ON x.h = y.h
+   AND ((x.source IS NULL AND y.source IS NOT NULL)
+     OR (x.source IS NOT NULL AND y.source IS NOT NULL
+         AND x.source < y.source))
+  GROUP BY 1, 2
+),
+inter AS (
+  SELECT lo AS source_a, hi AS source_b, n_inter FROM half
+  UNION ALL
+  SELECT hi AS source_a, lo AS source_b, n_inter FROM half
+)
+SELECT g.source_a, g.source_b, g.sz_a, g.sz_b,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(CAST(COALESCE(i.n_inter, 0) AS HUGEINT) * 1000000
+            // NULLIF(g.sz_a, 0) AS BIGINT) AS containment_ppm
+FROM grid g LEFT JOIN inter i
+  ON i.source_a IS NOT DISTINCT FROM g.source_a
+ AND i.source_b IS NOT DISTINCT FROM g.source_b
 """
 
 
@@ -3000,6 +3127,9 @@ QUERIES: dict[str, QuerySpec] = {
                                          tags=("dedup", "curation")),
     "source_ngram_overlap_matrix": QuerySpec(
         q_source_ngram_overlap_matrix, _SRC_OVERLAP_SQL,
+        tags=("text", "dedup", "curation", "audit")),
+    "source_ngram_containment_matrix": QuerySpec(
+        q_source_ngram_containment_matrix, _SRC_CONTAINMENT_SQL,
         tags=("text", "dedup", "curation", "audit")),
     "minhash_estimate_eval": QuerySpec(q_minhash_estimate_eval,
                                        _MINHASH_EVAL_SQL,

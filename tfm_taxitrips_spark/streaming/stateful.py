@@ -89,6 +89,18 @@ _TTL_OUT_SCHEMA = "user_id bigint, n_events bigint, n_admitted bigint"
 _TTL_STATE_SCHEMA = "anchor_us bigint"
 
 
+def _evict_ms(state: GroupState, anchor_us: int, ttl_us: int) -> int:
+    """Event-time timeout for a TTL anchor, in ms: CEIL of the µs expiry
+    (flooring can land ~1 ms below the watermark when the batch's newest
+    suppressed event sits exactly at anchor+TTL — Spark rejects a
+    timeout earlier than the current watermark, r13 ADVICE), clamped one
+    past the current watermark for the same reason on coarser drifts.
+    Evicting LATER than anchor+ttl is always safe: the transparency
+    argument only needs eviction to never happen before."""
+    timeout_ms = -(-(anchor_us + ttl_us) // 1000)
+    return max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+
+
 def streaming_ttl_dedup(
     stream: DataFrame,
     ttl: str = "24 hours",
@@ -138,7 +150,18 @@ def streaming_ttl_dedup(
             return
         (user_id,) = key
         (anchor_us,) = state.get if state.exists else (None,)
-        rows = pd.concat(list(pdfs), ignore_index=True)
+        # NULL event times carry no position on the anchor chain: drop
+        # them here (not only in the registered pipeline's events guard)
+        # so the public API never crashes on a NaN µs value (r13 ADVICE)
+        rows = pd.concat(list(pdfs), ignore_index=True).dropna(subset=["us"])
+        if rows.empty:
+            if anchor_us is not None:
+                # keep the eviction clock armed: an invocation resets any
+                # previously registered timeout, so re-arm from the
+                # surviving anchor before returning
+                state.setTimeoutTimestamp(
+                    _evict_ms(state, int(anchor_us), ttl_us))
+            return
         n_admitted = 0
         for us in sorted(rows["us"]):
             if anchor_us is None or us > anchor_us + ttl_us:
@@ -146,7 +169,7 @@ def streaming_ttl_dedup(
                 n_admitted += 1
         state.update((int(anchor_us),))
         # evict once the watermark clears the live anchor's TTL window
-        state.setTimeoutTimestamp((anchor_us + ttl_us) // 1000)
+        state.setTimeoutTimestamp(_evict_ms(state, int(anchor_us), ttl_us))
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
@@ -165,6 +188,93 @@ def streaming_ttl_dedup(
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         dedup,
+        outputStructType=_TTL_OUT_SCHEMA,
+        stateStructType=_TTL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def streaming_debounce_dedup(
+    stream: DataFrame,
+    ttl: str = "24 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """REFRESHING-anchor dedup (round 14 — the other TTL policy,
+    completing the pair with :func:`streaming_ttl_dedup`): per key, an
+    event is admitted iff it is the key's first event or its gap from
+    the PREVIOUS event (admitted or not) strictly exceeds ``ttl``; EVERY
+    event refreshes the anchor to its own time. Debounce semantics — a
+    burst collapses to its first event and stays collapsed for as long
+    as events keep arriving within ``ttl`` of each other, where the
+    anchored twin re-admits on a fixed-period schedule regardless of
+    activity. This is the policy for "notify once per episode" feeds;
+    the anchored twin is the policy for "at most once per period".
+
+    The admission flag is a pure function of consecutive event-time gaps,
+    so the batch oracle is a single LAG window (one comparison per
+    event — no recursive chain walk is needed precisely because the
+    anchor refreshes). Same availableNow ordered-replay parity contract
+    as the twin; NULL event times are dropped defensively here AND
+    excluded by the registered pipeline's events guard (one contract,
+    both engines).
+
+    State = ONE bigint per key (the last event time), registered for
+    event-time timeout at ``last + ttl`` with the shared ceil/clamp
+    (:func:`_evict_ms`). Eviction is semantically transparent by the
+    same argument as the twin's, one step stronger: once the watermark
+    passes ``last + ttl``, any non-late event has ``ts ≥ watermark >
+    last + ttl`` — a gap wide enough that it would be admitted and
+    re-anchor anyway, which is exactly what the fresh-key path does.
+    Live state is therefore keys-active-within-TTL; the stream runs
+    forever at bounded state (SCALE.md §Streaming).
+
+    Emits one (key, n_events, n_admitted) increment per key per
+    micro-batch (append mode) — exact across batch boundaries because
+    the refreshed anchor survives in state.
+    """
+    ttl_us = _duration_us(ttl)
+
+    def debounce(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (user_id,) = key
+        (last_us,) = state.get if state.exists else (None,)
+        rows = pd.concat(list(pdfs), ignore_index=True).dropna(subset=["us"])
+        if rows.empty:
+            if last_us is not None:
+                state.setTimeoutTimestamp(
+                    _evict_ms(state, int(last_us), ttl_us))
+            return
+        n_admitted = 0
+        for us in sorted(rows["us"]):
+            if last_us is None or us > last_us + ttl_us:
+                n_admitted += 1
+            last_us = int(us)  # EVERY event refreshes the anchor
+        state.update((int(last_us),))
+        state.setTimeoutTimestamp(_evict_ms(state, int(last_us), ttl_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [len(rows)],
+                "n_admitted": [n_admitted],
+            }
+        )
+
+    prepared = stream.withWatermark(ts_col, watermark_delay).select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        debounce,
         outputStructType=_TTL_OUT_SCHEMA,
         stateStructType=_TTL_STATE_SCHEMA,
         outputMode="append",

@@ -122,6 +122,9 @@ SHAPE_TABLES = {
     "packreport": ("documents",),
     "srcoverlap": ("documents",),
     "ttldedup": ("events",),
+    "srccontain": ("documents",),
+    "debounce": ("events",),
+    "packutil": ("documents",),
 }
 
 #: shapes whose stress can silently vanish under replication (the
@@ -196,12 +199,17 @@ def _shapes() -> dict:
     from tfm_taxitrips_spark.queries.dataprep import (
         q_domain_mix_waterfill,
         q_label_leakage_audit,
+        q_pack_waste_by_utilization,
         q_packing_efficiency_report,
         q_per_domain_perplexity_gate,
     )
     from tfm_taxitrips_spark.queries.graph import q_pagerank_fixed
-    from tfm_taxitrips_spark.queries.streamq import q_stream_dedup_ttl
+    from tfm_taxitrips_spark.queries.streamq import (
+        q_stream_dedup_debounce,
+        q_stream_dedup_ttl,
+    )
     from tfm_taxitrips_spark.queries.text import (
+        q_source_ngram_containment_matrix,
         q_source_ngram_overlap_matrix,
     )
     from tfm_taxitrips_spark.queries.relational import (
@@ -321,6 +329,23 @@ def _shapes() -> dict:
         # scaling with cores, on top of the micro-batch floor the
         # ``stream`` shape isolates.
         "ttldedup": q_stream_dedup_ttl,
+        # round-14 CONFIRMATION legs: each new operator inherits a
+        # measured r13 shape; these legs measure the DELTA the twin adds
+        # on the identical dataset, not a new curve family.
+        #
+        # srccontain = srcoverlap + the ordered mirror (a Union of two
+        # projections of the aggregate-sized intersection) + the ordered
+        # grid. If the mirror is really zero-shuffle, wall time and
+        # shuffle volume must match srcoverlap's within noise.
+        "srccontain": q_source_ngram_containment_matrix,
+        # debounce = ttldedup with a refreshing anchor: same state size
+        # (one bigint per key), same stateful hash shuffle, same pandas
+        # walk length — the policy change must not change the curve.
+        "debounce": q_stream_dedup_debounce,
+        # packutil = packreport's window + per-pack collapse carrying
+        # the waste columns too — same 8-shard window cap, one extra
+        # aggregate-sized bucket exchange.
+        "packutil": q_pack_waste_by_utilization,
     }
 
 
