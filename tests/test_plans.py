@@ -1550,6 +1550,50 @@ def test_source_containment_matrix_mirrors_without_shuffle(
     assert re.search(r"\(\d+\) Union", plan)  # the ordered mirror
 
 
+def test_source_prune_plan_inherits_matrix_shape(spark, sf_smoke):
+    """source_prune_plan: built BY CALLING the containment matrix, so
+    its plan must inherit the twin's shape contract verbatim — the only
+    non-equi join is the broadcast ordered grid (ONE
+    BroadcastNestedLoopJoin, zero CartesianProduct) and the ordered
+    mirror Union is present. The decision layer adds only broadcast
+    equi-joins (the |sources|-row best/mass lookups) and the
+    best-container pick compiles to a WindowGroupLimit — Spark pushes
+    the rank-1 filter into the sort, so the pick never materializes a
+    full per-source ordering of the |sources|² frame."""
+    import re
+
+    from tfm_taxitrips_spark.queries.text import q_source_prune_plan
+
+    plan = explain_formatted(q_source_prune_plan(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert re.search(r"\(\d+\) Union", plan)  # the inherited mirror
+    assert "WindowGroupLimit" in plan  # rank-1 pick pushed into the sort
+    # every join the decision layer ADDS is a broadcast equi-join
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_debounce_episode_audit_reuses_key_partitioning(spark, sf_smoke):
+    """debounce_episode_audit: exactly THREE exchanges — the user_id
+    hash-partitioning both per-key windows sort on, which then satisfies
+    the (user_id, ep) episode collapse with NO second corpus exchange
+    (subset-clustering reuse, the operator's scale argument); then the
+    histogram's aggregate-sized ep_len exchange; then the
+    single-partition ppm window over |distinct lengths| rows. Zero
+    joins; the NULL-ts guard reaches the parquet scan as a pushed
+    filter."""
+    import re
+
+    from tfm_taxitrips_spark.queries.streamq import q_debounce_episode_audit
+
+    plan = explain_formatted(q_debounce_episode_audit(spark, sf_smoke))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 3  # lag, ep, ppm
+    assert "PushedFilters: [IsNotNull(ts)]" in plan
+
+
 def test_pack_waste_by_utilization_rides_two_exchanges(spark, sf_smoke):
     """pack_waste_by_utilization: the joined audit costs exactly TWO
     exchanges — the shard hash-partitioning the prefix-sum window needs

@@ -25,171 +25,129 @@ class QuerySpec:
     bench: bool = False  # include in bench.py headline set
 
 
+# Names pinned to the HEAD of the next planner window regardless of the
+# staleness ranking: the round's CHANGED queries (the planner cannot
+# know what changed semantics — fronting them has the driver re-grade
+# every changed row THIS round instead of IOU-ing it).  The rotation
+# planner reads this tuple, so the committed GRADING_PRIORITY is the
+# planner output VERBATIM — no manual reordering step whose convention
+# a regeneration could silently drop (r14 ADVICE #3).  Round 15: EMPTY —
+# the two r15 registrations are never-graded (planner class 0, fronted
+# by rank), and no edit this round re-staled any graded row (the churn
+# ledger in ROUND15_NOTES §1).
+FRONTED: tuple[str, ...] = ()
+
 # The grading driver verifies the FIRST 50 entries of ``queries()`` in dict
-# order (observed: CORRECTNESS_r01-r13.json keys == first 50 of each
-# round's order).  With 224 registered queries we rotate which ones sit
-# inside that window each round.  Round-14 policy (r13 verdict items
-# #1-#3): the window is the planner output with the round's CHANGED
-# queries manually fronted (the planner's own documented instruction —
-# it cannot know what changed semantics): the three r14 registrations
-# (planner class 0), then the two queries this round's edits re-staled
-# (`stream_dedup_ttl` — the r13 ADVICE NULL-ts/timeout-ceil fixes;
-# `source_ngram_overlap_matrix` — the shingle-universe seam extraction
-# the containment twin shares), then 45 planner-stalest IOU rows (the
-# r8-era curation/event set and the r9-era text/dedup family the r13
-# verdict named).  Fronting the changed pair instead of IOU-ing it is
-# deliberate: both forms leave 81 IOUs, but this one has the driver
-# re-grade every changed query THIS round.  Compensating verification
-# for the rows the window cannot hold: SELFCHECK_r14 (the FULL registry
-# swept at sf0.01 against every oracle at this HEAD).
+# order (observed: CORRECTNESS_r01-r14.json keys == first 50 of each
+# round's order).  With 226 registered queries we rotate which ones sit
+# inside that window each round.  Round-15 policy (r14 verdict orders
+# #1-#2): the burn-down's THIRD instalment — the two r15 registrations
+# front as planner class 0 (never graded), then the 48 planner-stalest
+# IOU rows (the r9-era vector/ANN/streaming family and the r10/r11 rows
+# through `embedding_covariance` the r14 verdict named; the displaced
+# tail `retrieval_mrr_eval`/`centroid_shift` stays an IOU).
+# Compensating verification for the rows the window cannot hold:
+# SELFCHECK_r15 (the FULL registry swept at sf0.01 against every oracle
+# at this HEAD).
 # Re-derive anytime with ``python -m tfm_taxitrips_spark.queries.rotation``
-# — this tuple is its output with rows 4-5 fronted (2026-08-16, r14
-# freeze).
+# — this tuple is its output verbatim (FRONTED above is part of the
+# planner's input; 2026-08-16, r15 freeze).
 GRADING_PRIORITY: tuple[str, ...] = (
-    "source_ngram_containment_matrix",  # never graded
-    "stream_dedup_debounce",  # never graded
-    "pack_waste_by_utilization",  # never graded
-    "stream_dedup_ttl",  # latest row: r13, changed THIS round — fronted
-    "source_ngram_overlap_matrix",  # latest row: r13, changed THIS round — fronted
-    "event_gap_fill_interp",  # latest row: r8, code changed since
-    "event_rolling_rate",  # latest row: r8, code changed since
-    "sequence_packing",  # latest row: r8, code changed since
-    "text_redact_pii",  # latest row: r8, code changed since
-    "corpus_ngram_dedup",  # latest row: r8, code changed since
-    "scd2_history",  # latest row: r8, code changed since
-    "weighted_sample",  # latest row: r8, code changed since
-    "table_fingerprint",  # latest row: r8, code changed since
-    "corpus_mix_rebalance",  # latest row: r8, code changed since
-    "per_group_sample_k",  # latest row: r8, code changed since
-    "funnel_conversion",  # latest row: r8, code changed since
-    "retention_cohorts",  # latest row: r8, code changed since
-    "pareto_frontier",  # latest row: r8, code changed since
-    "value_histogram",  # latest row: r8, code changed since
-    "rfm_segmentation",  # latest row: r8, code changed since
-    "bm25_search",  # latest row: r8, code changed since
-    "gopher_quality_filter",  # latest row: r8, code changed since
-    "date_trunc_day",  # latest row: r9, code changed since
-    "partition_filter",  # latest row: r9, code changed since
-    "dedup_distinct_pairs",  # latest row: r9, code changed since
-    "dedup_count",  # latest row: r9, code changed since
-    "topk_global",  # latest row: r9, code changed since
-    "topk_by_group",  # latest row: r9, code changed since
-    "top_segments_by_revenue",  # latest row: r9, code changed since
-    "cube_orders",  # latest row: r9, code changed since
-    "pivot_status_by_priority",  # latest row: r9, code changed since
-    "running_revenue",  # latest row: r9, code changed since
-    "token_diversity_stats",  # latest row: r9, code changed since
-    "text_token_count",  # latest row: r9, code changed since
-    "text_bpe_tokens",  # latest row: r9, code changed since
-    "token_vocab_top200",  # latest row: r9, code changed since
-    "text_quality_score",  # latest row: r9, code changed since
-    "text_lang_id",  # latest row: r9, code changed since
-    "text_fingerprint",  # latest row: r9, code changed since
-    "dedup_exact_docs",  # latest row: r9, code changed since
-    "ngram_jaccard_pairs",  # latest row: r9, code changed since
-    "minhash_signature",  # latest row: r9, code changed since
-    "cross_source_dup_matrix",  # latest row: r9, code changed since
-    "minhash_estimate_eval",  # latest row: r9, code changed since
-    "simhash",  # latest row: r9, code changed since
-    "setsim_prefix_join",  # latest row: r9, code changed since
-    "bigram_logprob_score",  # latest row: r9, code changed since
-    "per_source_dedup_rate",  # latest row: r9, code changed since
-    "zipf_vocab_fit",  # latest row: r9, code changed since
-    "embedding_whitening_stats",  # latest row: r9, code changed since
+    "source_prune_plan",  # never graded
+    "debounce_episode_audit",  # never graded
+    "random_projection_sketch",  # latest row: r9, code changed since
+    "semantic_dedup_prune",  # latest row: r9, code changed since
+    "ann_recall_eval_ivf",  # latest row: r9, code changed since
+    "knn_label_vote",  # latest row: r9, code changed since
+    "ann_bruteforce",  # latest row: r9, code changed since
+    "lsh_buckets",  # latest row: r9, code changed since
+    "ann_lsh",  # latest row: r9, code changed since
+    "ann_ivf",  # latest row: r9, code changed since
+    "stream_window_rollup",  # latest row: r9, code changed since
+    "stream_stream_join",  # latest row: r9, code changed since
+    "stream_sessionization",  # latest row: r9, code changed since
+    "stream_dedup",  # latest row: r9, code changed since
+    "stream_ohlc_resample",  # latest row: r9, code changed since
+    "event_ohlc_resample",  # latest row: r9, code changed since
+    "event_count_anomaly",  # latest row: r9, code changed since
+    "quantile_drift_gate",  # latest row: r9, code changed since
+    "feature_hashing",  # latest row: r9, code changed since
+    "group_top_p",  # latest row: r9, code changed since
+    "fuzzy_dedup_editdist",  # latest row: r9, code changed since
+    "dataset_split_assign",  # latest row: r9, code changed since
+    "label_leakage_audit",  # latest row: r9, code changed since
+    "doc_chunking",  # latest row: r9, code changed since
+    "touch_attribution",  # latest row: r10, code changed since
+    "decayed_engagement",  # latest row: r10, code changed since
+    "seasonal_anomaly",  # latest row: r10, code changed since
+    "cast_project",  # latest row: r11, code changed since
+    "json_extract",  # latest row: r11, code changed since
+    "to_json_struct",  # latest row: r11, code changed since
+    "null_predicates",  # latest row: r11, code changed since
+    "union_distinct",  # latest row: r11, code changed since
+    "intersect_custkeys",  # latest row: r11, code changed since
+    "anti_join",  # latest row: r11, code changed since
+    "semi_join",  # latest row: r11, code changed since
+    "windowed_agg_batch",  # latest row: r11, code changed since
+    "doc_repeat_run_gate",  # latest row: r11, code changed since
+    "tokenizer_fertility_audit",  # latest row: r11, code changed since
+    "vocab_coverage_curve",  # latest row: r11, code changed since
+    "bpe_merge_induction",  # latest row: r11, code changed since
+    "training_data_mix",  # latest row: r11, code changed since
+    "pmi_collocations",  # latest row: r11, code changed since
+    "langid_confusion_eval",  # latest row: r11, code changed since
+    "ngram_containment_pairs",  # latest row: r11, code changed since
+    "quality_ece_calibration",  # latest row: r11, code changed since
+    "ngram_novelty_rate",  # latest row: r11, code changed since
+    "hard_negative_mining",  # latest row: r11, code changed since
+    "embedding_pq_codebook",  # latest row: r11, code changed since
+    "embedding_pq_recall_eval",  # latest row: r11, code changed since
+    "embedding_covariance",  # latest row: r11, code changed since
 )
 
 # Rotation IOUs: rows the current 50-slot window genuinely cannot hold.
-# r14 runs the burn-down's second instalment (167 at the r12 freeze ->
-# 126 at r13 -> 81 here: 45 burned through the r14 window, zero new IOU
-# entries — this round's two re-staled queries are FRONTED in the
-# window instead, and the one shared-seam ADVICE fix that would have
-# re-staled five fresh r13 rows is deliberately deferred to the
-# NaN-contract round per the r13 verdict's churn-minimization order).
-# Every row below is verified green by SELFCHECK_r14's full-registry
-# sweep at this exact HEAD; at ~45 free slots/round the backlog clears
-# in ~2 more windows.
+# r15 runs the burn-down's THIRD instalment (167 at the r12 freeze ->
+# 126 at r13 -> 81 at r14 -> 33 here: 48 burned through the r15 window,
+# zero new IOU entries — this round's edits re-staled NO graded row; the
+# two r15 registrations ride the window as planner class 0). Every row
+# below is verified green by SELFCHECK_r15's full-registry sweep at this
+# exact HEAD; ONE window remains to zero (r16 opens with the non-finite
+# contract batch landing against this near-empty queue, per the r14
+# verdict's schedule).
 PENDING_ROTATION: tuple[str, ...] = (
-    "ann_bruteforce",
-    "ann_ivf",
-    "ann_lsh",
-    "ann_recall_eval_ivf",
-    "anti_join",
     "blob_metadata",
-    "bpe_merge_induction",
-    "cast_project",
     "cdc_apply_changes",
     "centroid_shift",
     "column_profile",
     "concurrency_profile",
     "cusum_drift",
-    "dataset_split_assign",
-    "decayed_engagement",
-    "doc_chunking",
-    "doc_repeat_run_gate",
-    "embedding_covariance",
     "embedding_dup_pairs",
     "embedding_norms",
-    "embedding_pq_codebook",
-    "embedding_pq_recall_eval",
-    "event_count_anomaly",
-    "event_ohlc_resample",
-    "feature_hashing",
-    "fuzzy_dedup_editdist",
-    "group_top_p",
     "group_trend_slopes",
-    "hard_negative_mining",
     "hybrid_rank_fusion",
-    "intersect_custkeys",
     "inverted_index_postings",
-    "json_extract",
-    "knn_label_vote",
-    "label_leakage_audit",
-    "langid_confusion_eval",
-    "lsh_buckets",
     "markov_transitions",
     "mmr_diverse_rerank",
-    "ngram_containment_pairs",
-    "ngram_novelty_rate",
-    "null_predicates",
     "pagerank_fixed_iters",
     "per_domain_perplexity_gate",
-    "pmi_collocations",
-    "quality_ece_calibration",
-    "quantile_drift_gate",
-    "random_projection_sketch",
     "retrieval_mrr_eval",
-    "seasonal_anomaly",
-    "semantic_dedup_prune",
-    "semi_join",
     "sink_compaction_roundtrip",
     "sink_csv_roundtrip",
     "sink_format_matrix",
     "sink_partitioned_roundtrip",
     "sink_stream_parquet_roundtrip",
     "stratified_kfold_assign",
-    "stream_dedup",
     "stream_funnel",
-    "stream_ohlc_resample",
     "stream_orphan_gate",
     "stream_quality_gate",
     "stream_running_totals",
-    "stream_sessionization",
     "stream_static_join",
-    "stream_stream_join",
     "stream_topk",
     "stream_transitions",
     "stream_window_hll",
-    "stream_window_rollup",
     "time_weighted_avg",
-    "to_json_struct",
-    "tokenizer_fertility_audit",
-    "touch_attribution",
-    "training_data_mix",
     "triangle_count",
-    "union_distinct",
-    "vocab_coverage_curve",
     "window_lag_lead",
-    "windowed_agg_batch",
 )
 
 

@@ -45,10 +45,16 @@ later (the committed GRADING_PRIORITY records the freeze SHA). The
 graded-rounds input is the CORRECTNESS_r*.json set present on disk;
 re-derivation after the next round's file lands must ignore it.
 
-The output is advisory: new/changed-this-round queries must be fronted
-manually (the tool cannot know what changed semantics), displacing the
-tail. Paste the printed tuple into ``registry.GRADING_PRIORITY`` and
-re-run ``tests/test_differential.py::test_grading_window_rotation``.
+Changed-this-round queries cannot be detected by staleness (their last
+row predates the change by definition, but so does every IOU's) — the
+builder lists them in ``registry.FRONTED`` and the planner pins those
+names to the head of the window, in FRONTED order, ahead of its own
+ranking (r14 ADVICE #3: with the fronting convention INSIDE the
+planner's input, the committed GRADING_PRIORITY is planner output
+verbatim and a later regeneration cannot silently drop it).
+Never-graded queries need no FRONTED entry — they already rank first
+as class 0. Paste the printed tuple into ``registry.GRADING_PRIORITY``
+and re-run ``tests/test_differential.py::test_grading_window_rotation``.
 """
 
 from __future__ import annotations
@@ -331,12 +337,17 @@ def query_symbol_closures(
 def plan(window: int = 50, repo_root: str | None = None,
          base: str | None = None) -> list[tuple[str, int, bool]]:
     """Return [(name, latest_round, code_stale)] for the recommended
-    window: never-graded first (latest_round 0), then code-stale rows
-    (oldest round first), then clean rows by round age. Staleness is
-    symbol-level (``tools.symbols``); falls back to the module-level
-    import graph when git markers are unavailable, and to round-age
-    only when even that fails."""
-    from tfm_taxitrips_spark.queries.registry import registration_order
+    window: ``registry.FRONTED`` names first (in FRONTED order — the
+    round's changed queries, r14 ADVICE #3), then never-graded
+    (latest_round 0), then code-stale rows (oldest round first), then
+    clean rows by round age. Staleness is symbol-level
+    (``tools.symbols``); falls back to the module-level import graph
+    when git markers are unavailable, and to round-age only when even
+    that fails."""
+    from tfm_taxitrips_spark.queries.registry import (
+        FRONTED,
+        registration_order,
+    )
 
     if repo_root is None:
         repo_root = os.path.dirname(os.path.dirname(
@@ -376,7 +387,10 @@ def plan(window: int = 50, repo_root: str | None = None,
         return (cls, rnd, idx[n])
 
     ranked = sorted(names, key=key)
-    return [(n, latest.get(n, 0), stale(n)) for n in ranked[:window]]
+    fronted = [n for n in FRONTED if n in idx]
+    rest = [n for n in ranked if n not in set(fronted)]
+    ordered = fronted + rest
+    return [(n, latest.get(n, 0), stale(n)) for n in ordered[:window]]
 
 
 def main() -> None:
@@ -391,17 +405,21 @@ def main() -> None:
         del args[i:i + 2]
     window = int(args[0]) if args else 50
     rows = plan(window, base=base)
+    from tfm_taxitrips_spark.queries.registry import FRONTED
+
     never = sum(1 for _, r, _s in rows if r == 0)
     n_stale = sum(1 for _, _r, s in rows if s)
     at = f" at --base {base}" if base else ""
     print(f"# recommended next GRADING_PRIORITY ({len(rows)} slots{at}; "
-          f"{never} never-graded first, then {n_stale} code-stale; "
-          f"front new/changed queries manually)")
+          f"{len(FRONTED)} FRONTED, then {never} never-graded, "
+          f"then {n_stale} code-stale)")
     print("GRADING_PRIORITY: tuple[str, ...] = (")
     for name, rnd, st in rows:
         tag = ("never graded" if rnd == 0
                else f"latest row: r{rnd}" + (", code changed since" if st
                                              else ""))
+        if name in FRONTED:
+            tag = f"FRONTED (changed this round); {tag}"
         print(f'    "{name}",  # {tag}')
     print(")")
 

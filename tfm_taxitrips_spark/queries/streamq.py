@@ -10,7 +10,7 @@ replay it must equal the batch answer exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
@@ -201,6 +201,125 @@ SELECT user_id, COUNT(*) AS n_events,
        CAST((COUNT(*) - SUM(adm)) * 1000000 // COUNT(*) AS BIGINT)
          AS suppressed_ppm
 FROM flagged GROUP BY 1
+"""
+
+
+def q_debounce_episode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-episode debounce audit (round 15 — the r14 shortlist's
+    `packing_efficiency_report` analog for the debounce policy pair):
+    the refreshing-anchor rule partitions each key's event stream into
+    EPISODES (an admission plus every event it debounces — maximal runs
+    where consecutive gaps stay ≤ TTL), and this report is their length
+    histogram: per episode length, how many episodes, how many raw
+    events they absorb (exact ppm of the corpus), and the time span they
+    cover. This is the table that justifies a TTL choice: a fat tail of
+    long episodes says the TTL glues independent visits together; mass
+    at length 1 says it mostly passes events through.
+
+    Same TTL constant as `stream_dedup_debounce`
+    (``STREAM_DEBOUNCE_TTL`` — one policy, two views) and the SAME
+    LAG-expressible rule, so by construction
+    Σ n_episodes = the debounce query's Σ n_admitted and
+    Σ n_events matches its event total (pinned by the round-15 replay
+    test). Batch form of a streaming policy — the audit runs on the
+    retained window of a stream the stateful twin dedups live.
+
+    Determinism contract: events order by ``(us, event_id ASC NULLS
+    FIRST)`` in both engines (spelled out — DuckDB defaults NULLS LAST);
+    the running admission sum uses an explicit ROWS frame, so episode
+    ids are total-order stable. NULL user is a real key (the stateful
+    twin's contract); NULL-ts rows are excluded by the shared events
+    guard in both engines. ppm numerators route through
+    DECIMAL(38,0)/HUGEINT (10¹³ events × 10⁶ overflows int64).
+
+    Scale shape: ONE shuffle of the events (hash-partition by user_id
+    for the flag/episode windows — per-key window state is bounded by
+    the key's events); the episode collapse groups by (user_id, ep),
+    which the SAME partitioning already clusters (no second exchange —
+    pinned in test_plans); the histogram is a map-side-combined agg to
+    |distinct lengths| rows, and the single-partition ppm window rides
+    that aggregate (the repo's |groups|-row window convention).
+    """
+    from tfm_taxitrips_spark.operators.temporal import _duration_us
+
+    ttl_us = _duration_us(STREAM_DEBOUNCE_TTL)
+    events = table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("us"), F.asc_nulls_first("event_id"))
+    lag_us = F.lag("us").over(w)
+    flagged = base.withColumn(
+        "adm",
+        F.when(lag_us.isNull() | (F.col("us") > lag_us + F.lit(ttl_us)),
+               F.lit(1)).otherwise(F.lit(0)))
+    eps = flagged.withColumn(
+        "ep",
+        F.sum("adm").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    episodes = eps.groupBy("user_id", "ep").agg(
+        F.count(F.lit(1)).alias("ep_len"),
+        (F.max("us") - F.min("us")).alias("span_us"))
+    report = episodes.groupBy("ep_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_episodes"),
+        F.sum("span_us").cast("bigint").alias("total_span_us"),
+        F.max("span_us").cast("bigint").alias("max_span_us"))
+    out = report.select(
+        F.col("ep_len").cast("bigint").alias("episode_len"),
+        "n_episodes",
+        (F.col("ep_len") * F.col("n_episodes")).cast("bigint")
+        .alias("n_events"),
+        "total_span_us", "max_span_us",
+    ).withColumn("all_events",
+                 F.sum("n_events").over(Window.partitionBy()))
+    return out.select(
+        "episode_len", "n_episodes", "n_events", "total_span_us",
+        "max_span_us",
+        F.expr("CAST(CAST(n_events AS DECIMAL(38,0)) * 1000000 div "
+               "all_events AS BIGINT)").alias("events_ppm"),
+    )
+
+
+def _debounce_episode_audit_sql() -> str:
+    from tfm_taxitrips_spark.operators.temporal import _duration_us
+
+    ttl_us = _duration_us(STREAM_DEBOUNCE_TTL)
+    return f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN LAG(us) OVER w IS NULL
+                OR us > LAG(us) OVER w + {ttl_us}
+              THEN 1 ELSE 0 END AS adm
+  FROM base
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY us, event_id ASC NULLS FIRST)
+),
+eps AS (
+  SELECT user_id, us,
+         SUM(adm) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id ASC NULLS FIRST
+                        ROWS UNBOUNDED PRECEDING) AS ep
+  FROM flagged
+),
+episodes AS (
+  SELECT user_id, ep, COUNT(*) AS ep_len, MAX(us) - MIN(us) AS span_us
+  FROM eps GROUP BY 1, 2
+),
+rep AS (
+  SELECT ep_len, COUNT(*) AS n_episodes,
+         SUM(span_us) AS total_span_us, MAX(span_us) AS max_span_us
+  FROM episodes GROUP BY 1
+)
+SELECT CAST(ep_len AS BIGINT) AS episode_len,
+       CAST(n_episodes AS BIGINT) AS n_episodes,
+       CAST(ep_len * n_episodes AS BIGINT) AS n_events,
+       CAST(total_span_us AS BIGINT) AS total_span_us,
+       CAST(max_span_us AS BIGINT) AS max_span_us,
+       CAST(CAST(ep_len * n_episodes AS HUGEINT) * 1000000
+            // SUM(ep_len * n_episodes) OVER () AS BIGINT) AS events_ppm
+FROM rep
 """
 
 
@@ -680,6 +799,9 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_dedup_debounce": QuerySpec(
         q_stream_dedup_debounce, _stream_dedup_debounce_sql(),
         tags=("streaming", "dedup", "stateful")),
+    "debounce_episode_audit": QuerySpec(
+        q_debounce_episode_audit, _debounce_episode_audit_sql(),
+        tags=("streaming", "dedup", "audit", "window")),
     "stream_static_join": QuerySpec(q_stream_static_join, _STREAM_JOIN_SQL,
                                     tags=("streaming", "J2")),
     "stream_ohlc_resample": QuerySpec(q_stream_ohlc, _STREAM_OHLC_SQL,

@@ -916,6 +916,115 @@ FROM grid g LEFT JOIN inter i
 """
 
 
+#: containment threshold for the source prune plan — a source whose best
+#: container already holds at least this share (ppm) of its distinct
+#: shingles is declared redundant. A production corpus merge prunes near
+#: 0.8·10⁶; the synthetic fixture's best-containment tops out near
+#: 0.17·10⁶ (median ≈ 0.088·10⁶ at sf0.01), so the registered demo
+#: threshold sits at 10% — between the fixture's median and max, keeping
+#: REAL mass on both branches of the flag at every SF. Shared verbatim
+#: with the DuckDB oracle.
+PRUNE_TAU_PPM = 100_000
+
+
+def q_source_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-threshold source-pruning plan (round 15 — the r14
+    shortlist's decision layer over `source_ngram_containment_matrix`):
+    for every source, its BEST container (the other source holding the
+    largest share of its distinct 3-gram shingles), the containment ppm,
+    and the verdict — ``prunable`` iff best containment ≥
+    ``PRUNE_TAU_PPM`` — with token-mass accounting (``n_docs``,
+    ``n_tokens``, and ``tokens_dropped`` = the source's token mass iff
+    pruned). This is the actionable form of the matrix: "drop A, it's
+    already in B" becomes a per-source row a corpus-merge job can apply
+    directly, with the token budget freed stated next to it (the
+    `training_data_mix` accounting convention: NULL text counts 0
+    tokens via COALESCE, both engines).
+
+    Determinism contract: the best container maximizes
+    ``containment_ppm`` (``DESC NULLS LAST`` spelled out in both
+    engines — a shingle-free source has all-NULL ppm and keeps NO
+    defined container), ties break on larger ``sz_b`` then
+    ``source_b ASC NULLS FIRST`` (the shared r12 NULL-label ordering),
+    making the pick total. A single-source corpus has no pair rows at
+    all: ``best_container`` is NULL and the source is kept (COALESCE →
+    false, never a crash).
+
+    One-definition property: the Spark side CALLS
+    :func:`q_source_ngram_containment_matrix` and the oracle nests the
+    SAME registered containment SQL as a CTE — the plan can never rank
+    on a different containment definition than the matrix reports.
+
+    Scale shape: the matrix pipeline is reused verbatim (its shuffle
+    story is the r14 confirmation leg's — byte-identical to the overlap
+    matrix); on top of it sit ONE map-side-combined token-mass groupBy
+    (corpus → |sources| rows) and a window + broadcast join over the
+    |sources|²-row aggregate. Output is |sources| rows.
+    """
+    m = q_source_ngram_containment_matrix(spark, sf_dir)
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    tok = F.coalesce(token_count("text").cast("bigint"), F.lit(0))
+    mass = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(tok).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source_a").orderBy(
+        F.desc_nulls_last("containment_ppm"), F.desc("sz_b"),
+        F.asc_nulls_first("source_b"))
+    best = (
+        m.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("source_a").alias("bsource"),
+            F.col("source_b").alias("best_container"),
+            F.col("containment_ppm").alias("best_containment_ppm"),
+        )
+    )
+    joined = mass.join(
+        F.broadcast(best),
+        mass["source"].eqNullSafe(best["bsource"]), "left",
+    ).select("source", "n_docs", "n_tokens", "best_container",
+             "best_containment_ppm")
+    prunable = F.coalesce(
+        F.col("best_containment_ppm") >= PRUNE_TAU_PPM, F.lit(False))
+    return joined.select(
+        "source", "n_docs", "n_tokens", "best_container",
+        "best_containment_ppm",
+        prunable.alias("prunable"),
+        F.when(prunable, F.col("n_tokens")).otherwise(F.lit(0))
+        .cast("bigint").alias("tokens_dropped"),
+    )
+
+
+_SRC_PRUNE_SQL = f"""
+WITH m AS ({_SRC_CONTAINMENT_SQL}),
+mass AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(COALESCE(len(string_split(text, ' ')), 0)) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT source_a AS source, source_b AS best_container,
+         containment_ppm AS best_containment_ppm,
+         ROW_NUMBER() OVER (
+           PARTITION BY source_a
+           ORDER BY containment_ppm DESC NULLS LAST, sz_b DESC,
+                    source_b ASC NULLS FIRST) AS rn
+  FROM m
+)
+SELECT s.source, s.n_docs, s.n_tokens, b.best_container,
+       b.best_containment_ppm,
+       COALESCE(b.best_containment_ppm >= {PRUNE_TAU_PPM}, FALSE)
+         AS prunable,
+       CAST(CASE WHEN COALESCE(b.best_containment_ppm >= {PRUNE_TAU_PPM},
+                               FALSE)
+                 THEN s.n_tokens ELSE 0 END AS BIGINT) AS tokens_dropped
+FROM mass s LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) b
+  ON b.source IS NOT DISTINCT FROM s.source
+"""
+
+
 def q_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator gate — the dedup pipeline's analog of the ANN
     recall gate: for every LSH candidate pair, the signature-based Jaccard
@@ -3131,6 +3240,9 @@ QUERIES: dict[str, QuerySpec] = {
     "source_ngram_containment_matrix": QuerySpec(
         q_source_ngram_containment_matrix, _SRC_CONTAINMENT_SQL,
         tags=("text", "dedup", "curation", "audit")),
+    "source_prune_plan": QuerySpec(
+        q_source_prune_plan, _SRC_PRUNE_SQL,
+        tags=("text", "dedup", "curation", "audit", "pipeline")),
     "minhash_estimate_eval": QuerySpec(q_minhash_estimate_eval,
                                        _MINHASH_EVAL_SQL,
                                        tags=("dedup", "eval")),

@@ -125,6 +125,8 @@ SHAPE_TABLES = {
     "srccontain": ("documents",),
     "debounce": ("events",),
     "packutil": ("documents",),
+    "srcprune": ("documents",),
+    "epaudit": ("events",),
 }
 
 #: shapes whose stress can silently vanish under replication (the
@@ -205,12 +207,14 @@ def _shapes() -> dict:
     )
     from tfm_taxitrips_spark.queries.graph import q_pagerank_fixed
     from tfm_taxitrips_spark.queries.streamq import (
+        q_debounce_episode_audit,
         q_stream_dedup_debounce,
         q_stream_dedup_ttl,
     )
     from tfm_taxitrips_spark.queries.text import (
         q_source_ngram_containment_matrix,
         q_source_ngram_overlap_matrix,
+        q_source_prune_plan,
     )
     from tfm_taxitrips_spark.queries.relational import (
         q_flagship_view,
@@ -346,6 +350,24 @@ def _shapes() -> dict:
         # the waste columns too — same 8-shard window cap, one extra
         # aggregate-sized bucket exchange.
         "packutil": q_pack_waste_by_utilization,
+        # round-15 CONFIRMATION legs (the r14 side-by-side discipline):
+        #
+        # srcprune CALLS the containment matrix and adds one map-side-
+        # combined token-mass groupBy plus a window + broadcast join
+        # over the |sources|² aggregate. Run side by side with
+        # srccontain on the same dataset: the corpus-scale shuffle must
+        # match the sibling's, the decision layer's delta is the tiny
+        # mass-agg partials.
+        "srcprune": q_source_prune_plan,
+        # epaudit = the debounce policy's BATCH window form: ONE events
+        # hash shuffle on user_id feeding the lag/episode windows, the
+        # (user_id, ep) collapse reusing that partitioning, then
+        # aggregate-sized tails. Side by side with the streaming
+        # debounce drain: same key shuffle, but all-JVM (no Python
+        # worker traffic, no micro-batch floor) — the leg quantifies
+        # what the stateful API costs when the question is
+        # retrospective, not live.
+        "epaudit": q_debounce_episode_audit,
     }
 
 
