@@ -29,6 +29,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "∅"
         if isinstance(v, float):
+            if math.isinf(v):
+                return repr(v)  # 'inf'/'-inf' — int(inf) would overflow
             if v == int(v) and abs(v) < 1e15:
                 return f"{v:.1f}"
             return repr(v)

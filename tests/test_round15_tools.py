@@ -1,0 +1,142 @@
+"""Round-15 staging kit for the r16 non-finite ingest contract
+(ROUND14_NOTES §6, r14 verdict order #3): the NON-STALING pieces land
+now — the `contracts.STAR_MEASURE_COLUMNS` allowlist as data, the oracle
+harness's inf-safe canonicalizer, and the null-probe sweep's non-finite
+menagerie phase — each pinned here, so the r16 batch is a one-commit
+wiring change (readers seam + events_guard widening + emb_table
+predicate + guarded_scan_sql single-pass fix) against pre-landed tests.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+
+def test_star_measure_allowlist_is_exactly_the_pinned_doubles():
+    """The allowlist must name a real DoubleType column of the pinned
+    driver schema for every entry AND cover every such column — the
+    completeness direction matters: a future fixture column added as
+    double but missed here would silently sit outside the r16
+    contract."""
+    from pyspark.sql.types import DoubleType
+
+    from tfm_taxitrips_spark.contracts import STAR_MEASURE_COLUMNS
+    from tfm_taxitrips_spark.schemas import DRIVER_TABLES
+
+    pinned_doubles = {
+        (t, f.name)
+        for t, st in DRIVER_TABLES.items()
+        for f in st.fields
+        if isinstance(f.dataType, DoubleType)
+    }
+    allowlisted = {
+        (t, c) for t, cols in STAR_MEASURE_COLUMNS.items() for c in cols
+    }
+    assert allowlisted == pinned_doubles
+
+
+def test_oracle_cell_canonicalizer_is_inf_safe():
+    """r14 probe harness gap #1: the canonical `cell` crashed on ±inf
+    (OverflowError at int(inf)), so the r16 sweep extension could never
+    have compared inf-bearing results. Fixed non-stalingly (the
+    canonicalization of every FINITE value is unchanged): non-finite
+    values canonicalize distinctly and matching frames match."""
+    from tests.oracle import compare_result
+
+    inf, ninf = float("inf"), float("-inf")
+    a = pd.DataFrame({"x": [inf, ninf, float("nan"), 1.0, 1.5]})
+    assert compare_result(a.copy(), a.copy())["hash_match"]
+    # +inf, -inf, NaN, and finite values are four DISTINCT canon classes
+    for other in (ninf, float("nan"), 1.0e308):
+        b = pd.DataFrame({"x": [other, ninf, float("nan"), 1.0, 1.5]})
+        assert not compare_result(a.copy(), b.copy())["hash_match"]
+
+
+def test_nonfinite_phase_plants_every_allowlisted_column(tmp_path):
+    """The sweep's non-finite menagerie is BUILT FROM the allowlist
+    (one definition — the sweep and the contract cannot drift): with
+    --nonfinite, every allowlisted star measure column carries NaN,
+    +inf AND -inf planted rows with live join context; events.value
+    gains ±inf beside its standing NaN; embeddings gain full-width
+    vectors with one non-finite component (they pass the current
+    is-null/length/non-zero guard — the r16 predicate's target)."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from tools.null_probe_sweep import build_fixture
+
+    from tfm_taxitrips_spark.contracts import STAR_MEASURE_COLUMNS
+
+    build_fixture(str(tmp_path), nonfinite=True)
+    for table, cols in STAR_MEASURE_COLUMNS.items():
+        tdf = pq.read_table(f"{tmp_path}/{table}.parquet").to_pandas()
+        for col in cols:
+            vals = tdf[col]
+            assert (vals == float("inf")).any(), (table, col, "+inf")
+            assert (vals == float("-inf")).any(), (table, col, "-inf")
+            assert vals.apply(
+                lambda v: isinstance(v, float) and math.isnan(v)).any(), (
+                table, col, "nan")
+    emb = pq.read_table(f"{tmp_path}/embeddings.parquet").to_pandas()
+    planted = emb[emb["vec_id"] >= 910_000]["embedding"]
+    assert len(planted) == 3
+    flat = [float(x) for v in planted for x in v]  # np.float32 → float
+    assert any(math.isinf(x) and x > 0 for x in flat)
+    assert any(math.isinf(x) and x < 0 for x in flat)
+    assert any(math.isnan(x) for x in flat)
+    # planted vectors are FULL-WIDTH (they pass the current emb_table
+    # guard's length predicate — which is the point of the r16 one)
+    dim = len(emb["embedding"].iloc[0])
+    assert all(len(v) == dim for v in planted)
+
+
+def test_table_loader_passes_non_finite_through_today(spark, tmp_path):
+    """The PRE-contract behavior, pinned so the r16 wiring is a visible
+    flip: today `table()` passes a planted +inf straight through an
+    allowlisted measure column (only events.value has a NaN guard).
+    When r16 lands star_guard, this test's expectation inverts to
+    NULL — the planted probe is already the acceptance fixture."""
+    import pyarrow as pa
+
+    from tfm_taxitrips_spark.sources.readers import table
+
+    base = pq.read_table("/root/testdata/sf0.001/customer.parquet")
+    row = {f.name: None for f in base.schema}
+    row.update({"c_custkey": 910_001, "c_name": "inf probe",
+                "c_acctbal": float("inf")})
+    extra = pa.table({
+        f.name: pa.array([row[f.name]], f.type) for f in base.schema
+    })
+    pq.write_table(pa.concat_tables([base, extra]),
+                   f"{tmp_path}/customer.parquet")
+    got = (table(spark, str(tmp_path), "customer")
+           .where("c_custkey = 910001").toPandas())
+    assert len(got) == 1
+    assert math.isinf(got["c_acctbal"].iloc[0])  # r16 flips this to NULL
+
+
+def test_nonfinite_sweep_reproduces_documented_crash_classes():
+    """Documentation pin (cheap, no Spark): the six queries the r14
+    probe found crashing on non-finite input are all REGISTERED and
+    oracle-paired, so the staged --nonfinite sweep has its targets; the
+    r16 batch must turn exactly these from crash to guarded-NULL
+    parity. (The expensive sweep itself runs from the checklist, not
+    pytest.)"""
+    from tfm_taxitrips_spark.queries.registry import all_queries
+
+    qs = all_queries()
+    for name in ("windowed_agg_batch", "stream_window_rollup",
+                 "time_weighted_avg", "stream_running_totals",
+                 "embedding_covariance", "embedding_whitening_stats"):
+        assert name in qs and qs[name].oracle is not None, name
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-q"]))

@@ -1,0 +1,42 @@
+"""Staged ingest-contract data — allowlists consumed by tools and
+(future) loader seams, deliberately OUTSIDE :mod:`schemas`.
+
+Placement note (round 15, the churn rule in action): this belongs
+conceptually next to ``schemas.DRIVER_TABLES``, but every query's
+symbol closure carries a ``(schemas.py, "*")`` module-object wildcard,
+so ADDING even an unused name to ``schemas.py`` re-stales the entire
+rotation registry (measured before landing: 224/226 rows — the exact
+append-stales-everything failure the symbol-level planner exists to
+avoid, resurfacing through the wildcard edge). A NEW module intersects
+no existing closure, so staging the data here costs zero re-stales;
+when the r16 wiring lands in ``sources/readers.py`` (whose edit
+re-stales everything anyway), the allowlist simply stays here as the
+one shared definition.
+"""
+
+from __future__ import annotations
+
+#: The non-finite ingest contract's column allowlist (r14 probe →
+#: ROUND14_NOTES §6): the float64 MEASURE columns that can legally carry
+#: NaN/±inf on the wire and that the r16 loader seam rebuilds to NULL in
+#: BOTH engines (the ``events.value`` NaN-guard precedent, widened to
+#: NOT-finite). Integer keys and dates cannot carry non-finite values
+#: and stay untouched. DATA ONLY at r15 — ``sources.readers.table()``
+#: does NOT consume this yet: wiring the Spark-side ``star_guard``
+#: projection + the oracle-side per-table guard CTEs re-stales
+#: essentially the whole registry (the ``table()`` loader sits in every
+#: batch closure), so it lands as the ONE r16 shared-seam batch against
+#: the then-empty rotation queue, with this allowlist and its pre-landed
+#: tests (tests/test_round15_tools.py) already in place. The non-finite
+#: probe phase of ``tools/null_probe_sweep.py`` builds its menagerie
+#: from THIS dict, so the sweep and the contract cannot drift apart.
+#: Completeness is pinned by test: the allowlist equals exactly the
+#: DoubleType columns of ``schemas.DRIVER_TABLES``.
+STAR_MEASURE_COLUMNS: dict[str, tuple[str, ...]] = {
+    "lineitem": ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    "orders": ("o_totalprice",),
+    "part": ("p_retailprice",),
+    "customer": ("c_acctbal",),
+    "supplier": ("s_acctbal",),
+    "events": ("value",),
+}

@@ -57,10 +57,23 @@ Phase 2 (extreme VALUES — still legal doubles, no NaN): a zero-price
   overflow), epoch/far-future order dates, zero/huge totals, and an
   EMPTY-string (not NULL) customer name/segment with negative balance.
 
-Run: ``python tools/null_probe_sweep.py [--keep] [--only a,b,c]``
-(~4-8 min). Exit 0 = full parity on the adversarial fixture; exit 1 =
-at least one divergence or crash, printed per query. Part of the
-standing per-round probe checklist (ROUND12_NOTES §9 onward).
+Phase 3 (NON-FINITE values — ``--nonfinite``, staged r15 / default-on
+  r16): NaN AND ±inf planted in EVERY loader-allowlisted float64
+  measure column (``contracts.STAR_MEASURE_COLUMNS`` — the r16 ingest
+  contract's own column list, so the sweep and the contract cannot
+  drift apart), plus non-finite COMPONENTS inside otherwise-valid
+  embeddings. Opt-in at r15 because the contract is staged, not
+  landed: at the r15 tree this phase REPRODUCES the six documented
+  crash classes (ROUND14_NOTES §6) by design. When r16 wires
+  ``star_guard``/the widened events guard/the emb_table predicate,
+  the flag flips to default-on and exit 0 becomes the contract's
+  acceptance gate.
+
+Run: ``python tools/null_probe_sweep.py [--keep] [--only a,b,c]
+[--nonfinite]`` (~4-8 min). Exit 0 = full parity on the adversarial
+fixture; exit 1 = at least one divergence or crash, printed per query.
+Part of the standing per-round probe checklist (ROUND12_NOTES §9
+onward).
 """
 
 from __future__ import annotations
@@ -254,14 +267,16 @@ _STAR_ROWS: dict[str, list[dict]] = {
 }
 
 
-def _augment_star(table: str, src: str, dst: str) -> None:
-    """Append `_STAR_ROWS[table]` to the base parquet, casting each
-    sparse row dict onto the base schema (unnamed columns NULL)."""
+def _augment_star(table: str, src: str, dst: str,
+                  extra_rows: list[dict] | None = None) -> None:
+    """Append `_STAR_ROWS[table]` (+ phase-gated extras) to the base
+    parquet, casting each sparse row dict onto the base schema (unnamed
+    columns NULL)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     base = pq.read_table(src)
-    rows = _STAR_ROWS[table]
+    rows = _STAR_ROWS[table] + (extra_rows or [])
     cols = {}
     for field in base.schema:
         vals = [r.get(field.name) for r in rows]
@@ -273,7 +288,106 @@ def _augment_star(table: str, src: str, dst: str) -> None:
     pq.write_table(pa.concat_tables([base, pa.table(cols)]), dst)
 
 
-def build_fixture(dst: str) -> None:
+#: key column per star table for the non-finite phase's planted rows
+#: (fresh 910000+ keys so phase-3 rows never collide with phases 1-2)
+_NONFINITE_KEYS = {
+    "customer": "c_custkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_linenumber",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+}
+
+#: live FK/flag context so non-finite measures FLOW through joins and
+#: group keys instead of dropping out at the first equi-join
+_NONFINITE_CONTEXT: dict[str, dict] = {
+    "customer": {"c_name": "NonFinite Probe", "c_nationkey": 1,
+                 "c_mktsegment": "BUILDING"},
+    "orders": {"o_custkey": 1, "o_orderstatus": "O",
+               "o_orderdate": "1995-06-15", "o_orderpriority": "1-URGENT"},
+    "lineitem": {"l_orderkey": 1, "l_partkey": 1, "l_suppkey": 1,
+                 "l_returnflag": "N", "l_linestatus": "O",
+                 "l_shipdate": "1995-06-15"},
+    "supplier": {"s_name": "NonFinite Supplier", "s_nationkey": 1},
+    "part": {"p_name": "nonfinite part", "p_brand": "Brand#9",
+             "p_type": "PROBE", "p_size": 7},
+}
+
+
+def _nonfinite_star_rows() -> dict[str, list[dict]]:
+    """Phase-3 rows: for EVERY loader-allowlisted measure column
+    (``contracts.STAR_MEASURE_COLUMNS`` — one definition for the sweep AND
+    the r16 contract), one row each carrying NaN, +inf, -inf in that
+    column with live join context. events.value is planted by
+    `_augment_events_nonfinite` (its menagerie already carries NaN)."""
+    from tfm_taxitrips_spark.contracts import STAR_MEASURE_COLUMNS
+
+    out: dict[str, list[dict]] = {}
+    for table, cols in STAR_MEASURE_COLUMNS.items():
+        if table == "events":
+            continue
+        key, ctx = _NONFINITE_KEYS[table], _NONFINITE_CONTEXT[table]
+        rows = []
+        k = 910_001
+        for col in cols:
+            for v in (float("nan"), float("inf"), float("-inf")):
+                rows.append({key: k, col: v, **ctx})
+                k += 1
+        out[table] = rows
+    return out
+
+
+def _augment_events_nonfinite(path: str) -> None:
+    """Append ±inf events.value rows (NaN is already in the base
+    menagerie) — the r14 probe's four event crash classes, now a
+    standing phase."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(path)
+    ts_t = base.schema.field("ts").type
+    mid = base.column("ts")[0].as_py()
+    rows = [
+        (910001, mid, 7, "click", float("inf"), '{"k": 1}'),
+        (910002, mid, 7, "click", float("-inf"), '{"k": 2}'),
+    ]
+    extra = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], ts_t),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    }).select(base.column_names)
+    pq.write_table(pa.concat_tables([base, extra]), path)
+
+
+def _augment_embeddings_nonfinite(path: str) -> None:
+    """Append full-width vectors with ONE non-finite COMPONENT (passes
+    the r11 is-null/length/non-zero guard — the r14 probe's two
+    vector-audit crash classes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(path)
+    dim = len(base.column("embedding")[0].as_py())
+    emb_t = base.schema.field("embedding").type
+    lab_t = base.schema.field("label").type
+    rows = [
+        (910001, [0.5] * (dim - 1) + [float("nan")], 0),
+        (910002, [0.5] * (dim - 1) + [float("inf")], 1),
+        (910003, [float("-inf")] + [0.5] * (dim - 1), 2),
+    ]
+    extra = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows], emb_t),
+        "label": pa.array([r[2] for r in rows], lab_t),
+    }).select(base.column_names)
+    pq.write_table(pa.concat_tables([base, extra]), path)
+
+
+def build_fixture(dst: str, nonfinite: bool = False) -> None:
+    nf_rows = _nonfinite_star_rows() if nonfinite else {}
     for t in TABLES:
         src = os.path.join(BASE_SF, f"{t}.parquet")
         out = os.path.join(dst, f"{t}.parquet")
@@ -281,16 +395,21 @@ def build_fixture(dst: str) -> None:
             _augment_documents(src, out)
         elif t == "embeddings":
             _augment_embeddings(src, out)
+            if nonfinite:
+                _augment_embeddings_nonfinite(out)
         elif t == "events":
             _augment_events(src, out)
+            if nonfinite:
+                _augment_events_nonfinite(out)
         elif t in _STAR_ROWS:
-            _augment_star(t, src, out)
+            _augment_star(t, src, out, nf_rows.get(t))
         else:
             shutil.copyfile(src, out)
 
 
 def main() -> int:
     keep = "--keep" in sys.argv
+    nonfinite = "--nonfinite" in sys.argv
     only: set[str] | None = None
     for a in sys.argv[1:]:
         if a.startswith("--only"):
@@ -304,8 +423,9 @@ def main() -> int:
     from tfm_taxitrips_spark.session import get_spark
 
     fixture = tempfile.mkdtemp(prefix="nullprobe_")
-    build_fixture(fixture)
-    print(f"adversarial fixture: {fixture}")
+    build_fixture(fixture, nonfinite=nonfinite)
+    print(f"adversarial fixture: {fixture}"
+          + (" (+ non-finite phase)" if nonfinite else ""))
 
     specs = all_queries()
     sel = {
