@@ -372,7 +372,14 @@ def test_splice_admissibility_maps_files_to_queries():
     assert affected_queries(set()) == set()
     a = affected_queries({"tfm_taxitrips_spark/streaming/serving.py"})
     assert "stream_topk" in a
-    assert all(n.startswith("stream_") for n in a)
+    # serving.py reaches only queries registered in the streaming query
+    # module (was a name-prefix check until r15's debounce_episode_audit
+    # joined streamq without the stream_ prefix)
+    streamq_regs = {
+        n for n, s in all_queries().items()
+        if s.fn.__module__ == "tfm_taxitrips_spark.queries.streamq"
+    }
+    assert set(a) <= streamq_regs
     b = affected_queries({"tfm_taxitrips_spark/queries/sketches.py"})
     assert "quantile_drift_gate" in b and "flagship_view" not in b
     assert affected_queries({"tests/oracle.py"}) is None
