@@ -103,8 +103,10 @@ def test_source_prune_plan_matches_exact_python_reference(spark, tmp_path):
     assert got["sub"][4] is True and got["sub"][5] == got["sub"][1] > 0
     assert got["a"][3] < 1_000_000
     assert got["c"][3] == 0 and got["c"][4] is False and got["c"][5] == 0
-    # shingle-free source: all-NULL containment keeps NO defined
-    # container (DESC NULLS LAST) and is kept
+    # shingle-free source: all-NULL ppm, best_container degrades to the
+    # tie-break pick (a real label — NULL best_container is reserved
+    # for the single-source case), never prunable
+    assert got["empty"][2] is not None
     assert got["empty"][3] is None and got["empty"][4] is False
     # NULL provenance is a real plan row
     assert None in got

@@ -388,8 +388,8 @@ def plan(window: int = 50, repo_root: str | None = None,
 
     ranked = sorted(names, key=key)
     fronted = [n for n in FRONTED if n in idx]
-    rest = [n for n in ranked if n not in set(fronted)]
-    ordered = fronted + rest
+    fset = set(fronted)
+    ordered = fronted + [n for n in ranked if n not in fset]
     return [(n, latest.get(n, 0), stale(n)) for n in ordered[:window]]
 
 
@@ -409,9 +409,12 @@ def main() -> None:
 
     never = sum(1 for _, r, _s in rows if r == 0)
     n_stale = sum(1 for _, _r, s in rows if s)
+    # count the names actually fronted, not len(FRONTED): plan() drops
+    # unregistered names, and the header must describe the tuple below
+    n_front = sum(1 for n, _r, _s in rows if n in FRONTED)
     at = f" at --base {base}" if base else ""
     print(f"# recommended next GRADING_PRIORITY ({len(rows)} slots{at}; "
-          f"{len(FRONTED)} FRONTED, then {never} never-graded, "
+          f"{n_front} FRONTED, then {never} never-graded, "
           f"then {n_stale} code-stale)")
     print("GRADING_PRIORITY: tuple[str, ...] = (")
     for name, rnd, st in rows:

@@ -6,6 +6,12 @@ result as a batch DataFrame — so the driver's DuckDB oracle can check the
 streaming path against plain SQL (batch-stream parity, SURVEY.md §5.4).
 Complete output mode is used for the drained aggregations: over a finite
 replay it must equal the batch answer exactly.
+
+One deliberate exception lives here for family cohesion:
+:func:`q_debounce_episode_audit` is the BATCH window form of the
+debounce policy (round 15) — it shares the module's TTL constants and
+reconciles against the stateful twin by test, but exercises no
+streaming engine itself.
 """
 
 from __future__ import annotations

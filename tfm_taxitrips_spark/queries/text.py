@@ -943,12 +943,15 @@ def q_source_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism contract: the best container maximizes
     ``containment_ppm`` (``DESC NULLS LAST`` spelled out in both
-    engines — a shingle-free source has all-NULL ppm and keeps NO
-    defined container), ties break on larger ``sz_b`` then
-    ``source_b ASC NULLS FIRST`` (the shared r12 NULL-label ordering),
-    making the pick total. A single-source corpus has no pair rows at
-    all: ``best_container`` is NULL and the source is kept (COALESCE →
-    false, never a crash).
+    engines), ties break on larger ``sz_b`` then ``source_b ASC NULLS
+    FIRST`` (the shared r12 NULL-label ordering), making the pick
+    total. A shingle-free source has all-NULL ppm: its
+    ``best_container`` degrades to the pure tie-break pick (largest
+    container set, then label order) with explicit-NULL
+    ``best_containment_ppm``, and it is never prunable — so a NULL
+    ``best_container`` means exactly one thing: a single-source corpus
+    (no pair rows at all; the source is kept, COALESCE → false, never
+    a crash).
 
     One-definition property: the Spark side CALLS
     :func:`q_source_ngram_containment_matrix` and the oracle nests the
