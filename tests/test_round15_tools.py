@@ -122,6 +122,113 @@ def test_table_loader_passes_non_finite_through_today(spark, tmp_path):
     assert math.isinf(got["c_acctbal"].iloc[0])  # r16 flips this to NULL
 
 
+@pytest.fixture(scope="module")
+def nonfinite_fixture(tmp_path_factory):
+    """One shared --nonfinite adversarial fixture for the guard tests."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from tools.null_probe_sweep import build_fixture
+
+    d = tmp_path_factory.mktemp("nonfinite")
+    build_fixture(str(d), nonfinite=True)
+    return str(d)
+
+
+def _prenulled_frame(path: str, cols: tuple[str, ...]):
+    """The contract's semantics applied in pandas: NOT-finite → NULL in
+    the named columns — the independent reference both guards must
+    equal."""
+    import numpy as np
+
+    pdf = pq.read_table(path).to_pandas()
+    for c in cols:
+        v = pdf[c]
+        pdf[c] = v.where(np.isfinite(v.fillna(0.0)) | v.isna())
+    return pdf
+
+
+def test_star_guard_engines_agree_and_preserve_finites(
+        spark, nonfinite_fixture):
+    """The staged guard FUNCTIONS (unwired): for every allowlisted
+    table, Spark `star_guard` and the DuckDB `star_guard_cte` produce
+    cell-identical guarded measure columns on the adversarial fixture,
+    both equal to the independent pandas rewrite — no non-finite value
+    survives, NULL stays NULL, every finite value is byte-unchanged."""
+    import duckdb
+
+    from tests.oracle import compare_result
+    from tfm_taxitrips_spark.contracts import (
+        STAR_MEASURE_COLUMNS,
+        star_guard,
+        star_guard_cte,
+    )
+
+    for table, cols in STAR_MEASURE_COLUMNS.items():
+        if table == "events":
+            continue  # events wires through events_guard (NULL-ts drop)
+        path = f"{nonfinite_fixture}/{table}.parquet"
+        sdf = (star_guard(spark.read.parquet(path), table)
+               .select(*cols).toPandas())
+        conn = duckdb.connect()
+        conn.sql(f"CREATE VIEW {table} AS SELECT * FROM '{path}'")
+        try:
+            ddf = conn.sql(
+                f"WITH {star_guard_cte(table)} "
+                f"SELECT {', '.join(cols)} FROM {table}_g").df()
+        finally:
+            conn.close()
+        want = _prenulled_frame(path, cols)[list(cols)]
+        assert compare_result(sdf.copy(), ddf.copy())["hash_match"], table
+        assert compare_result(sdf.copy(), want.copy())["hash_match"], table
+        for c in cols:  # no non-finite survives either engine
+            assert not ((sdf[c].notna()) & ~sdf[c].apply(
+                lambda v: math.isfinite(v))).any(), (table, c)
+
+
+def test_star_guard_cte_unblocks_a_sweep_crashing_oracle(
+        nonfinite_fixture, tmp_path):
+    """Acceptance preview of the r16 wiring: `sql_q1_pricing_summary`'s
+    oracle CRASHES on the non-finite fixture today (DuckDB NaN →
+    DECIMAL cast — one of the 48 measured sweep findings); routed
+    through `guarded_scan_sql` + `star_guard_cte('lineitem')` it runs,
+    and returns exactly what the ORIGINAL oracle returns on a fixture
+    whose non-finite values were pre-rewritten to NULL — i.e. the CTE
+    implements precisely the loader contract's semantics."""
+    import duckdb
+
+    from tests.oracle import compare_result
+    from tfm_taxitrips_spark.contracts import (
+        STAR_MEASURE_COLUMNS,
+        star_guard_cte,
+    )
+    from tfm_taxitrips_spark.queries.guards import guarded_scan_sql
+    from tfm_taxitrips_spark.queries.registry import all_queries
+
+    oracle = all_queries()["sql_q1_pricing_summary"].oracle
+    li = f"{nonfinite_fixture}/lineitem.parquet"
+
+    conn = duckdb.connect()
+    conn.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{li}'")
+    with pytest.raises(Exception, match="(?i)nan|inf|cast|range"):
+        conn.sql(oracle).df()  # the documented crash class, reproduced
+    guarded = guarded_scan_sql(
+        oracle, "lineitem", "lineitem_g", star_guard_cte("lineitem"))
+    actual = conn.sql(guarded).df()
+    conn.close()
+
+    pre = _prenulled_frame(li, STAR_MEASURE_COLUMNS["lineitem"])
+    pre.to_parquet(f"{tmp_path}/lineitem.parquet")
+    conn = duckdb.connect()
+    conn.sql("CREATE VIEW lineitem AS SELECT * FROM "
+             f"'{tmp_path}/lineitem.parquet'")
+    expected = conn.sql(oracle).df()
+    conn.close()
+    assert compare_result(actual.copy(), expected.copy())["hash_match"]
+
+
 def test_nonfinite_sweep_reproduces_documented_crash_classes():
     """Documentation pin (cheap, no Spark): the six queries the r14
     probe found crashing on non-finite input are all REGISTERED and

@@ -40,3 +40,44 @@ STAR_MEASURE_COLUMNS: dict[str, tuple[str, ...]] = {
     "supplier": ("s_acctbal",),
     "events": ("value",),
 }
+
+
+def star_guard(df, table: str):
+    """Spark side of the staged contract (UNWIRED at r15 — no reader or
+    query calls this yet): rebuild every allowlisted measure column of
+    ``table`` with NOT-finite → NULL in ONE projection; non-allowlisted
+    tables pass through untouched. NULL stays NULL; every finite value
+    is byte-unchanged (pinned by test). The r16 wiring is one call in
+    ``sources.readers.table()`` — for ``events`` the existing
+    ``events_guard`` keeps its NULL-ts drop and widens its NaN CASE to
+    this same NOT-finite predicate instead."""
+    from pyspark.sql import functions as F
+
+    cols = STAR_MEASURE_COLUMNS.get(table, ())
+    if not cols:
+        return df
+    inf = float("inf")
+
+    def guarded(c: str):
+        col = F.col(c)
+        bad = col.isNotNull() & (F.isnan(col) | (F.abs(col) == inf))
+        return F.when(bad, F.lit(None).cast("double")).otherwise(col)
+
+    return df.withColumns({c: guarded(c) for c in cols})
+
+
+def star_guard_cte(table: str) -> str:
+    """DuckDB twin of :func:`star_guard`, as a WITH-body fragment in the
+    ``_EVENTS_GUARD_CTE`` shape — ``<table>_g AS (SELECT * REPLACE
+    (...))`` — ready for ``guarded_scan_sql(oracle, table, f"{table}_g",
+    star_guard_cte(table))``. The REPLACE physically rebuilds the
+    columns so DuckDB's eager batch casts can't trip on
+    filter-deselected non-finite rows (the events-guard reasoning).
+    ``isfinite(NULL)`` is NULL → the CASE keeps NULL as NULL."""
+    cols = STAR_MEASURE_COLUMNS.get(table, ())
+    if not cols:
+        raise ValueError(f"no allowlisted measure columns for {table!r}")
+    repl = ", ".join(
+        f"CASE WHEN isfinite({c}) THEN {c} ELSE NULL END AS {c}"
+        for c in cols)
+    return f"{table}_g AS (SELECT * REPLACE ({repl}) FROM {table})"
