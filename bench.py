@@ -83,6 +83,9 @@ PAYLOAD_ORDER = (
     "metric_front",            # duplicate of `metric` for short-line readers
     "calibration_affinity",
     "queries_min",
+    "queries_median3",         # duplicate of `queries` under its explicit
+    #                            name (r15 verdict order #3; the tail copy
+    #                            is the one the driver always retains)
     "high_variance_queries",
     "reps",
     "reps_high_variance",
@@ -95,6 +98,9 @@ PAYLOAD_ORDER = (
     "value_per_calibration2",
     # -- the tail the driver must retain
     "errors",
+    "queries_spread",          # r16: per-query max-min across the reps —
+    #                            the in-run variance band a single-number
+    #                            reading can't show (r15 verdict order #3)
     "calibration_v2_id",
     "calibration_v2_sec",
     "calibration2_v2_id",
@@ -102,6 +108,9 @@ PAYLOAD_ORDER = (
     "value_per_calibration_v2",
     "value_per_calibration2_v2",
     "queries_normalized_v2",
+    "queries_basis",           # states what `queries` IS: per-query median
+    #                            of the round-robin reps (3, or 5 for the
+    #                            high-variance set)
     "queries",
     "metric",
     "value",
@@ -346,6 +355,12 @@ def main() -> None:
     from statistics import median
 
     timings = {n: round(median(v), 3) for n, v in runs.items()}
+    # per-query rep spread (max-min): the in-run variance band. A driver
+    # reading where the spread is small but the round-over-round move is
+    # large is a HOST shift between rounds; a large spread says the
+    # reading itself is noisy and the calibrations must arbitrate
+    # (r15 verdict order #3 — the meter must expose its own error bar).
+    spreads = {n: round(max(v) - min(v), 3) for n, v in runs.items()}
 
     # Fixed engine-independent workloads (same REPS/median treatment),
     # reported alongside the query timings so round-over-round comparisons
@@ -401,7 +416,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     fields = {
-        "metric_front": "headline_queries_total_runtime",
+        "metric_front": "headline_queries_total_runtime_median3",
         # per-query attribution (r8 verdict item #5): each query
         # normalized by its affinity-matched calibration — the
         # one-number-per-query drift series; a move here that the
@@ -414,6 +429,7 @@ def main() -> None:
             for n in sorted(timings)
         },
         "queries_min": {n: round(min(v), 3) for n, v in runs.items()},
+        "queries_median3": dict(sorted(timings.items())),
         "high_variance_queries": sorted(HIGH_VARIANCE & set(runs)),
         "reps": REPS,
         "reps_high_variance": REPS + EXTRA_REPS,
@@ -435,6 +451,7 @@ def main() -> None:
         "value_per_calibration2": round(total / calib2, 2)
         if calib2 else None,
         "errors": errors,
+        "queries_spread": dict(sorted(spreads.items())),
         # v2 calibrations (r12): the host-stable normalization series
         "calibration_v2_id": CALIBRATION_V2_ID,
         "calibration_v2_sec": calib_v2,
@@ -449,8 +466,10 @@ def main() -> None:
             for n, t in sorted(timings.items())
             if affinity_probe(n, calib_v2, calib2_v2)
         },
+        "queries_basis": f"median of {REPS} round-robin reps "
+                         f"({REPS + EXTRA_REPS} for high-variance)",
         "queries": timings,
-        "metric": "headline_queries_total_runtime",
+        "metric": "headline_queries_total_runtime_median3",
         "value": total,
         "unit": "sec",
         "sf": sf,

@@ -113,19 +113,37 @@ def test_payload_order_keeps_critical_fields_in_tail():
     order = list(bench.PAYLOAD_ORDER)
     assert len(order) == len(set(order)), "duplicate payload keys"
     tail = order[order.index("errors"):]
-    # everything a round-over-round reader needs sits after `errors`
+    # everything a round-over-round reader needs sits after `errors` —
+    # since r16 that includes the per-query rep SPREAD (the meter's own
+    # error bar, r15 verdict order #3) and the basis note naming the
+    # median-of-reps definition of `queries`
     for key in (
-        "calibration_v2_sec", "calibration2_v2_sec",
+        "queries_spread", "calibration_v2_sec", "calibration2_v2_sec",
         "value_per_calibration_v2", "value_per_calibration2_v2",
-        "queries_normalized_v2", "queries", "metric", "value", "unit",
-        "sf",
+        "queries_normalized_v2", "queries_basis", "queries", "metric",
+        "value", "unit", "sf",
     ):
         assert key in tail, key
     # raw queries and totals are the LAST things to ever truncate
     assert order[-5:] == ["queries", "metric", "value", "unit", "sf"]
     # the sacrificial front holds only recoverable/diagnostic fields
+    # (queries_median3 there is an explicit-name DUPLICATE of `queries`)
     front = set(order[:order.index("errors")])
     assert "queries" not in front and "value" not in front
+    assert "queries_median3" in front
+
+
+def test_metric_id_marks_the_r16_series_break():
+    """r15 verdict order #3: the metric id carries the `_median3`
+    suffix from r16 on — the reading basis (median of round-robin
+    reps) is unchanged since r3, but the id bump makes the meter fix
+    an explicit series break instead of a silent relabel. The frozen
+    REPS basis is pinned with it."""
+    src = open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")).read()
+    assert '"metric": "headline_queries_total_runtime_median3"' in src
+    assert '"metric_front": "headline_queries_total_runtime_median3"' in src
+    assert "REPS = 3" in src and "EXTRA_REPS = 2" in src
 
 
 def test_calibration_affinity_covers_bench_set():

@@ -143,9 +143,18 @@ def test_rotation_planner_matches_invariant():
         assert set(recommended) <= set(never)
         spilled = set(never) - set(recommended)
         assert spilled <= set(PENDING_ROTATION) | set(GRADING_PRIORITY)
+    # FRONTED names lead the window in FRONTED order (they deliberately
+    # jump the class ranking — that is the mechanism's whole point), so
+    # the class-monotonicity invariant applies to the NON-fronted tail
+    from tfm_taxitrips_spark.queries.registry import FRONTED
+
+    head = [n for n, _r, _s in rows if n in FRONTED]
+    assert head == [n for n in FRONTED if n in {m for m, _r, _s in rows}]
+    assert [n for n, _r, _s in rows[:len(head)]] == head
     # stalest-first WITHIN each class: never-graded (0), then code-stale
     # rows oldest-first, then clean rows oldest-first
-    classes = [(0 if r == 0 else (1 if s else 2), r) for _n, r, s in rows]
+    classes = [(0 if r == 0 else (1 if s else 2), r)
+               for _n, r, s in rows[len(head):]]
     assert classes == sorted(classes)
 
 
@@ -159,6 +168,12 @@ def test_rotation_planner_code_change_awareness(monkeypatch):
     after every round must pull exactly the serving-closure queries
     ahead of every clean row, while a pretend empty diff must restore
     pure round-age order."""
+    # isolate the STALENESS mechanism: the live registry FRONTED would
+    # occupy the head regardless of the injected diff, so pin it empty
+    from tfm_taxitrips_spark.queries import registry
+
+    monkeypatch.setattr(registry, "FRONTED", ())
+
     import os
 
     from tfm_taxitrips_spark.queries import rotation

@@ -13,7 +13,7 @@ import pytest
 from tfm_taxitrips_spark.queries.guards import guarded_scan_sql
 from tfm_taxitrips_spark.queries.registry import (
     QuerySpec,
-    _guard_events_oracle,
+    _guard_ingest_oracles,
 )
 
 
@@ -32,30 +32,57 @@ def test_events_guard_detector_broader_than_rewrite():
         oracle="SELECT count(*) AS n FROM (SELECT 1 AS x) a, events",
     )
     with pytest.raises(ValueError, match="no FROM/JOIN events"):
-        _guard_events_oracle(comma_join)
+        _guard_ingest_oracles(comma_join)
 
     # the plain scan shape still rewrites (the existing 47 oracles)
     plain = QuerySpec(fn=_noop_fn,
                       oracle="SELECT count(*) AS n FROM events")
-    guarded = _guard_events_oracle(plain)
+    guarded = _guard_ingest_oracles(plain)
     assert "FROM events_g" in guarded.oracle
     assert "events_g AS (" in guarded.oracle
 
-    # raw-events opt-out and no-mention oracles pass through untouched
-    raw = dataclasses.replace(plain, tags=("raw-events",))
-    assert _guard_events_oracle(raw).oracle == plain.oracle
+    # raw-ingest opt-out and no-mention oracles pass through untouched
+    raw = dataclasses.replace(plain, tags=("raw-ingest",))
+    assert _guard_ingest_oracles(raw).oracle == plain.oracle
     other = QuerySpec(fn=_noop_fn, oracle="SELECT 1 AS x FROM documents")
-    assert _guard_events_oracle(other).oracle == other.oracle
+    assert _guard_ingest_oracles(other).oracle == other.oracle
 
 
-def test_guarded_scan_sql_rejects_surviving_qualified_reference():
-    """r12 ADVICE #2: a ``<table>.col`` qualifier left behind after the
-    scan is renamed would fail to bind in DuckDB — refuse at import
-    time with a pointed message instead."""
+def test_guard_ingest_applies_star_ctes_in_scan_position_only():
+    """The r16 star seam: a FROM/JOIN-position star scan is routed
+    through its guard CTE; a star table name inside a literal (words
+    like 'part' appear in labels across the registry) neither triggers
+    the guard nor gets rewritten — the deliberate narrowing vs the
+    events trigger (ROUND15_NOTES §13), with the default-on non-finite
+    sweep as the compensating detector for exotic scan shapes."""
+    star = QuerySpec(
+        fn=_noop_fn,
+        oracle="SELECT count(*) AS n FROM lineitem JOIN orders "
+               "ON lineitem.l_orderkey = orders.o_orderkey",
+    )
+    guarded = _guard_ingest_oracles(star)
+    assert "FROM lineitem_g" in guarded.oracle
+    assert "JOIN orders_g" in guarded.oracle
+    assert "lineitem_g.l_orderkey = orders_g.o_orderkey" in guarded.oracle
+    assert "lineitem_g AS (" in guarded.oracle
+    assert "orders_g AS (" in guarded.oracle
+
+    literal_only = QuerySpec(
+        fn=_noop_fn,
+        oracle="SELECT 'part' AS label, count(*) AS n FROM documents",
+    )
+    assert _guard_ingest_oracles(literal_only).oracle == literal_only.oracle
+
+
+def test_guarded_scan_sql_renames_qualified_references():
+    """r16 (supersedes the r12 reject-with-message behavior): a
+    ``<table>.col`` qualifier is RENAMED with the scan — the star
+    oracles qualify through the table name, and a rejected oracle
+    would have forced an alias rewrite of half the SQL suite."""
     sql = "SELECT events.user_id AS u FROM events"
-    with pytest.raises(ValueError, match="qualified reference"):
-        guarded_scan_sql(sql, "events", "events_g",
-                         "events_g AS (SELECT * FROM events)")
+    out = guarded_scan_sql(sql, "events", "events_g",
+                           "events_g AS (SELECT * FROM events)")
+    assert "SELECT events_g.user_id AS u FROM events_g" in out
 
 
 def test_guarded_scan_sql_ignores_literal_and_comment_mentions():

@@ -105,14 +105,15 @@ def test_stateful_dedup_tolerates_null_event_times(
 
 
 def _mask_two_pass(sql: str) -> str:
-    """guarded_scan_sql's CURRENT binding mask: comments stripped first,
-    then literals — the order the r13 ADVICE flags (a literal containing
-    '--' loses its tail, unbalancing the quote mask)."""
+    """The RETIRED (pre-r16) binding mask: comments stripped first,
+    then literals — the order the r13 ADVICE flagged (a literal
+    containing '--' loses its tail, unbalancing the quote mask)."""
     return re.sub(r"'(?:[^']|'')*'", "''", re.sub(r"--[^\n]*", "", sql))
 
 
 def _mask_single_pass(sql: str) -> str:
-    """The deferred fix: ONE left-to-right alternation, literals first —
+    """The r16 implementation (guards._MASK_RE): ONE left-to-right
+    alternation, literals first —
     a '--' inside a literal is consumed as literal, an apostrophe inside
     a comment is consumed as comment, no ordering hazard."""
     return re.sub(
@@ -121,16 +122,13 @@ def _mask_single_pass(sql: str) -> str:
 
 
 def test_registered_oracles_respect_guard_literal_constraint():
-    """r13 ADVICE #3 (non-staling half): guarded_scan_sql strips
-    -- comments before string literals, so a literal containing '--'
-    would corrupt its binding mask. The single-pass fix is deferred to
-    the NaN-contract round (editing the shared guard symbol would
-    re-stale five fresh r13 rows mid-burn-down); until then this pins
-    the documented precondition on REAL input — the current two-pass
-    mask and the fixed single-pass mask must agree on every registered
-    oracle, so the ordering hazard cannot misfire today. An oracle that
-    breaks this (e.g. a literal 'a--b') fails here before it ever
-    reaches the guard."""
+    """r13 ADVICE #3, CLOSED by the r16 contract batch: guarded_scan_sql
+    now masks single-pass (guards._binding_mask) and raises its own
+    import-time tripwire when the two-pass and single-pass masks would
+    disagree. This pin stays as the independent re-statement of the
+    invariant on REAL input — every registered oracle must be a shape
+    where masking order cannot matter — so a hazard-bearing oracle
+    fails here (and at registry import) before it ever grades."""
     from tfm_taxitrips_spark.queries.registry import all_queries
 
     offenders = [

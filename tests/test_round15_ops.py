@@ -260,6 +260,10 @@ def test_rotation_planner_honors_fronted(monkeypatch):
     ignored."""
     from tfm_taxitrips_spark.queries import registry, rotation
 
+    # the baseline ranking must itself be FRONTED-free, else the live
+    # registry FRONTED (non-empty since r16) sits at its head and the
+    # shifted-order comparison below compares two different mechanisms
+    monkeypatch.setattr(registry, "FRONTED", ())
     baseline = [n for n, _r, _s in rotation.plan(50)]
     fronted = (baseline[40], baseline[10], "no_such_query")
     monkeypatch.setattr(registry, "FRONTED", fronted)
@@ -272,30 +276,65 @@ def test_rotation_planner_honors_fronted(monkeypatch):
     assert rows[2:] == rest[:48]
 
 
-def test_committed_window_is_planner_verbatim():
-    """The r15 freeze itself: GRADING_PRIORITY equals the live planner
-    output at the current tree (CORRECTNESS files + round markers +
-    FRONTED), so the committed tuple carries no manual reordering a
-    regeneration could drop. Active only while the freeze's inputs are
-    current: once a CORRECTNESS file from this round or later lands
-    (the planner's docstring — re-derivation after the next round's
-    file must ignore it), or when git markers are unavailable, the pin
-    skips; the NEXT freeze re-arms it."""
-    import glob
+def test_committed_window_is_planner_verbatim(monkeypatch):
+    """The current freeze itself: GRADING_PRIORITY equals the live
+    planner output at the current tree (CORRECTNESS files + round
+    markers + FRONTED), so the committed tuple carries no manual
+    reordering a regeneration could drop.
+
+    r15 ADVICE #1: the disarm gate reads `git ls-files` (files tracked
+    at HEAD), NOT a working-tree glob — the driver drops its grading
+    artifact into the working tree BEFORE the round's artifact commit,
+    and an untracked CORRECTNESS_r{N}.json must not silently disable
+    the pin for the whole post-freeze window. The pin disarms only
+    once a from-this-round-or-later CORRECTNESS file is COMMITTED (the
+    next round has started; its freeze bumps _FREEZE_ROUND to re-arm).
+    While the newer file is merely untracked, the pin still RUNS: the
+    planner's glob input is filtered back to the freeze-time rounds
+    (the planner docstring's own re-derivation rule — 'the next
+    round's file must be ignored'), reproducing the frozen inputs
+    without moving files aside."""
     import os
     import re
+    import subprocess
 
     import pytest
 
     from tfm_taxitrips_spark.queries import registry, rotation
 
-    _FREEZE_ROUND = 15
+    _FREEZE_ROUND = 16
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if rotation._round_markers(repo) is None:
         pytest.skip("git round markers unavailable")
-    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
-        if m and int(m.group(1)) >= _FREEZE_ROUND:
-            pytest.skip("freeze predates newer CORRECTNESS input")
+    try:
+        tracked = subprocess.run(
+            ["git", "-C", repo, "ls-files", "CORRECTNESS_r*.json"],
+            check=True, capture_output=True, text=True).stdout.split()
+    except (OSError, subprocess.CalledProcessError):
+        pytest.skip("git ls-files unavailable")
+    if any((m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+           and int(m.group(1)) >= _FREEZE_ROUND for p in tracked):
+        pytest.skip("freeze predates newer COMMITTED CORRECTNESS input")
+
+    import glob
+    import json
+
+    def frozen_inputs(repo_root):
+        # drop rounds the freeze could not have seen (e.g. the driver's
+        # untracked grading artifact for THIS round): re-derivation
+        # must ignore them, per the planner docstring
+        latest: dict[str, int] = {}
+        for path in glob.glob(
+                os.path.join(repo_root, "CORRECTNESS_r*.json")):
+            mm = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+            if mm is None or int(mm.group(1)) >= _FREEZE_ROUND:
+                continue
+            with open(path) as fh:
+                for name in json.load(fh):
+                    latest[name] = max(latest.get(name, 0),
+                                       int(mm.group(1)))
+        return latest
+
+    monkeypatch.setattr(rotation, "latest_graded_round", frozen_inputs)
     rows = [n for n, _r, _s in rotation.plan(50)]
     assert tuple(rows) == registry.GRADING_PRIORITY

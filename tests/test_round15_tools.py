@@ -1,10 +1,10 @@
-"""Round-15 staging kit for the r16 non-finite ingest contract
-(ROUND14_NOTES §6, r14 verdict order #3): the NON-STALING pieces land
-now — the `contracts.STAR_MEASURE_COLUMNS` allowlist as data, the oracle
-harness's inf-safe canonicalizer, and the null-probe sweep's non-finite
-menagerie phase — each pinned here, so the r16 batch is a one-commit
-wiring change (readers seam + events_guard widening + emb_table
-predicate + guarded_scan_sql single-pass fix) against pre-landed tests.
+"""The non-finite ingest contract's test kit (staged r15, contract
+LANDED r16 — ROUND14_NOTES §6, ROUND15_NOTES §13): the
+`contracts.STAR_MEASURE_COLUMNS` allowlist, the oracle harness's
+inf-safe canonicalizer, the null-probe sweep's non-finite menagerie
+phase, and the engine-parity/acceptance pins for the wired
+`star_guard`/`star_guard_cte` pair. The r15 pre-wiring pass-through pin
+inverted to the NULL expectation when the batch landed.
 """
 
 from __future__ import annotations
@@ -97,12 +97,12 @@ def test_nonfinite_phase_plants_every_allowlisted_column(tmp_path):
     assert all(len(v) == dim for v in planted)
 
 
-def test_table_loader_passes_non_finite_through_today(spark, tmp_path):
-    """The PRE-contract behavior, pinned so the r16 wiring is a visible
-    flip: today `table()` passes a planted +inf straight through an
-    allowlisted measure column (only events.value has a NaN guard).
-    When r16 lands star_guard, this test's expectation inverts to
-    NULL — the planted probe is already the acceptance fixture."""
+def test_table_loader_nulls_non_finite_measures(spark, tmp_path):
+    """The contract landing, pinned as the INVERSE of the r15 pre-wiring
+    test (test_table_loader_passes_non_finite_through_today): `table()`
+    now rebuilds a planted +inf in an allowlisted measure column to
+    NULL at the loader seam, while `raw=True` still exposes the wire
+    value for defect-detection reads."""
     import pyarrow as pa
 
     from tfm_taxitrips_spark.sources.readers import table
@@ -119,7 +119,10 @@ def test_table_loader_passes_non_finite_through_today(spark, tmp_path):
     got = (table(spark, str(tmp_path), "customer")
            .where("c_custkey = 910001").toPandas())
     assert len(got) == 1
-    assert math.isinf(got["c_acctbal"].iloc[0])  # r16 flips this to NULL
+    assert pd.isna(got["c_acctbal"].iloc[0])  # the r16 contract flip
+    raw = (table(spark, str(tmp_path), "customer", raw=True)
+           .where("c_custkey = 910001").toPandas())
+    assert math.isinf(raw["c_acctbal"].iloc[0])  # the audit escape hatch
 
 
 @pytest.fixture(scope="module")
@@ -190,12 +193,14 @@ def test_star_guard_engines_agree_and_preserve_finites(
 
 def test_star_guard_cte_unblocks_a_sweep_crashing_oracle(
         nonfinite_fixture, tmp_path):
-    """Acceptance preview of the r16 wiring: `sql_q1_pricing_summary`'s
-    oracle CRASHES on the non-finite fixture today (DuckDB NaN →
-    DECIMAL cast — one of the 48 measured sweep findings); routed
-    through `guarded_scan_sql` + `star_guard_cte('lineitem')` it runs,
-    and returns exactly what the ORIGINAL oracle returns on a fixture
-    whose non-finite values were pre-rewritten to NULL — i.e. the CTE
+    """The landed r16 wiring, proven from its parts:
+    `sql_q1_pricing_summary`'s RAW (module-level, pre-merge) oracle
+    CRASHES on the non-finite fixture (DuckDB NaN → DECIMAL cast — one
+    of the 48 measured r15 sweep findings); routed through
+    `guarded_scan_sql` + `star_guard_cte('lineitem')` — exactly what
+    `registry._guard_ingest_oracles` now does at merge time — it runs,
+    and returns exactly what the raw oracle returns on a fixture whose
+    non-finite values were pre-rewritten to NULL — i.e. the CTE
     implements precisely the loader contract's semantics."""
     import duckdb
 
@@ -204,10 +209,13 @@ def test_star_guard_cte_unblocks_a_sweep_crashing_oracle(
         STAR_MEASURE_COLUMNS,
         star_guard_cte,
     )
+    from tfm_taxitrips_spark.queries import sqlsuite
     from tfm_taxitrips_spark.queries.guards import guarded_scan_sql
-    from tfm_taxitrips_spark.queries.registry import all_queries
 
-    oracle = all_queries()["sql_q1_pricing_summary"].oracle
+    # the MODULE-level (pre-merge) oracle: registry._merged now applies
+    # the star CTE itself, so the registered oracle no longer crashes —
+    # this test keeps proving the CTE is what fixes the raw one
+    oracle = sqlsuite.QUERIES["sql_q1_pricing_summary"].oracle
     li = f"{nonfinite_fixture}/lineitem.parquet"
 
     conn = duckdb.connect()
@@ -232,10 +240,10 @@ def test_star_guard_cte_unblocks_a_sweep_crashing_oracle(
 def test_nonfinite_sweep_reproduces_documented_crash_classes():
     """Documentation pin (cheap, no Spark): the six queries the r14
     probe found crashing on non-finite input are all REGISTERED and
-    oracle-paired, so the staged --nonfinite sweep has its targets; the
-    r16 batch must turn exactly these from crash to guarded-NULL
-    parity. (The expensive sweep itself runs from the checklist, not
-    pytest.)"""
+    oracle-paired, so the (default-on since r16) non-finite sweep has
+    its targets; the landed batch turned exactly these from crash to
+    guarded-NULL parity — 224/224 MATCH at the r16 landing. (The
+    expensive sweep itself runs from the checklist, not pytest.)"""
     from tfm_taxitrips_spark.queries.registry import all_queries
 
     qs = all_queries()

@@ -1,5 +1,5 @@
-"""Staged ingest-contract data — allowlists consumed by tools and
-(future) loader seams, deliberately OUTSIDE :mod:`schemas`.
+"""The non-finite ingest contract (staged r15, WIRED r16): allowlist +
+the Spark/DuckDB guard pair, deliberately OUTSIDE :mod:`schemas`.
 
 Placement note (round 15, the churn rule in action): this belongs
 conceptually next to ``schemas.DRIVER_TABLES``, but every query's
@@ -18,18 +18,18 @@ from __future__ import annotations
 
 #: The non-finite ingest contract's column allowlist (r14 probe →
 #: ROUND14_NOTES §6): the float64 MEASURE columns that can legally carry
-#: NaN/±inf on the wire and that the r16 loader seam rebuilds to NULL in
+#: NaN/±inf on the wire and that the loader seam rebuilds to NULL in
 #: BOTH engines (the ``events.value`` NaN-guard precedent, widened to
 #: NOT-finite). Integer keys and dates cannot carry non-finite values
-#: and stay untouched. DATA ONLY at r15 — ``sources.readers.table()``
-#: does NOT consume this yet: wiring the Spark-side ``star_guard``
-#: projection + the oracle-side per-table guard CTEs re-stales
-#: essentially the whole registry (the ``table()`` loader sits in every
-#: batch closure), so it lands as the ONE r16 shared-seam batch against
-#: the then-empty rotation queue, with this allowlist and its pre-landed
-#: tests (tests/test_round15_tools.py) already in place. The non-finite
-#: probe phase of ``tools/null_probe_sweep.py`` builds its menagerie
-#: from THIS dict, so the sweep and the contract cannot drift apart.
+#: and stay untouched. Staged as data-only at r15; WIRED at r16 as the
+#: ONE shared-seam batch against the zeroed rotation queue
+#: (ROUND15_NOTES §13 rehearsal): ``sources.readers.table()`` applies
+#: :func:`star_guard` (and ``events_guard`` routes through it), while
+#: ``registry._guard_ingest_oracles`` auto-applies
+#: :func:`star_guard_cte` to every star-scanning oracle. The non-finite
+#: probe phase of ``tools/null_probe_sweep.py`` (default-on since r16)
+#: builds its menagerie from THIS dict, so the sweep and the contract
+#: cannot drift apart.
 #: Completeness is pinned by test: the allowlist equals exactly the
 #: DoubleType columns of ``schemas.DRIVER_TABLES``.
 STAR_MEASURE_COLUMNS: dict[str, tuple[str, ...]] = {
@@ -43,14 +43,14 @@ STAR_MEASURE_COLUMNS: dict[str, tuple[str, ...]] = {
 
 
 def star_guard(df, table: str):
-    """Spark side of the staged contract (UNWIRED at r15 — no reader or
-    query calls this yet): rebuild every allowlisted measure column of
-    ``table`` with NOT-finite → NULL in ONE projection; non-allowlisted
-    tables pass through untouched. NULL stays NULL; every finite value
-    is byte-unchanged (pinned by test). The r16 wiring is one call in
-    ``sources.readers.table()`` — for ``events`` the existing
-    ``events_guard`` keeps its NULL-ts drop and widens its NaN CASE to
-    this same NOT-finite predicate instead."""
+    """Spark side of the contract (wired r16 in
+    ``sources.readers.table()``): rebuild every allowlisted measure
+    column of ``table`` with NOT-finite → NULL in ONE projection;
+    non-allowlisted tables pass through untouched. NULL stays NULL;
+    every finite value is byte-unchanged (pinned by test). For
+    ``events``, ``readers.events_guard`` keeps its NULL-ts drop and
+    routes its value rebuild through this same projection — one
+    predicate for both seams."""
     from pyspark.sql import functions as F
 
     cols = STAR_MEASURE_COLUMNS.get(table, ())
@@ -69,7 +69,8 @@ def star_guard(df, table: str):
 def star_guard_cte(table: str) -> str:
     """DuckDB twin of :func:`star_guard`, as a WITH-body fragment in the
     ``_EVENTS_GUARD_CTE`` shape — ``<table>_g AS (SELECT * REPLACE
-    (...))`` — ready for ``guarded_scan_sql(oracle, table, f"{table}_g",
+    (...))`` — applied by ``registry._guard_ingest_oracles`` via
+    ``guarded_scan_sql(oracle, table, f"{table}_g",
     star_guard_cte(table))``. The REPLACE physically rebuilds the
     columns so DuckDB's eager batch casts can't trip on
     filter-deselected non-finite rows (the events-guard reasoning).

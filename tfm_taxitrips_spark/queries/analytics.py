@@ -956,10 +956,16 @@ def q_data_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(r.nv * 1000000) div n_checked").alias("violation_ppm"),
         )
 
-    orders = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
-    # raw=True: the audit's whole purpose is seeing the defective rows
-    # the events guard excludes (value_null must count them)
+    # raw=True on EVERY read: the audit's whole purpose is seeing the
+    # defective rows the ingest guards exclude or mask — value_null must
+    # count guarded-away events, and a non-finite o_totalprice must trip
+    # price_nonpositive's domain rules on the wire value, not on the
+    # star guard's NULL rewrite (r16 batch residual #1, ROUND15_NOTES
+    # §13: an audit reading guarded star tables while its oracle opts
+    # out via the raw-ingest tag diverges by construction — symmetric
+    # raw reads restore one semantics in both engines)
+    orders = table(spark, sf_dir, "orders", raw=True)
+    li = table(spark, sf_dir, "lineitem", raw=True)
     ev = table(spark, sf_dir, "events", raw=True)
     d = F.col  # brevity
     return (
@@ -1570,9 +1576,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "data_contract_audit": QuerySpec(
         q_data_contract_audit, _CONTRACT_SQL,
-        # raw-events: the value_null rule must SEE the defective rows the
-        # events guard excludes — the Spark side reads table(..., raw=True)
-        tags=("analytics", "quality", "contract", "raw-events"),
+        # raw-ingest (generalized from raw-events in the r16 batch): the
+        # audit must SEE the defective rows/values every ingest guard
+        # excludes or masks — its Spark side reads ALL tables with
+        # table(..., raw=True), and this tag opts its oracle out of the
+        # events AND star guard CTEs symmetrically
+        tags=("analytics", "quality", "contract", "raw-ingest"),
     ),
     "key_skew_audit": QuerySpec(
         q_key_skew_audit, _KEY_SKEW_SQL, tags=("analytics", "skew", "profiling")

@@ -190,13 +190,25 @@ def q_quantile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``percent_rank`` ties-safely reproduces DuckDB's PERCENT_RANK (equal
     values share a rank), so the 0.05/0.95 boundary is engine-independent.
+
+    NULL trim-key rows are EXCLUDED from banding, explicitly, in both
+    engines (r16 batch residual #2, ROUND15_NOTES §13): Spark windows
+    sort NULLS FIRST by default while DuckDB sorts NULLS LAST, so the
+    moment NULL ``l_extendedprice`` values coexist with live rows inside
+    one percent_rank group (which the star guard's NOT-finite → NULL
+    rewrite makes reachable), the implicit placements diverge — and a
+    row with no price has no defensible position in a price band anyway.
+    The contract is stated as a filter instead of inherited from either
+    engine's NULL-ordering default.
+
     Scale note: one window sort per group partition. At 100 TB the exact
     window is replaced by a two-pass plan — ``approx_percentile`` per group
     (map-side sketch, one tiny agg), broadcast the thresholds back, filter —
     trading exactness of the cut point for zero global sorts; the exact
     variant stays the correctness oracle.
     """
-    li = table(spark, sf_dir, "lineitem")
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull())
     w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     pr = F.percent_rank().over(w)
     trimmed = li.withColumn("pr", pr).where(
@@ -216,6 +228,7 @@ WITH r AS (
          PERCENT_RANK() OVER (PARTITION BY l_returnflag
                               ORDER BY l_extendedprice) AS pr
   FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
 )
 SELECT l_returnflag,
        COUNT(*) AS n_kept,

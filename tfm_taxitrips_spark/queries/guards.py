@@ -3,26 +3,69 @@
 A *guard seam* is the repo's answer to malformed ingest rows: ONE stated
 contract applied where a table is scanned, in BOTH engines, instead of
 N per-query accidents. The Spark side is a guarded reader
-(``vectors.emb_table``, ``readers.events_guard``); the oracle side is a
-mechanical rewrite that routes every table-position scan through a guard
-CTE. This module holds the ONE rewriter both seams share — the r11
-vector rewriter (hardened r12: case-insensitive, ``WITH RECURSIVE``
-aware, loud on zero rewrites) generalized over the table name.
+(``vectors.emb_table``, ``readers.events_guard``, and — since the r16
+non-finite ingest contract — ``contracts.star_guard`` inside
+``readers.table()``); the oracle side is a mechanical rewrite that
+routes every table-position scan through a guard CTE. This module holds
+the ONE rewriter all seams share — the r11 vector rewriter (hardened
+r12: case-insensitive, ``WITH RECURSIVE`` aware, loud on zero rewrites;
+r16: single-pass binding mask, position-exact rewrites, qualified-
+reference rename) generalized over the table name.
 """
 
 from __future__ import annotations
 
 import re
 
+#: ONE left-to-right alternation: a string literal ('' escapes included)
+#: or a ``--`` line comment, whichever starts first. Single-pass, so a
+#: ``--`` INSIDE a literal is consumed as literal text and an apostrophe
+#: inside a comment is consumed as comment text — the two-pass ordering
+#: hazard (comments stripped first chopped a literal containing ``--``,
+#: unbalancing the quote mask; r13/r14 ADVICE) cannot occur.
+_MASK_RE = re.compile(r"'(?:[^']|'')*'|--[^\n]*")
+
+
+def _binding_mask(sql: str) -> str:
+    """LENGTH-PRESERVING binding mask: literal and comment spans become
+    spaces, so a regex match position in the masked text is valid in the
+    raw text — rewrites found here splice into the original SQL without
+    ever touching a literal or comment."""
+    return _MASK_RE.sub(lambda m: " " * len(m.group(0)), sql)
+
+
+def _mask_cross_check(sql: str) -> None:
+    """Import-time tripwire (r14 ADVICE #2's second half): the retired
+    two-pass mask and the single-pass mask must agree on every oracle
+    that reaches the guard. They diverge only when a literal contains
+    ``--`` or a comment contains an unpaired apostrophe — shapes no
+    registered oracle uses and that historically corrupted the binding
+    mask silently. The single-pass mask IS correct on such input, but a
+    first occurrence should be a deliberate, reviewed decision (delete
+    this check then), not a silent behavior change."""
+    two_pass = re.sub(r"'(?:[^']|'')*'", "''", re.sub(r"--[^\n]*", "", sql))
+    single_pass = _MASK_RE.sub(
+        lambda m: "''" if m.group(0).startswith("'") else "", sql)
+    if two_pass != single_pass:
+        raise ValueError(
+            "guarded_scan_sql: oracle contains a literal/comment shape "
+            "where comment-vs-literal masking order matters (a '--' "
+            "inside a string literal, or a stray apostrophe in a "
+            "comment). The single-pass mask handles it correctly, but "
+            "review the oracle and drop this tripwire deliberately "
+            "before relying on that."
+        )
+
 
 def guarded_scan_sql(
     sql: str, table_name: str, guard_name: str, guard_cte: str
 ) -> str:
-    """Rewrite every table-position ``FROM/JOIN <table_name>`` in ``sql``
-    to ``<guard_name>`` and prepend ``guard_cte`` (a complete
+    """Rewrite every table-position ``FROM/JOIN <table_name>`` AND every
+    ``<table_name>.``-qualified column reference in ``sql`` to
+    ``<guard_name>``, then prepend ``guard_cte`` (a complete
     ``name AS (...)`` clause) to the WITH list.
 
-    Case-INSENSITIVE on both legs (a lowercase ``from events`` or a
+    Case-INSENSITIVE on every leg (a lowercase ``from events`` or a
     ``WITH\\n  RECURSIVE`` oracle must never silently skip the guard or
     emit invalid SQL), and the rewrite must land: every caller is, by
     definition, a reader of the guarded table, so zero rewritten scans
@@ -31,34 +74,47 @@ def guarded_scan_sql(
     view it reads — DuckDB rejects that as a circular reference — hence
     the distinct ``guard_name``.)
 
-    Constraints on oracle SQL passed here (the rewrite is textual over
-    raw SQL, not a parse):
-
-    - no ``<table_name>.`` qualified column references — the scan is
-      renamed to ``<guard_name>``, so a leftover qualifier would fail to
-      bind. Enforced below: any surviving qualifier raises at import
-      time (use an alias: ``FROM events e`` + ``e.col``).
-    - the table name must not appear in table-scan position inside
-      string literals or comments — the regex cannot distinguish those
-      and would rewrite them too (harmless for comments, corrupting for
-      literals). No current oracle does either; keep it that way.
+    The rewrite is textual over raw SQL, not a parse, made safe by the
+    length-preserving single-pass binding mask: match positions are
+    found in the MASKED text (literals/comments blanked) and spliced
+    into the raw text, so a table name inside a string literal or
+    comment is never rewritten — a label like ``'events.user_id'``
+    (key_skew_audit's key_column values) or a ``--`` comment mention
+    stays byte-identical, while every BINDING occurrence is renamed.
+    Qualified references are renamed rather than rejected (r16 — the
+    star oracles qualify through the table name, unlike the
+    alias-disciplined events oracles), and a post-condition re-masks
+    the rewritten SQL to prove no binding qualifier survived.
     """
-    sql, n_scans = re.subn(
-        rf"\b(FROM|JOIN)(\s+){table_name}\b",
-        rf"\1\2{guard_name}", sql, flags=re.I)
-    if not n_scans:
+    _mask_cross_check(sql)
+    masked = _binding_mask(sql)
+
+    scan_re = re.compile(rf"\b(?:FROM|JOIN)\s+({table_name})\b", re.I)
+    scan_spans = [m.span(1) for m in scan_re.finditer(masked)]
+    if not scan_spans:
         raise ValueError(
             f"guarded_scan_sql: no FROM/JOIN {table_name} scan found — "
             "the oracle reads the table some other way; extend the rewrite")
-    # check binding positions only: a label like '<table>.col' inside a
-    # string literal, or a mention in a -- comment, is not a reference
-    bindable = re.sub(r"'(?:[^']|'')*'", "''",
-                      re.sub(r"--[^\n]*", "", sql))
-    if re.search(rf"\b{table_name}\s*\.", bindable, flags=re.I):
-        raise ValueError(
-            f"guarded_scan_sql: '{table_name}.' qualified reference "
-            "survives the scan rewrite and would fail to bind — alias "
-            "the scan and qualify through the alias")
+
+    qual_re = re.compile(rf"\b({table_name})\s*\.", re.I)
+    qual_spans = [m.span(1) for m in qual_re.finditer(masked)]
+
+    out, pos = [], 0
+    for start, end in sorted(scan_spans + qual_spans):
+        out.append(sql[pos:start])
+        out.append(guard_name)
+        pos = end
+    out.append(sql[pos:])
+    sql = "".join(out)
+    # post-condition: every binding occurrence was renamed — a survivor
+    # in the re-masked text means the span arithmetic broke, and the
+    # oracle would fail to bind (or bind to the unguarded view) at the
+    # sweep; refuse here instead
+    if qual_re.search(_binding_mask(sql)):
+        raise AssertionError(
+            f"guarded_scan_sql: a binding '{table_name}.' reference "
+            "survived the rename — rewrite positions out of sync")
+
     stripped = sql.lstrip()
     head_len = len(sql) - len(stripped)
     m = re.match(r"WITH\b(\s+RECURSIVE\b)?", stripped, re.I)

@@ -68,18 +68,31 @@ def emb_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits an exactly-zero or element-NULL vector; a zeroed/holed row is
     an ingest or storage fault), so both join the seam contract: a
     guarded vector has ≥{EMB_MIN_DIMS} dims, no NULL elements, and at
-    least one non-zero element. Vectors that pass the guard but
-    disagree on dimensionality remain the ingest schema's promise (a
-    fixed-width embedding column), not per-query defense. (Theoretical
-    residue, documented not defended: a vector of denormal-tiny
-    elements whose squared norm underflows to 0.0 would still divide by
-    zero — not reachable from any real embedding model's output range.)
+    least one non-zero element.
+
+    Round-16 extension (the non-finite ingest contract batch —
+    ROUND15_NOTES §13, found by the staged ``--nonfinite`` sweep
+    phase): a full-width vector carrying ONE NaN/±inf COMPONENT passes
+    the is-null+length+non-zero guard yet poisons every downstream dot
+    product and crashed both vector audits' fixed-slice sums. Same
+    defect class (no embedding model emits a non-finite component; a
+    corrupted row is an ingest or storage fault), same disposition: the
+    guarded contract is ≥{EMB_MIN_DIMS} dims, no NULL elements, no
+    NON-FINITE elements, at least one non-zero element. Vectors that
+    pass the guard but disagree on dimensionality remain the ingest
+    schema's promise (a fixed-width embedding column), not per-query
+    defense. (Theoretical residue, documented not defended: a vector of
+    denormal-tiny elements whose squared norm underflows to 0.0 would
+    still divide by zero — not reachable from any real embedding
+    model's output range.)
     """
     e = F.col("embedding")
+    inf = float("inf")
     return table(spark, sf_dir, "embeddings").where(
         e.isNotNull()
         & (F.size(e) >= EMB_MIN_DIMS)
         & ~F.exists(e, lambda x: x.isNull())
+        & ~F.exists(e, lambda x: F.isnan(x) | (F.abs(x) == inf))
         & F.exists(e, lambda x: x != 0)
     )
 
@@ -103,14 +116,21 @@ def _emb_guard_sql(sql: str) -> str:
     # row that passes the guard the rebuild is the identity, because
     # the guard excludes NULL elements. The filter itself mirrors
     # emb_table: not-NULL, >= EMB_MIN_DIMS dims, zero NULL elements,
-    # at least one non-zero element (zero-norm exclusion).
+    # at least one non-zero element (zero-norm exclusion); r16: zero
+    # non-finite elements (the non-finite ingest contract — NULL
+    # elements are already excluded by the previous predicate, so
+    # isfinite's NULL→NULL never weakens this one). The rebuild
+    # coalesces deselected non-finite components to 0.0 too, for the
+    # same whole-batch-validation reason as the NULL case.
     guard = (
         f"embeddings_g AS (SELECT * REPLACE (list_transform("
-        f"COALESCE(embedding, []), x -> COALESCE(x, CAST(0 AS FLOAT))) "
+        f"COALESCE(embedding, []), x -> CASE WHEN isfinite(x) THEN x "
+        f"ELSE CAST(0 AS FLOAT) END) "
         f"AS embedding) FROM embeddings "
         f"WHERE embedding IS NOT NULL AND len(embedding) >= "
         f"{EMB_MIN_DIMS} "
         f"AND len(list_filter(embedding, x -> x IS NULL)) = 0 "
+        f"AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0 "
         f"AND len(list_filter(embedding, x -> x != 0)) > 0)"
     )
     # the rewrite itself (case-insensitivity, WITH RECURSIVE handling,

@@ -368,23 +368,26 @@ def events_guard(df: DataFrame) -> DataFrame:
       be windowed — watermarked Structured Streaming silently DROPS such
       rows while every batch oracle kept them, splitting 5 stream/session
       queries' row counts (952 vs 950 and friends);
-    - **a NaN ``value`` is normalized to NULL** (a defective measurement,
-      not a number): ONE planted NaN crashed 11 oracles' cents casts
-      (DuckDB refuses NaN→INT64) and 2 watermarked streaming queries
-      (Spark ANSI CAST_OVERFLOW inside the stateful agg). NULL folds into
-      the NULL-value handling every query already has.
+    - **a NOT-finite ``value`` is normalized to NULL** (a defective
+      measurement, not a number): ONE planted NaN crashed 11 oracles'
+      cents casts (DuckDB refuses NaN→INT64) and 2 watermarked streaming
+      queries (Spark ANSI CAST_OVERFLOW inside the stateful agg). NULL
+      folds into the NULL-value handling every query already has. r12
+      shipped the NaN case; r16 widened it to ±inf when the same
+      contract landed for the star tables' measure columns — the
+      rebuild is :func:`contracts.star_guard`'s, so the events and star
+      seams cannot drift apart (``events.value`` is an allowlisted
+      measure column of ``contracts.STAR_MEASURE_COLUMNS``).
 
     NULL ``user_id``/``event_type``/``props`` remain real rows — an
     anonymous or untyped event is legitimate telemetry. Queries whose
     PURPOSE is raw-ingest defect detection opt out via
-    ``table(..., raw=True)`` + the ``raw-events`` registry tag
+    ``table(..., raw=True)`` + the ``raw-ingest`` registry tag
     (``data_contract_audit``'s value_null rule must see the defects).
     """
-    return df.where(F.col("ts").isNotNull()).withColumn(
-        "value",
-        F.when(F.isnan("value"), F.lit(None).cast("double"))
-        .otherwise(F.col("value")),
-    )
+    from tfm_taxitrips_spark.contracts import star_guard
+
+    return star_guard(df.where(F.col("ts").isNotNull()), "events")
 
 
 def table(
@@ -406,9 +409,22 @@ def table(
        classes to the pinned types and fails with a readable diff on
        anything semantic.
 
-    ``events`` additionally rides :func:`events_guard` (the r12 telemetry
-    ingest contract) unless ``raw=True`` — the escape hatch for queries
-    whose purpose is seeing the defects the guard excludes.
+    Every guarded table additionally rides its ingest contract unless
+    ``raw=True`` — the escape hatch for queries whose purpose is seeing
+    the defects the guards exclude (``data_contract_audit``):
+
+    - ``events`` → :func:`events_guard` (r12: NULL-ts drop + NOT-finite
+      value → NULL, widened from NaN-only in r16);
+    - the five star tables → :func:`contracts.star_guard` (r16
+      non-finite ingest contract, rehearsed end-to-end at r15 —
+      ROUND15_NOTES §13): every ``contracts.STAR_MEASURE_COLUMNS``
+      float64 measure column rebuilt NOT-finite → NULL in ONE
+      projection; the oracle twin is auto-applied in
+      ``registry._guard_ingest_oracles``. Scale cost, measured on
+      sql_q6 and documented in SCALE.md: date/key predicate pushdown —
+      the scans' dominant row-group pruners — is untouched; only
+      MEASURE-column predicates stop reaching the parquet reader (they
+      now filter a CASE expression), and only on these five tables.
     """
     # pin the session to UTC: the driver's vanilla session inherits the
     # HOST timezone, and a non-UTC session would shift Spark's
@@ -422,8 +438,14 @@ def table(
         df = _probe_driver_parquet(spark, f"{sf_dir}/{name}.parquet")
     pinned = schemas.DRIVER_TABLES.get(name)
     out = conform_to_pinned(df, pinned, name) if pinned is not None else df
-    if name == "events" and not raw:
-        out = events_guard(out)
+    if not raw:
+        if name == "events":
+            out = events_guard(out)
+        else:
+            # no-op passthrough for tables with no allowlisted measures
+            from tfm_taxitrips_spark.contracts import star_guard
+
+            out = star_guard(out, name)
     return out
 
 

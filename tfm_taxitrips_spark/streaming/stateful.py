@@ -154,6 +154,12 @@ def streaming_ttl_dedup(
         # them here (not only in the registered pipeline's events guard)
         # so the public API never crashes on a NaN µs value (r13 ADVICE)
         rows = pd.concat(list(pdfs), ignore_index=True).dropna(subset=["us"])
+        # the NULL-capable micro-batch ships "us" as float64; surviving
+        # values are exact (µs ≪ 2^53) but every downstream comparison
+        # and state write is integer arithmetic — restore int64 HERE so
+        # the anchor math never silently runs in floating point
+        # (r14 ADVICE #1, landed with the r16 contract batch)
+        rows["us"] = rows["us"].astype("int64")
         if rows.empty:
             if anchor_us is not None:
                 # keep the eviction clock armed: an invocation resets any
@@ -248,6 +254,12 @@ def streaming_debounce_dedup(
         (user_id,) = key
         (last_us,) = state.get if state.exists else (None,)
         rows = pd.concat(list(pdfs), ignore_index=True).dropna(subset=["us"])
+        # the NULL-capable micro-batch ships "us" as float64; surviving
+        # values are exact (µs ≪ 2^53) but every downstream comparison
+        # and state write is integer arithmetic — restore int64 HERE so
+        # the anchor math never silently runs in floating point
+        # (r14 ADVICE #1, landed with the r16 contract batch)
+        rows["us"] = rows["us"].astype("int64")
         if rows.empty:
             if last_us is not None:
                 state.setTimeoutTimestamp(

@@ -57,23 +57,24 @@ Phase 2 (extreme VALUES — still legal doubles, no NaN): a zero-price
   overflow), epoch/far-future order dates, zero/huge totals, and an
   EMPTY-string (not NULL) customer name/segment with negative balance.
 
-Phase 3 (NON-FINITE values — ``--nonfinite``, staged r15 / default-on
-  r16): NaN AND ±inf planted in EVERY loader-allowlisted float64
-  measure column (``contracts.STAR_MEASURE_COLUMNS`` — the r16 ingest
+Phase 3 (NON-FINITE values — DEFAULT-ON since r16; staged opt-in at
+  r15): NaN AND ±inf planted in EVERY loader-allowlisted float64
+  measure column (``contracts.STAR_MEASURE_COLUMNS`` — the ingest
   contract's own column list, so the sweep and the contract cannot
   drift apart), plus non-finite COMPONENTS inside otherwise-valid
-  embeddings. Opt-in at r15 because the contract is staged, not
-  landed: at the r15 tree this phase REPRODUCES the six documented
-  crash classes (ROUND14_NOTES §6) by design. When r16 wires
-  ``star_guard``/the widened events guard/the emb_table predicate,
-  the flag flips to default-on and exit 0 becomes the contract's
-  acceptance gate.
+  embeddings. At the r15 tree this phase reproduced the six documented
+  crash classes (ROUND14_NOTES §6) by design; with the r16 wiring
+  (``star_guard`` in the loader + auto-applied oracle CTEs, the
+  widened events guard, the emb_table non-finite predicate) exit 0 IS
+  the contract's acceptance gate. ``--skip-nonfinite`` restores the
+  phase-1/2-only baseline fixture (for bisecting a finding to the
+  non-finite phase vs the standing menagerie).
 
 Run: ``python tools/null_probe_sweep.py [--keep] [--only a,b,c]
-[--nonfinite]`` (~4-8 min). Exit 0 = full parity on the adversarial
-fixture; exit 1 = at least one divergence or crash, printed per query.
-Part of the standing per-round probe checklist (ROUND12_NOTES §9
-onward).
+[--skip-nonfinite]`` (~4-8 min). Exit 0 = full parity on the
+adversarial fixture; exit 1 = at least one divergence or crash,
+printed per query. Part of the standing per-round probe checklist
+(ROUND12_NOTES §9 onward).
 """
 
 from __future__ import annotations
@@ -409,7 +410,9 @@ def build_fixture(dst: str, nonfinite: bool = False) -> None:
 
 def main() -> int:
     keep = "--keep" in sys.argv
-    nonfinite = "--nonfinite" in sys.argv
+    # default-on since the r16 contract landing; --nonfinite is still
+    # accepted (a no-op) so r15-era checklists don't error
+    nonfinite = "--skip-nonfinite" not in sys.argv
     only: set[str] | None = None
     for a in sys.argv[1:]:
         if a.startswith("--only"):
