@@ -67,7 +67,12 @@ def _py_lines(text: str) -> list[str]:
 
     if text is None:
         return []
-    with_breaks = re.sub(r"([.!?])\s+", lambda m: m.group(1) + "\n", text)
+    # the EXPLICIT whitespace class, mirroring _BOUNDARY_WS: Python's
+    # \s includes NBSP and unicode separators that neither engine's
+    # regex dialect shares — the reference must split exactly like the
+    # engines, not like Python
+    with_breaks = re.sub(r"([.!?])[ \t\r\n\f]+",
+                         lambda m: m.group(1) + "\n", text)
     return [x.strip() for x in re.split(r"\n+", with_breaks) if x.strip()]
 
 
@@ -228,6 +233,47 @@ def test_terminal_punct_stats_parity(spark, tmp_path):
     assert int(by_id[7]["n_lines"]) == 4
     assert int(by_id[7]["n_terminal"]) == 3
     assert int(by_id[7]["terminal_ppm"]) == 750_000
+
+
+def test_whitespace_class_is_engine_portable(spark, tmp_path):
+    """The boundary whitespace class is EXPLICIT ([ \\t\\r\\n\\f]), not
+    ``\\s`` — Java's ``\\s`` includes \\x0B, RE2's does not, and
+    Python's adds NBSP/unicode separators, so a ``\\s`` split would
+    three-way-diverge on exotic whitespace (review finding, verified
+    live). Pin the contract: tab/newline after terminal punctuation
+    split in BOTH engines; vertical tab and NBSP do NOT split in
+    EITHER."""
+    from tfm_taxitrips_spark.functions.boilerplate import (
+        _DOC_LINES_CTE,
+        doc_lines,
+    )
+
+    rows = [
+        (1, "Tab.\tsplits.", "en", "web"),
+        (2, "Newline.\nsplits.", "en", "web"),
+        (3, "Vtab.\x0bstays.", "en", "web"),
+        (4, "Nbsp.\xa0stays.", "en", "web"),
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array([r[3] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+    }), f"{tmp_path}/documents.parquet")
+
+    sdf = (doc_lines(spark.read.parquet(f"{tmp_path}/documents.parquet"))
+           .toPandas())
+    ddf = _oracle(str(tmp_path),
+                  f"WITH {_DOC_LINES_CTE} SELECT * FROM doc_lines")
+    assert compare_result(sdf.copy(), ddf.copy())["hash_match"]
+    n_lines = sdf.groupby("doc_id").size().to_dict()
+    assert n_lines == {1: 2, 2: 2, 3: 1, 4: 1}
+    # and the Python reference agrees line-for-line
+    for doc_id, text, _lg, _src in rows:
+        got = list(sdf[sdf["doc_id"] == doc_id]
+                   .sort_values("line_no")["line"])
+        assert got == _py_lines(text), doc_id
 
 
 def test_family_is_unregistered_and_fixture_still_blocks(spark):

@@ -53,6 +53,13 @@ def test_gate_selfcheck_coverage_requires_exact_fingerprint(tmp_path,
     # newest at the right fingerprint but with failures: nothing covered
     write(18, "f" * 8, 2, ["alpha", "beta"])
     assert round_gate._selfcheck_green_rows("f" * 8) == set()
+    # an artifact that doesn't SAY it is failure-free fails closed: a
+    # right-fingerprint sweep with NO n_fail key covers nothing
+    data = {"alpha": {"hash_match": True},
+            "__meta__": {"fingerprint": "f" * 8, "n_queries": 1}}
+    with open(tmp_path / "SELFCHECK_r19.json", "w") as fh:
+        json.dump(data, fh)
+    assert round_gate._selfcheck_green_rows("f" * 8) == set()
 
 
 def test_events_guard_nulls_all_non_finite_values(spark):

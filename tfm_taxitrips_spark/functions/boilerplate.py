@@ -67,8 +67,14 @@ BOILERPLATE_MIN_DOCS = 3
 
 #: the boundary-rewrite pattern: a terminal punctuation mark followed by
 #: whitespace becomes "that mark + newline", after which a plain newline
-#: split yields sentence-or-line units in BOTH engines (no lookbehind)
-_BOUNDARY_RE = rf"([{LINE_TERMINALS}])\s+"
+#: split yields sentence-or-line units in BOTH engines (no lookbehind).
+#: The whitespace class is EXPLICIT, not ``\s``: Java's ``\s`` includes
+#: \x0B, RE2's is exactly [ \t\n\f\r], and Python's adds NBSP/  —
+#: three different split behaviors on exotic whitespace in a module
+#: whose whole point is cross-engine parity (found by review, verified
+#: live: a vertical tab split in Spark but not DuckDB)
+_BOUNDARY_WS = r"[ \t\r\n\f]"
+_BOUNDARY_RE = rf"([{LINE_TERMINALS}]){_BOUNDARY_WS}+"
 
 
 def sentence_lines(col: Column | str) -> Column:
@@ -162,9 +168,17 @@ def boilerplate_lines(docs: DataFrame,
     ``"123!"``) are excluded — a digits-only line is not evidence of
     shared boilerplate, and hashing the empty string would glue all
     such lines into one false fingerprint."""
-    lines = doc_lines(docs).where(norm_line("line") != "")
+    return _boilerplate_from_lines(doc_lines(docs), min_docs)
+
+
+def _boilerplate_from_lines(lines: DataFrame, min_docs: int) -> DataFrame:
+    """The aggregation half of :func:`boilerplate_lines`, over an
+    already-exploded ``doc_lines`` frame — shared with
+    :func:`strip_boilerplate` so one explode lineage serves both sides
+    of its anti-join."""
     return (
-        lines.groupBy("lhash")
+        lines.where(norm_line("line") != "")
+        .groupBy("lhash")
         .agg(
             F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
             F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
@@ -199,8 +213,11 @@ def strip_boilerplate(docs: DataFrame,
     normally tiny (→ broadcast), but a pathological corpus where most
     distinct lines repeat everywhere degrades to a shuffle hash join
     instead of OOMing a forced broadcast."""
+    # ONE explode lineage feeds both sides of the anti-join (review
+    # finding: building boilerplate_lines(docs) here would re-run the
+    # scan + split + normalize + hash pipeline a second time)
     lines = doc_lines(docs)
-    flagged = (boilerplate_lines(docs, min_docs)
+    flagged = (_boilerplate_from_lines(lines, min_docs)
                .where("is_boilerplate").select("lhash"))
     kept = lines.join(flagged, "lhash", "left_anti")
     per_doc = kept.groupBy("doc_id").agg(
@@ -263,17 +280,18 @@ def terminal_punct_stats(docs: DataFrame) -> DataFrame:
     ppm discipline). A no-punctuation fixture reads 0 ppm everywhere,
     which is exactly the signal that blocked registering this family."""
     lines = doc_lines(docs)
+    # ONE predicate definition; the ppm derives from the aggregated
+    # columns so the ratio can never disagree with its own numerator
     terminal = F.when(
         F.substring(F.col("line"), -1, 1).isin(*LINE_TERMINALS), 1
     ).otherwise(0)
     return lines.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.sum(terminal).cast("bigint").alias("n_terminal"),
-        F.expr(
-            "CAST(sum(CASE WHEN substring(line, -1, 1) IN "
-            f"({', '.join(repr(c) for c in LINE_TERMINALS)}) "
-            "THEN 1 ELSE 0 END) * 1000000 DIV count(*) AS BIGINT)"
-        ).alias("terminal_ppm"),
+    ).select(
+        "doc_id", "n_lines", "n_terminal",
+        F.expr("CAST(n_terminal * 1000000 DIV n_lines AS BIGINT)")
+        .alias("terminal_ppm"),
     )
 
 

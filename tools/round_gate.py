@@ -65,10 +65,13 @@ def check_plans_fingerprint(fp_head: str) -> None:
     print(f"ok: PLANS.md fingerprint == HEAD ({fp_head[:12]}…)")
 
 
-def check_selfcheck(fp_head: str) -> None:
+def _newest_selfcheck() -> tuple[str, dict] | None:
+    """(path, parsed json) of the highest-round SELFCHECK artifact, or
+    None — the ONE artifact-selection used by checks 2 and 3, so the
+    two checks can never judge different files."""
     arts = glob.glob(os.path.join(REPO, "SELFCHECK_r*.json"))
     if not arts:
-        _fail("no SELFCHECK artifact", "python tools/selfcheck.py rNN")
+        return None
 
     def tag(p: str) -> int:
         m = re.search(r"SELFCHECK_r(\d+)\.json$", p)
@@ -76,37 +79,44 @@ def check_selfcheck(fp_head: str) -> None:
 
     latest = max(arts, key=tag)
     with open(latest) as fh:
-        meta = json.load(fh).get("__meta__", {})
+        return latest, json.load(fh)
+
+
+def check_selfcheck(fp_head: str) -> None:
+    found = _newest_selfcheck()
+    if found is None:
+        _fail("no SELFCHECK artifact", "python tools/selfcheck.py rNN")
+    latest, data = found
+    name = os.path.basename(latest)
+    meta = data.get("__meta__", {})
     if meta.get("fingerprint") != fp_head:
         _fail(
-            f"{os.path.basename(latest)} fingerprint is stale vs HEAD",
-            f"python tools/selfcheck.py r{tag(latest)} "
+            f"{name} fingerprint is stale vs HEAD",
+            f"python tools/selfcheck.py "
+            f"{name.removeprefix('SELFCHECK_').removesuffix('.json')} "
             "(full sweep, or --only for an admissible splice)",
         )
-    if meta.get("n_fail"):
-        _fail(f"{os.path.basename(latest)} records {meta['n_fail']} "
-              "failures", "fix the failing queries, re-run the sweep")
-    print(f"ok: {os.path.basename(latest)} current and green "
+    # fail CLOSED on a missing n_fail: an artifact that doesn't say it
+    # is failure-free isn't evidence of anything
+    if meta.get("n_fail") != 0:
+        _fail(f"{name} records n_fail={meta.get('n_fail')!r} "
+              "(0 required)", "fix the failing queries, re-run the sweep")
+    print(f"ok: {name} current and green "
           f"({meta.get('n_queries')} queries)")
 
 
 def _selfcheck_green_rows(fp_head: str) -> set[str]:
     """Rows verified by the newest SELFCHECK **at exactly the current
     tree fingerprint**, provided the whole sweep is failure-free.
-    Empty set when the newest selfcheck is stale or carries failures —
-    stale/partial sweeps excuse nothing."""
-    arts = glob.glob(os.path.join(REPO, "SELFCHECK_r*.json"))
-    if not arts:
+    Empty set when the newest selfcheck is stale, carries failures, or
+    doesn't SAY it is failure-free (missing ``n_fail`` fails closed) —
+    stale/partial/malformed sweeps excuse nothing."""
+    found = _newest_selfcheck()
+    if found is None:
         return set()
-
-    def tag(p: str) -> int:
-        m = re.search(r"SELFCHECK_r(\d+)\.json$", p)
-        return int(m.group(1)) if m else -1
-
-    with open(max(arts, key=tag)) as fh:
-        data = json.load(fh)
+    _path, data = found
     meta = data.get("__meta__", {})
-    if meta.get("fingerprint") != fp_head or meta.get("n_fail"):
+    if meta.get("fingerprint") != fp_head or meta.get("n_fail") != 0:
         return set()
     return {k for k in data if k != "__meta__"}
 
