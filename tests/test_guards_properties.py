@@ -58,7 +58,7 @@ def sql_with_scans(draw):
     pieces: list[str] = ["SELECT a FROM events"]
     n_scans, n_quals = 1, 0
     for _ in range(draw(st.integers(0, 8))):
-        kind = draw(st.integers(0, 5))
+        kind = draw(st.integers(0, 6))
         if kind == 0:
             pieces.append(draw(_WORDS))
         elif kind == 1:
@@ -70,6 +70,12 @@ def sql_with_scans(draw):
             n_scans += 1
         elif kind == 4:
             pieces.append("events.user_id")
+            n_quals += 1
+        elif kind == 5:
+            # the r16 ADVICE #1 overlap shape: the FROM of the operator
+            # matches scan_re and the qualifier dot matches qual_re on
+            # the SAME span — exactly ONE rename must come out
+            pieces.append("x IS DISTINCT FROM events.user_id")
             n_quals += 1
         else:
             pieces.append("-- note\n")
@@ -140,3 +146,48 @@ def test_existing_with_lists_absorb_the_cte(case, recursive):
     # keyword, before the existing CTE
     assert head.upper().index("EVENTS_G AS") < head.upper().index(
         "BASE AS")
+
+
+def test_overlap_span_renames_once_not_doubled():
+    """r16 ADVICE #1 regression: when a token matches BOTH the scan and
+    qualifier regexes (``x IS DISTINCT FROM orders.o_clerk``), the span
+    used to be spliced twice, emitting ``orders_gorders_g.o_clerk`` —
+    undetectable by the re-mask post-condition (no word boundary inside
+    the doubled name). The set-dedupe renames it exactly once."""
+    sql = "SELECT * FROM orders WHERE x IS DISTINCT FROM orders.o_clerk"
+    cte = "orders_g AS (SELECT * FROM orders)"
+    out = guarded_scan_sql(sql, "orders", "orders_g", cte)
+    assert "orders_gorders_g" not in out
+    body = out[out.index(cte) + len(cte):]
+    assert "orders_g.o_clerk" in body
+    assert not re.search(r"\borders\b(?!_g)", _binding_mask(body), re.I)
+
+
+def test_star_bare_mention_outside_scan_position_refuses():
+    """r16 ADVICE #2 regression: an oracle that reaches a star table
+    through a shape the narrow FROM/JOIN trigger misses (comma join)
+    must refuse at registration, not silently grade Spark-guarded
+    against oracle-unguarded; a masked (literal) mention stays fine,
+    and 'raw-ingest' opts out."""
+    import pytest
+
+    from tfm_taxitrips_spark.queries.registry import (
+        QuerySpec,
+        _guard_ingest_oracles,
+    )
+
+    def fn(spark, sf_dir):  # pragma: no cover — never invoked
+        raise AssertionError
+
+    comma_join = QuerySpec(fn, "SELECT * FROM region, orders")
+    with pytest.raises(ValueError, match="outside FROM/JOIN scan"):
+        _guard_ingest_oracles(comma_join)
+
+    literal_only = QuerySpec(
+        fn, "SELECT 'orders' AS label, r_name FROM region")
+    assert _guard_ingest_oracles(literal_only).oracle \
+        == literal_only.oracle
+
+    raw = QuerySpec(fn, "SELECT * FROM region, orders",
+                    tags=("raw-ingest",))
+    assert _guard_ingest_oracles(raw).oracle == raw.oracle

@@ -100,7 +100,14 @@ def guarded_scan_sql(
     qual_spans = [m.span(1) for m in qual_re.finditer(masked)]
 
     out, pos = [], 0
-    for start, end in sorted(scan_spans + qual_spans):
+    # set-dedupe (r16 ADVICE #1): a token can match BOTH regexes — in
+    # ``x IS DISTINCT FROM orders.o_clerk`` the ``FROM`` of the operator
+    # puts the span in scan_spans while the qualifier dot puts the SAME
+    # span in qual_spans — and a doubled span would splice the guard
+    # name twice (``orders_gorders_g.…``), a corruption the re-mask
+    # post-condition below cannot see (no word boundary survives inside
+    # the doubled name).
+    for start, end in sorted(set(scan_spans + qual_spans)):
         out.append(sql[pos:start])
         out.append(guard_name)
         pos = end
