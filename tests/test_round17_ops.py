@@ -201,12 +201,15 @@ def test_audit_parquet_footers_multi_rowgroup(spark, tmp_path):
     pq.write_table(
         pa.table({"k": pa.array(range(100), pa.int64())}),
         path, row_group_size=40)
+    got = audit_parquet_footers(spark, [path], "k").collect()
     rows = sorted(
         (r["n_rows"], r["stats_min"], r["stats_max"], r["bkt"],
-         r["n_row_groups"])
-        for r in audit_parquet_footers(spark, [path], "k").collect())
-    assert rows == [(20, 80, 99, None, 1), (40, 0, 39, None, 1),
-                    (40, 40, 79, None, 1)]
+         r["n_row_groups"], r["file_marker"]) for r in got)
+    assert rows == [(20, 80, 99, None, 1, 0), (40, 0, 39, None, 1, 1),
+                    (40, 40, 79, None, 1, 0)]
+    # ONE file, THREE row groups: the two failure modes must not alias
+    assert sum(r["file_marker"] for r in got) == 1
+    assert sum(r["n_row_groups"] for r in got) == 3
 
 
 def test_audit_parquet_footers_null_key_bucket(spark, tmp_path):
@@ -230,8 +233,8 @@ def test_audit_parquet_footers_null_key_bucket(spark, tmp_path):
     assert rows[None]["n_rows"] == 2
     assert rows[None]["stats_min"] is None
     assert rows[None]["stats_max"] is None
-    assert rows[1] == {"bkt": 1, "n_row_groups": 1, "n_rows": 1,
-                       "stats_min": 7, "stats_max": 7}
+    assert rows[1] == {"bkt": 1, "file_marker": 1, "n_row_groups": 1,
+                       "n_rows": 1, "stats_min": 7, "stats_max": 7}
 
 
 def test_parquet_layout_audit_footer_stats_equal_truth(spark, sf_smoke):
@@ -272,3 +275,11 @@ def test_layout_audit_is_eager_and_excluded_from_showcase():
     assert "parquet_layout_audit" not in SHOWCASE
     assert "url_dedup_gate" in SHOWCASE
     assert "watermark_lateness_audit" in SHOWCASE
+
+
+def test_audit_parquet_footers_empty_list_returns_empty(spark):
+    """paths=[] must return an empty, correctly-typed frame instead of
+    tripping Spark's repartition(0) rejection (review finding)."""
+    out = audit_parquet_footers(spark, [], "k")
+    assert out.count() == 0
+    assert "file_marker" in out.columns

@@ -137,8 +137,12 @@ def _normalize_url_sql(expr: str) -> tuple[str, str]:
 def q_url_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-level dedup + domain blocklist gate — the CommonCrawl pipeline
     stage between fetch and text extraction: canonicalize each document's
-    URL, keep ONE document per canonical URL (min doc_id — deterministic
-    survivorship), and drop blocklisted registered domains entirely.
+    URL, collapse to ONE canonical URL per group, and drop blocklisted
+    registered domains entirely. This gate reports the per-domain
+    counts and the blocklist verdict; survivor SELECTION within a
+    canonical-URL group is a downstream policy (see
+    ``q_dedup_survivorship`` for the field-rule form) and is
+    deliberately not baked in here.
 
     Per domain: ``n_docs`` (raw), ``n_urls`` (canonical-distinct),
     ``n_dup_docs`` (removed by URL dedup), ``n_kept`` (survivors after
@@ -318,12 +322,18 @@ def q_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=("arr", "event_id"), val_col="us", out_col="wm",
     )
     late = F.col("wm") - F.col("us") > F.lit(WM_DELAY_US)
+    # late_ppm derives from the ALREADY-aggregated columns so the
+    # lateness predicate is spelled exactly once (review finding: a
+    # second hand-written spelling inside the agg could silently
+    # diverge from n_late under a future edit)
     return with_wm.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.count_if(late).cast("bigint").alias("n_late"),
-        F.expr(f"(count_if(wm - us > {WM_DELAY_US}) * 1000000) "
-               "div count(1)").alias("late_ppm"),
         F.max(F.col("wm") - F.col("us")).alias("max_lateness_us"),
+    ).select(
+        "event_type", "n_rows", "n_late",
+        F.expr("(n_late * 1000000) div n_rows").alias("late_ppm"),
+        "max_lateness_us",
     )
 
 
@@ -364,7 +374,7 @@ GROUP BY 1
 LAYOUT_BUCKET_SPAN = 1024
 
 _LAYOUT_SCHEMA = (
-    "bkt bigint, n_row_groups bigint, n_rows bigint, "
+    "bkt bigint, file_marker bigint, n_row_groups bigint, n_rows bigint, "
     "stats_min bigint, stats_max bigint"
 )
 
@@ -380,7 +390,14 @@ def audit_parquet_footers(
     100 TB table costs |files| footer reads spread across the cluster
     (feed the file list from the table manifest at that scale). The
     ``bkt`` column is parsed from the hive-style ``bkt=<n>`` directory
-    the writer produced."""
+    the writer produced. ``file_marker`` is 1 on a file's FIRST row
+    group and 0 on the rest, so a downstream sum counts FILES while the
+    row count stays per row group — file explosion and row-group
+    splitting are different failure modes and must not alias (review
+    finding: a count of per-row-group records is NOT a file count)."""
+    if not paths:
+        return spark.createDataFrame([], _LAYOUT_SCHEMA)
+
     def read_footers(
         batches: Iterator[pd.DataFrame],
     ) -> Iterator[pd.DataFrame]:
@@ -404,7 +421,8 @@ def audit_parquet_footers(
                     col = md.row_group(rg).column(idx)
                     st = col.statistics
                     rows.append((
-                        bkt, 1, md.row_group(rg).num_rows,
+                        bkt, 1 if rg == 0 else 0, 1,
+                        md.row_group(rg).num_rows,
                         st.min if st and st.has_min_max else None,
                         st.max if st and st.has_min_max else None,
                     ))
@@ -413,11 +431,13 @@ def audit_parquet_footers(
             # and a mixed object column would trip Arrow conversion
             yield pd.DataFrame({
                 "bkt": pd.array([r[0] for r in rows], dtype="Int64"),
-                "n_row_groups": pd.array([r[1] for r in rows],
+                "file_marker": pd.array([r[1] for r in rows],
+                                        dtype="Int64"),
+                "n_row_groups": pd.array([r[2] for r in rows],
                                          dtype="Int64"),
-                "n_rows": pd.array([r[2] for r in rows], dtype="Int64"),
-                "stats_min": pd.array([r[3] for r in rows], dtype="Int64"),
-                "stats_max": pd.array([r[4] for r in rows], dtype="Int64"),
+                "n_rows": pd.array([r[3] for r in rows], dtype="Int64"),
+                "stats_min": pd.array([r[4] for r in rows], dtype="Int64"),
+                "stats_max": pd.array([r[5] for r in rows], dtype="Int64"),
             })
 
     files = spark.createDataFrame(
@@ -456,7 +476,7 @@ def q_parquet_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                          if n.endswith(".parquet"))
         per_rg = audit_parquet_footers(spark, sorted(paths), "l_orderkey")
         agg = per_rg.groupBy("bkt").agg(
-            F.count(F.lit(1)).cast("int").alias("n_files"),
+            F.sum("file_marker").cast("int").alias("n_files"),
             F.sum("n_row_groups").cast("int").alias("n_row_groups"),
             F.sum("n_rows").cast("bigint").alias("n_rows"),
             F.min("stats_min").cast("bigint").alias("stats_min"),

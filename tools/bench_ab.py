@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import subprocess
 import sys
 import tempfile
@@ -41,13 +40,13 @@ def _git(*args: str, cwd: str = REPO) -> str:
 
 
 def latest_marker() -> tuple[int, str]:
-    """(round, sha) of the newest ``round N: verdict`` marker commit."""
-    markers: dict[int, str] = {}
-    for line in _git("log", "--format=%H %s").splitlines():
-        sha, _, subject = line.partition(" ")
-        m = re.match(r"round (\d+): verdict", subject)
-        if m:
-            markers.setdefault(int(m.group(1)), sha)
+    """(round, sha) of the newest ``round N: verdict`` marker commit —
+    via the rotation planner's ``_round_markers`` (ONE parser of the
+    marker convention; a private re-implementation here would silently
+    keep matching old subjects if the convention ever moved)."""
+    from tfm_taxitrips_spark.queries.rotation import _round_markers
+
+    markers = _round_markers(REPO)
     if not markers:
         sys.exit("no round markers found — pass --base <commit>")
     rnd = max(markers)
@@ -56,10 +55,15 @@ def latest_marker() -> tuple[int, str]:
 
 def run_bench(tree: str) -> dict:
     """Run ``bench.py`` in ``tree`` and parse its one-line JSON tail."""
-    res = subprocess.run(
-        [sys.executable, os.path.join(tree, "bench.py")],
-        cwd=tree, capture_output=True, text=True, timeout=LEG_TIMEOUT_S,
-    )
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.join(tree, "bench.py")],
+            cwd=tree, capture_output=True, text=True,
+            timeout=LEG_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        sys.exit(f"bench leg in {tree} exceeded {LEG_TIMEOUT_S}s — "
+                 "hung Spark session? No artifact written.")
     if res.returncode != 0:
         sys.exit(f"bench leg failed in {tree}:\n{res.stderr[-2000:]}")
     for line in reversed(res.stdout.splitlines()):
