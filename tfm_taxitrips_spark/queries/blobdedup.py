@@ -25,7 +25,8 @@ Scale design (100 TB):
   ``transform``/``aggregate`` with an array accumulator — whole-stage
   codegen, no explode, no Python. A 1 MiB blob at stride 7 is ~150 k
   windows × 60 adds, all in the task that read the blob; only
-  (doc_id, 4 smallint bands) crosses the wire, never payload bytes.
+  (doc_id, 4 int bands of 15-bit values) crosses the wire, never
+  payload bytes.
 - **Candidates are a band equi-join.** Pairs meet only inside a
   (band_idx, band_value) bucket — the LSH guarantee — and buckets
   larger than ``BAND_DF_CAP`` are dropped on BOTH engines (the
@@ -42,10 +43,12 @@ render ``hex()`` UPPERCASE; window substrings are always full 8-hex
 slices by the ``n_wins`` bound, so no partial-window NULLs; ``concat``
 inputs are non-null by construction (payload rows pass the
 ``attach_blob`` NULL gate); zero-window payloads (< 4 bytes) get the
-all-zero signature on both engines (Spark: aggregate over an empty
-array keeps the zero accumulator; SQL: LEFT JOIN + COALESCE(vote, 0)),
-and are EXCLUDED from candidate generation — a 2-byte payload carries
-no similarity evidence.
+all-zero signature on both engines (Spark: the ``n_wins >= 1`` NULL
+short-circuit — Spark's ``sequence(0, -1)`` DESCENDS rather than
+emitting an empty array, so that guard in :func:`_signature_cols` is
+load-bearing; SQL: LEFT JOIN + COALESCE(vote, 0)), and are EXCLUDED
+from candidate generation — a 2-byte payload carries no similarity
+evidence.
 """
 
 from __future__ import annotations

@@ -127,6 +127,7 @@ SHAPE_TABLES = {
     "packutil": ("documents",),
     "srcprune": ("documents",),
     "epaudit": ("events",),
+    "blobsim": ("documents",),
 }
 
 #: shapes whose stress can silently vanish under replication (the
@@ -134,7 +135,7 @@ SHAPE_TABLES = {
 #: absorbs every replicated shingle, at copies > LEAK_DF_CAP): assert
 #: rows actually flowed once per leg, per the records-flowed rule the
 #: ×10/×40 streaming smokes adopted in round 8
-NONEMPTY_SHAPES = {"leakage"}
+NONEMPTY_SHAPES = {"leakage", "blobsim"}
 
 
 def build_dataset(copies: int, tables: tuple[str, ...] | None = None) -> str:
@@ -198,6 +199,7 @@ def shuffle_write_bytes(spark) -> int:
 
 def _shapes() -> dict:
     from tfm_taxitrips_spark.queries.analytics import q_ks_split_drift
+    from tfm_taxitrips_spark.queries.blobdedup import q_blob_dup_candidates
     from tfm_taxitrips_spark.queries.dataprep import (
         q_domain_mix_waterfill,
         q_label_leakage_audit,
@@ -368,6 +370,17 @@ def _shapes() -> dict:
         # what the stateful API costs when the question is
         # retrospective, not live.
         "epaudit": q_debounce_episode_audit,
+        # BLOB NEAR-DUP shape (round 17, staged family): in-row 60-bit
+        # byte SimHash over every payload (the single heavy map pass —
+        # ~210 windows × 60 vote adds per sf0.1 doc, zero shuffle), then
+        # the LSH band equi-join + Hamming verify. Replication makes
+        # every payload an exact copy under a fresh doc_id, so each band
+        # bucket holds ~copies members and the pair join fans out
+        # C(copies, 2)× per original doc — run at copies <= BAND_DF_CAP
+        # (64): beyond it the bucket cap absorbs every replicated band
+        # and the output collapses to zero (the guard working, but a
+        # vacuous leg — NONEMPTY_SHAPES pins that rows flowed).
+        "blobsim": q_blob_dup_candidates,
     }
 
 
