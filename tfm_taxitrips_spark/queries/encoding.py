@@ -1,0 +1,231 @@
+"""Encoding-damage audit (STAGED, unregistered — an r18 registration
+candidate): the ftfy-style ingest gate a CommonCrawl-scale text pipeline
+runs before any tokenizer sees the corpus — per-source ppm of
+characters lost to the four classic encoding-damage classes:
+
+- **mojibake** — UTF-8 decoded as Latin-1/cp1252 ("Ã©" where "é"
+  belongs, "â€™" where "'" belongs): the signature of a
+  double-encoding hop anywhere in the crawl → WARC → ETL chain;
+- **replacement characters** (U+FFFD) — a lossy decode already
+  happened; the original bytes are unrecoverable;
+- **C1 controls** (U+0085, U+0092 here) — cp1252 bytes smuggled
+  through an ISO-8859-1 decode, invisible in most renderers but
+  tokenizer-visible;
+- **NBSP substitution** (U+00A0 for U+0020) — copy-paste/HTML
+  artifacts that silently split token streams.
+
+The fixture's ``documents.text`` is clean ASCII, so — the
+``url_dedup_gate`` / ``watermark_lateness_audit`` fixture-adapter
+precedent — damage is PLANTED deterministically: ``hash60('enc:' ||
+doc_id) % 20`` picks a damage mode (two mojibake slots, one each of
+the others, 15 clean), with the identical expression in the oracle.
+The GRADED logic is the detector + aggregation, not the derivation.
+
+Detectors are pure string built-ins with NO regex at all: occurrences
+count as ``length(t) - length(replace-chain(t))`` — length-difference
+over literal ``replace``, which has identical semantics in Spark and
+DuckDB (no cross-engine regex-class/lookbehind surface to discipline).
+The counts are damaged CHARS, so ppm = damaged-chars per million
+corpus chars, computed with integer ``div`` end-to-end (bit-stable
+oracle); an all-empty source short-circuits to 0 ppm instead of
+dividing by zero (DuckDB's integer ``// 0`` errors where Spark's
+``div`` returns NULL — the guard keeps both engines off that seam).
+
+Staging discipline: same as :mod:`queries.blobdedup` — the module is
+NOT in ``registry._merged()``; the staging pin in
+``tests/test_encoding_audit.py`` fails loudly if the name registers
+while this docstring still says "staged". Registration at the r18
+freeze is one import in the registry's merge list.
+
+Scale design (100 TB): the audit is scan-shaped — per-row string
+expressions in whole-stage codegen (the replace-chains are a fixed
+small number of passes over each value), then ONE map-side-combined
+groupBy(source) whose output is |sources| rows. No joins, no windows,
+no Python, nothing but per-source sums on the wire.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfm_taxitrips_spark.functions.text import hash60, hash60_sql
+from tfm_taxitrips_spark.operators.partitioning import fan_out
+from tfm_taxitrips_spark.queries.registry import QuerySpec
+from tfm_taxitrips_spark.sources.readers import table
+
+#: UTF-8-as-Latin-1/cp1252 signatures (é è ñ ' respectively). Strip
+#: order matters only for determinism — the chain is identical in both
+#: engines by construction.
+MOJIBAKE_SEQS: tuple[str, ...] = ("Ã©", "Ã¨",
+                                  "Ã±", "â€™")
+REPLACEMENT_CHAR = "\ufffd"
+C1_CHARS: tuple[str, ...] = ("\u0085", "\u0092")
+NBSP = "\u00a0"
+
+#: the planted-damage tails / modes (fixture adapter, mirrored in SQL)
+_MOJI_TAIL = " " + "".join(MOJIBAKE_SEQS)
+_REPL_TAIL = REPLACEMENT_CHAR * 2
+_C1_TAIL = "".join(C1_CHARS)
+_MODES = 20
+
+
+def _strip_chain(col: Column, seqs: tuple[str, ...]) -> Column:
+    for s in seqs:
+        col = F.replace(col, F.lit(s), F.lit(""))
+    return col
+
+
+def _strip_chain_sql(expr: str, seqs: tuple[str, ...]) -> str:
+    for s in seqs:
+        expr = f"replace({expr}, '{s}', '')"
+    return expr
+
+
+def damage_char_counts(text: Column) -> dict[str, Column]:
+    """Damaged-char counts per class on an arbitrary text column — the
+    detector proper, exposed for tests to drive on hand-written damaged
+    strings independently of the fixture-adapter derivation."""
+    n = F.length(text)
+    return {
+        "moji_chars": n - F.length(_strip_chain(text, MOJIBAKE_SEQS)),
+        "repl_chars": n - F.length(_strip_chain(text, (REPLACEMENT_CHAR,))),
+        "c1_chars": n - F.length(_strip_chain(text, C1_CHARS)),
+        "nbsp_chars": n - F.length(_strip_chain(text, (NBSP,))),
+    }
+
+
+def _derived_text() -> Column:
+    """The planted-damage fixture adapter (identical expression in the
+    oracle): mode = hash60('enc:'||doc_id) % 20 → 0/1 mojibake tail,
+    2 replacement tail, 3 C1 tail, 4 NBSP-for-space substitution,
+    else clean."""
+    mode = hash60(
+        F.concat(F.lit("enc:"), F.col("doc_id").cast("string"))) % _MODES
+    t = F.col("text")
+    return (
+        F.when(mode <= 1, F.concat(t, F.lit(_MOJI_TAIL)))
+        .when(mode == 2, F.concat(t, F.lit(_REPL_TAIL)))
+        .when(mode == 3, F.concat(t, F.lit(_C1_TAIL)))
+        .when(mode == 4, F.replace(t, F.lit(" "), F.lit(NBSP)))
+        .otherwise(t)
+    )
+
+
+def q_encoding_damage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding-damage profile: doc counts, damaged-doc
+    counts, and integer ppm of corpus characters in each damage class."""
+    docs = fan_out(table(spark, sf_dir, "documents"))
+    t = _derived_text()
+    counts = damage_char_counts(t)
+    per_doc = (
+        docs.where(F.col("text").isNotNull())  # no payload, no audit row
+        .select(
+            "source",
+            F.length(t).alias("n_chars"),
+            *[c.alias(k) for k, c in counts.items()],
+        )
+    )
+    bad_total = sum(F.col(k) for k in ("moji_chars", "repl_chars",
+                                       "c1_chars", "nbsp_chars"))
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((bad_total > 0).cast("bigint")).alias("damaged_docs"),
+        F.sum("n_chars").alias("chars_total"),
+        F.sum("moji_chars").alias("moji_chars"),
+        F.sum("repl_chars").alias("repl_chars"),
+        F.sum("c1_chars").alias("c1_chars"),
+        F.sum("nbsp_chars").alias("nbsp_chars"),
+    )
+
+    def ppm(num: str, alias: str) -> Column:
+        # integer div; an all-empty source reads 0 ppm, not a crash —
+        # DuckDB's `// 0` errors and Spark's `div` NULLs, so the guard
+        # is semantic, not cosmetic
+        return F.expr(
+            f"CASE WHEN chars_total = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE ({num} * 1000000) div chars_total END"
+        ).alias(alias)
+
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("damaged_docs").cast("bigint").alias("damaged_docs"),
+        F.col("chars_total").cast("bigint").alias("chars_total"),
+        ppm("repl_chars", "replacement_ppm"),
+        ppm("moji_chars", "mojibake_ppm"),
+        ppm("c1_chars", "c1_ppm"),
+        ppm("nbsp_chars", "nbsp_ppm"),
+    )
+
+
+def _audit_sql() -> str:
+    h = hash60_sql("concat('enc:', CAST(doc_id AS VARCHAR))")
+    mode = f"{h} % {_MODES}"
+    derived = f"""CASE
+      WHEN ({mode}) <= 1 THEN text || '{_MOJI_TAIL}'
+      WHEN ({mode}) = 2 THEN text || '{_REPL_TAIL}'
+      WHEN ({mode}) = 3 THEN text || '{_C1_TAIL}'
+      WHEN ({mode}) = 4 THEN replace(text, ' ', '{NBSP}')
+      ELSE text END"""
+    moji = _strip_chain_sql("t", MOJIBAKE_SEQS)
+    repl = _strip_chain_sql("t", (REPLACEMENT_CHAR,))
+    c1 = _strip_chain_sql("t", C1_CHARS)
+    nbsp = _strip_chain_sql("t", (NBSP,))
+    return f"""
+WITH d AS (
+  SELECT source, {derived} AS t
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT source, length(t) AS n_chars,
+         length(t) - length({moji}) AS moji_chars,
+         length(t) - length({repl}) AS repl_chars,
+         length(t) - length({c1}) AS c1_chars,
+         length(t) - length({nbsp}) AS nbsp_chars
+  FROM d
+),
+a AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(CASE WHEN moji_chars + repl_chars + c1_chars + nbsp_chars > 0
+                  THEN 1 ELSE 0 END) AS damaged_docs,
+         SUM(n_chars) AS chars_total,
+         SUM(moji_chars) AS moji_chars,
+         SUM(repl_chars) AS repl_chars,
+         SUM(c1_chars) AS c1_chars,
+         SUM(nbsp_chars) AS nbsp_chars
+  FROM c GROUP BY source
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(damaged_docs AS BIGINT) AS damaged_docs,
+       CAST(chars_total AS BIGINT) AS chars_total,
+       -- CAST the WHOLE case: DuckDB SUM() is HUGEINT and a bare
+       -- hugeint ppm round-trips to pandas as float64, breaking the
+       -- dtype leg of the schema compare
+       CAST(CASE WHEN chars_total = 0 THEN 0
+            ELSE (repl_chars * 1000000) // chars_total END AS BIGINT)
+         AS replacement_ppm,
+       CAST(CASE WHEN chars_total = 0 THEN 0
+            ELSE (moji_chars * 1000000) // chars_total END AS BIGINT)
+         AS mojibake_ppm,
+       CAST(CASE WHEN chars_total = 0 THEN 0
+            ELSE (c1_chars * 1000000) // chars_total END AS BIGINT)
+         AS c1_ppm,
+       CAST(CASE WHEN chars_total = 0 THEN 0
+            ELSE (nbsp_chars * 1000000) // chars_total END AS BIGINT)
+         AS nbsp_ppm
+FROM a
+"""
+
+
+_ENCODING_AUDIT_SQL = _audit_sql()
+
+
+#: NOT merged into the registry (see module docstring / staging pin).
+QUERIES: dict[str, QuerySpec] = {
+    "encoding_damage_audit": QuerySpec(
+        q_encoding_damage_audit, _ENCODING_AUDIT_SQL,
+        tags=("text", "quality", "audit")),
+}
