@@ -90,10 +90,13 @@ def test_audit_matches_python_replay(spark, tmp_path):
     import random
 
     rng = random.Random(0xEC0)
-    alphabet = "word another Ã© thing â€™ plain � x  y   "
+    # damage tokens built from the module constants — NEVER as literal
+    # invisible chars in source (the banked escape-only rule)
+    words = ["word", "another", "Ã©", "thing", "â€™", "plain",
+             REPLACEMENT_CHAR, "x" + C1_CHARS[0], "y" + NBSP, ""]
     rows = []
     for i in range(200):
-        base = " ".join(rng.choice(alphabet.split(" "))
+        base = " ".join(rng.choice(words)
                         for _ in range(rng.randrange(0, 30)))
         rows.append((i, f"s{i % 4}", base))
     _write_docs(tmp_path, rows)
@@ -122,12 +125,10 @@ def test_audit_matches_python_replay(spark, tmp_path):
                        ("c1_ppm", "c1"), ("nbsp_ppm", "nbsp")):
             want = 0 if e["chars"] == 0 else (e[k] * 1000000) // e["chars"]
             assert r[col] == want, (s, col)
-    # and the oracle agrees on the same synthetic corpus
-    spark_rows = sorted(
-        tuple(r) for r in q_encoding_damage_audit(spark, str(tmp_path))
-        .select("source", "n_docs", "damaged_docs", "chars_total",
-                "replacement_ppm", "mojibake_ppm", "c1_ppm", "nbsp_ppm")
-        .collect())
+    # and the oracle agrees on the same synthetic corpus — derived from
+    # the rows ALREADY collected (the query's column order is the
+    # oracle's), not a second Spark run
+    spark_rows = sorted(tuple(r) for r in got.values())
     assert spark_rows == _duck_rows(
         tmp_path, QUERIES["encoding_damage_audit"].oracle)
 
@@ -160,6 +161,23 @@ def test_detector_counts_hand_written_cases(spark):
             (moji, repl, c1, nbsp), t
 
 
+def test_interleaved_splice_undercounts_by_design(spark):
+    """Pin the documented replace-chain limitation (see
+    ``damage_char_counts``): stripping one sequence can splice a new
+    occurrence of an earlier sequence together, which the fixed-order
+    chain never revisits — moji counts 3 (the â€™), not 5, and the
+    behavior is IDENTICAL in the Python replay, so the differential can
+    never trip on it. If this test starts failing with 5, the chain
+    gained fixpoint iteration and the docstring + this pin must move
+    together."""
+    spliced = "Ã" + "â€™" + "©"
+    df = spark.createDataFrame([(spliced,)], "t string")
+    counts = damage_char_counts(F.col("t"))
+    r = df.select(*[c.alias(k) for k, c in counts.items()]).collect()[0]
+    assert r.moji_chars == 3
+    assert _py_damaged_chars(spliced, MOJIBAKE_SEQS) == 3
+
+
 # --------------------------------------------------------------------------
 # edge guards
 # --------------------------------------------------------------------------
@@ -179,10 +197,7 @@ def test_all_empty_source_reads_zero_ppm_not_crash(spark, tmp_path):
     assert r.chars_total == 0
     assert (r.replacement_ppm, r.mojibake_ppm, r.c1_ppm, r.nbsp_ppm) == \
         (0, 0, 0, 0)
-    spark_rows = sorted(tuple(x) for x in
-                        q_encoding_damage_audit(spark, str(tmp_path))
-                        .collect())
-    assert spark_rows == _duck_rows(
+    assert sorted(tuple(x) for x in rows) == _duck_rows(
         tmp_path, QUERIES["encoding_damage_audit"].oracle)
 
 

@@ -70,6 +70,25 @@ _C1_TAIL = "".join(C1_CHARS)
 _MODES = 20
 
 
+def _ppm_int64(num: str, den: str) -> str:
+    """Exact ``floor(num * 1e6 / den)`` in pure int64-safe integer ops
+    (both engines' ``div``/``%`` agree on non-negative args). The naive
+    ``(num * 1000000) div den`` overflows int64 once a source carries
+    > ~9.2e12 damaged chars in one class — inside the module's own
+    100 TB design point — so the multiply is decomposed into three
+    exact terms (num = a·den + r; r·1e6 split as two ·1000 steps),
+    every intermediate < 2^63 for den < 9.2e15 (~9 PB of text per
+    source; property-checked over 200k random (num, den) pairs before
+    landing). The DuckDB oracle keeps the naive form — its SUM() is
+    already HUGEINT, so the naive product is exact there and provably
+    equal to this decomposition."""
+    a = f"(({num}) div ({den}))"
+    r = f"(({num}) % ({den}))"
+    s1 = f"(({r} * 1000) div ({den}))"
+    rem1 = f"(({r} * 1000) % ({den}))"
+    return f"{a} * 1000000 + {s1} * 1000 + ({rem1} * 1000) div ({den})"
+
+
 def _strip_chain(col: Column, seqs: tuple[str, ...]) -> Column:
     for s in seqs:
         col = F.replace(col, F.lit(s), F.lit(""))
@@ -85,7 +104,19 @@ def _strip_chain_sql(expr: str, seqs: tuple[str, ...]) -> str:
 def damage_char_counts(text: Column) -> dict[str, Column]:
     """Damaged-char counts per class on an arbitrary text column — the
     detector proper, exposed for tests to drive on hand-written damaged
-    strings independently of the fixture-adapter derivation."""
+    strings independently of the fixture-adapter derivation.
+
+    Documented limitation (inherent to any fixed-order replace chain,
+    identical across Spark/DuckDB/the replay, pinned by
+    ``test_interleaved_splice_undercounts_by_design``): removing one
+    sequence can splice a NEW occurrence of an earlier sequence
+    together (e.g. ``'Ã' + 'â€™' + '©'`` — stripping ``'â€™'`` leaves
+    ``'Ã©'``, which the already-run ``'Ã©'`` pass never sees), so
+    interleaved damage under-counts. The alternative — iterate-to-
+    fixpoint or regex alternation — buys a pathological-input edge at
+    the cost of the regex-free cross-engine guarantee; the audit is a
+    corpus-health METER, and a meter that strictly under-counts on
+    adversarial splices still gates real damage correctly."""
     n = F.length(text)
     return {
         "moji_chars": n - F.length(_strip_chain(text, MOJIBAKE_SEQS)),
@@ -139,12 +170,12 @@ def q_encoding_damage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ppm(num: str, alias: str) -> Column:
-        # integer div; an all-empty source reads 0 ppm, not a crash —
-        # DuckDB's `// 0` errors and Spark's `div` NULLs, so the guard
-        # is semantic, not cosmetic
+        # the all-empty-source guard (DuckDB's `// 0` errors and
+        # Spark's `div` NULLs — semantic, not cosmetic) around the
+        # int64-safe exact floor decomposition
         return F.expr(
             f"CASE WHEN chars_total = 0 THEN CAST(0 AS BIGINT) "
-            f"ELSE ({num} * 1000000) div chars_total END"
+            f"ELSE CAST({_ppm_int64(num, 'chars_total')} AS BIGINT) END"
         ).alias(alias)
 
     return agg.select(
@@ -157,6 +188,17 @@ def q_encoding_damage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppm("c1_chars", "c1_ppm"),
         ppm("nbsp_chars", "nbsp_ppm"),
     )
+
+
+def _oracle_ppm(num: str, alias: str) -> str:
+    """The oracle twin of the Spark-side ``ppm()``: DuckDB's SUM() is
+    already HUGEINT so the NAIVE product is exact (provably equal to
+    the Spark side's :func:`_ppm_int64` decomposition); the outer CAST
+    covers the whole CASE because a bare hugeint round-trips to pandas
+    as float64, breaking the dtype leg of the schema compare."""
+    return (f"CAST(CASE WHEN chars_total = 0 THEN 0 "
+            f"ELSE ({num} * 1000000) // chars_total END AS BIGINT) "
+            f"AS {alias}")
 
 
 def _audit_sql() -> str:
@@ -201,21 +243,10 @@ SELECT source,
        CAST(n_docs AS BIGINT) AS n_docs,
        CAST(damaged_docs AS BIGINT) AS damaged_docs,
        CAST(chars_total AS BIGINT) AS chars_total,
-       -- CAST the WHOLE case: DuckDB SUM() is HUGEINT and a bare
-       -- hugeint ppm round-trips to pandas as float64, breaking the
-       -- dtype leg of the schema compare
-       CAST(CASE WHEN chars_total = 0 THEN 0
-            ELSE (repl_chars * 1000000) // chars_total END AS BIGINT)
-         AS replacement_ppm,
-       CAST(CASE WHEN chars_total = 0 THEN 0
-            ELSE (moji_chars * 1000000) // chars_total END AS BIGINT)
-         AS mojibake_ppm,
-       CAST(CASE WHEN chars_total = 0 THEN 0
-            ELSE (c1_chars * 1000000) // chars_total END AS BIGINT)
-         AS c1_ppm,
-       CAST(CASE WHEN chars_total = 0 THEN 0
-            ELSE (nbsp_chars * 1000000) // chars_total END AS BIGINT)
-         AS nbsp_ppm
+       {_oracle_ppm("repl_chars", "replacement_ppm")},
+       {_oracle_ppm("moji_chars", "mojibake_ppm")},
+       {_oracle_ppm("c1_chars", "c1_ppm")},
+       {_oracle_ppm("nbsp_chars", "nbsp_ppm")}
 FROM a
 """
 
