@@ -210,6 +210,47 @@ def test_null_text_rows_are_gated_out(spark, tmp_path):
     assert rows[0].n_docs == 1
 
 
+def test_ppm_int64_identity_in_both_engines(spark):
+    """Pin the exact-floor decomposition AS GENERATED SQL, evaluated by
+    both real engines over a seeded (num, den) sweep that includes the
+    int64-overflow region the naive form dies in (den up to 9e15,
+    num ≤ den) — expected values from Python's arbitrary-precision
+    `(num * 10**6) // den`. This is the in-tree form of the 200k-pair
+    property check the module docstring cites."""
+    import random
+
+    import duckdb
+
+    from tfm_taxitrips_spark.queries.encoding import _ppm_int64
+
+    rng = random.Random(0x99)
+    pairs = []
+    for _ in range(300):
+        den = rng.randrange(1, 9_000_000_000_000_000)
+        pairs.append((rng.randrange(0, den + 1), den))
+    # edge rows: num==0, num==den, den==1, and the exact overflow edge
+    pairs += [(0, 1), (1, 1), (5, 5), (9_223_372_036_854, 9_223_372_036_855),
+              (8_999_999_999_999_999, 9_000_000_000_000_000 - 1)]
+    assert len(set(pairs)) == len(pairs)  # keyed compare needs uniqueness
+    expected = sorted((n, d, (n * 1_000_000) // d) for n, d in pairs)
+    expr = _ppm_int64("num", "den")
+
+    sdf = spark.createDataFrame(pairs, "num long, den long")
+    got_spark = sorted(
+        (r.num, r.den, r.ppm) for r in
+        sdf.selectExpr("num", "den",
+                       f"CAST({expr} AS BIGINT) AS ppm").collect())
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(num BIGINT, den BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    got_duck = sorted(tuple(r) for r in con.execute(
+        f"SELECT num, den, CAST({expr.replace(' div ', ' // ')} AS BIGINT) "
+        f"FROM p").fetchall())
+    assert got_duck == expected
+
+
 # --------------------------------------------------------------------------
 # staging pin
 # --------------------------------------------------------------------------

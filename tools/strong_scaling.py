@@ -128,6 +128,7 @@ SHAPE_TABLES = {
     "srcprune": ("documents",),
     "epaudit": ("events",),
     "blobsim": ("documents",),
+    "encaudit": ("documents",),
 }
 
 #: shapes whose stress can silently vanish under replication (the
@@ -200,6 +201,7 @@ def shuffle_write_bytes(spark) -> int:
 def _shapes() -> dict:
     from tfm_taxitrips_spark.queries.analytics import q_ks_split_drift
     from tfm_taxitrips_spark.queries.blobdedup import q_blob_dup_candidates
+    from tfm_taxitrips_spark.queries.encoding import q_encoding_damage_audit
     from tfm_taxitrips_spark.queries.dataprep import (
         q_domain_mix_waterfill,
         q_label_leakage_audit,
@@ -381,6 +383,14 @@ def _shapes() -> dict:
         # and the output collapses to zero (the guard working, but a
         # vacuous leg — NONEMPTY_SHAPES pins that rows flowed).
         "blobsim": q_blob_dup_candidates,
+        # ENCODING-AUDIT shape (round 17, staged family): the purest
+        # scan-shaped leg in the set — per-row replace-chain detectors
+        # in whole-stage codegen feeding ONE map-side-combined
+        # groupBy(source) that emits |sources| rows. The leg exists to
+        # show the audit rides the scan: wall should track cores until
+        # the fixed floor, and shuffle volume is per-source sums only
+        # (KB-scale, flat in both cores AND data).
+        "encaudit": q_encoding_damage_audit,
     }
 
 
