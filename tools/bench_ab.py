@@ -66,11 +66,24 @@ def run_bench(tree: str) -> dict:
                  "hung Spark session? No artifact written.")
     if res.returncode != 0:
         sys.exit(f"bench leg failed in {tree}:\n{res.stderr[-2000:]}")
+    # r17 ADVICE #2: a stray log line starting with '{' (or a
+    # pretty-printed multi-line tail from an older base tree) must not
+    # crash the leg — keep scanning past anything that doesn't parse as
+    # a one-line JSON object carrying the bench payload shape
     for line in reversed(res.stdout.splitlines()):
         line = line.strip()
-        if line.startswith("{"):
-            return json.loads(line)
-    sys.exit(f"no JSON line in bench output from {tree}")
+        if not line.startswith("{"):
+            continue
+        try:
+            payload = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(payload, dict) and "queries" in payload:
+            return payload
+    sys.exit(
+        f"no parseable bench JSON line with a 'queries' key in output "
+        f"from {tree} — if this is the base leg, its bench.py "
+        "(pre-r16 payload schema?) may not emit the current shape")
 
 
 def main() -> None:
