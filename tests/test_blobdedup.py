@@ -209,22 +209,18 @@ def test_candidates_match_oracle_on_adversarial_corpus(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
-# staging pin (the r16 boilerplate two-way pattern)
+# registration pin (the staging pin flipped at the r18 freeze)
 # --------------------------------------------------------------------------
 
 
-def test_family_is_staged_unregistered():
-    """FAILS the round this family reaches the registry: either flip the
-    module docstring away from "staged" and delete this test's
-    unregistered arm, or keep it out of ``_merged()``. Registration at
-    the r18 freeze = add ``blobdedup`` to the ``_merged()`` import list;
-    the planner fronts the two rows as never-graded class 0."""
+def test_family_is_registered():
+    """Flipped at the r18 freeze (was the r17 staging pin): the family
+    is in the registry with its full bundle."""
     from tfm_taxitrips_spark.queries.registry import registration_order
 
     names = set(registration_order())
-    assert "blob_simhash" not in names
-    assert "blob_dup_candidates" not in names
-    # registration-readiness: the bundle is complete at the staging site
+    assert "blob_simhash" in names
+    assert "blob_dup_candidates" in names
     for name, spec in QUERIES.items():
         assert callable(spec.fn), name
         assert spec.oracle and "SELECT" in spec.oracle.upper(), name

@@ -276,26 +276,20 @@ def test_whitespace_class_is_engine_portable(spark, tmp_path):
         assert got == _py_lines(text), doc_id
 
 
-def test_family_is_unregistered_and_fixture_still_blocks(spark):
-    """The staging contract, pinned both ways: (a) none of these
-    operators is registered (registering post-freeze would break the
-    r16 window; the TESTDATA blocker stands), and (b) the CURRENT
-    driver fixture still has zero punctuated documents — when this
-    assertion FAILS, the generator shipped punctuation and the family
-    should be registered next freeze (delete this direction then)."""
+def test_family_is_registered_via_adapter(spark):
+    """Flipped at the r18 freeze: the family IS registered — through
+    the planted-punctuation adapter (``queries/boilerq.py``), closing
+    the seven-round TESTDATA deadlock the r17 verdict ordered decided.
+    The adapter derives sentence boundaries + planted banners
+    deterministically from the fixture with identical expressions in
+    both engines (see test_boilerq.py for the registered bundle's own
+    suite); this machinery-level suite keeps grading the raw operators
+    on synthetic punctuated corpora."""
     from tfm_taxitrips_spark.queries.registry import all_queries
 
     names = set(all_queries())
-    assert not {n for n in names if "boilerplate" in n or "ccnet" in n}
-
-    import duckdb
-
-    n = duckdb.sql(
-        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet' "
-        "WHERE text LIKE '%.%' OR text LIKE '%!%' OR text LIKE '%?%'"
-    ).fetchone()[0]
-    assert n == 0, ("documents.text gained punctuation — register the "
-                    "boilerplate family next freeze")
+    assert {"boilerplate_line_table", "boilerplate_strip",
+            "line_terminal_punct_ppm"} <= names
 
 
 if __name__ == "__main__":

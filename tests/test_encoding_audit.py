@@ -252,17 +252,15 @@ def test_ppm_int64_identity_in_both_engines(spark):
 
 
 # --------------------------------------------------------------------------
-# staging pin
+# registration pin (the staging pin flipped at the r18 freeze)
 # --------------------------------------------------------------------------
 
 
-def test_family_is_staged_unregistered():
-    """FAILS the round this query reaches the registry while the module
-    docstring still says "staged" — registration at the r18 freeze is
-    one import in ``registry._merged()``."""
+def test_family_is_registered():
+    """Flipped at the r18 freeze (was the r17 staging pin)."""
     from tfm_taxitrips_spark.queries.registry import registration_order
 
-    assert "encoding_damage_audit" not in set(registration_order())
+    assert "encoding_damage_audit" in set(registration_order())
     for name, spec in QUERIES.items():
         assert callable(spec.fn), name
         assert spec.oracle and "SELECT" in spec.oracle.upper(), name

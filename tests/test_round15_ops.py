@@ -302,7 +302,7 @@ def test_committed_window_is_planner_verbatim(monkeypatch):
 
     from tfm_taxitrips_spark.queries import registry, rotation
 
-    _FREEZE_ROUND = 17
+    _FREEZE_ROUND = 18
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if rotation._round_markers(repo) is None:
         pytest.skip("git round markers unavailable")

@@ -1,22 +1,25 @@
-"""CCNet-style line/sentence boilerplate machinery — PRE-LANDED r16,
-UNREGISTERED (the r15 ``star_guard`` staging precedent).
+"""CCNet-style line/sentence boilerplate machinery — pre-landed r16,
+REGISTERED at the r18 freeze through the planted-punctuation adapter
+(:mod:`tfm_taxitrips_spark.queries.boilerq`).
 
 The CCNet pipeline (Wenzek et al., "CCNet: Extracting High Quality
 Monolingual Datasets from Web Crawl Data", 2020 — public paper) dedups
 web text at the LINE level before any document-level dedup: boilerplate
 (nav bars, cookie banners, footers) repeats verbatim across documents
 of a source, so a line whose normalized fingerprint appears in ≥ k
-documents is removed wherever it occurs. This family has been blocked
-as a REGISTERED query surface since r12 because the driver fixture's
+documents is removed wherever it occurs. This family was blocked as a
+REGISTERED query surface from r12 to r17 because the driver fixture's
 ``documents.text`` carries no sentence punctuation or newlines (the
-standing TESTDATA request, six rounds running) — on that fixture every
+standing TESTDATA request, seven rounds) — on that fixture every
 document is ONE line and the operators degenerate to exact-dedup
-shapes. The machinery itself needs nothing from the fixture, so it
-lands now with full behavioral tests on synthetic punctuated corpora
+shapes. The machinery itself needs nothing from the fixture: it landed
+in r16 with full behavioral tests on synthetic punctuated corpora
 (tests/test_boilerplate.py: engine parity, exact-Python replay, NULL
-probes, the degenerate no-punctuation case); when the generator ships
-punctuation, registration is one ``QUERIES`` entry per operator with
-these functions and oracle fragments as-is.
+probes, the degenerate no-punctuation case), and registered at the r18
+freeze via the deterministic planted-punctuation adapter in
+:mod:`queries.boilerq` (the ``encoding_damage_audit`` fixture-adapter
+precedent) — the graded logic is exactly these functions and oracle
+fragments.
 
 Cross-engine design notes (the reason these helpers exist at all):
 
@@ -144,18 +147,25 @@ def doc_lines(docs: DataFrame) -> DataFrame:
     )
 
 
-#: the oracle-side twin of :func:`doc_lines`, as a CTE body fragment
-#: over ``documents`` — DuckDB zips parallel unnests, so the 0-based
-#: ordinal comes from a range() of the same list's length
-_DOC_LINES_CTE = f"""doc_lines AS (
+def doc_lines_cte(source_sql: str = "documents") -> str:
+    """The oracle-side twin of :func:`doc_lines`, as a CTE body
+    fragment — DuckDB zips parallel unnests, so the 0-based ordinal
+    comes from a range() of the same list's length. ``source_sql`` is
+    the relation to scan (default the raw ``documents`` view; the
+    registered queries pass an aliased derived-text subquery — the
+    planted-punctuation fixture adapter, r18)."""
+    return f"""doc_lines AS (
   SELECT doc_id, source,
          unnest(range(len(lines))) AS line_no,
          unnest(lines) AS line,
          {line_fingerprint_sql("unnest(lines)")} AS lhash
   FROM (SELECT doc_id, source, {sentence_lines_sql("text")} AS lines
-        FROM documents
+        FROM {source_sql}
         WHERE text IS NOT NULL)
 )"""
+
+
+_DOC_LINES_CTE = doc_lines_cte()
 
 
 def boilerplate_lines(docs: DataFrame,
@@ -188,8 +198,9 @@ def _boilerplate_from_lines(lines: DataFrame, min_docs: int) -> DataFrame:
     )
 
 
-def boilerplate_lines_sql(min_docs: int = BOILERPLATE_MIN_DOCS) -> str:
-    return f"""WITH {_DOC_LINES_CTE}
+def boilerplate_lines_sql(min_docs: int = BOILERPLATE_MIN_DOCS,
+                          source_sql: str = "documents") -> str:
+    return f"""WITH {doc_lines_cte(source_sql)}
 SELECT lhash,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_occurrences,
@@ -213,39 +224,39 @@ def strip_boilerplate(docs: DataFrame,
     normally tiny (→ broadcast), but a pathological corpus where most
     distinct lines repeat everywhere degrades to a shuffle hash join
     instead of OOMing a forced broadcast."""
-    # ONE explode lineage feeds both sides of the anti-join (review
-    # finding: building boilerplate_lines(docs) here would re-run the
-    # scan + split + normalize + hash pipeline a second time)
-    lines = doc_lines(docs)
+    # ONE explode lineage, consumed exactly twice (the flagged-set
+    # aggregation and the join probe side) behind a lazy checkpoint
+    # fence — the r18 registration's .explain review found the
+    # original anti-join + separate totals shape re-ran the scan +
+    # split + normalize + hash pipeline THREE times (3 parquet scans
+    # in the plan). The flagged set joins back as a LEFT join with a
+    # marker column so totals, removed counts, and the line-ordered
+    # rebuild all come out of ONE per-doc aggregation: collect_list
+    # skips the NULL the `when` leaves on flagged rows, so the rebuilt
+    # text is the kept lines only, and an all-flagged document still
+    # keeps its row (empty array → empty string).
+    lines = doc_lines(docs).localCheckpoint(eager=False)
     flagged = (_boilerplate_from_lines(lines, min_docs)
-               .where("is_boilerplate").select("lhash"))
-    kept = lines.join(flagged, "lhash", "left_anti")
-    per_doc = kept.groupBy("doc_id").agg(
+               .where("is_boilerplate").select("lhash")
+               .withColumn("_bp", F.lit(True)))
+    marked = lines.join(flagged, "lhash", "left")
+    kept_entry = F.when(F.col("_bp").isNull(),
+                        F.struct("line_no", "line"))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.count_if(F.col("_bp").isNotNull()).cast("bigint")
+        .alias("n_removed"),
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                lambda x: x["line"],
-            ),
+            F.transform(F.array_sort(F.collect_list(kept_entry)),
+                        lambda x: x["line"]),
             "\n",
         ).alias("text_clean"),
-        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-    )
-    totals = lines.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lines"))
-    return (
-        totals.join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_lines",
-            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
-            .cast("bigint").alias("n_removed"),
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-        )
-    )
+    ).select("doc_id", "n_lines", "n_removed", "text_clean")
 
 
-def strip_boilerplate_sql(min_docs: int = BOILERPLATE_MIN_DOCS) -> str:
-    return f"""WITH {_DOC_LINES_CTE},
+def strip_boilerplate_sql(min_docs: int = BOILERPLATE_MIN_DOCS,
+                          source_sql: str = "documents") -> str:
+    return f"""WITH {doc_lines_cte(source_sql)},
 flagged AS (
   SELECT lhash
   FROM doc_lines
@@ -295,9 +306,9 @@ def terminal_punct_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def terminal_punct_stats_sql() -> str:
+def terminal_punct_stats_sql(source_sql: str = "documents") -> str:
     in_list = ", ".join(f"'{c}'" for c in LINE_TERMINALS)
-    return f"""WITH {_DOC_LINES_CTE}
+    return f"""WITH {doc_lines_cte(source_sql)}
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
        CAST(SUM(CASE WHEN substr(line, -1, 1) IN ({in_list})

@@ -1,5 +1,5 @@
-"""Blob-level near-duplicate detection (STAGED, unregistered — the r18
-registration candidate): extends the dedup families — exact (text hash),
+"""Blob-level near-duplicate detection (REGISTERED at the r18 freeze,
+after landing fully staged in r17): extends the dedup families — exact (text hash),
 MinHash/LSH + SimHash (text), embedding-cosine (vectors) — to the
 MULTIMODAL binary column, which until now had featurization but no
 dedup. A 60-bit SimHash (Charikar 2002; the Manku-Jain-Sarma 2007
@@ -7,16 +7,13 @@ web-crawl near-dup construction) over stride-sampled byte 4-grams of the
 payload, then an LSH band join over 4×15-bit bands — candidates only
 ever meet through a shared band bucket, never an all-pairs product.
 
-Staging discipline (the r15 ``star_guard`` / r16 ``boilerplate``
-precedent): the r17 window is FROZEN, and registering a new operator
-after the freeze would create a never-graded row and break the
-rotation invariant. So the family lands fully built — queries, oracle
-twins at the same definition site, behavioral + differential tests —
-but the module is NOT in ``registry._merged()``'s import list. The
-staging pin (``tests/test_blobdedup.py::test_family_is_staged_
-unregistered``) fails loudly if the names appear in the registry while
-this docstring still says "staged", and registration at the r18 freeze
-is one import + two dict merges.
+Staging history (the r15 ``star_guard`` / r16 ``boilerplate``
+precedent): built + fully tested in r17 AFTER that round's window
+froze — registering then would have created never-graded rows and
+broken the rotation invariant — so the module sat complete but outside
+``registry._merged()`` for one round, pinned by a staging test. The
+r18 freeze flipped the import and the pin; the planner fronts both
+rows as never-graded class 0.
 
 Scale design (100 TB):
 
@@ -186,7 +183,16 @@ def q_blob_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-banded near-dup candidate pairs over the blob signatures:
     pairs sharing ≥1 of the 4 bands, verified to Hamming ≤ HAMMING_MAX
     over the full 60 bits. Never all-pairs: the join key is
-    (band_idx, band_value), capped at ``BAND_DF_CAP`` per bucket."""
+    (band_idx, band_value), capped at ``BAND_DF_CAP`` per bucket.
+
+    ``n_shared_bands`` is RECOMPUTED from the two signatures (equality
+    over all 4 bands), not from the surviving LSH buckets — a band
+    whose (k, bv) bucket was dropped by ``BAND_DF_CAP`` still counts
+    when the band values are equal, so the column can exceed the number
+    of buckets the pair actually met through (r17 ADVICE #3: the value
+    is the signature-level agreement meter, consistent across both
+    engines; the bucket-level provenance is deliberately not exposed).
+    """
     sig = _blob_signatures(spark, sf_dir).where(F.col("n_wins") > 0)
     # the band relation feeds TWO consumers (the bucket-size head and the
     # anti-join probe side): lazy localCheckpoint so the payload scan +
@@ -278,9 +284,7 @@ WHERE {hamming} <= {HAMMING_MAX}
 _BLOB_DUP_CANDIDATES_SQL = _dup_candidates_sql()
 
 
-#: NOT merged into the registry (see module docstring). At the r18
-#: freeze: import this module in ``registry._merged()``'s list and the
-#: planner fronts the two rows as never-graded class 0 automatically.
+#: merged into the registry at the r18 freeze (see module docstring).
 QUERIES: dict[str, QuerySpec] = {
     "blob_simhash": QuerySpec(
         q_blob_simhash, _BLOB_SIMHASH_SQL, tags=("multimodal", "dedup")),

@@ -1,5 +1,5 @@
-"""Encoding-damage audit (STAGED, unregistered — an r18 registration
-candidate): the ftfy-style ingest gate a CommonCrawl-scale text pipeline
+"""Encoding-damage audit (REGISTERED at the r18 freeze, after landing
+fully staged in r17): the ftfy-style ingest gate a CommonCrawl-scale text pipeline
 runs before any tokenizer sees the corpus — per-source ppm of
 characters lost to the four classic encoding-damage classes:
 
@@ -31,11 +31,10 @@ oracle); an all-empty source short-circuits to 0 ppm instead of
 dividing by zero (DuckDB's integer ``// 0`` errors where Spark's
 ``div`` returns NULL — the guard keeps both engines off that seam).
 
-Staging discipline: same as :mod:`queries.blobdedup` — the module is
-NOT in ``registry._merged()``; the staging pin in
-``tests/test_encoding_audit.py`` fails loudly if the name registers
-while this docstring still says "staged". Registration at the r18
-freeze is one import in the registry's merge list.
+Staging history: same as :mod:`queries.blobdedup` — built + fully
+tested in r17 after that round's freeze, registered at the r18 freeze
+(one import in the registry's merge list; the staging pin flipped with
+it).
 
 Scale design (100 TB): the audit is scan-shaped — per-row string
 expressions in whole-stage codegen (the replace-chains are a fixed
@@ -254,7 +253,7 @@ FROM a
 _ENCODING_AUDIT_SQL = _audit_sql()
 
 
-#: NOT merged into the registry (see module docstring / staging pin).
+#: merged into the registry at the r18 freeze (see module docstring).
 QUERIES: dict[str, QuerySpec] = {
     "encoding_damage_audit": QuerySpec(
         q_encoding_damage_audit, _ENCODING_AUDIT_SQL,

@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.text import hash60, hash60_sql
+from tfm_taxitrips_spark.queries.encoding import _ppm_int64
 from tfm_taxitrips_spark.queries.registry import QuerySpec
 from tfm_taxitrips_spark.sources.readers import table
 
@@ -332,7 +333,12 @@ def q_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("wm") - F.col("us")).alias("max_lateness_us"),
     ).select(
         "event_type", "n_rows", "n_late",
-        F.expr("(n_late * 1000000) div n_rows").alias("late_ppm"),
+        # the int64-exact floor decomposition (encoding._ppm_int64,
+        # r17 ADVICE #1): the naive (n_late * 1000000) div n_rows
+        # overflows int64 past ~9.2e12 late rows per event_type —
+        # inside this module's own 100 TB design claim
+        F.expr(f"CAST({_ppm_int64('n_late', 'n_rows')} AS BIGINT)")
+        .alias("late_ppm"),
         "max_lateness_us",
     )
 
@@ -352,15 +358,24 @@ l AS (
                        AND 1 PRECEDING) AS wm
   FROM a
 )
-SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(COUNT(*) FILTER (WHERE wm - us > {WM_DELAY_US}) AS BIGINT)
-         AS n_late,
-       (COUNT(*) FILTER (WHERE wm - us > {WM_DELAY_US}) * 1000000)
-         // COUNT(*) AS late_ppm,
-       MAX(wm - us) AS max_lateness_us
-FROM l
-GROUP BY 1
+SELECT event_type, n_rows, n_late,
+       -- HUGEINT-exact naive product (the encoding._oracle_ppm
+       -- rationale): DuckDB's bare BIGINT multiply RAISES on overflow
+       -- rather than wrapping, so the widen keeps the oracle off that
+       -- seam at any count; provably equal to the Spark side's
+       -- _ppm_int64 decomposition (r17 ADVICE #1)
+       CAST((CAST(n_late AS HUGEINT) * 1000000) // n_rows AS BIGINT)
+         AS late_ppm,
+       max_lateness_us
+FROM (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) FILTER (WHERE wm - us > {WM_DELAY_US}) AS BIGINT)
+           AS n_late,
+         MAX(wm - us) AS max_lateness_us
+  FROM l
+  GROUP BY 1
+)
 """
 
 

@@ -129,6 +129,7 @@ SHAPE_TABLES = {
     "epaudit": ("events",),
     "blobsim": ("documents",),
     "encaudit": ("documents",),
+    "boilstrip": ("documents",),
 }
 
 #: shapes whose stress can silently vanish under replication (the
@@ -201,6 +202,7 @@ def shuffle_write_bytes(spark) -> int:
 def _shapes() -> dict:
     from tfm_taxitrips_spark.queries.analytics import q_ks_split_drift
     from tfm_taxitrips_spark.queries.blobdedup import q_blob_dup_candidates
+    from tfm_taxitrips_spark.queries.boilerq import q_boilerplate_strip
     from tfm_taxitrips_spark.queries.encoding import q_encoding_damage_audit
     from tfm_taxitrips_spark.queries.dataprep import (
         q_domain_mix_waterfill,
@@ -391,6 +393,16 @@ def _shapes() -> dict:
         # the fixed floor, and shuffle volume is per-source sums only
         # (KB-scale, flat in both cores AND data).
         "encaudit": q_encoding_damage_audit,
+        # BOILERPLATE-STRIP shape (round 18 registration): the heaviest
+        # member of the CCNet line family — planted-punctuation adapter
+        # fused into the scan, ONE fenced explode lineage, flagged-set
+        # marker join (AQE-broadcast), ONE per-doc rebuild aggregation.
+        # Under replication every replicated line crosses min_docs, so
+        # the flagged set grows to ~all distinct lines and the strip
+        # removes everything — the leg stresses the rebuild agg with a
+        # worst-case flagged join side; output stays |docs| rows by
+        # construction (every doc keeps its row).
+        "boilstrip": q_boilerplate_strip,
     }
 
 
