@@ -53,19 +53,47 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _plane_values(j: int, dim: int = EMBEDDING_DIM) -> list[float]:
+    """The plane-j coefficients, computed once on the driver. Bit-identical
+    to the former per-row expression: the LCG products stay far below 2^63
+    (max ≈ 5.7e11 at j*dim+d ≤ 512·dim), the modulus yields an integer in
+    [0, 2000], and int→double, /1000.0, -1.0 are each exact IEEE-754
+    operations with one deterministic rounding — Python and the JVM agree
+    on every value."""
+    return [
+        float((_PLANE_MUL * (j * dim + d) + _PLANE_ADD) % _PLANE_MOD) / 1000.0 - 1.0
+        for d in range(dim)
+    ]
+
+
+#: built-plane memo: the literal Column for (j, dim) is immutable plan
+#: fragment — built once per process, reused by every query construction.
+#: Building it costs ``dim`` ``F.lit`` py4j round-trips (~64 per plane,
+#: 512 per bucket expression), which showed up as ~0.2 s of pure driver
+#: build time per ANN query (guide §1 'measure first'; profile_memo1).
+#: Safe across sessions: local-mode JVM and its py4j gateway outlive
+#: ``SparkSession.stop()``, and a literal expression holds no session
+#: state.
+_PLANE_MEMO: dict[tuple[int, int], Column] = {}
+
+
 def _plane(j: int, dim: int = EMBEDDING_DIM) -> Column:
     """Pseudo-random hyperplane j as array<double> in [-1, 1], derived from
-    integer arithmetic only (LCG over plane*dim+d). BIGINT math on both
-    engines — Spark int*int would silently wrap."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: (
-            (F.lit(_PLANE_MUL).cast("long") * (F.lit(j * dim).cast("long") + d) + _PLANE_ADD)
-            % _PLANE_MOD
-        ).cast("double")
-        / 1000.0
-        - 1.0,
-    )
+    integer arithmetic only (LCG over plane*dim+d; BIGINT math on both
+    engines — Spark int*int would silently wrap).
+
+    r18 optimization (guide §1.2 'per-task work'): emitted as a LITERAL
+    array. The previous ``transform(sequence(0, dim-1), …)`` form is a
+    higher-order function Catalyst does not constant-fold, so every row
+    re-derived all ``n_planes × dim`` coefficients before the dot product
+    — pure waste replicated per row per plane. Values are identical (see
+    :func:`_plane_values`); the SQL oracle keeps the expression form."""
+    key = (j, dim)
+    col = _PLANE_MEMO.get(key)
+    if col is None:
+        col = F.array(*[F.lit(v) for v in _plane_values(j, dim)])
+        _PLANE_MEMO[key] = col
+    return col
 
 
 def plane_sql(j: int, dim: int = EMBEDDING_DIM) -> str:

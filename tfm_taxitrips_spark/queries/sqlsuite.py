@@ -18,15 +18,51 @@ from tfm_taxitrips_spark.schemas import STAR_TABLES
 from tfm_taxitrips_spark.sources.readers import table
 
 
-def register_star_views(spark: SparkSession, sf_dir: str) -> None:
-    """Expose the star schema to spark.sql as temp views."""
-    for name in STAR_TABLES:
-        table(spark, sf_dir, name).createOrReplaceTempView(name)
+#: per-session record of which sf_dir each star view currently points at.
+#: ``createOrReplaceTempView`` costs ~100 ms of driver-side analysis per
+#: guarded table (measured r18), and the registry's SQL queries
+#: re-registered all 10 views on every construction — ~1 s of pure
+#: overhead per query, more than the execution time of half the SQL
+#: suite. Registration is idempotent for a fixed (session, sf_dir), so
+#: it is skipped unless the target directory changed. Only this module
+#: registers these view names, so the record cannot go stale.
+_VIEWS_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
+
+def register_star_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = STAR_TABLES
+) -> None:
+    """Expose the star schema to spark.sql as temp views (idempotent per
+    (session, sf_dir); ``names`` restricts to the tables a query reads)."""
+    global _VIEWS_REGISTERED
+    if _VIEWS_REGISTERED is None:
+        import weakref
+
+        _VIEWS_REGISTERED = weakref.WeakKeyDictionary()
+    registered = _VIEWS_REGISTERED.setdefault(spark, {})
+    for name in names:
+        if registered.get(name) != sf_dir:
+            table(spark, sf_dir, name).createOrReplaceTempView(name)
+            registered[name] = sf_dir
+
+
+def _referenced_tables(sql: str) -> tuple[str, ...]:
+    """The star tables a SQL text actually reads (word-boundary match —
+    table names never appear as substrings of other identifiers in this
+    suite). Registering only these cuts per-query setup from 10 view
+    builds to the 1-6 the query needs."""
+    import re
+
+    return tuple(
+        t for t in STAR_TABLES if re.search(rf"\b{t}\b", sql) is not None
+    )
 
 
 def _sql_query(sql: str):
+    needed = _referenced_tables(sql)
+
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_star_views(spark, sf_dir)
+        register_star_views(spark, sf_dir, needed)
         return spark.sql(sql)
 
     return run

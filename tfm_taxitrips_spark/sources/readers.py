@@ -390,7 +390,43 @@ def events_guard(df: DataFrame) -> DataFrame:
     return star_guard(df.where(F.col("ts").isNotNull()), "events")
 
 
+#: per-session memo of built driver-table DataFrames, keyed
+#: (sf_dir, name, raw). A DataFrame is a *plan*, not a result: reusing it
+#: changes nothing about what executes (every action still scans the
+#: parquet), but building one costs real driver time — measured r18 at
+#: ~100 ms per table (footer probe + schema-conformance analysis + guard
+#: projection), ~1.05 s for a full star-schema registration — paid again
+#: on EVERY query construction. At 100 TB the same cost is a full file
+#: listing + footer read per referenced table per query; a catalog builds
+#: the scan relation once. Weak-keyed on the session so a stopped session
+#: releases its plans; entries are only written on successful builds, so
+#: drift-probe failures (SchemaDriftError paths) are never cached.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
+
 def table(
+    spark: SparkSession, sf_dir: str, name: str, raw: bool = False
+) -> DataFrame:
+    global _TABLE_MEMO
+    if _TABLE_MEMO is None:
+        import weakref
+
+        _TABLE_MEMO = weakref.WeakKeyDictionary()
+    # pin the session to UTC on every call (not only at build): the
+    # driver's vanilla session inherits the HOST timezone, and a non-UTC
+    # session would shift Spark's year()/date_trunc() against DuckDB's
+    # naive timestamps.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    memo = _TABLE_MEMO.setdefault(spark, {})
+    key = (sf_dir, name, raw)
+    df = memo.get(key)
+    if df is None:
+        df = _table_build(spark, sf_dir, name, raw)
+        memo[key] = df
+    return df
+
+
+def _table_build(
     spark: SparkSession, sf_dir: str, name: str, raw: bool = False
 ) -> DataFrame:
     """Load one driver star-schema table (TESTDATA.md), guaranteed to match
