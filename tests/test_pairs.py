@@ -172,3 +172,36 @@ def test_setsim_prefix_join_threshold_boundary(spark, tmp_path):
     rows = q_setsim_prefix_join(spark, str(d)).collect()
     got = {(r.doc_a, r.doc_b): r.jaccard_ppm for r in rows}
     assert got == {(0, 2): 800000, (1, 2): 800000, (4, 5): 1000000}, got
+
+
+def test_pair_filter_equals_post_filter(spark):
+    """r18 ``pair_filter`` pushdown: filtering inside the expansion
+    lambdas must emit exactly the pairs a post-hoc filter would keep —
+    across both the narrow (tri) and salted (cross) branches."""
+    widths = [1, 2, 5, 9]
+    rows = [
+        (b, b * 100_000 + i, (b + i) % 4)
+        for b, w in enumerate(widths)
+        for i in range(w)
+    ]
+    bands = spark.createDataFrame(rows, "bucket int, id long, sz int")
+    item = F.struct("id", "sz")
+    pf = lambda a, b: (a["sz"] + b["sz"]) % 3 == 0  # noqa: E731 symmetric
+    for max_width in (512, 3):  # 3 forces salting (cross branch)
+        pushed = {
+            (r.a, r.b)
+            for r in bucket_pairs(
+                bands, ["bucket"], item, max_width=max_width, pair_filter=pf
+            )
+            .select(F.col("p.a.id").alias("a"), F.col("p.b.id").alias("b"))
+            .collect()
+        }
+        post = {
+            (r.a, r.b)
+            for r in bucket_pairs(bands, ["bucket"], item, max_width=max_width)
+            .where((F.col("p.a.sz") + F.col("p.b.sz")) % 3 == 0)
+            .select(F.col("p.a.id").alias("a"), F.col("p.b.id").alias("b"))
+            .collect()
+        }
+        assert pushed == post, f"max_width={max_width}"
+        assert pushed  # non-trivial: the predicate keeps some pairs

@@ -84,16 +84,30 @@ def hash60_sql(expr: str) -> str:
 
 def shingles(col: Column | str, n: int = 3) -> Column:
     """n-word shingles as an array<string> (empty when the doc is shorter
-    than n words)."""
+    than n words).
+
+    r18 rewrite (guide §1.2 'per-task work'): the previous form indexed
+    with ``transform(sequence(1, n_sh), i -> concat_ws(' ', slice(w, i, n)))``
+    — and Catalyst does not hoist loop-invariant subtrees out of lambda
+    bodies, so the whole tokenizer ``split(...)`` re-ran once PER SHINGLE
+    INDEX: O(words²) work per document. This form only ever references
+    ``w`` as a direct HOF argument (never inside a lambda): n shifted
+    copies via ``slice``, folded pairwise with ``zip_with`` + ``concat``.
+    ``concat`` vs the old ``concat_ws`` is value-identical here because
+    ``split`` never yields NULL elements (concat_ws skips NULLs, concat
+    propagates them — both moot). Same strings, same order, ~2n+1 token-
+    izer evaluations per ROW instead of 2 + one per shingle."""
     w = tokens(col)
     n_sh = F.size(w) - (n - 1)
-    return F.when(
-        n_sh >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    sep = F.lit(" ")
+    out = F.slice(w, 1, n_sh)
+    for off in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(w, 1 + off, n_sh),
+            lambda a, b: F.concat(a, sep, b),
+        )
+    return F.when(n_sh >= 1, out).otherwise(F.array().cast("array<string>"))
 
 
 def shingles_sql(expr: str, n: int = 3) -> str:

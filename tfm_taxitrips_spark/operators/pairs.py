@@ -55,6 +55,7 @@ def bucket_pairs(
     keys: list[str],
     item: Column,
     max_width: int = LSH_MAX_BUCKET,
+    pair_filter=None,
 ) -> DataFrame:
     """All unordered intra-bucket pairs of ``item``, as column ``p``
     (struct with fields ``a`` < ``b`` in Spark struct order).
@@ -65,6 +66,17 @@ def bucket_pairs(
     partially collects map-side (rows of a bucket are co-located after the
     window) and exchanges one array per (bucket, salt-group). The
     signature lineage feeding ``bands`` executes once.
+
+    ``pair_filter`` (r18, guide §1.2 'per-task work'): optional
+    ``(item_a, item_b) -> BooleanColumn`` predicate applied INSIDE the
+    expansion lambdas — a failing slot yields NULL (the pair struct is
+    never built, CASE is lazy) and is dropped by an array filter before
+    the explode, so callers with a cheap necessary condition (e.g. the
+    set-similarity size-ratio bound) avoid materializing and exploding
+    provably-hopeless pairs. Must be deterministic and SYMMETRIC in its
+    arguments (it is evaluated once per unordered pair, in whichever
+    orientation the expansion produces). ``None`` keeps the exact
+    pre-r18 expression tree.
     """
     sized = bands.withColumn("it", item).withColumn(
         _W, F.count(F.lit(1)).over(Window.partitionBy(*keys))
@@ -101,6 +113,13 @@ def bucket_pairs(
         .where(F.size("ids") > 1)
     )
     ids = F.col("ids")
+
+    def _pair(a, b):
+        slot = F.struct(a.alias("ma"), b.alias("mb"))
+        if pair_filter is None:
+            return slot
+        return F.when(pair_filter(a["it"], b["it"]), slot)
+
     # Diagonal groups hold one salt's members → triangular expansion (every
     # same-salt pair once). Off-diagonal groups emit ONLY cross-salt pairs —
     # |la|×|lb| generated directly, so no within-salt pair is ever built
@@ -110,7 +129,7 @@ def bucket_pairs(
             ids,
             lambda a, i: F.transform(
                 F.slice(ids, i + F.lit(2), F.greatest(F.size(ids) - i - 1, F.lit(0))),
-                lambda b: F.struct(a.alias("ma"), b.alias("mb")),
+                lambda b: _pair(a, b),
             ),
         )
     )
@@ -121,13 +140,16 @@ def bucket_pairs(
             la,
             lambda a: F.transform(
                 lb,
-                lambda b: F.when(
-                    a["it"] < b["it"], F.struct(a.alias("ma"), b.alias("mb"))
-                ).otherwise(F.struct(b.alias("ma"), a.alias("mb"))),
+                lambda b: F.when(a["it"] < b["it"], _pair(a, b)).otherwise(
+                    _pair(b, a)
+                ),
             ),
         )
     )
     expanded = F.when(F.col("_gi") == F.col("_gj"), tri).otherwise(cross)
+    if pair_filter is not None:
+        # drop the NULL slots of filtered pairs before they become rows
+        expanded = F.filter(expanded, lambda q: q.isNotNull())
     return grouped.select(F.explode(expanded).alias("q")).select(
         F.struct(F.col("q.ma.it").alias("a"), F.col("q.mb.it").alias("b")).alias("p")
     )

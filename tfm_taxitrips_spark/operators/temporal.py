@@ -154,9 +154,11 @@ def asof_forward_join(
     ``tolerance_us``. The mirror of :func:`asof_join`.
 
     Same scale shape: tag + union + ONE window scan per key, with
-    ``first(..., ignorenulls=True)`` over a current-row-to-end frame
-    carrying the next candidate's id and timestamp together (both read
-    the identical frame, so they always come from the same matched row).
+    ``last(..., ignorenulls=True)`` over a reverse-ordered running frame
+    (the O(n) formulation of "earliest at-or-after" — see the comment at
+    the window below) carrying the next candidate's id and timestamp
+    together (both read the identical frame, so they always come from
+    the same matched row).
     Output: probe rows with ``us``, ``next_id``, ``next_us`` (and
     ``gap_us`` when a tolerance is given).
     """
@@ -176,18 +178,32 @@ def asof_forward_join(
         F.col(id_col).cast("long").alias("_b_id"),
         F.unix_micros(F.col(ts_col)).alias("_b_us"),
     )
+    # r18 (guide §2; same fix as q_event_gap_fill_interp): the forward
+    # carry as a RUNNING frame over the REVERSE ordering instead of a
+    # [currentRow, unboundedFollowing] frame — Spark re-aggregates an
+    # UnboundedFollowing frame from scratch for every row (O(n²) per
+    # key), while the reversed [unboundedPreceding, currentRow] frame is
+    # incremental (O(n)). last(ignorenulls) over (us, _build_rank, id)
+    # DESC is exactly first(ignorenulls) over the same columns ASC from
+    # the current row forward; the ordering is total (id unique within
+    # each _build_rank), so results are bit-identical. Both carried
+    # columns read the identical frame, so they still come from the same
+    # matched row.
     w = (
         Window.partitionBy(key_col)
-        .orderBy("us", "_build_rank", id_col)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(
+            F.col("us").desc(), F.col("_build_rank").desc(),
+            F.col(id_col).desc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = p.unionByName(c).select(
         key_col,
         id_col,
         "us",
         "_build_rank",
-        F.first("_b_id", ignorenulls=True).over(w).alias("next_id"),
-        F.first("_b_us", ignorenulls=True).over(w).alias("next_us"),
+        F.last("_b_id", ignorenulls=True).over(w).alias("next_id"),
+        F.last("_b_us", ignorenulls=True).over(w).alias("next_us"),
     )
     out = carried.where(F.col("_build_rank") == 0).drop("_build_rank")
     if tolerance_us is not None:

@@ -137,16 +137,28 @@ def q_event_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # r18 (guide §2 'stragglers', measured 28.4 s → see OPTIMIZATION_r18.md):
+    # the forward carry previously used first(..., ignorenulls) over
+    # [currentRow, unboundedFollowing] — Spark's UnboundedFollowing frame
+    # re-aggregates the ENTIRE remaining partition for EVERY row (no
+    # incremental state), i.e. O(rows²) per user grid. The same value is
+    # a RUNNING frame over the reverse ordering: with the grid sorted by
+    # bucket DESC, last(..., ignorenulls) over
+    # [unboundedPreceding, currentRow] is exactly "first non-null at or
+    # after this bucket" — O(rows), one extra in-partition sort, same
+    # exchange (both windows partition on user_id). Bucket is unique per
+    # user (grid construction), so the ordering is total and the result
+    # bit-identical.
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     known_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
     pv = F.last("v", ignorenulls=True).over(wb)
     pb = F.last(known_bucket, ignorenulls=True).over(wb)
-    nv = F.first("v", ignorenulls=True).over(wf)
-    nb = F.first(known_bucket, ignorenulls=True).over(wf)
+    nv = F.last("v", ignorenulls=True).over(wf)
+    nb = F.last(known_bucket, ignorenulls=True).over(wf)
     interp = pv + (nv - pv) * ((F.col("bucket") - pb) / (nb - pb))
     return filled.select(
         "user_id",

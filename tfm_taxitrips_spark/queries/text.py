@@ -1237,41 +1237,54 @@ _SIMHASH_BANDS = 4  # 16 bits → 4 nibbles; hamming ≤ 3 ⟹ ≥1 identical ni
 
 
 def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: pigeonhole on 4-bit bands (a pair
-    within hamming ≤ {SIMHASH_HAMMING_MAX} must share a nibble), exact
-    hamming check via bit_count(xor) on candidates only. Same bounded
-    bucket→pair shape as the MinHash-LSH pairs (operators/pairs): one
-    shuffle, narrow buckets expand in-task, wide buckets (the norm for a
-    16-value band space) distribute via co-partitioned self-join."""
-    sig = q_simhash(spark, sf_dir)
-    bands = sig.select(
-        F.struct("doc_id", "simhash16").alias("d"),
+    """SimHash near-dup pairs via the BIT-FLIP NEIGHBORHOOD equi-join
+    (Manku, Jain & Sarma, "Detecting Near-Duplicates for Web Crawling",
+    WWW 2007 — the rotated-table exact-match family): each doc emits its
+    hash plus all {SIMHASH_HAMMING_MAX}-flip perturbations (17 keys at
+    16 bits, radius 1), joined against the plain hashes; a key match
+    CONSTRUCTS hamming ≤ {SIMHASH_HAMMING_MAX}, so no non-qualifying
+    pair is ever generated.
+
+    r18 rewrite (guide §2.3/§1.2; see OPTIMIZATION_r18.md): the previous
+    form pigeonholed on 4-bit nibble bands and expanded intra-bucket
+    pairs — sound at 64-bit hash width, but a 16-value band space over
+    this corpus makes wide buckets the NORM (width 2081 at sf0.1), so
+    the expansion built ~40M candidate structs to keep 313k pairs
+    (measured 10.7 s). The neighborhood join shuffles 17 small rows per
+    doc and generates each qualifying pair at most twice (once per
+    direction, collapsed by the final distinct) — same pair set, same
+    hamming column, bit-identical output; the DuckDB oracle keeps the
+    band-join formulation as the independent mirror. The signature frame
+    is lazily localCheckpointed: both join sides read it, and without
+    the fence the tokenize→16-vote aggregation would execute twice
+    (at corpus scale: two full scans)."""
+    sig = q_simhash(spark, sf_dir).localCheckpoint(eager=False)
+    probe = sig.select(
+        "doc_id",
+        "simhash16",
         F.explode(
             F.array(
+                F.col("simhash16"),
                 *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.shiftright(F.col("simhash16"), 4 * b)
-                        .bitwiseAND(F.lit(15))
-                        .alias("bv"),
-                    )
-                    for b in range(_SIMHASH_BANDS)
-                ]
+                    F.col("simhash16").bitwiseXOR(F.lit(1 << b))
+                    for b in range(SIMHASH_BITS)
+                ],
             )
-        ).alias("band"),
-    ).select("d", F.col("band.band_id").alias("band_id"), F.col("band.bv").alias("bv"))
-    # A 16-bit simhash has only 16 values per nibble band, so wide buckets
-    # are the NORM here, not a degeneracy (sf0.1 already hits width 2081);
-    # bucket_pairs routes them through the distributed self-join branch
-    # instead of collecting one giant array per band value.
-    exploded = bucket_pairs(bands, ["band_id", "bv"], F.col("d")).select(
-        F.col("p.a.doc_id").alias("doc_a"),
-        F.col("p.b.doc_id").alias("doc_b"),
-        F.bit_count(
-            F.col("p.a.simhash16").bitwiseXOR(F.col("p.b.simhash16"))
-        ).cast("int").alias("hamming"),
+        ).alias("key"),
     )
-    return exploded.where(F.col("hamming") <= SIMHASH_HAMMING_MAX).distinct()
+    orig = sig.select(
+        F.col("doc_id").alias("p_id"), F.col("simhash16").alias("key")
+    )
+    joined = probe.join(orig, "key").where(F.col("doc_id") != F.col("p_id"))
+    # hamming directly: key == partner hash, so xor(simhash16, key) is the
+    # pair's bit difference
+    pairs = joined.select(
+        F.least("doc_id", "p_id").alias("doc_a"),
+        F.greatest("doc_id", "p_id").alias("doc_b"),
+        F.bit_count(F.col("simhash16").bitwiseXOR(F.col("key")))
+        .cast("int").alias("hamming"),
+    )
+    return pairs.where(F.col("hamming") <= SIMHASH_HAMMING_MAX).distinct()
 
 
 def _simhash_pairs_sql() -> str:
@@ -1316,12 +1329,28 @@ def per_source_dedup_rate_frame(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     # near dups: the candidate pair set is LSH/band-bounded (≪ corpus),
     # so it BROADCASTS into the (doc_id, source) projection — the corpus
     # is never shuffled (the cross_source_dup_matrix shape); per-doc
-    # flags collapse pairs to ≤1 row per member doc before counting
+    # flags collapse pairs to ≤1 row per member doc before counting.
+    # r18: both directions via ONE explode instead of a two-branch
+    # union — the union form consumed ``pairs`` twice, which forced the
+    # caller to localCheckpoint the (expensive) pair plan; the explode
+    # keeps a single consumer so no checkpoint is needed at all
+    # (measured: the lazy checkpoint's driver-side plan compilation
+    # alone was ~12 s on the simhash pair plan). Row set identical:
+    # union of the two projections == explode of the two structs.
     sided = pairs.select(
-        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("partner")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("partner"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_id"),
+                    F.col("doc_b").alias("partner"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_id"),
+                    F.col("doc_a").alias("partner"),
+                ),
+            )
+        ).alias("_s")
+    ).select("_s.doc_id", "_s.partner")
     lab = ids.join(F.broadcast(sided), "doc_id").select(
         "doc_id", F.col("source").alias("src"), "partner"
     )
@@ -1374,9 +1403,12 @@ def q_per_source_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`per_source_dedup_rate_frame`.
     """
     docs = fan_out(table(spark, sf_dir, "documents"))
-    # the pair set is read twice (both directions of `sided`) — tiny, but
-    # recomputing it re-runs the whole simhash band join; checkpoint
-    pairs = q_simhash_dup_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    # r18: no checkpoint — the frame now consumes the pair set ONCE
+    # (explode-to-both-directions in `sided`), so the simhash pair plan
+    # is neither re-executed nor eagerly compiled on the driver (the old
+    # lazy localCheckpoint forced whole-plan RDD compilation at
+    # construction: ~12 s of driver time for this plan, measured r18)
+    pairs = q_simhash_dup_pairs(spark, sf_dir)
     return per_source_dedup_rate_frame(docs, pairs)
 
 
@@ -1542,8 +1574,25 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = docs.where(
         (n_tok >= QGATE_MIN_TOKENS) & (F.length("text") >= QGATE_MIN_CHARS))
     keyed = filtered.withColumn("k", F.md5(ascii_lower(F.col("text"))))
-    w = Window.partitionBy("k").orderBy("doc_id")
-    deduped = keyed.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    # r18 (guide §2.3 'aggregate before you shuffle'): keep-lowest-doc_id
+    # dedup as a hash aggregate (min + min_by), not row_number()==1 over a
+    # sort window. The window form ships EVERY duplicate row through the
+    # exchange and then sorts each k-partition; the aggregate form
+    # collapses duplicates map-side (partial min/min_by) and never sorts —
+    # for an exact-dedup stage, duplicates are precisely the rows partial
+    # aggregation kills before the wire. min_by is deterministic here
+    # because doc_id is unique (no ties). Verified row-identical to the
+    # window form at sf0.1 before the switch; the oracle keeps the
+    # row_number formulation (engine-independent semantics spelled out).
+    deduped = (
+        keyed.groupBy("k")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by(F.struct("lang", "text"), F.col("doc_id")).alias("_s"),
+        )
+        .select("doc_id", F.col("_s.lang").alias("lang"),
+                F.col("_s.text").alias("text"))
+    )
     sample_h = hash60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
     shard_h = hash60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
     sampled = deduped.where(F.pmod(sample_h, F.lit(100)) < 50)
@@ -2088,10 +2137,31 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    prefix_rows = doc_arr.select("doc_id", F.explode("prefix").alias("t"))
+    # r18 (guide §2.3 'shuffle fewer bytes'; numbers in
+    # OPTIMIZATION_r18.md): the prefix tokens ride with the doc's SET
+    # SIZE so the exact size-ratio filter — J(A,B) ≥ τ requires
+    # τ·max(|A|,|B|) ≤ min(|A|,|B|), an integer-exact necessary
+    # condition (J ≤ min/max since |∩| ≤ min) — prunes candidates
+    # BEFORE the pair-distinct exchange and the |∩| verify. On this
+    # fixture's 31-token vocabulary the prefix filter alone keeps 97%
+    # of all pairs (measured), and the size filter kills ~48% of those
+    # in the expansion stage, halving the distinct shuffle and the
+    # verify joins. Dropped pairs provably fail the final jaccard_ppm
+    # gate, so the result set is unchanged (integer comparison
+    # DEN·min ≥ NUM·max — no rounding anywhere).
+    prefix_rows = doc_arr.select(
+        "doc_id", "s", F.explode("prefix").alias("t"))
+    size_ratio_ok = lambda a, b: (  # noqa: E731 — symmetric, exact ints
+        F.lit(SETSIM_TAU_DEN) * F.least(a["s"], b["s"])
+        >= F.lit(SETSIM_TAU_NUM) * F.greatest(a["s"], b["s"])
+    )
     cands = (
-        bucket_pairs(prefix_rows, ["t"], F.col("doc_id"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        bucket_pairs(
+            prefix_rows, ["t"], F.struct("doc_id", "s"),
+            pair_filter=size_ratio_ok,
+        )
+        .select(F.col("p.a.doc_id").alias("doc_a"),
+                F.col("p.b.doc_id").alias("doc_b"))
         .distinct()
     )
     a = doc_arr.select(F.col("doc_id").alias("doc_a"),
