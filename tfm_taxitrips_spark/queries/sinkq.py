@@ -125,9 +125,16 @@ def q_sink_stream_parquet_roundtrip(
     in state past an availableNow drain, so the durable-sink contract is
     raw-with-derived-partitions, and rollups happen on read (or in the
     update-mode serving path, stream_topk)."""
-    from tfm_taxitrips_spark.streaming.pipeline import read_events_stream
+    from tfm_taxitrips_spark.streaming.pipeline import (
+        _ephemeral_checkpoint_dir,
+        read_events_stream,
+    )
 
     base = tempfile.mkdtemp(prefix="tfm_sink_k2_")
+    # r18: the drain checkpoint is call-scoped scratch (deleted below) —
+    # RAM-backed; the parquet SINK stays on the real filesystem (the
+    # durable write + read-back is what this query proves)
+    chk = _ephemeral_checkpoint_dir()
     try:
         stream = read_events_stream(spark, sf_dir)
         enriched = stream.withColumn("year", F.year("ts")).withColumn(
@@ -136,7 +143,7 @@ def q_sink_stream_parquet_roundtrip(
         q = write_parquet_stream(
             enriched,
             f"{base}/events",
-            f"{base}/chk",
+            chk,
             partition_by=("year", "month"),
             available_now=True,
         )
@@ -149,6 +156,7 @@ def q_sink_stream_parquet_roundtrip(
         return _materialize(spark, agg)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
 
 
 _K2_SQL = f"""

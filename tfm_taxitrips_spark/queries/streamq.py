@@ -466,12 +466,20 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_view,
     )
 
+    from tfm_taxitrips_spark.streaming.pipeline import (
+        _ephemeral_checkpoint_dir,
+    )
+
     stream = read_events_stream(spark, sf_dir)
     rolled = windowed_rollup(stream)
     base = tempfile.mkdtemp(prefix="tfm_serving_")
+    # r18: the drain checkpoint is call-scoped scratch (deleted below) —
+    # route it through the RAM-backed scratch helper; the serving TABLE
+    # stays where the caller reads it (its write is the operator)
+    chk = _ephemeral_checkpoint_dir()
     try:
         # same aggregate-sized rollup state as the A5 drain
-        run_topk_serving(rolled, f"{base}/table", f"{base}/chk",
+        run_topk_serving(rolled, f"{base}/table", chk,
                          state_partitions=ROLLUP_STATE_PARTITIONS)
         view = topk_view(spark, f"{base}/table", STREAM_TOPK_K)
         # materialize the k rows BEFORE removing the serving dir (the view
@@ -480,6 +488,7 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(view.collect(), view.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
 
 
 _STREAM_TOPK_SQL = f"""

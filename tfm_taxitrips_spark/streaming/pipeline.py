@@ -11,6 +11,7 @@ path (production uses the kafka/parquet sinks in ``sinks.writers``).
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import threading
@@ -171,6 +172,26 @@ def windowed_rollup(
     )
 
 
+def _ephemeral_checkpoint_dir() -> str:
+    """Scratch checkpoint dir for a ONE-SHOT drain, preferring RAM-backed
+    storage (r18, guide §1.2 'per-task work' applied to the driver/IO
+    path): an ``availableNow`` drain into a memory sink writes its
+    offsets/commit WAL and one state-store delta+snapshot per partition
+    per batch, all fsynced — and then :func:`run_to_memory` deletes the
+    whole directory before returning. Durability of that checkpoint
+    buys nothing (the result table lives in memory; the checkpoint has
+    no reader after the drain), so pointing it at tmpfs removes pure
+    fsync/IO latency from every streaming drain. Production streams
+    (``sinks.writers``) take caller-provided durable checkpoint
+    locations and are unaffected. Override with
+    ``$SPARK_GRAFT_CHK_SCRATCH`` (e.g. a fast local disk when /dev/shm
+    is small); falls back to the system tempdir when no tmpfs exists."""
+    base = os.environ.get("SPARK_GRAFT_CHK_SCRATCH")
+    if base is None and os.path.isdir("/dev/shm"):
+        base = "/dev/shm"
+    return tempfile.mkdtemp(prefix="tfm_chk_", dir=base)
+
+
 def run_to_memory(
     df: DataFrame,
     spark: SparkSession,
@@ -200,7 +221,7 @@ def run_to_memory(
     non-blocking lock turns any future concurrent drain into a loud
     error instead of a silently mis-planned query (r8 advisory #1)."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    chk = tempfile.mkdtemp(prefix="tfm_chk_")
+    chk = _ephemeral_checkpoint_dir()
     with _scoped_shuffle_partitions(spark, state_partitions):
         query = (
             df.writeStream.format("memory")
