@@ -205,3 +205,45 @@ def test_pair_filter_equals_post_filter(spark):
         }
         assert pushed == post, f"max_width={max_width}"
         assert pushed  # non-trivial: the predicate keeps some pairs
+
+
+def test_join_strategy_pair_set_identical(spark):
+    """r18 ``strategy="join"``: the co-partitioned self-join expansion
+    must emit exactly the collect path's pair set — across narrow (tri),
+    salted (cross), and pair_filter combinations — with the same
+    a < b struct orientation (set compare on ordered tuples)."""
+    widths = [1, 2, 3, 9, 40]
+    rows = [
+        (b, b * 100_000 + i, (b + i) % 4)
+        for b, w in enumerate(widths)
+        for i in range(w)
+    ]
+    bands = spark.createDataFrame(rows, "bucket int, id long, sz int")
+    item = F.struct("id", "sz")
+    pf = lambda a, b: (a["sz"] + b["sz"]) % 3 == 0  # noqa: E731 symmetric
+
+    def pairs(strategy, max_width, pair_filter):
+        return {
+            (r.a, r.b)
+            for r in bucket_pairs(
+                bands, ["bucket"], item, max_width=max_width,
+                pair_filter=pair_filter, strategy=strategy,
+            )
+            .select(F.col("p.a.id").alias("a"), F.col("p.b.id").alias("b"))
+            .collect()
+        }
+
+    for max_width in (512, 3):  # 3 forces salting (off-diagonal groups)
+        for filt in (None, pf):
+            got = pairs("join", max_width, filt)
+            want = pairs("collect", max_width, filt)
+            assert got == want, f"max_width={max_width} filt={filt}"
+            assert want  # non-trivial fixture
+
+
+def test_unknown_strategy_raises(spark):
+    import pytest as _pytest
+
+    bands = _bands(spark, [3])
+    with _pytest.raises(ValueError, match="strategy"):
+        bucket_pairs(bands, ["bucket"], F.col("item"), strategy="nope").collect()

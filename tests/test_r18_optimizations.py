@@ -284,3 +284,87 @@ def test_training_mix_minby_dedup_equals_window_dedup(spark, sf_smoke):
     got = sorted(map(tuple, q_training_mix(spark, sf_smoke).collect()))
     want = sorted(map(tuple, legacy.collect()))
     assert got == want and got
+
+
+def test_setsim_rank_form_equals_string_form(spark, sf_smoke):
+    """r18 rewrite pin: the dense-integer-rank pipeline (tokens mapped to
+    their (df_t, token)-order rank once, all downstream stages integer)
+    plus the join-strategy expansion must reproduce the pre-r18
+    string-token formulation exactly (the DuckDB oracle keeps the string
+    brute force as the independent mirror)."""
+    from pyspark.sql import functions as F
+
+    from tfm_taxitrips_spark.functions.text import ascii_lower
+    from tfm_taxitrips_spark.operators.pairs import bucket_pairs
+    from tfm_taxitrips_spark.operators.partitioning import fan_out
+    from tfm_taxitrips_spark.queries.text import (
+        SETSIM_TAU_DEN,
+        SETSIM_TAU_NUM,
+        SETSIM_TAU_PPM,
+        q_setsim_prefix_join,
+    )
+    from tfm_taxitrips_spark.sources.readers import table
+
+    docs = fan_out(table(spark, sf_smoke, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(ascii_lower(F.col("text")), " "))
+        ).alias("t"),
+    )
+    df_t = toks.groupBy("t").agg(F.count(F.lit(1)).alias("df_t"))
+    doc_arr = (
+        toks.join(df_t, "t")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df_t", "t"))).alias("st"))
+        .select(
+            "doc_id",
+            F.transform("st", lambda x: x["t"]).alias("ts"),
+            F.size("st").alias("s"),
+            F.slice(
+                F.transform("st", lambda x: x["t"]),
+                1,
+                F.expr(
+                    f"size(st) - ((({SETSIM_TAU_NUM} * size(st))"
+                    f" + {SETSIM_TAU_DEN} - 1) div {SETSIM_TAU_DEN}) + 1"
+                ),
+            ).alias("prefix"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    prefix_rows = doc_arr.select("doc_id", "s", F.explode("prefix").alias("t"))
+    size_ratio_ok = lambda a, b: (  # noqa: E731
+        F.lit(SETSIM_TAU_DEN) * F.least(a["s"], b["s"])
+        >= F.lit(SETSIM_TAU_NUM) * F.greatest(a["s"], b["s"])
+    )
+    cands = (
+        bucket_pairs(
+            prefix_rows, ["t"], F.struct("doc_id", "s"),
+            pair_filter=size_ratio_ok,
+        )
+        .select(F.col("p.a.doc_id").alias("doc_a"),
+                F.col("p.b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    a = doc_arr.select(F.col("doc_id").alias("doc_a"),
+                       F.col("ts").alias("ts_a"), F.col("s").alias("s_a"))
+    b = doc_arr.select(F.col("doc_id").alias("doc_b"),
+                       F.col("ts").alias("ts_b"), F.col("s").alias("s_b"))
+    legacy = (
+        cands.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("ts_a", "ts_b")).cast("bigint")
+            .alias("n_inter"),
+            "s_a", "s_b",
+        )
+        .withColumn(
+            "jaccard_ppm",
+            F.expr("(1000000 * n_inter) div (s_a + s_b - n_inter)"),
+        )
+        .where(F.col("jaccard_ppm") >= SETSIM_TAU_PPM)
+        .select("doc_a", "doc_b", "n_inter", "jaccard_ppm")
+    )
+    got = sorted(map(tuple, q_setsim_prefix_join(spark, sf_smoke).collect()))
+    want = sorted(map(tuple, legacy.collect()))
+    assert got == want and got

@@ -2108,6 +2108,23 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-run scan→explode→df-join→collect per consumer (the pagerank edge
     lesson, tests/test_graph.py::test_pagerank_edge_pipeline_materialized_once).
 
+    r18 (guide §2.3 'narrower types'; OPTIMIZATION_r18.md): token STRINGS
+    leave the pipeline at the document-frequency table. Each distinct
+    token gets a dense BIGINT rank via the engine's own distributed
+    two-phase prefix sum over the global (df_t, token) order — the rank
+    IS that total order, so per-doc arrays of sorted ranks have exactly
+    the same prefixes, the same bucket keys, and the same intersection
+    sizes as the string form (the mapping is bijective on the vocabulary
+    and strictly order-preserving; prefix filtering is lossless under ANY
+    consistent total order). Every downstream stage — the collect/sort,
+    the prefix explode, the bucket hash, the pair expansion, and the
+    ``array_intersect`` verify over millions of candidate pairs — then
+    runs on 8-byte integers instead of variable-length strings. Pinned
+    bit-identical to the string formulation by
+    tests/test_r18_optimizations.py::test_setsim_rank_form_equals_string_form;
+    the DuckDB oracle keeps the string-token brute force as the
+    independent mirror.
+
     The oracle brute-forces the full shared-token self-join — quadratic,
     fine at oracle scale — proving the prefix filter is LOSSLESS
     (identical pair set), which is the whole point of registering it.
@@ -2117,20 +2134,32 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(F.split(ascii_lower(F.col("text")), " "))).alias("t"),
     )
-    df_t = toks.groupBy("t").agg(F.count(F.lit(1)).alias("df_t"))
+    # vocab-sized relation; checkpointed because the prefix-sum operator
+    # reads its input twice (operators/prefix.py caller contract)
+    df_t = (
+        toks.groupBy("t").agg(F.count(F.lit(1)).alias("df_t"))
+        .localCheckpoint(eager=False)
+    )
+    ranked = two_phase_prefix_sum(
+        df_t.withColumn("_one", F.lit(1)),
+        bucket_col="df_t",
+        order_cols=["t"],
+        val_col="_one",
+        out_col="rk",
+    ).select("t", F.col("rk").cast("bigint").alias("rk"))
     doc_arr = (
-        toks.join(df_t, "t")
+        toks.join(ranked, "t")
         .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("df_t", "t"))).alias("st"))
+        .agg(F.sort_array(F.collect_list("rk")).alias("ts"))
         .select(
             "doc_id",
-            F.transform("st", lambda x: x["t"]).alias("ts"),
-            F.size("st").alias("s"),
+            "ts",
+            F.size("ts").alias("s"),
             F.slice(
-                F.transform("st", lambda x: x["t"]),
+                "ts",
                 1,
                 F.expr(
-                    f"size(st) - ((({SETSIM_TAU_NUM} * size(st))"
+                    f"size(ts) - ((({SETSIM_TAU_NUM} * size(ts))"
                     f" + {SETSIM_TAU_DEN} - 1) div {SETSIM_TAU_DEN}) + 1"
                 ),
             ).alias("prefix"),
@@ -2155,10 +2184,16 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(SETSIM_TAU_DEN) * F.least(a["s"], b["s"])
         >= F.lit(SETSIM_TAU_NUM) * F.greatest(a["s"], b["s"])
     )
+    # strategy="join" (r18): wide buckets are the NORM on a prefix-token
+    # key (the rarest-first prefix still shares tokens corpus-wide), so
+    # the quadratic expansion runs as a codegen'd co-partitioned self-join
+    # instead of per-group array building — identical pair set, measured
+    # 26.5 s → ~4 s for the expansion stage at sf0.1 (operators/pairs.py)
     cands = (
         bucket_pairs(
             prefix_rows, ["t"], F.struct("doc_id", "s"),
             pair_filter=size_ratio_ok,
+            strategy="join",
         )
         .select(F.col("p.a.doc_id").alias("doc_a"),
                 F.col("p.b.doc_id").alias("doc_b"))
