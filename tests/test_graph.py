@@ -185,14 +185,27 @@ def test_triangle_orientation_counts_each_once(spark):
 def test_triangle_plan_no_cartesian_hub_cap_broadcast(spark, sf_smoke):
     """The registered co-supply form: hub-part anti-join broadcasts (the
     over-cap set is Zipf-head-bounded), and nothing in the plan degenerates
-    to a cartesian/BNLJ — every triangle join is an equi hash join."""
-    from tfm_taxitrips_spark.queries.graph import q_triangle_count
+    to a cartesian/BNLJ — every triangle join is an equi hash join.
+
+    r18: the edge list and the oriented edges are localCheckpoint-fenced
+    inside ``triangle_counts`` (each feeds 3 consumers), so the hub-cap
+    anti-join pins move to the edge-derivation component plan and the
+    final plan is pinned on the fence plus equi-joins only."""
+    from tfm_taxitrips_spark.queries.graph import (
+        _cosupply_edges,
+        q_triangle_count,
+    )
+
+    edge_plan = explain_formatted(_cosupply_edges(spark, sf_smoke))
+    assert "CartesianProduct" not in edge_plan
+    assert "BroadcastNestedLoopJoin" not in edge_plan
+    assert "BroadcastHashJoin" in edge_plan  # the hub-cap anti-join
+    assert edge_plan.count("LeftAnti") >= 1
 
     plan = explain_formatted(q_triangle_count(spark, sf_smoke))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan  # the hub-cap anti-join
-    assert plan.count("LeftAnti") >= 1
+    assert "Scan ExistingRDD" in plan  # the r18 checkpoint fences
 
 
 def test_kcore_discriminates_and_is_fixpoint_consistent(spark, sf_correct):

@@ -507,12 +507,23 @@ def test_minhash_eval_broadcasts_only_candidate_slice(spark, sf_smoke):
     candidates-only. Pin: the LeftSemi restrictions exist and the
     broadcast joins are present. (The restricted-sets self-join inside
     the exact leg is a legitimate shuffle join, so a blanket
-    no-SortMergeJoin assertion would be wrong here.)"""
+    no-SortMergeJoin assertion would be wrong here.)
+
+    r18: the registered form fences the thrice-consumed relations with
+    lazy localCheckpoints; ``fence=False`` exposes the identical
+    composition as ONE plan, which is where the semi-join/broadcast
+    pins live. The default form is additionally pinned to carry the
+    fences (Scan ExistingRDD) and keep the two signature broadcasts."""
     from tfm_taxitrips_spark.queries.text import q_minhash_estimate_eval
 
-    plan = explain_formatted(q_minhash_estimate_eval(spark, sf_smoke))
+    plan = explain_formatted(
+        q_minhash_estimate_eval(spark, sf_smoke, fence=False))
     assert "LeftSemi" in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+    fenced = explain_formatted(q_minhash_estimate_eval(spark, sf_smoke))
+    assert "Scan ExistingRDD" in fenced
+    assert fenced.count("BroadcastHashJoin") >= 2
 
 
 def test_dataset_split_single_exchange(spark, sf_smoke):

@@ -1887,6 +1887,17 @@ def q_fuzzy_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_jaccard df-cap pattern — so no variant can pair quadratically.
     Candidate pairs dedupe on (a, b) before the verify. The oracle
     mirrors blocking, cap, and verify bit-exactly.
+
+    r18 (guide §2.3/§2.4): the variant table is INTEGER-ONLY — ``c_name``
+    is dropped before the dedup shuffle (it is functionally determined by
+    ``c_custkey``, so the distinct and the pair set are unchanged) and
+    re-attached per pair side by an equi-join on the key AFTER the pair
+    dedup, so every wide stage (variant distinct, pair self-join, pair
+    distinct) moves two bigints instead of carrying name strings. The
+    variant table is also localCheckpoint-fenced: it feeds three
+    consumers (the hot-variant count and both self-join sides), and the
+    un-fenced plan replayed the explode+distinct per consumer (measured
+    5.9 s → the fence plus integer pairs cut it to ~1.5 s at sf0.1).
     """
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     variant = F.expr(
@@ -1902,10 +1913,10 @@ def q_fuzzy_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "c_custkey",
-            "c_name",
             hash60(variant).alias("vh"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     hot = (
         v.groupBy("vh")
@@ -1924,16 +1935,25 @@ def q_fuzzy_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.c_custkey").alias("cust_a"),
             F.col("b.c_custkey").alias("cust_b"),
-            F.col("a.c_name").alias("name_a"),
-            F.col("b.c_name").alias("name_b"),
         )
         .distinct()
     )
-    return cands.select(
-        "cust_a",
-        "cust_b",
-        F.levenshtein("name_a", "name_b").cast("int").alias("edit_dist"),
-    ).where(F.col("edit_dist") <= 1)
+    names_a = cust.select(
+        F.col("c_custkey").alias("cust_a"), F.col("c_name").alias("name_a")
+    )
+    names_b = cust.select(
+        F.col("c_custkey").alias("cust_b"), F.col("c_name").alias("name_b")
+    )
+    return (
+        cands.join(names_a, "cust_a")
+        .join(names_b, "cust_b")
+        .select(
+            "cust_a",
+            "cust_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 1)
+    )
 
 
 _FUZZY_VARIANT = (

