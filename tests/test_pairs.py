@@ -247,3 +247,29 @@ def test_unknown_strategy_raises(spark):
     bands = _bands(spark, [3])
     with _pytest.raises(ValueError, match="strategy"):
         bucket_pairs(bands, ["bucket"], F.col("item"), strategy="nope").collect()
+
+
+def test_join_strategy_expansion_not_aqe_coalescible(spark):
+    """r18: the join-strategy expansion must hash-spread its group key
+    with an EXPLICIT partition count (REPARTITION_BY_NUM) — AQE coalesces
+    shuffles on input bytes and cannot see that the join's output is the
+    quadratic pair expansion, so a coalescible exchange funnels the whole
+    emission (and the map-side half of any downstream distinct) through
+    one task (measured: all 28.7M sf0.1 set-similarity pairs in
+    partition 0 before the pin)."""
+    from tfm_taxitrips_spark.plans.explain import explain_formatted
+
+    rows = [(t % 5, t * 31 % 97, t % 7) for t in range(80)]
+    bands = spark.createDataFrame(rows, "bucket int, id long, sz int")
+    df = bucket_pairs(
+        bands, ["bucket"], F.struct("id", "sz"), strategy="join")
+    plan = explain_formatted(df)
+    assert "REPARTITION_BY_NUM" in plan
+    # and the expansion actually spreads: with >1 shuffle partition the
+    # pair output must occupy more than one partition on a multi-bucket
+    # input (the regression ran everything in partition 0)
+    n_parts = (
+        df.select(F.spark_partition_id().alias("p"))
+        .where(F.col("p") >= 0).distinct().count()
+    )
+    assert n_parts > 1, "pair expansion collapsed to a single partition"

@@ -125,12 +125,24 @@ def bucket_pairs(
         )
     )
     if strategy == "join":
-        # The self-join's own exchanges hash-partition BOTH sides on the
-        # full (bucket, salt-group) key, which is exactly the distribution
-        # the explicit repartition below buys for the collect path — each
-        # group's quadratic emission runs inside one task's join loop,
-        # bounded by the salt cap. Equal canonical subtrees on both sides
-        # let ReusedExchange fire, so the sub lineage shuffles once.
+        # ONE explicit-count repartition on the full (bucket, salt-group)
+        # key feeds both join sides (r18, guide §2.5/§2.2): the join's
+        # own exchanges would carry only the COMPACT banded rows, so AQE —
+        # which coalesces on INPUT bytes and cannot see that the join's
+        # OUTPUT is the quadratic pair expansion — merged them into a
+        # single partition and ran the whole emission plus the map-side
+        # half of the downstream pair-distinct on one core (measured on
+        # the sf0.1 set-similarity corpus: all 28.7M expanded pairs in
+        # partition 0). An explicit numPartitions (REPARTITION_BY_NUM) is
+        # exempt from AQE coalescing by contract; both sides project from
+        # the same exchange, so alias-aware output partitioning satisfies
+        # the join's distribution with no further shuffle and each group's
+        # quadratic emission still lands on exactly one task, bounded by
+        # the salt cap.
+        sub = sub.repartition(
+            int(bands.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            *keys, "_gi", "_gj",
+        )
         # The A side carries each group's salt-_gi members, the B side its
         # salt-_gj members: a diagonal group (gi == gj) self-pairs its one
         # salt with the strict item order deduping, an off-diagonal group

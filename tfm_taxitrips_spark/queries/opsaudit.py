@@ -32,7 +32,6 @@ from __future__ import annotations
 import os
 import re
 import shutil
-import tempfile
 from collections.abc import Iterator, Sequence
 
 import pandas as pd
@@ -476,8 +475,19 @@ def q_parquet_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     throwaway dataset, runs the footer audit, and materializes the
     ≤tens-of-rows result before the dir is removed — excluded from
     SHOWCASE / bench for that reason.
+
+    r18 (guide §1.2/§6): the bucketed dataset is CALL-SCOPED scratch
+    (written, footer-read, deleted inside this function), so it goes
+    through :func:`session.ephemeral_scratch_dir` — the same RAM-backed
+    scratch policy as the one-shot streaming drain checkpoints — instead
+    of a disk tempdir; the ~15-file write commit (one per bucket, each
+    fsynced by the commit protocol) dominated the audit's build time.
+    The audited FACTS are layout-location-invariant: same writer, same
+    rows, same bucketing — footer stats and file counts are unchanged.
     """
-    base = tempfile.mkdtemp(prefix="tfm_layout_audit_")
+    from tfm_taxitrips_spark.session import ephemeral_scratch_dir
+
+    base = ephemeral_scratch_dir("tfm_layout_audit_")
     try:
         li = table(spark, sf_dir, "lineitem").select(
             "l_orderkey",

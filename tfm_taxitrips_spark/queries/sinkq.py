@@ -3,7 +3,12 @@ driver-checkable contract. Each query writes through the real sink seam
 into a throwaway dir, reads its own output back, and aggregates — so the
 oracle (plain SQL over the source table) proves the whole
 write→layout→read path, not just the write call. Dirs are removed after
-the small result is materialized (the stream_topk hygiene pattern).
+the small result is materialized (the stream_topk hygiene pattern), and
+allocated via :func:`session.ephemeral_scratch_dir` (r18): call-scoped
+throwaway data prefers RAM-backed scratch — the many-tiny-file commits
+(especially the compaction query's deliberate fragmentation) were pure
+fsync latency on a disk tempdir, and every audited fact (file counts,
+fingerprints, row parity) is location-invariant.
 
 K1 partitioned parquet: /root/reference/TransformTaxiTrips.py:115-117
 K2 streaming parquet:   /root/reference/StreamingTaxiTrips.py:156-163
@@ -21,12 +26,12 @@ driver compare.
 from __future__ import annotations
 
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
+from tfm_taxitrips_spark.session import ephemeral_scratch_dir
 from tfm_taxitrips_spark.queries.registry import QuerySpec
 from tfm_taxitrips_spark.sinks.writers import (
     write_parquet_stream,
@@ -54,7 +59,7 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     IS the serving contract: a dashboard filter on priority touches
     1/|priorities| of the files, which is exactly what this query
     round-trips."""
-    base = tempfile.mkdtemp(prefix="tfm_sink_k1_")
+    base = ephemeral_scratch_dir("tfm_sink_k1_")
     try:
         orders = table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
@@ -87,7 +92,7 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark writes Java's shortest-round-trippable decimal form and the
     explicit-schema read parses it back to the identical bits (no
     inference pass — schema discipline per sources.readers.read_table)."""
-    base = tempfile.mkdtemp(prefix="tfm_sink_k5_")
+    base = ephemeral_scratch_dir("tfm_sink_k5_")
     try:
         agg = (
             table(spark, sf_dir, "orders")
@@ -130,10 +135,11 @@ def q_sink_stream_parquet_roundtrip(
         read_events_stream,
     )
 
-    base = tempfile.mkdtemp(prefix="tfm_sink_k2_")
-    # r18: the drain checkpoint is call-scoped scratch (deleted below) —
-    # RAM-backed; the parquet SINK stays on the real filesystem (the
-    # durable write + read-back is what this query proves)
+    base = ephemeral_scratch_dir("tfm_sink_k2_")
+    # r18: checkpoint AND sink dir are call-scoped scratch (deleted
+    # below) — both ride session.ephemeral_scratch_dir. The write→read
+    # contract is filesystem-location-invariant: same writer, same
+    # partition layout, same bytes read back.
     chk = _ephemeral_checkpoint_dir()
     try:
         stream = read_events_stream(spark, sf_dir)
@@ -193,7 +199,7 @@ def q_sink_format_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tfm_taxitrips_spark.functions.text import hash60
     from tfm_taxitrips_spark.sources.readers import read_table
 
-    base = tempfile.mkdtemp(prefix="tfm_sink_matrix_")
+    base = ephemeral_scratch_dir("tfm_sink_matrix_")
     try:
         nation = table(spark, sf_dir, "nation")
         schema = "n_nationkey int, n_name string, n_regionkey int"
@@ -258,15 +264,27 @@ def q_sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rewrite rides the same count. At 100 TB the pattern is identical
     with a byte-size target instead of one-file-per-partition:
     cluster-by-key, rewrite, swap.
+
+    r18 (guide §2.5/§6): the FRAGMENTED write is also source-clustered,
+    with an explicit partition count (REPARTITION_BY_NUM, exempt from
+    AQE coalescing). Before, the write inherited the scan's task layout
+    — one task for a single-file fixture — so ALL ~n/{COMPACT_MAX_RECORDS}
+    tiny files were written and committed sequentially by one core; and
+    had the fixture ever shipped as multiple files, a source split
+    across scan tasks would have broken the oracle's per-source ceil
+    formula. Clustering by source makes the formula hold by
+    construction AND spreads the file creation across the cluster.
     """
-    frag = tempfile.mkdtemp(prefix="tfm_sink_frag_")
-    comp = tempfile.mkdtemp(prefix="tfm_sink_comp_")
+    frag = ephemeral_scratch_dir("tfm_sink_frag_")
+    comp = ephemeral_scratch_dir("tfm_sink_comp_")
     try:
         docs = table(spark, sf_dir, "documents").select(
             "doc_id", "source", "n_chars"
         )
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
         (
-            docs.write.mode("overwrite")
+            docs.repartition(n_shuffle, "source")
+            .write.mode("overwrite")
             .option("maxRecordsPerFile", COMPACT_MAX_RECORDS)
             .partitionBy("source")
             .parquet(frag)

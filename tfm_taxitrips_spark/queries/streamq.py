@@ -495,7 +495,6 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated runs (bench / differential / driver) don't accumulate in
     /tmp."""
     import shutil
-    import tempfile
 
     from tfm_taxitrips_spark.streaming.serving import (
         run_topk_serving,
@@ -508,10 +507,13 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     rolled = windowed_rollup(stream)
-    base = tempfile.mkdtemp(prefix="tfm_serving_")
-    # r18: the drain checkpoint is call-scoped scratch (deleted below) —
-    # route it through the RAM-backed scratch helper; the serving TABLE
-    # stays where the caller reads it (its write is the operator)
+    from tfm_taxitrips_spark.session import ephemeral_scratch_dir
+
+    # r18: checkpoint AND serving dir are call-scoped scratch (both
+    # deleted below, after the k rows are materialized) — RAM-backed via
+    # session.ephemeral_scratch_dir. A production deployment passes a
+    # durable serving location through streaming.serving instead.
+    base = ephemeral_scratch_dir("tfm_serving_")
     chk = _ephemeral_checkpoint_dir()
     try:
         # same aggregate-sized rollup state as the A5 drain

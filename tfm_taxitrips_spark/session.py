@@ -21,12 +21,31 @@ default. Here the session is built once with the settings that matter at
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def ephemeral_scratch_dir(prefix: str) -> str:
+    """Scratch directory for CALL-SCOPED throwaway data, preferring
+    RAM-backed storage (r18, guide §1.2 'per-task work' applied to the
+    IO path): one-shot drain checkpoints and eager-contract audit
+    datasets are written, read once, and deleted before the call
+    returns — durability buys nothing, so tmpfs removes the fsync and
+    page-cache-writeback cost from the timed path. Callers MUST delete
+    the directory themselves (they already do — it is call-scoped).
+    Override with ``$SPARK_GRAFT_CHK_SCRATCH`` (e.g. a fast local disk
+    when /dev/shm is small); falls back to the system tempdir when no
+    tmpfs exists. Durable outputs (``sinks.writers``) never come here —
+    they take caller-provided locations."""
+    base = os.environ.get("SPARK_GRAFT_CHK_SCRATCH")
+    if base is None and os.path.isdir("/dev/shm"):
+        base = "/dev/shm"
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
 def get_spark(

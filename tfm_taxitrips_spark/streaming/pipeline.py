@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 import threading
 import uuid
 from contextlib import contextmanager
@@ -185,11 +184,13 @@ def _ephemeral_checkpoint_dir() -> str:
     (``sinks.writers``) take caller-provided durable checkpoint
     locations and are unaffected. Override with
     ``$SPARK_GRAFT_CHK_SCRATCH`` (e.g. a fast local disk when /dev/shm
-    is small); falls back to the system tempdir when no tmpfs exists."""
-    base = os.environ.get("SPARK_GRAFT_CHK_SCRATCH")
-    if base is None and os.path.isdir("/dev/shm"):
-        base = "/dev/shm"
-    return tempfile.mkdtemp(prefix="tfm_chk_", dir=base)
+    is small); falls back to the system tempdir when no tmpfs exists.
+    (Shared policy lives in :func:`session.ephemeral_scratch_dir` — the
+    eager-contract audit queries use the same scratch for their
+    throwaway datasets.)"""
+    from tfm_taxitrips_spark.session import ephemeral_scratch_dir
+
+    return ephemeral_scratch_dir("tfm_chk_")
 
 
 def run_to_memory(
