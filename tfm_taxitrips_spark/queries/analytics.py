@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
 from tfm_taxitrips_spark.operators.analytics import skyline_2d
+from tfm_taxitrips_spark.operators.partitioning import fan_out
 from tfm_taxitrips_spark.operators.prefix import two_phase_prefix_sum
 from tfm_taxitrips_spark.queries.registry import QuerySpec
 from tfm_taxitrips_spark.sources.readers import table
@@ -282,8 +283,15 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation differs between engines, ``floor`` does not — and floor is
     monotone, so it commutes with min/max); timestamps formatted to
     seconds.
+
+    r18 (guide §2.5 'input skew'): ``fan_out`` on the scan — a
+    single-file fixture plans as ONE scan partition, so the ×7 Expand
+    and the partial distinct aggregation (the heavy map side of this
+    query) ran on one core; fan_out round-robins the scan up to session
+    parallelism and is a no-op on any real multi-split table (measured
+    5.2 s → ~1 s at sf0.1). Aggregates are partitioning-invariant.
     """
-    o = table(spark, sf_dir, "orders")
+    o = fan_out(table(spark, sf_dir, "orders"))
     n = F.count(F.lit(1))
     ts_fmt = "yyyy-MM-dd HH:mm:ss"
 

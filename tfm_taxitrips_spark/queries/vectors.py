@@ -1002,9 +1002,16 @@ def q_embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     raise iterations/K and ``localCheckpoint`` the codebook per round
     exactly as :func:`kmeans_clustering` documents — the per-round plan
     is constant-size either way.
+
+    r18 (guide §2.4): lazy fences on ``sub`` (the exploded store feeds
+    the seed filter and every round's assignment — unfenced, the plan
+    replayed the explode per consumer) and on each round's
+    |subspaces|·K-row codebook (unfenced, round i's whole lineage nested
+    under round i+1). Pure materialization; assignments, ties, and the
+    audit are bit-identical (pinned by the oracle's unrolled CTE chain).
     """
     emb = emb_table(spark, sf_dir).select("vec_id", "embedding")
-    sub = _pq_subvectors(emb)
+    sub = _pq_subvectors(emb).localCheckpoint(eager=False)
     cents = sub.where(
         (F.col("vec_id") >= PQ_SEED_BASE)
         & (F.col("vec_id") < PQ_SEED_BASE + PQ_K)
@@ -1017,7 +1024,7 @@ def q_embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(PQ_ITERS):
         assign = _pq_assign(sub, cents)
         if i < PQ_ITERS - 1:
-            cents = _pq_update(assign)
+            cents = _pq_update(assign).localCheckpoint(eager=False)
     return assign.groupBy("subspace", "code").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.sum("vec_id").cast("bigint").alias("member_checksum"),
@@ -1143,8 +1150,12 @@ def q_embedding_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair vector arithmetic anywhere (pinned:
     tests/test_plans.py::test_pq_recall_adc_joins_are_broadcast).
     """
+    # r18 (guide §2.4), same fences as the codebook trainer: ``sub``
+    # feeds the seed filter, every assignment round, AND ``probes``;
+    # each round's tiny codebook otherwise nests the prior round's
+    # whole lineage under the next plan. Bit-identical training.
     emb = emb_table(spark, sf_dir).select("vec_id", "embedding")
-    sub = _pq_subvectors(emb)
+    sub = _pq_subvectors(emb).localCheckpoint(eager=False)
     cents = sub.where(
         (F.col("vec_id") >= PQ_SEED_BASE)
         & (F.col("vec_id") < PQ_SEED_BASE + PQ_K)
@@ -1157,7 +1168,7 @@ def q_embedding_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(PQ_ITERS):
         assign = _pq_assign(sub, cents)
         if i < PQ_ITERS - 1:
-            cents = _pq_update(assign)
+            cents = _pq_update(assign).localCheckpoint(eager=False)
     # cents is now the FINAL codebook — the one the final assignment used
     enc = assign.groupBy("vec_id").agg(*[
         F.max(F.when(F.col("subspace") == s, F.col("code")))
