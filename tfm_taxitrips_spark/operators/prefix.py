@@ -56,11 +56,47 @@ def two_phase_prefix_sum(
     calls (two stacked sums re-run the first's input 4×; the
     ``ks_split_drift`` audit caught a 16-scan blowup this way). Callers
     must ``localCheckpoint(eager=False)`` any non-trivial input before
-    calling — every in-repo call site does.
+    calling — every in-repo call site does. Callers that need running
+    sums of SEVERAL value columns over the SAME order should call
+    :func:`two_phase_prefix_sums` once instead of stacking calls — a
+    stack pays the bucket-sum pass, the offset join, the local window
+    and (per the contract above) a fence once per column; the multi
+    form pays each exactly once (r19, guide §1.2/§2.4).
+    """
+    return two_phase_prefix_sums(
+        df,
+        bucket_col=bucket_col,
+        order_cols=order_cols,
+        cols=[(val_col, out_col)],
+        partition_cols=partition_cols,
+        inclusive=inclusive,
+    )
+
+
+def two_phase_prefix_sums(
+    df: DataFrame,
+    *,
+    bucket_col: str,
+    order_cols: Sequence[str],
+    cols: Sequence[tuple[str, str]],
+    partition_cols: Sequence[str] = (),
+    inclusive: bool = True,
+) -> DataFrame:
+    """N-column form of :func:`two_phase_prefix_sum` over ONE shared
+    total order: ``cols`` is a sequence of ``(val_col, out_col)`` pairs,
+    each getting its own running sum. All sums share the single phase-1
+    bucket collapse, the single offsets window, the single broadcast
+    offset join and the single local window pass (identical frame specs
+    collapse into one physical Window operator), so the per-column
+    marginal cost is one aggregate expression — where stacked
+    single-column calls re-run the whole machinery, and re-read their
+    input, once per column. Column math is identical to the
+    single-column form, so results are bit-equal per column.
     """
     pc = list(partition_cols)
+    idx = list(range(len(cols)))
     bucket_sums = df.groupBy(*pc, bucket_col).agg(
-        F.sum(val_col).alias("_tpps_sum")
+        *[F.sum(v).alias(f"_tpps_sum_{i}") for i, (v, _) in zip(idx, cols)]
     )
     w_off = (
         Window.partitionBy(*pc).orderBy(bucket_col)
@@ -68,7 +104,11 @@ def two_phase_prefix_sum(
     )
     offsets = bucket_sums.select(
         *pc, bucket_col,
-        F.coalesce(F.sum("_tpps_sum").over(w_off), F.lit(0)).alias("_tpps_off"),
+        *[
+            F.coalesce(F.sum(f"_tpps_sum_{i}").over(w_off), F.lit(0))
+            .alias(f"_tpps_off_{i}")
+            for i in idx
+        ],
     )
     upper = 0 if inclusive else -1
     w_loc = (
@@ -83,18 +123,20 @@ def two_phase_prefix_sum(
     # plan shape is unchanged.
     keys = pc + [bucket_col]
     off_r = offsets.select(
-        *[F.col(c).alias(f"_tpps_k_{c}") for c in keys], "_tpps_off")
+        *[F.col(c).alias(f"_tpps_k_{c}") for c in keys],
+        *[f"_tpps_off_{i}" for i in idx],
+    )
     cond = None
     for c in keys:
         leg = df[c].eqNullSafe(F.col(f"_tpps_k_{c}"))
         cond = leg if cond is None else (cond & leg)
-    return (
-        df.join(F.broadcast(off_r), cond)
-        .drop(*[f"_tpps_k_{c}" for c in keys])
-        .withColumn(
+    out = df.join(F.broadcast(off_r), cond).drop(
+        *[f"_tpps_k_{c}" for c in keys]
+    )
+    for i, (val_col, out_col) in zip(idx, cols):
+        out = out.withColumn(
             out_col,
-            F.col("_tpps_off")
+            F.col(f"_tpps_off_{i}")
             + F.coalesce(F.sum(val_col).over(w_loc), F.lit(0)),
         )
-        .drop("_tpps_off")
-    )
+    return out.drop(*[f"_tpps_off_{i}" for i in idx])

@@ -17,7 +17,10 @@ from pyspark.sql import functions as F
 from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
 from tfm_taxitrips_spark.operators.analytics import skyline_2d
 from tfm_taxitrips_spark.operators.partitioning import fan_out
-from tfm_taxitrips_spark.operators.prefix import two_phase_prefix_sum
+from tfm_taxitrips_spark.operators.prefix import (
+    two_phase_prefix_sum,
+    two_phase_prefix_sums,
+)
 from tfm_taxitrips_spark.queries.registry import QuerySpec
 from tfm_taxitrips_spark.sources.readers import table
 
@@ -1054,10 +1057,16 @@ def _event_value_cum(
         .withColumn("rng", F.expr(f"cents div {_MED_BUCKET}"))
         .localCheckpoint(eager=False)
     )
+    # no fence on ``cum`` (r19, guide §2.4): both rank-lookup consumers
+    # now read it exactly ONCE per query (the median's lo/hi lookups
+    # merged into one pass below; the histogram always was one pass), so
+    # the fence bought nothing and cost a per-construction plan compile
+    # + its own materialization job. ``collapsed`` stays fenced — the
+    # prefix sum references it twice and ``totals`` is a third reader.
     cum = two_phase_prefix_sum(
         collapsed, partition_cols=("event_type",), bucket_col="rng",
         order_cols=("cents",), val_col="cnt", out_col="cum_le",
-    ).localCheckpoint(eager=False)
+    )
     totals = collapsed.groupBy("event_type").agg(
         F.sum("cnt").cast("bigint").alias("n_values"))
     return cum, totals
@@ -1085,34 +1094,37 @@ def q_exact_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cum, totals = _event_value_cum(spark, sf_dir)
 
-    # eqNullSafe joins: a NULL event_type is a real stratum (the repo's
+    # eqNullSafe join: a NULL event_type is a real stratum (the repo's
     # NULL-provenance convention) — a plain equi-join silently drops the
     # NULL group that every GROUP BY in the same query keeps (r12
-    # adversarial sweep; the oracle mirrors with IS NOT DISTINCT FROM)
-    def value_at(rank_expr, alias):
-        ranks = totals.select(
-            F.col("event_type").alias("_et"),
-            rank_expr.cast("bigint").alias("_r"))
-        return (
-            cum.join(F.broadcast(ranks),
-                     F.col("event_type").eqNullSafe(F.col("_et")))
-            .where(F.col("cum_le") >= F.col("_r"))
-            .groupBy("event_type")
-            .agg(F.min("cents").alias(alias))
-        )
-    lo = value_at(F.expr("(n_values + 1) div 2"), "_lo")
-    hi = value_at(F.expr("n_values div 2 + 1"), "_hi")
+    # adversarial sweep; the oracle mirrors with IS NOT DISTINCT FROM).
+    # r19 (guide §1.2/§2.4): BOTH middle ranks resolve in ONE pass over
+    # ``cum`` — the rank targets ride one broadcast with r_lo and r_hi,
+    # the filter keeps every row either lookup needs (r_lo ≤ r_hi always,
+    # so cum_le ≥ r_lo is the union), and conditional MINs split them
+    # back out. Same values as the old two-pass lo/hi joins; removes one
+    # full pass over cum, two broadcast joins and the cum fence.
+    ranks = totals.select(
+        F.col("event_type").alias("_et"),
+        F.col("n_values"),
+        F.expr("(n_values + 1) div 2").cast("bigint").alias("_r_lo"),
+        F.expr("n_values div 2 + 1").cast("bigint").alias("_r_hi"),
+    )
     return (
-        totals
-        .join(F.broadcast(lo.withColumnRenamed("event_type", "_e1")),
-              F.col("event_type").eqNullSafe(F.col("_e1")))
-        .join(F.broadcast(hi.withColumnRenamed("event_type", "_e2")),
-              F.col("event_type").eqNullSafe(F.col("_e2")))
-        .select(
-            "event_type", "n_values",
-            (F.col("_lo") + F.col("_hi")).cast("bigint")
-            .alias("median2_cents"),
+        cum.join(F.broadcast(ranks),
+                 F.col("event_type").eqNullSafe(F.col("_et")))
+        .where(F.col("cum_le") >= F.col("_r_lo"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n_values").alias("n_values"),
+            (
+                F.min(F.when(F.col("cum_le") >= F.col("_r_lo"),
+                             F.col("cents")))
+                + F.min(F.when(F.col("cum_le") >= F.col("_r_hi"),
+                               F.col("cents")))
+            ).cast("bigint").alias("median2_cents"),
         )
+        .select("event_type", "n_values", "median2_cents")
     )
 
 
@@ -1498,36 +1510,43 @@ def q_ks_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("vb", F.expr("v div 1000000"))  # ~$10k monotone buckets
         .localCheckpoint(eager=False)
     )
-    # each prefix-sum output is itself read twice by the NEXT consumer
-    # (the second prefix-sum call / the dev projection), so checkpoint
-    # BETWEEN the nested calls too — the operators/prefix.py caller
-    # contract: an un-checkpointed first prefix would re-execute its two
-    # windows once per reference downstream.
-    cum = two_phase_prefix_sum(
-        vals, bucket_col="vb", order_cols=["v"], val_col="ca", out_col="cuma"
-    ).localCheckpoint(eager=False)
-    cum = two_phase_prefix_sum(
-        cum, bucket_col="vb", order_cols=["v"], val_col="cb", out_col="cumb"
+    # BOTH cumulative counts ride ONE two-phase pass (r19, guide
+    # §1.2/§2.4): the stacked single-column calls each re-read their
+    # input twice and forced a fence between them — the multi form pays
+    # the bucket collapse, the offset join, the local window and the
+    # fence exactly once, and the shared frame spec plans ONE physical
+    # Window operator for both sums (column math bit-identical).
+    cum = two_phase_prefix_sums(
+        vals, bucket_col="vb", order_cols=["v"],
+        cols=[("ca", "cuma"), ("cb", "cumb")],
     ).localCheckpoint(eager=False)
     tot = cum.agg(
         F.sum("ca").cast("decimal(38,0)").alias("na"),
         F.sum("cb").cast("decimal(38,0)").alias("nb"),
     )
-    dev = cum.crossJoin(F.broadcast(tot)).select(
-        "v", "na", "nb",
-        F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
-        .alias("dev"),
-    ).localCheckpoint(eager=False)
-    maxd = dev.agg(F.max("dev").alias("maxdev"))
+    # max dev + its argmax in ONE aggregation over ONE pass (r19): the
+    # struct max picks the largest dev and, among ties, the largest
+    # negated value = the SMALLEST v — exactly the old two-pass
+    # max-then-filter semantics (min v among dev == maxdev rows) without
+    # the dev fence, the second crossJoin or the re-scan of dev.
+    dev = F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
     return (
-        dev.crossJoin(F.broadcast(maxd))
-        .where(F.col("dev") == F.col("maxdev"))
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "na", "nb",
+            F.struct(dev.alias("dev"), (-F.col("v")).alias("nv")).alias("_m"),
+        )
         .agg(
-            F.first("na").cast("bigint").alias("n_a"),
-            F.first("nb").cast("bigint").alias("n_b"),
-            F.expr("CAST((1000000 * first(maxdev)) div (first(na) * first(nb))"
-                   " AS BIGINT)").alias("ks_ppm"),
-            F.min("v").alias("ks_at_cents"),
+            F.first("na").alias("_na"),
+            F.first("nb").alias("_nb"),
+            F.max("_m").alias("_m"),
+        )
+        .select(
+            F.col("_na").cast("bigint").alias("n_a"),
+            F.col("_nb").cast("bigint").alias("n_b"),
+            F.expr("CAST((1000000 * _m.dev) div (_na * _nb) AS BIGINT)")
+            .alias("ks_ppm"),
+            (-F.col("_m.nv")).alias("ks_at_cents"),
         )
     )
 

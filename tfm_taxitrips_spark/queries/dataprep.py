@@ -2585,36 +2585,47 @@ def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     comp = q_dedup_cluster_canonical(spark, sf_dir).select(
         "doc_id", "cluster_id")
-    base = (
-        docs.join(comp, "doc_id", "left")
-        .select(
-            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-            "doc_id", "lang", "n_chars",
-        )
-        .localCheckpoint(eager=False)  # three field-rule consumers
+    base = docs.join(comp, "doc_id", "left").select(
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "doc_id", "lang", "n_chars",
     )
-    main = base.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_members"),
-        F.min("doc_id").alias("golden_doc_id"),
-        F.max("n_chars").cast("bigint").alias("max_chars"),
+    # r19 (guide §1.2/§2.4): every field rule is an argmax/argmin over a
+    # TOTAL order, so the whole golden record collapses to TWO stacked
+    # aggregations over ONE consumer of ``base`` — no fence, no
+    # row_number windows, no join-backs. Level 1 groups by
+    # (cluster, lang) and carries each group's partial stats; level 2
+    # re-aggregates per cluster. Tie-breaks are encoded in struct
+    # extrema exactly as the old windows ordered:
+    # - longest:  max(struct(n_chars, -doc_id)) — largest n_chars, then
+    #   smallest doc_id; NULL n_chars sorts below any value (the old
+    #   DESC put NULLs last), and an all-NULL cluster falls back to the
+    #   smallest doc_id via the negated id field.
+    # - majority: min(struct(-c, lang)) — largest count, then
+    #   lexicographically smallest lang with NULL FIRST (the old
+    #   window's ASC null ordering; struct comparison sorts a NULL
+    #   field before any value).
+    lvl1 = base.groupBy("cluster_id", "lang").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min("doc_id").alias("_min_id"),
+        F.max("n_chars").alias("_max_chars"),
+        F.max(F.struct(F.col("n_chars").alias("nc"),
+                       (-F.col("doc_id")).alias("nid"))).alias("_len"),
     )
-    w_len = Window.partitionBy("cluster_id").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc())
-    longest = (
-        base.withColumn("rn", F.row_number().over(w_len))
-        .where(F.col("rn") == 1)
-        .select("cluster_id", F.col("doc_id").alias("longest_doc_id"))
+    golden = lvl1.groupBy("cluster_id").agg(
+        # coalesce keeps the column NON-NULL like the old count() form
+        # (groups are non-empty, so the value is unchanged)
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("n_members"),
+        F.min("_min_id").alias("golden_doc_id"),
+        F.max("_max_chars").cast("bigint").alias("max_chars"),
+        (-F.max("_len")["nid"]).alias("longest_doc_id"),
+        F.min(F.struct((-F.col("_c")).alias("nc"),
+                       F.col("lang").alias("lang")))["lang"]
+        .alias("majority_lang"),
     )
-    lang_counts = base.groupBy("cluster_id", "lang").agg(
-        F.count(F.lit(1)).alias("c"))
-    w_lang = Window.partitionBy("cluster_id").orderBy(
-        F.col("c").desc(), F.col("lang").asc())
-    majority = (
-        lang_counts.withColumn("rn", F.row_number().over(w_lang))
-        .where(F.col("rn") == 1)
-        .select("cluster_id", F.col("lang").alias("majority_lang"))
+    return golden.select(
+        "cluster_id", "n_members", "golden_doc_id", "max_chars",
+        "longest_doc_id", "majority_lang",
     )
-    return main.join(longest, "cluster_id").join(majority, "cluster_id")
 
 
 _SURVIVORSHIP_SQL = f"""

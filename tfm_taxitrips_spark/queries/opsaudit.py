@@ -485,14 +485,19 @@ def q_parquet_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     The audited FACTS are layout-location-invariant: same writer, same
     rows, same bucketing — footer stats and file counts are unchanged.
     """
-    from tfm_taxitrips_spark.session import ephemeral_scratch_dir
+    from tfm_taxitrips_spark.session import (
+        ephemeral_scratch_dir,
+        plan_size_bytes,
+    )
 
-    base = ephemeral_scratch_dir("tfm_layout_audit_")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(f"l_orderkey div {LAYOUT_BUCKET_SPAN}").alias("bkt"),
+    )
+    # dataset-sized scratch → free-space-gated tmpfs (r19, ADVICE r18)
+    base = ephemeral_scratch_dir("tfm_layout_audit_",
+                                 expect_bytes=plan_size_bytes(li))
     try:
-        li = table(spark, sf_dir, "lineitem").select(
-            "l_orderkey",
-            F.expr(f"l_orderkey div {LAYOUT_BUCKET_SPAN}").alias("bkt"),
-        )
         (li.repartition("bkt").write.mode("overwrite")
          .partitionBy("bkt").parquet(f"{base}/lineitem"))
         paths = []

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tfm_taxitrips_spark.functions.aggregates import dsum, dsum_sql
-from tfm_taxitrips_spark.session import ephemeral_scratch_dir
+from tfm_taxitrips_spark.session import ephemeral_scratch_dir, plan_size_bytes
 from tfm_taxitrips_spark.queries.registry import QuerySpec
 from tfm_taxitrips_spark.sinks.writers import (
     write_parquet_stream,
@@ -59,11 +59,15 @@ def q_sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     IS the serving contract: a dashboard filter on priority touches
     1/|priorities| of the files, which is exactly what this query
     round-trips."""
-    base = ephemeral_scratch_dir("tfm_sink_k1_")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    # dataset-sized scratch: gate the tmpfs preference on free space vs
+    # the frame's optimizer size (r19, ADVICE r18 — a 64 MB /dev/shm
+    # must degrade to disk, not ENOSPC the query)
+    base = ephemeral_scratch_dir("tfm_sink_k1_",
+                                 expect_bytes=plan_size_bytes(orders))
     try:
-        orders = table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
-        )
         write_table(
             orders, f"{base}/orders", partition_by=("o_orderpriority",)
         )
@@ -135,11 +139,14 @@ def q_sink_stream_parquet_roundtrip(
         read_events_stream,
     )
 
-    base = ephemeral_scratch_dir("tfm_sink_k2_")
-    # r18: checkpoint AND sink dir are call-scoped scratch (deleted
-    # below) — both ride session.ephemeral_scratch_dir. The write→read
-    # contract is filesystem-location-invariant: same writer, same
-    # partition layout, same bytes read back.
+    import tempfile
+
+    # r19 (ADVICE r18): the parquet SINK itself goes back to the REAL
+    # filesystem — the durable write + read-back is what this query
+    # proves, and the r18 scratch routing had quietly diluted that
+    # contract to a tmpfs round-trip. Only the one-shot drain CHECKPOINT
+    # (written, never re-read, deleted in-call) stays on RAM scratch.
+    base = tempfile.mkdtemp(prefix="tfm_sink_k2_")
     chk = _ephemeral_checkpoint_dir()
     try:
         stream = read_events_stream(spark, sf_dir)
@@ -275,12 +282,14 @@ def q_sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula. Clustering by source makes the formula hold by
     construction AND spreads the file creation across the cluster.
     """
-    frag = ephemeral_scratch_dir("tfm_sink_frag_")
-    comp = ephemeral_scratch_dir("tfm_sink_comp_")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    # dataset-sized scratch → free-space-gated tmpfs (r19, ADVICE r18)
+    _hint = plan_size_bytes(docs)
+    frag = ephemeral_scratch_dir("tfm_sink_frag_", expect_bytes=_hint)
+    comp = ephemeral_scratch_dir("tfm_sink_comp_", expect_bytes=_hint)
     try:
-        docs = table(spark, sf_dir, "documents").select(
-            "doc_id", "source", "n_chars"
-        )
         n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
         (
             docs.repartition(n_shuffle, "source")

@@ -462,7 +462,7 @@ def q_quantile_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one independent map-side-combined pass (bounded sketch state),
     exactly what it costs in production.
     """
-    from tfm_taxitrips_spark.operators.prefix import two_phase_prefix_sum
+    from tfm_taxitrips_spark.operators.prefix import two_phase_prefix_sums
 
     # stated contract (r13 star-table sweep finding): a row with a NULL
     # ship date cannot be assigned to a snapshot and a NULL price cannot
@@ -492,13 +492,14 @@ def q_quantile_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("vb", F.expr("v div 1000000"))  # ~$10k monotone buckets
         .localCheckpoint(eager=False)
     )
-    cum = two_phase_prefix_sum(
-        vals, bucket_col="vb", order_cols=["v"], val_col="c_old",
-        out_col="cum_old",
-    ).localCheckpoint(eager=False)
-    cum = two_phase_prefix_sum(
-        cum, bucket_col="vb", order_cols=["v"], val_col="c_new",
-        out_col="cum_new",
+    # BOTH cumulative counts ride ONE two-phase pass (r19, guide
+    # §1.2/§2.4 — the ks_split_drift rewrite): stacked single-column
+    # calls re-read their input twice each and forced a fence between
+    # them; the multi form pays the bucket collapse, offset join, local
+    # window and fence once, bit-identical per column.
+    cum = two_phase_prefix_sums(
+        vals, bucket_col="vb", order_cols=["v"],
+        cols=[("c_old", "cum_old"), ("c_new", "cum_new")],
     ).localCheckpoint(eager=False)
     tot = cum.agg(
         F.sum("c_old").cast("decimal(38,0)").alias("n_old"),
@@ -507,23 +508,32 @@ def q_quantile_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = spark.createDataFrame(
         [(i, p) for i, p in enumerate(_DRIFT_QS_PPM)], "pos int, q_ppm bigint"
     )
-    # rank = ceil(p·n) in exact integers: (p_ppm·n + 999999) div 10⁶
+    # rank = ceil(p·n) in exact integers: (p_ppm·n + 999999) div 10⁶.
+    # No fence (r19): the merged rank lookup below is now the ONLY
+    # consumer — n_old/n_new ride through its aggregate.
     targets = qs.crossJoin(F.broadcast(tot)).select(
         "pos", "q_ppm", "n_old", "n_new",
         F.expr("(q_ppm * n_old + 999999) div 1000000").alias("r_old"),
         F.expr("(q_ppm * n_new + 999999) div 1000000").alias("r_new"),
-    ).localCheckpoint(eager=False)  # 4 rows; both rank lookups read it
-
-    def value_at(cum_col: str, rank_col: str, alias: str):
-        return (
-            cum.crossJoin(F.broadcast(targets.select("q_ppm", rank_col)))
-            .where(F.col(cum_col) >= F.col(rank_col))
-            .groupBy("q_ppm")
-            .agg(F.min("v").alias(alias))
+    )
+    # BOTH snapshots' rank lookups in ONE pass over cum (r19): the
+    # filter keeps every row either lookup needs, conditional MINs split
+    # them back out — same values as the old per-snapshot crossJoin +
+    # groupBy pair, one pass and two joins fewer.
+    looked = (
+        cum.crossJoin(F.broadcast(targets))
+        .where((F.col("cum_old") >= F.col("r_old"))
+               | (F.col("cum_new") >= F.col("r_new")))
+        .groupBy("pos", "q_ppm")
+        .agg(
+            F.max("n_old").alias("n_old"),
+            F.max("n_new").alias("n_new"),
+            F.min(F.when(F.col("cum_old") >= F.col("r_old"), F.col("v")))
+            .alias("q_old_cents"),
+            F.min(F.when(F.col("cum_new") >= F.col("r_new"), F.col("v")))
+            .alias("q_new_cents"),
         )
-
-    q_old = value_at("cum_old", "r_old", "q_old_cents")
-    q_new = value_at("cum_new", "r_new", "q_new_cents")
+    )
     # GK leg: one raw pass, nulls (other snapshot) ignored by the sketch
     ps = [p / 1_000_000 for p in _DRIFT_QS_PPM]
     cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint")
@@ -537,8 +547,7 @@ def q_quantile_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.arrays_zip(F.col("go"), F.col("gn"))).alias("pos", "z")
     ).select("pos", F.col("z.go").alias("gk_old"), F.col("z.gn").alias("gk_new"))
     return (
-        targets.join(q_old, "q_ppm").join(q_new, "q_ppm")
-        .join(F.broadcast(gk), "pos")
+        looked.join(F.broadcast(gk), "pos")
         .select(
             "q_ppm",
             F.col("n_old").cast("bigint").alias("n_old"),

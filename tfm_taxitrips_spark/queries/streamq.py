@@ -68,7 +68,20 @@ def drain_state_partitions() -> int:
 
     env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
     if env is not None:
-        return int(env)
+        # validate here (r19, ADVICE r18): a 0/negative/non-numeric
+        # override would otherwise surface as a baffling planner error
+        # deep inside run_to_memory's shuffle-partition scope
+        try:
+            n = int(env)
+        except ValueError:
+            raise ValueError(
+                "SPARK_GRAFT_STREAM_STATE_PARTITIONS must be an integer "
+                f"(got {env!r})") from None
+        if n < 1:
+            raise ValueError(
+                "SPARK_GRAFT_STREAM_STATE_PARTITIONS must be >= 1 "
+                f"(got {n})")
+        return n
     return max(1, min(default_parallelism(), 8))
 
 
@@ -505,15 +518,17 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ephemeral_checkpoint_dir,
     )
 
+    import tempfile
+
     stream = read_events_stream(spark, sf_dir)
     rolled = windowed_rollup(stream)
-    from tfm_taxitrips_spark.session import ephemeral_scratch_dir
 
-    # r18: checkpoint AND serving dir are call-scoped scratch (both
-    # deleted below, after the k rows are materialized) — RAM-backed via
-    # session.ephemeral_scratch_dir. A production deployment passes a
-    # durable serving location through streaming.serving instead.
-    base = ephemeral_scratch_dir("tfm_serving_")
+    # r19 (ADVICE r18): the SERVING TABLE goes to the real filesystem —
+    # the durable upsert + parquet read-back is the contract this query
+    # proves (a production deployment passes a durable location through
+    # streaming.serving). Only the drain checkpoint (written, never
+    # re-read, deleted in-call) stays on RAM scratch.
+    base = tempfile.mkdtemp(prefix="tfm_serving_")
     chk = _ephemeral_checkpoint_dir()
     try:
         # same aggregate-sized rollup state as the A5 drain

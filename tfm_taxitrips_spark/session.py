@@ -30,7 +30,7 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
-def ephemeral_scratch_dir(prefix: str) -> str:
+def ephemeral_scratch_dir(prefix: str, expect_bytes: int | None = None) -> str:
     """Scratch directory for CALL-SCOPED throwaway data, preferring
     RAM-backed storage (r18, guide §1.2 'per-task work' applied to the
     IO path): one-shot drain checkpoints and eager-contract audit
@@ -38,14 +38,38 @@ def ephemeral_scratch_dir(prefix: str) -> str:
     returns — durability buys nothing, so tmpfs removes the fsync and
     page-cache-writeback cost from the timed path. Callers MUST delete
     the directory themselves (they already do — it is call-scoped).
-    Override with ``$SPARK_GRAFT_CHK_SCRATCH`` (e.g. a fast local disk
-    when /dev/shm is small); falls back to the system tempdir when no
-    tmpfs exists. Durable outputs (``sinks.writers``) never come here —
-    they take caller-provided locations."""
+
+    r19 (ADVICE r18): the tmpfs preference is GATED on free space —
+    Docker's default /dev/shm is 64 MB, and an ungated dataset-sized
+    write there would ENOSPC a query that succeeds on disk. Callers
+    writing dataset-sized scratch pass ``expect_bytes`` (typically the
+    optimizer's ``sizeInBytes`` of the frame being written — an
+    uncompressed over-estimate, the safe direction); tmpfs is used only
+    when its free space covers 2× that hint. Without a hint the floor
+    is 256 MiB — plenty for the checkpoint/WAL dirs that are the
+    default use. Override with ``$SPARK_GRAFT_CHK_SCRATCH`` (e.g. a
+    fast local disk when /dev/shm is small); falls back to the system
+    tempdir when no (or a too-small) tmpfs exists. Durable outputs
+    (``sinks.writers``) never come here — they take caller-provided
+    locations."""
     base = os.environ.get("SPARK_GRAFT_CHK_SCRATCH")
     if base is None and os.path.isdir("/dev/shm"):
-        base = "/dev/shm"
+        need = 2 * expect_bytes if expect_bytes else 256 << 20
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= need:
+                base = "/dev/shm"
+        except OSError:
+            pass
     return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
+def plan_size_bytes(df) -> int:
+    """Optimizer-statistics size of a DataFrame (driver-only, no job) —
+    the ``expect_bytes`` hint for dataset-sized scratch. Uncompressed
+    estimate, so it over-states what a parquet write needs (the safe
+    direction for a free-space gate)."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
 
 
 def get_spark(

@@ -214,9 +214,14 @@ def run_to_memory(
     map-side partial aggregation) runs at source parallelism regardless.
     Measured on the A5 rollup at sf0.1 (14k state rows): 8 partitions
     drain ~2× faster than 32 (median 1.09 s vs 1.57 s, 4-rep
-    round-robin).  Leave ``None`` for streams whose state scales with
-    keys (dedup on event_id, sessionization), where the inherited
-    session/default count is the right order.  The override rides
+    round-robin).  Key-scaled streams (dedup, sessionization, the
+    stream-stream join) pass ``queries.streamq.drain_state_partitions()``
+    — the r18 policy: over a bounded replay the per-partition commit
+    overhead dominates long before state volume does, and the env
+    override (``$SPARK_GRAFT_STREAM_STATE_PARTITIONS``) re-sizes a
+    replay whose key space outgrows that assumption.  Leave ``None``
+    only when the inherited session count is genuinely the right order
+    for the state.  The override rides
     :func:`_scoped_shuffle_partitions` — the conf is session-visible, the
     entry points here run queries sequentially, and the scope's
     non-blocking lock turns any future concurrent drain into a loud

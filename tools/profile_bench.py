@@ -48,7 +48,8 @@ def main() -> None:
         if (s.bench or include_all) and (only is None or n in only)
     }
 
-    plans_dir = os.path.join(REPO, "plans", "r18")
+    plans_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r19"))
     os.makedirs(plans_dir, exist_ok=True)
 
     # one warm pass (untimed): JIT + file-listing caches
