@@ -273,3 +273,35 @@ def test_join_strategy_expansion_not_aqe_coalescible(spark):
         .where(F.col("p") >= 0).distinct().count()
     )
     assert n_parts > 1, "pair expansion collapsed to a single partition"
+
+
+def test_collect_strategy_expansion_not_aqe_coalescible(spark):
+    """r19 (ADVICE r18): the collect-strategy expansion gets the SAME
+    explicit-count protection — its repartition carried no count, so AQE
+    could coalesce the compact banded exchange and run every group's
+    quadratic in-task array expansion on one core."""
+    from tfm_taxitrips_spark.plans.explain import explain_formatted
+
+    rows = [(t % 5, t * 31 % 97, t % 7) for t in range(80)]
+    bands = spark.createDataFrame(rows, "bucket int, id long, sz int")
+    df = bucket_pairs(
+        bands, ["bucket"], F.struct("id", "sz"), strategy="collect")
+    plan = explain_formatted(df)
+    assert "REPARTITION_BY_NUM" in plan
+    n_parts = (
+        df.select(F.spark_partition_id().alias("p"))
+        .where(F.col("p") >= 0).distinct().count()
+    )
+    assert n_parts > 1, "pair expansion collapsed to a single partition"
+    # the adaptive opt-out (narrow-by-design callers, e.g. LSH banding)
+    # keeps the coalescible column form — same pair set either way
+    df_a = bucket_pairs(
+        bands, ["bucket"], F.struct("id", "sz"), strategy="collect",
+        spread="adaptive")
+    assert "REPARTITION_BY_NUM" not in explain_formatted(df_a)
+    assert sorted(map(str, df.collect())) == sorted(map(str, df_a.collect()))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="spread"):
+        bucket_pairs(bands, ["bucket"], F.struct("id", "sz"),
+                     spread="nope")

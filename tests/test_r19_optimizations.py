@@ -141,6 +141,75 @@ def test_merged_rank_lookup_equals_two_pass(spark):
     assert got == {"a": 5, "b": 14, None: 10}
 
 
+def test_setsim_min_token_emission_matches_distinct(spark, sf_smoke):
+    """The exactly-once candidate emission (keep a pair only in its
+    MINIMUM common prefix token's bucket) equals the old
+    emit-per-shared-token + global distinct, and is duplicate-free by
+    construction."""
+    from pyspark.sql import functions as F
+
+    from tfm_taxitrips_spark.functions.text import ascii_lower
+    from tfm_taxitrips_spark.operators.pairs import bucket_pairs
+    from tfm_taxitrips_spark.operators.partitioning import fan_out
+    from tfm_taxitrips_spark.operators.prefix import two_phase_prefix_sum
+    from tfm_taxitrips_spark.queries.text import (
+        SETSIM_TAU_DEN,
+        SETSIM_TAU_NUM,
+    )
+    from tfm_taxitrips_spark.sources.readers import table
+
+    docs = fan_out(table(spark, sf_smoke, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.split(ascii_lower(F.col("text")), " "))).alias("t"))
+    df_t = (toks.groupBy("t").agg(F.count(F.lit(1)).alias("df_t"))
+            .localCheckpoint(eager=False))
+    ranked = two_phase_prefix_sum(
+        df_t.withColumn("_one", F.lit(1)), bucket_col="df_t",
+        order_cols=["t"], val_col="_one", out_col="rk",
+    ).select("t", F.col("rk").cast("bigint").alias("rk"))
+    doc_arr = (
+        toks.join(ranked, "t").groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("rk")).alias("ts"))
+        .select(
+            "doc_id", "ts", F.size("ts").alias("s"),
+            F.slice("ts", 1, F.expr(
+                f"size(ts) - ((({SETSIM_TAU_NUM} * size(ts))"
+                f" + {SETSIM_TAU_DEN} - 1) div {SETSIM_TAU_DEN}) + 1"
+            )).alias("prefix"))
+        .localCheckpoint(eager=False)
+    )
+    ratio = lambda a, b: (  # noqa: E731
+        F.lit(SETSIM_TAU_DEN) * F.least(a["s"], b["s"])
+        >= F.lit(SETSIM_TAU_NUM) * F.greatest(a["s"], b["s"]))
+    old = (
+        bucket_pairs(
+            doc_arr.select("doc_id", "s", F.explode("prefix").alias("t")),
+            ["t"], F.struct("doc_id", "s"), pair_filter=ratio,
+            strategy="join")
+        .select(F.col("p.a.doc_id").alias("doc_a"),
+                F.col("p.b.doc_id").alias("doc_b")).distinct()
+    )
+    new = (
+        bucket_pairs(
+            doc_arr.select("doc_id", "s", "prefix",
+                           F.explode("prefix").alias("t")),
+            ["t"], F.struct("doc_id", "s", "prefix"),
+            pair_filter=lambda a, b: ratio(a, b) & (
+                F.col("t") == F.array_min(
+                    F.array_intersect(a["prefix"], b["prefix"]))),
+            strategy="join")
+        .select(F.col("p.a.doc_id").alias("doc_a"),
+                F.col("p.b.doc_id").alias("doc_b"))
+    )
+    n_new = new.count()
+    assert n_new == new.distinct().count()  # duplicate-free emission
+    assert n_new == old.count()
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
 @pytest.mark.parametrize("n", [0, 1])
 def test_survivorship_runs_on_fixture(spark, sf_smoke, n):
     """End-to-end smoke on the committed fixture (exercises the real

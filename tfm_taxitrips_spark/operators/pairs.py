@@ -57,6 +57,7 @@ def bucket_pairs(
     max_width: int = LSH_MAX_BUCKET,
     pair_filter=None,
     strategy: str = "collect",
+    spread: str = "explicit",
 ) -> DataFrame:
     """All unordered intra-bucket pairs of ``item``, as column ``p``
     (struct with fields ``a`` < ``b`` in Spark struct order).
@@ -102,7 +103,26 @@ def bucket_pairs(
       join condition (their pair belongs to the diagonal group), and
       orientation/dedup semantics match ``collect_set`` exactly because
       ``item`` is unique per bucket (the bands contract).
+
+    ``spread`` (r19, ADVICE r18) controls how the COLLECT branch's
+    sub-group exchange is sized; the join branch is always explicit:
+
+    - ``"explicit"`` (default): REPARTITION_BY_NUM at the session's
+      shuffle-partition count — exempt from AQE coalescing, which sizes
+      shuffles by INPUT bytes and cannot see a quadratic OUTPUT. The
+      right call whenever wide buckets are plausible (the semantic-dedup
+      corpus measured −20% at sf0.1 with it).
+    - ``"adaptive"``: column repartition, AQE-coalescible. For callers
+      whose buckets are narrow BY DESIGN (LSH banding: expansion factor
+      ≈ avg bucket width, output bytes ≈ input bytes), input-byte
+      coalescing is the correct model and the forced width is pure task
+      overhead at small scale (+0.5 s on the sf0.1 LSH candidates). At
+      production scale the banded table exceeds AQE's per-partition
+      floor anyway, so both settings plan identically — the knob only
+      exists because a BOUNDED fixture can sit below that floor.
     """
+    if spread not in ("explicit", "adaptive"):
+        raise ValueError(f"unknown bucket_pairs spread {spread!r}")
     sized = bands.withColumn("it", item).withColumn(
         _W, F.count(F.lit(1)).over(Window.partitionBy(*keys))
     )
@@ -183,8 +203,20 @@ def bucket_pairs(
     # memory-safe (bounded arrays, spilling agg) but CPU-skewed: the whole
     # O(w²) expansion on one core. One extra shuffle of the compact banded
     # rows buys cluster-wide distribution of the quadratic work.
+    # r19 (ADVICE r18): under spread="explicit" the count is EXPLICIT
+    # (REPARTITION_BY_NUM, exempt from AQE coalescing) for the same
+    # reason as the join branch above — AQE coalesces on the compact
+    # banded INPUT bytes and cannot see that the groups' OUTPUT (the
+    # in-task pair arrays) is quadratic. spread="adaptive" keeps the
+    # coalescible column form for narrow-by-design callers (docstring).
+    if spread == "explicit":
+        sub = sub.repartition(
+            int(bands.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            *keys, "_gi", "_gj")
+    else:
+        sub = sub.repartition(*keys, "_gi", "_gj")
     grouped = (
-        sub.repartition(*keys, "_gi", "_gj")
+        sub
         .groupBy(*keys, "_gi", "_gj")
         .agg(F.array_sort(F.collect_set("m")).alias("ids"))
         .where(F.size("ids") > 1)

@@ -318,8 +318,15 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     side — the join shuffles hashed ints only, Catalyst inserts a bloom
     filter on the eval side, and the distinct collapses repeats before the
     wire (shingle reuse across docs is high in a real corpus).
+
+    r19 (guide §2.5 input skew): ``fan_out`` on the scan — the shingle
+    explode + 60-bit hash is the query's CPU and it runs BEFORE the
+    first exchange, so on a single-file fixture both splits shingled on
+    ONE task (the column_profile lesson). The source predicates still
+    push to the scan (Catalyst moves filters through the repartition);
+    no-op on any real multi-split table.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"))
     sh = F.explode(shingles(ascii_lower(F.col("text")), _CONTAM_N)).alias("s")
     is_eval = F.col("source").isin(*_EVAL_SOURCES)
 

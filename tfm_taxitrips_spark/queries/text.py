@@ -599,8 +599,14 @@ def _lsh_candidates_from(sig: DataFrame) -> DataFrame:
     # double execution of the signature pipeline); buckets wider than
     # LSH_MAX_BUCKET take a co-partitioned self-join so a degenerate corpus
     # can't OOM a single task — see operators/pairs.bucket_pairs.
+    # spread="adaptive" (r19): LSH banding's buckets are narrow by
+    # design (output ≈ input bytes), so AQE's input-byte coalescing is
+    # the right sizing model; the explicit-count guard exists for
+    # quadratic-output corpora and costs ~0.5 s of pure task overhead
+    # here at fixture scale (rationale in bucket_pairs' docstring).
     return (
-        bucket_pairs(bands, ["band_id", "bh"], F.col("doc_id"))
+        bucket_pairs(bands, ["band_id", "bh"], F.col("doc_id"),
+                     spread="adaptive")
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
@@ -1364,18 +1370,28 @@ def per_source_dedup_rate_frame(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     frame (doc_a, doc_b) so the exact-dup path is unit-testable with
     injected duplicates (the committed fixture has zero identical texts,
     so only a constructed frame can exercise n_exact_dup > 0)."""
-    ids = docs.select("doc_id", "source")
-    # exact dups: md5 groupBy (shuffle key = 32-char hash, never the
-    # body), over-1 groups semi-join back — both exchanges ride the hash
-    h = docs.select("doc_id", "source", F.md5("text").alias("ch"))
-    dup_h = (
-        h.groupBy("ch").agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > 1).select("ch")
+    # ONE (doc_id, source) scan shared by the three id consumers below
+    # (r19, guide §2.4): totals, the pair labeling and the partner
+    # lookup each replayed the scan (plus its fan-out exchange) before.
+    ids = docs.select("doc_id", "source").localCheckpoint(eager=False)
+    # exact dups in ONE chain (r19): per-(md5, source) counts, a window
+    # over the md5 partitions for the corpus-wide count, then the
+    # per-source total — same n_exact_dup as the old over-1-groups
+    # semi-join-back, without the second full docs scan (and its md5
+    # re-computation) or the join. The window partitions by the hash —
+    # |distinct md5| partitions of tiny count rows at any scale.
+    g1 = (
+        docs.select("source", F.md5("text").alias("ch"))
+        .groupBy("ch", "source")
+        .agg(F.count(F.lit(1)).alias("_c"))
     )
     exact = (
-        h.join(dup_h, "ch", "left_semi")
+        g1.withColumn(
+            "_n", F.sum("_c").over(Window.partitionBy("ch")))
+        .where(F.col("_n") > 1)
         .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_exact_dup"))
+        .agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint")
+             .alias("n_exact_dup"))
     )
     # near dups: the candidate pair set is LSH/band-bounded (≪ corpus),
     # so it BROADCASTS into the (doc_id, source) projection — the corpus
@@ -2243,18 +2259,35 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SIZE so the exact size-ratio filter — J(A,B) ≥ τ requires
     # τ·max(|A|,|B|) ≤ min(|A|,|B|), an integer-exact necessary
     # condition (J ≤ min/max since |∩| ≤ min) — prunes candidates
-    # BEFORE the pair-distinct exchange and the |∩| verify. On this
+    # INSIDE the expansion, before the |∩| verify. On this
     # fixture's 31-token vocabulary the prefix filter alone keeps 97%
     # of all pairs (measured), and the size filter kills ~48% of those
-    # in the expansion stage, halving the distinct shuffle and the
-    # verify joins. Dropped pairs provably fail the final jaccard_ppm
+    # in the expansion stage, halving the verify joins. Dropped pairs provably fail the final jaccard_ppm
     # gate, so the result set is unchanged (integer comparison
     # DEN·min ≥ NUM·max — no rounding anywhere).
     prefix_rows = doc_arr.select(
-        "doc_id", "s", F.explode("prefix").alias("t"))
+        "doc_id", "s", "prefix", F.explode("prefix").alias("t"))
     size_ratio_ok = lambda a, b: (  # noqa: E731 — symmetric, exact ints
         F.lit(SETSIM_TAU_DEN) * F.least(a["s"], b["s"])
         >= F.lit(SETSIM_TAU_NUM) * F.greatest(a["s"], b["s"])
+    )
+    # r19 (guide §2.3/§2.4 'remove shuffles outright'): EXACTLY-ONCE pair
+    # emission replaces the global pair-distinct. A candidate pair is
+    # generated once per SHARED prefix token (then deduped by a full
+    # shuffle+aggregate over the ~15M expanded pairs); instead, each
+    # item now carries its (short) prefix array and the expansion keeps
+    # a pair only in the bucket of its MINIMUM common prefix token —
+    # every shared-prefix pair has exactly one such bucket, so the
+    # emitted set is exactly the old distinct set (pinned:
+    # tests/test_r19_optimizations.py::test_setsim_min_token_emission
+    # _matches_distinct; measured identical 6,471,621 pairs at sf0.1,
+    # symmetric diff 0). The per-slot cost is an array_intersect over
+    # two ≤⌈|set|/5⌉+1-token prefixes — map-side CPU traded for the
+    # full pair exchange + final aggregate, which the plan no longer
+    # contains.
+    min_common_prefix = lambda a, b: (  # noqa: E731 — symmetric
+        F.col("t") == F.array_min(F.array_intersect(a["prefix"],
+                                                    b["prefix"]))
     )
     # strategy="join" (r18): wide buckets are the NORM on a prefix-token
     # key (the rarest-first prefix still shares tokens corpus-wide), so
@@ -2263,13 +2296,13 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 26.5 s → ~4 s for the expansion stage at sf0.1 (operators/pairs.py)
     cands = (
         bucket_pairs(
-            prefix_rows, ["t"], F.struct("doc_id", "s"),
-            pair_filter=size_ratio_ok,
+            prefix_rows, ["t"], F.struct("doc_id", "s", "prefix"),
+            pair_filter=lambda a, b: size_ratio_ok(a, b)
+            & min_common_prefix(a, b),
             strategy="join",
         )
         .select(F.col("p.a.doc_id").alias("doc_a"),
                 F.col("p.b.doc_id").alias("doc_b"))
-        .distinct()
     )
     a = doc_arr.select(F.col("doc_id").alias("doc_a"),
                        F.col("ts").alias("ts_a"), F.col("s").alias("s_a"))
