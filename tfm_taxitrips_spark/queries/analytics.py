@@ -399,9 +399,16 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
         .distinct()
     )
-    sizes = items.groupBy("okey").agg(F.count(F.lit(1)).alias("n_brands"))
+    # r19 (guide §2.4): the basket-size cap rides a COUNT WINDOW over the
+    # order key instead of a groupBy + join-back — the old form consumed
+    # ``items`` twice (re-running the scan→join→distinct once per
+    # consumer; items is too big to fence at corpus scale) and paid a
+    # second exchange pair for the self-join. Same kept rows exactly;
+    # per-okey window partitions are basket-sized at any scale.
     basket = (
-        items.join(sizes.where(F.col("n_brands") <= BASKET_CAP), "okey")
+        items.withColumn(
+            "_nb", F.count(F.lit(1)).over(Window.partitionBy("okey")))
+        .where(F.col("_nb") <= BASKET_CAP)
         .select("okey", "brand")
         .localCheckpoint(eager=False)
     )

@@ -540,9 +540,26 @@ def _minhash_signature(
     :func:`_minhash_hashed` for the hashed-universe shuffle argument).
     ``hashed`` lets a caller that ALSO consumes the hashed universe (the
     estimator gate) pass its own — typically checkpoint-fenced — frame so
-    the corpus pass is shared instead of replayed."""
+    the corpus pass is shared instead of replayed.
+
+    r19 (guide §2.3/§2.4): the standalone path SKIPS the (doc_id, x)
+    distinct — MIN is multiplicity-insensitive, so the signature over
+    the hashed multiset equals the signature over the hashed set
+    bit-for-bit, and dropping the dedup removes a whole exchange: the
+    groupBy's map-side partial aggregation collapses each doc to ONE
+    16-long row before the wire (a doc's shingles are task-local after
+    fan_out), where the distinct shuffled every distinct hash. Callers
+    that need the true SET universe (the estimator's exact-Jaccard leg)
+    pass their own distinct ``hashed`` frame, unchanged."""
     if hashed is None:
-        hashed = _minhash_hashed(spark, sf_dir)
+        docs = fan_out(table(spark, sf_dir, "documents"))
+        exploded = docs.select(
+            "doc_id",
+            F.explode(shingles(ascii_lower(F.col("text")), 3)).alias("s"),
+        )
+        hashed = exploded.select(
+            "doc_id", (hash60(F.col("s")) % _P).alias("x")
+        )
     x = F.col("x")
     mins = [
         F.min((F.lit(MINHASH_A[j]) * x + F.lit(MINHASH_B[j])) % _P).alias(f"h{j}")

@@ -774,8 +774,10 @@ def q_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows against the store (map-side, no shuffle); the update shuffles
     only (K × dim) partially-summed rows thanks to map-side combine on
     the posexploded coords. The registered form runs
-    ``truncate_every=1`` (r18, guide §2.4): each round's K-row centroid
-    frame is eagerly ``localCheckpoint``-ed, so every Lloyd round
+    ``truncate_every=1`` (r18, guide §2.4; lazily fenced since r19 per
+    ADVICE — the K-row frame materializes at the next round's broadcast
+    instead of a dedicated per-round job): each round's centroid frame
+    is ``localCheckpoint``-ed, so every Lloyd round
     executes exactly once — the fully-lazy plan NESTED one full
     assignment+update under the next (analysis cost super-linear in
     iterations, and the store re-scanned per nesting level; measured
@@ -812,7 +814,12 @@ def kmeans_clustering(
         if i < iters - 1:
             cents = _km_update(assign)
             if truncate_every and (i + 1) % truncate_every == 0:
-                cents = cents.localCheckpoint(eager=True)
+                # eager=False (r19, ADVICE r18): construction-laziness
+                # parity with every other fence — the K-row frame is
+                # materialized by the next round's broadcast instead of
+                # a dedicated per-round job; results bit-identical
+                # (test_kmeans_lineage_truncation)
+                cents = cents.localCheckpoint(eager=False)
     return assign.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum("vec_id").alias("member_checksum"),
